@@ -1,0 +1,249 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** The engine's table abstraction: a thin, immutable wrapper over a lazy
+  * `DataFrame` whose methods mirror the reference's `Dataset` interface
+  * (reference: graphique/interface.py:74-535). Every method is a pure plan
+  * transformation — nothing executes until an action; Catalyst owns
+  * optimization (pushdown, pruning, join strategy, AQE).
+  *
+  * Ops that observe natural row order require the hidden row id from
+  * [[Natural]] (attached by `Tables.loadOrdered`); order-free ops work on any
+  * DataFrame and never force it.
+  */
+final case class GTable(df: DataFrame) {
+  import GTable._
+
+  private def rid: Column = Natural.order(df)
+  private def outputCols: Seq[String] = df.columns.filterNot(_ == Natural.rid).toSeq
+
+  /** Result with hidden columns dropped. */
+  def result: DataFrame = Natural.strip(df)
+
+  // ─── Projection / filter (reference: interface.py:455-462,510-519) ───
+
+  /** AND-ed predicates; empty → unchanged. */
+  def filter(preds: Column*): GTable =
+    if (preds.isEmpty) this else GTable(df.filter(preds.reduce(_ && _)))
+
+  /** Add/replace columns (reference `project`). */
+  def project(cols: (String, Column)*): GTable =
+    GTable(df.withColumns(cols.toMap))
+
+  /** Keep only the named columns (plus hidden id if present). */
+  def select(names: String*): GTable = {
+    val keep = if (Natural.hasRowId(df)) names :+ Natural.rid else names
+    GTable(df.select(keep.map(df.col): _*))
+  }
+
+  /** Cast listed columns; `tryMode` → null on failure (reference: interface.py:129-136). */
+  def cast(types: Seq[(String, DataType)], tryMode: Boolean = false): GTable =
+    GTable(types.foldLeft(df) { case (d, (name, dt)) =>
+      d.withColumn(name,
+        if (tryMode) expr(s"try_cast(`$name` AS ${dt.sql})") else col(name).cast(dt))
+    })
+
+  /** Fill nulls in the named columns (reference: interface.py:442-453). */
+  def fillNull(values: Map[String, Any]): GTable = GTable(df.na.fill(values))
+
+  /** Drop rows with any/all nulls in `subset` (reference: interface.py:437-440). */
+  def dropNull(subset: Seq[String] = Nil, how: String = "any"): GTable =
+    GTable(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
+
+  /** Explode struct columns into top-level fields (reference: interface.py:324-327). */
+  def unpack(names: String*): GTable =
+    GTable(names.foldLeft(df)((d, n) => d.select((d.columns.filterNot(_ == n)
+      .map(c => d.col(c)) :+ d.col(s"$n.*")): _*)))
+
+  // ─── Aggregation (reference: interface.py:185-243) ───
+
+  /** Hash aggregation. Empty `by` = whole-table single row. `aggs` are
+    * already-aliased aggregate Columns (see graft.functions.GAggs for the
+    * reference's aggregate surface: filtered, ordered first/last, argmax…).
+    * `counts` adds a group-size column. Map-side partial aggregation and
+    * shuffle-on-keys come free from Catalyst's HashAggregate split.
+    */
+  def group(by: Seq[String], aggs: Seq[Column], counts: Option[String] = None): GTable = {
+    val allAggs = aggs ++ counts.map(n => GTable.cnt.as(n))
+    val a = if (allAggs.isEmpty) Seq(GTable.cnt.as("count")) else allAggs
+    GTable(
+      if (by.isEmpty) df.agg(a.head, a.tail: _*)
+      else df.groupBy(by.map(col): _*).agg(a.head, a.tail: _*))
+  }
+
+  /** Dedup on `on`, keeping first/last (by natural order) or none; optional
+    * per-key counts (reference: interface.py:185-215). keep=first/last is a
+    * single shuffled window (`row_number` over keys by row id) — no join.
+    */
+  def distinctOn(on: Seq[String], keep: String = "first",
+                 counts: Option[String] = None): GTable = keep match {
+    case "none" =>
+      counts match {
+        case None => GTable(Natural.strip(df).dropDuplicates(on))
+        case Some(c) => GTable(Natural.strip(df).groupBy(on.map(col): _*).agg(GTable.cnt.as(c)))
+      }
+    case "first" | "last" =>
+      val ord = if (keep == "first") rid.asc else rid.desc
+      val w = Window.partitionBy(on.map(col): _*).orderBy(ord)
+      val counted = counts match {
+        case None => df
+        case Some(c) => df.withColumn(c, GTable.cnt.over(Window.partitionBy(on.map(col): _*)))
+      }
+      GTable(counted.withColumn("_gq_rn", row_number().over(w))
+        .filter(col("_gq_rn") === 1).drop("_gq_rn"))
+    case other => throw new IllegalArgumentException(s"keep=$other")
+  }
+
+  // ─── Sort / limit / top-k (reference: interface.py:245-299) ───
+
+  /** Multi-key sort; with `limit` Catalyst plans TakeOrderedAndProject (no
+    * full sort at scale). With `over`, a per-partition limit via row_number.
+    */
+  def order(by: Seq[Column], limit: Option[Int] = None,
+            over: Seq[String] = Nil): GTable =
+    if (over.nonEmpty) {
+      val w = Window.partitionBy(over.map(col): _*).orderBy(by: _*)
+      val limited = df.withColumn("_gq_rn", row_number().over(w))
+      GTable(limit.fold(limited.orderBy((over.map(col(_).asc) ++ by): _*))(k =>
+        limited.filter(col("_gq_rn") <= k)).drop("_gq_rn"))
+    } else {
+      val sorted = df.orderBy(by: _*)
+      GTable(limit.fold(sorted)(sorted.limit))
+    }
+
+  /** Top-k *by rank* — all rows whose (dense) rank < k, keeping ties
+    * (reference: interface.py:269-299). Global rank (empty `over`) uses a
+    * semi-join against the distinct ordered key mask so no single-partition
+    * window is ever run — the reference's own high-cardinality strategy.
+    */
+  def firstRank(by: Seq[String], rank: Int = 1, dense: Boolean = false,
+                over: Seq[String] = Nil): GTable = {
+    val ord = orderKeys(by)
+    if (over.nonEmpty) {
+      val w = Window.partitionBy(over.map(col): _*).orderBy(ord: _*)
+      val rk = if (dense) dense_rank() else org.apache.spark.sql.functions.rank()
+      GTable(df.withColumn("_gq_rk", rk.over(w))
+        .filter(col("_gq_rk") <= rank).drop("_gq_rk"))
+    } else {
+      // semi-join against the ordered distinct key mask: never a
+      // single-partition global window (the reference's own strategy for
+      // high-cardinality `first`, interface.py:294-299)
+      val keyNames = by.map(k => k.stripPrefix("-"))
+      val mask = df.select(keyNames.map(col): _*).distinct()
+        .orderBy(ord: _*).limit(rank)
+      GTable(df.join(broadcast(mask), keyNames, "left_semi"))
+    }
+  }
+
+  /** Contiguous rows in natural order; negative offset = from the end
+    * (reference: interface.py:177-183). */
+  def slice(offset: Long, limit: Option[Long] = None): GTable = {
+    val off = if (offset < 0) math.max(0L, df.count() + offset) else offset
+    val hi = limit.map(off + _)
+    GTable(df.filter(rid >= off && hi.map(rid < _).getOrElse(lit(true)))
+      .orderBy(rid))
+  }
+
+  /** One row by natural-order position (reference: interface.py:499-508). */
+  def rowAt(index: Long): GTable = slice(index, Some(1L))
+
+  /** Materialize rows by positional index (reference: interface.py:424-435).
+    * An isin filter on the row id — pushed to the scan, no global sort. */
+  def take(indices: Seq[Long]): GTable =
+    GTable(df.filter(rid.isin(indices: _*)).orderBy(rid))
+
+  /** Existence probe scanning ≤ limit rows (reference: interface.py:151-157). */
+  def any(limit: Int = 1): Boolean = df.limit(limit).count() >= limit
+
+  def count(): Long = df.count()
+
+  // ─── Joins (reference: interface.py:329-395) ───
+
+  /** Equi-join on key name pairs; overlapping non-key right columns renamed
+    * with `rname` format (default `{name}_right`), as the reference does.
+    * Catalyst/AQE picks broadcast vs shuffled-hash vs sort-merge.
+    */
+  def join(right: GTable, keys: Seq[String], rkeys: Seq[String] = Nil,
+           how: String = "inner", rname: String => String = _ + "_right"): GTable = {
+    val rk = if (rkeys.isEmpty) keys else rkeys
+    val r0 = Natural.strip(right.df)
+    val l0 = if (how == "right") Natural.strip(df) else df
+    // align right key names to left ones so we can use the Seq[String] join
+    // (single output key column, no ambiguity)
+    val rAligned = rk.zip(keys).foldLeft(r0) { case (d, (from, to)) =>
+      if (from == to) d else d.withColumnRenamed(from, to) }
+    val overlap = rAligned.columns.toSet.intersect(l0.columns.toSet) -- keys.toSet
+    val rRenamed = overlap.foldLeft(rAligned)((d, c) => d.withColumnRenamed(c, rname(c)))
+    GTable(l0.join(rRenamed, keys, how))
+  }
+
+  def crossJoin(right: GTable): GTable =
+    GTable(Natural.strip(df).crossJoin(Natural.strip(right.df)))
+
+  // ─── Set ops (reference: interface.py:397-422) ───
+  // Reference defaults: union = multiset (UNION ALL); intersect/difference = set.
+
+  def union(others: Seq[GTable], distinct: Boolean = false): GTable = {
+    val u = others.foldLeft(Natural.strip(df))((d, o) => d.unionByName(Natural.strip(o.df)))
+    GTable(if (distinct) u.distinct() else u)
+  }
+
+  def intersect(others: Seq[GTable], distinct: Boolean = true): GTable =
+    GTable(others.foldLeft(Natural.strip(df))((d, o) =>
+      if (distinct) d.intersect(Natural.strip(o.df)) else d.intersectAll(Natural.strip(o.df))))
+
+  def difference(others: Seq[GTable], distinct: Boolean = true): GTable =
+    GTable(others.foldLeft(Natural.strip(df))((d, o) =>
+      if (distinct) d.except(Natural.strip(o.df)) else d.exceptAll(Natural.strip(o.df))))
+
+  // ─── Reshaping (reference: interface.py:301-322,464-489) ───
+
+  /** Explode an array column; `offsetAlias` adds the element offset;
+    * `keepEmpty` keeps empty/null arrays as a null row. */
+  def unnest(name: String, offsetAlias: Option[String] = None,
+             keepEmpty: Boolean = false): GTable = {
+    val others = df.columns.filterNot(_ == name).map(df.col)
+    val exploded = (offsetAlias, keepEmpty) match {
+      case (None, false)    => df.select((others :+ explode(col(name)).as(name)): _*)
+      case (None, true)     => df.select((others :+ explode_outer(col(name)).as(name)): _*)
+      case (Some(o), false) => df.select((others ++ Seq(posexplode(col(name)))): _*)
+        .withColumnRenamed("pos", o).withColumnRenamed("col", name)
+      case (Some(o), true)  => df.select((others ++ Seq(posexplode_outer(col(name)))): _*)
+        .withColumnRenamed("pos", o).withColumnRenamed("col", name)
+    }
+    GTable(exploded)
+  }
+
+  /** Gaps-and-islands: group by *adjacent* equal values of `by` (plus custom
+    * boolean `split` predicates evaluated against the change row), aggregate
+    * per run (reference: interface.py:464-489). Classic lag → change flag →
+    * cumulative sum → run id → groupBy. Requires natural order.
+    */
+  def runs(by: Seq[String], split: Seq[Column] = Nil,
+           aggs: Seq[Column] = Nil, counts: Option[String] = None): GTable = {
+    val w = Window.orderBy(rid)
+    val changes = by.map(c => !(col(c) <=> lag(col(c), 1).over(w))) ++ split
+    val flag = changes.reduceOption(_ || _).getOrElse(lit(false))
+    val withRun = df.withColumn("_gq_chg", when(flag, 1L).otherwise(0L))
+      .withColumn("_gq_run", sum(col("_gq_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val firstOfBy = by.map(c => min_by(col(c), rid).as(c))
+    val allAggs = firstOfBy ++ aggs ++ counts.map(n => GTable.cnt.as(n)) :+
+      min(rid).as(Natural.rid)
+    GTable(withRun.groupBy(col("_gq_run")).agg(allAggs.head, allAggs.tail: _*)
+      .drop("_gq_run").orderBy(col(Natural.rid)))
+  }
+}
+
+object GTable {
+  /** `count(*)` as a Column (the class's own count() shadows functions.count). */
+  private[core] def cnt: Column = org.apache.spark.sql.functions.count(lit(1))
+
+  /** Reference order-key syntax: `-` prefix = descending (core.py:26-28). */
+  def orderKeys(keys: Seq[String]): Seq[Column] =
+    keys.map(k => if (k.startsWith("-")) col(k.drop(1)).desc else col(k).asc)
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Natural, Tables}
+
+class CoreSpec extends SparkSpec {
+
+  test("natural row id is stable, contiguous, 0-based") {
+    val df = Tables.loadOrdered(spark, sf, "region")
+    val ids = df.select(Natural.rid).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until ids.length))
+  }
+
+  test("slice / rowAt observe natural order") {
+    val t = GTable(Tables.loadOrdered(spark, sf, "nation"))
+    val sliced = t.slice(2, Some(3)).result.collect()
+    assert(sliced.length == 3)
+    val all = t.slice(0, None).result.collect()
+    assert(sliced.map(_.getInt(0)).toSeq == all.slice(2, 5).map(_.getInt(0)).toSeq)
+    assert(t.rowAt(-1).result.count() == 1)
+  }
+
+  test("q1_agg returns grouped rows with expected columns") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    assert(df.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc", "count_order"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // group counts sum back to the filtered row count
+    val li = Tables.load(spark, sf, "lineitem")
+    val expected = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(rows.map(_.getAs[Long]("count_order")).sum == expected)
+  }
+
+  test("entry smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
