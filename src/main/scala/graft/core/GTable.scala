@@ -57,7 +57,7 @@ final case class GTable(df: DataFrame) {
   /** Explode struct columns into top-level fields (reference: interface.py:324-327). */
   def unpack(names: String*): GTable =
     GTable(names.foldLeft(df)((d, n) => d.select((d.columns.filterNot(_ == n)
-      .map(c => d.col(c)) :+ d.col(s"$n.*")): _*)))
+      .map(c => d.col(c)) :+ expr(s"`$n`.*")): _*)))
 
   // ─── Aggregation (reference: interface.py:185-243) ───
 
