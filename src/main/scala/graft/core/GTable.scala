@@ -67,12 +67,17 @@ final case class GTable(df: DataFrame) {
     * `counts` adds a group-size column. Map-side partial aggregation and
     * shuffle-on-keys come free from Catalyst's HashAggregate split.
     */
-  def group(by: Seq[String], aggs: Seq[Column], counts: Option[String] = None): GTable = {
-    val allAggs = aggs ++ counts.map(n => GTable.cnt.as(n))
+  def group(by: Seq[String], aggs: Seq[Column], counts: Option[String] = None,
+            firstSeenOrder: Boolean = false): GTable = {
+    val ordAgg = if (firstSeenOrder) Seq(min(rid).as(Natural.rid)) else Nil
+    val allAggs = aggs ++ counts.map(n => GTable.cnt.as(n)) ++ ordAgg
     val a = if (allAggs.isEmpty) Seq(GTable.cnt.as("count")) else allAggs
-    GTable(
+    val grouped =
       if (by.isEmpty) df.agg(a.head, a.tail: _*)
-      else df.groupBy(by.map(col): _*).agg(a.head, a.tail: _*))
+      else df.groupBy(by.map(col): _*).agg(a.head, a.tail: _*)
+    // `order` on group: re-sort groups to first-seen order via min(row id)
+    // (reference: interface.py:217-243)
+    GTable(if (firstSeenOrder) grouped.orderBy(col(Natural.rid)) else grouped)
   }
 
   /** Dedup on `on`, keeping first/last (by natural order) or none; optional
