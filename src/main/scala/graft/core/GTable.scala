@@ -134,12 +134,15 @@ final case class GTable(df: DataFrame) {
       GTable(df.withColumn("_gq_rk", rk.over(w))
         .filter(col("_gq_rk") <= rank).drop("_gq_rk"))
     } else {
-      // semi-join against the ordered distinct key mask: never a
-      // single-partition global window (the reference's own strategy for
-      // high-cardinality `first`, interface.py:294-299)
+      // semi-join against the ordered key mask: never a single-partition
+      // global window (the reference's own strategy for high-cardinality
+      // `first`, interface.py:294-299). Sparse rank = distinct of the first
+      // k *rows*; dense rank = first k *distinct values*.
       val keyNames = by.map(k => k.stripPrefix("-"))
-      val mask = df.select(keyNames.map(col): _*).distinct()
-        .orderBy(ord: _*).limit(rank)
+      val keyDf = df.select(keyNames.map(col): _*)
+      val mask =
+        if (dense) keyDf.distinct().orderBy(ord: _*).limit(rank)
+        else keyDf.orderBy(ord: _*).limit(rank).distinct()
       GTable(df.join(broadcast(mask), keyNames, "left_semi"))
     }
   }

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the test-data star schema (TESTDATA.md).
   *
@@ -18,9 +20,30 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+    normalize(read(spark, path(sfDir, name)))
 
   /** Load with the natural-order row id attached (see [[Natural]]). */
-  def loadOrdered(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    Natural.withRowId(spark, path(sfDir, name))
+  def loadOrdered(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    nanosConf(spark)
+    normalize(Natural.withRowId(spark, path(sfDir, name)))
+  }
+
+  private def nanosConf(spark: SparkSession): Unit =
+    // Spark has no nanosecond timestamp type and by default refuses parquet
+    // TIMESTAMP(NANOS) columns (events.ts). Read them as raw Long nanos...
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  private[core] def read(spark: SparkSession, p: String): DataFrame = {
+    nanosConf(spark)
+    spark.read.parquet(p)
+  }
+
+  /** ...then convert to micros TIMESTAMP_NTZ — integer `div` (a double
+    * round-trip would lose precision at 1.7e18 nanos), truncation matching
+    * DuckDB's ns→us behavior. */
+  private def normalize(df: DataFrame): DataFrame =
+    df.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
+      .foldLeft(df)((d, f) =>
+        d.withColumn(f.name,
+          timestamp_micros(expr(s"${f.name} div 1000")).cast("timestamp_ntz")))
 }

@@ -17,5 +17,6 @@ final case class Q(
 object Queries {
   /** Full registry; SparkEntry derives its maps from this. */
   def all: Seq[Q] =
-    AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all
+    AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
+    WindowQueries.all ++ SortQueries.all
 }
