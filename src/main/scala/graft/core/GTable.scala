@@ -192,6 +192,74 @@ final case class GTable(df: DataFrame) {
   def crossJoin(right: GTable): GTable =
     GTable(Natural.strip(df).crossJoin(Natural.strip(right.df)))
 
+  /** As-of join (reference: interface.py:354-383): for each left row the
+    * nearest right row with r.on ≤ l.on (backward direction), matched within
+    * optional equality `keys` and optional `tolerance` predicate on the two
+    * time values; left-join semantics (no match → nulls).
+    *
+    * Scale-first strategy: NOT a range join (quadratic blowup on dense
+    * keys). Both sides are tagged and unioned, then a single
+    * partition-by-key, sort-by-(time, side) window computes
+    * `last(right_struct, ignoreNulls)` per row — one shuffle of each input,
+    * linear work, identical to the merge-asof algorithm distributed on the
+    * key hash. Right rows sort before left rows at equal times, making the
+    * match inclusive (r.on == l.on matches).
+    */
+  def asofJoin(right: GTable, on: String, rOn: String = "",
+               keys: Seq[String] = Nil, rkeys: Seq[String] = Nil,
+               tolerance: Option[(Column, Column) => Column] = None,
+               rname: String => String = _ + "_right"): GTable = {
+    val ron0 = if (rOn.isEmpty) on else rOn
+    val rk = if (rkeys.isEmpty) keys else rkeys
+    val l0 = Natural.strip(df)
+    val r0 = Natural.strip(right.df)
+    val leftCols = l0.columns.toSeq
+    // align right key names to left, rename clashing right value columns
+    val rAligned = rk.zip(keys).foldLeft(r0) { case (d, (from, to)) =>
+      if (from == to) d else d.withColumnRenamed(from, to) }
+    val clashes = rAligned.columns.filterNot(keys.contains).filter(leftCols.contains)
+    val rRenamed = clashes.foldLeft(rAligned)((d, c) => d.withColumnRenamed(c, rname(c)))
+    val ron = if (clashes.contains(ron0)) rname(ron0) else ron0
+    val rValueCols = rRenamed.columns.filterNot(keys.contains).toSeq
+
+    val lStruct = struct(leftCols.map(l0.col): _*)
+    val rStruct = struct(rValueCols.map(rRenamed.col): _*)
+    val lType = l0.select(lStruct.as("s")).schema("s").dataType
+    val rType = rRenamed.select(rStruct.as("s")).schema("s").dataType
+
+    val lSide = l0.select(keys.map(col) ++ Seq(col(on).as("_gq_t"),
+      lStruct.as("_gq_l"), lit(null).cast(rType).as("_gq_r"), lit(1).as("_gq_side")): _*)
+    val rSide = rRenamed.select(keys.map(col) ++ Seq(col(ron).as("_gq_t"),
+      lit(null).cast(lType).as("_gq_l"), rStruct.as("_gq_r"), lit(0).as("_gq_side")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_gq_t").asc, col("_gq_side").asc, col("_gq_r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lSide.unionByName(rSide)
+      .withColumn("_gq_m", last(col("_gq_r"), ignoreNulls = true).over(w))
+      .filter(col("_gq_side") === 1)
+    val inTol = tolerance match {
+      case None => col("_gq_m").isNotNull
+      case Some(p) => col("_gq_m").isNotNull && p(col("_gq_t"), col("_gq_m").getField(ron))
+    }
+    val withMatch = matched.withColumn("_gq_ok", inTol)
+    val out = keys.map(col) ++
+      leftCols.filterNot(keys.contains).map(c => col("_gq_l").getField(c).as(c)) ++
+      rValueCols.map(c => when(col("_gq_ok"), col("_gq_m").getField(c)).as(c))
+    GTable(withMatch.select(out: _*))
+  }
+
+  /** Index join (reference `takeFrom`, models.py:215-221): use this table's
+    * int column `field` as natural-order row indices into `other` (which
+    * must carry the row id). Semi-join on the id — "orders of magnitude
+    * faster than a scan" per the reference; here it is also broadcast-able.
+    */
+  def takeFrom(field: String, other: GTable): GTable = {
+    val indices = df.select(col(field).cast("long").as(Natural.rid)).distinct()
+    GTable(other.df.join(broadcast(indices), Seq(Natural.rid), "left_semi")
+      .orderBy(col(Natural.rid)))
+  }
+
   // ─── Set ops (reference: interface.py:397-422) ───
   // Reference defaults: union = multiset (UNION ALL); intersect/difference = set.
 

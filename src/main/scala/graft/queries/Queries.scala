@@ -18,5 +18,5 @@ object Queries {
   /** Full registry; SparkEntry derives its maps from this. */
   def all: Seq[Q] =
     AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
-    WindowQueries.all ++ SortQueries.all
+    WindowQueries.all ++ SortQueries.all ++ JoinQueries.all ++ SetQueries.all
 }

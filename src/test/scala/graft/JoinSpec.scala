@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Tables}
+
+class JoinSpec extends SparkSpec {
+
+  test("asofJoin backward: match is at-or-before and nearest") {
+    val ev = GTable(Tables.load(spark, sf, "events"))
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val joined = clicks.asofJoin(errors, on = "ts", keys = Seq("user_id")).result
+    assert(joined.count() == clicks.result.count()) // left-join semantics
+    val bad = joined.filter(col("ts_right").isNotNull && col("ts_right") > col("ts")).count()
+    assert(bad == 0) // no future matches
+    // spot-check nearest: recompute via correlated max
+    val errDf = errors.result.select(col("user_id").as("u"), col("ts").as("ets"))
+    val expected = joined.select("event_id", "user_id", "ts", "ts_right")
+      .join(errDf, col("user_id") === col("u") && col("ets") <= col("ts"), "left")
+      .groupBy("event_id", "ts_right").agg(max("ets").as("best"))
+      .filter(!(col("ts_right") <=> col("best"))).count()
+    assert(expected == 0)
+  }
+
+  test("asofJoin inclusive at equal timestamps") {
+    import spark.implicits._
+    val l = GTable(Seq((1L, 10L), (2L, 20L)).toDF("id", "t"))
+    val r = GTable(Seq((100L, 10L), (200L, 15L)).toDF("rid", "t"))
+    val j = l.asofJoin(r, on = "t").result.orderBy("id").collect()
+    assert(j(0).getAs[Long]("rid") == 100L) // equal t matches
+    assert(j(1).getAs[Long]("rid") == 200L)
+  }
+
+  test("takeFrom picks rows by position") {
+    val sup = GTable(Tables.loadOrdered(spark, sf, "supplier"))
+    import spark.implicits._
+    val idx = GTable(Seq(0L, 2L, 2L, 5L).toDF("i"))
+    val rows = idx.takeFrom("i", sup).result.collect()
+    assert(rows.length == 3) // distinct positions 0,2,5
+  }
+
+  test("join renames clashing right columns") {
+    val o = GTable(Tables.load(spark, sf, "orders"))
+    val o2 = GTable(Tables.load(spark, sf, "orders"))
+    val j = o.join(o2, Seq("o_orderkey"))
+    assert(j.df.columns.count(_ == "o_totalprice") == 1)
+    assert(j.df.columns.contains("o_totalprice_right"))
+  }
+}
