@@ -299,10 +299,14 @@ final case class GTable(df: DataFrame) {
     * per run (reference: interface.py:464-489). Classic lag → change flag →
     * cumulative sum → run id → groupBy. Requires natural order.
     */
-  def runs(by: Seq[String], split: Seq[Column] = Nil,
+  def runs(by: Seq[String],
+           split: Seq[org.apache.spark.sql.expressions.WindowSpec => Column] = Nil,
            aggs: Seq[Column] = Nil, counts: Option[String] = None): GTable = {
+    // NOTE single-partition global window: correct but serial. The 100 TB
+    // path is range-partition by rid + per-partition flags + boundary fix-up;
+    // planned as a custom physical op if runs() ever lands on the hot path.
     val w = Window.orderBy(rid)
-    val changes = by.map(c => !(col(c) <=> lag(col(c), 1).over(w))) ++ split
+    val changes = by.map(c => !(col(c) <=> lag(col(c), 1).over(w))) ++ split.map(f => f(w))
     val flag = changes.reduceOption(_ || _).getOrElse(lit(false))
     val withRun = df.withColumn("_gq_chg", when(flag, 1L).otherwise(0L))
       .withColumn("_gq_run", sum(col("_gq_chg")).over(

@@ -18,5 +18,6 @@ object Queries {
   /** Full registry; SparkEntry derives its maps from this. */
   def all: Seq[Q] =
     AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
-    WindowQueries.all ++ SortQueries.all ++ JoinQueries.all ++ SetQueries.all
+    WindowQueries.all ++ SortQueries.all ++ JoinQueries.all ++ SetQueries.all ++
+    ReshapeQueries.all
 }
