@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines.
+  *
+  * Everything is pure Column expressions + relational ops — codegen'd,
+  * shuffle-minimal, no UDFs:
+  *
+  *  - exact: hash-groupBy, one shuffle on the 64-bit text hash
+  *  - n-gram Jaccard: shingle-explode + self-join on shingle + count — the
+  *    exact pairwise similarity (quadratic only within shared shingles)
+  *  - MinHash+LSH: k seeded permutation hashes over shingles → signatures →
+  *    b bands → bucket join. Candidate generation is linear in input size;
+  *    only same-bucket pairs are verified. The 100 TB path.
+  *  - SimHash: 64-bit weighted-bit fingerprint; banded into 16-bit chunks
+  *    for Hamming-neighbor candidate generation.
+  */
+object Dedup {
+
+  /** Word tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word n-gram shingles. Guarded: sequence(1, stop) with
+    * stop < 1 would generate a *descending* sequence in Spark. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: representative (min id) per identical text.
+    * One shuffle on xxhash64(text); carries no text through the shuffle. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(xxhash64(col(textCol)).as("_h"), col(idCol))
+      .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Exact n-gram Jaccard pairs with similarity ≥ threshold.
+    * Shingle-explode → self-join on shingle → common counts → |A∪B| via
+    * per-doc sizes. Pairs restricted to id1 < id2.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "id1", "sz" -> "sz1")), Seq("id1"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id2", "sz" -> "sz2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("common") / (col("sz1") + col("sz2") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** MinHash signature: k seeded hash mins over the shingle set.
+    * h_i(x) = xxhash64(shingle, seed=i); signature element i = min over
+    * shingles. Pure expressions — no UDF, no collect. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = shingles(text, n)
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: `bands` bands of
+    * `k/bands` rows each; docs sharing any band bucket are candidates;
+    * candidates are then verified with the exact signature similarity
+    * (fraction of equal signature components ≥ threshold).
+    *
+    * Scale shape: explode to (band, bucketHash) — b rows per doc — then a
+    * shuffle on the bucket key. No quadratic stage outside buckets.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7): DataFrame = {
+    val r = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, k).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)) / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: bit b is set iff the sum over tokens of
+    * ±1 (sign of the independent hash xxhash64(token, b)) is ≥ 0. Packed
+    * with shift/or (bit ops — no ANSI arithmetic overflow on the top bit). */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    val counters = aggregate(
+      toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), b =>
+          when(xxhash64(t, b) >= 0, 1).otherwise(-1)),
+        (a, c) => a + c))
+    val bits = transform(counters, c => when(c >= 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits; same-band collision →
+    * candidate; verified by Hamming distance ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .dropDuplicates("id1", "id2")
+    cand.withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+}

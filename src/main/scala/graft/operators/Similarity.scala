@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *  - brute-force cosine top-k: broadcast the (small) query set against the
+  *    corpus; exact baseline, one pass over the corpus, no corpus shuffle.
+  *  - LSH-bucketed: random-hyperplane sign buckets (deterministic seeded
+  *    hyperplanes) shrink the candidate set; the 100 TB path — corpus is
+  *    bucketed once (write-time amortizable), probes touch only matching
+  *    buckets.
+  *
+  * All arithmetic is sequential double folds (deterministic, codegen'd).
+  */
+object Similarity {
+
+  /** Sequential dot product of two float vectors as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` is expected to be small (broadcast); corpus is scanned once;
+    * per-query top-k via window on the (query-id-partitioned) scored set.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("_qv"), col("_cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("_rn").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash-derived value in
+    * [-0.5, 0.5) for (plane p, dimension i). */
+  private def planeComponent(p: Column, i: Column): Column =
+    (pmod(xxhash64(p, i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Sign-bucket id from `planes` random hyperplanes (bit per plane);
+    * `table` selects an independent plane family. */
+  def lshBucket(vec: Column, planes: Int, dim: Int, table: Int = 0): Column = {
+    val bits = transform(sequence(lit(table * planes), lit((table + 1) * planes - 1)), p => {
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+  }
+
+  /** ANN via multi-table LSH: `tables` independent plane families; queries
+    * probe their bucket in every table (recall 1-(1-p^planes)^tables); the
+    * candidate union is deduped then exactly re-scored. Candidates drop from
+    * |corpus| to ~tables·|corpus|/2^planes — the knob trading recall for
+    * scan fraction at 100 TB. Corpus bucketing is a narrow projection
+    * (write-time amortizable as a bucketed table). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int, dim: Int,
+              tables: Int = 8): DataFrame = {
+    val buckets = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col(vecCol), planes, dim, t).as("b")))
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      explode(array(buckets: _*)).as("_bucket"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      explode(array(buckets: _*)).as("_bucket"))
+    val cand = cb.join(broadcast(qb), Seq("_bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "_qv", "neighbor_id", "_cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("score", cosine(col("_qv"), col("_cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("_rn").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: exact all-pairs cosine ≥ threshold.
+    * Quadratic — the exact oracle/baseline; LSH variant is the scale path. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** LSH-bucketed near-duplicate pairs: same-bucket candidates verified by
+    * exact cosine — linear bucketing + intra-bucket pairs only. */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, planes: Int, dim: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes, dim).as("_bucket"))
+    v.as("a").join(v.as("b"),
+        col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

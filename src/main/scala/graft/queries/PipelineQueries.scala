@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Tables}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline queries: dedup, similarity search, text analysis
+  * over the documents/embeddings tables. Exact-algorithm variants carry
+  * DuckDB oracles; hash-seeded probabilistic variants (MinHash/SimHash/LSH)
+  * are rows-only here and recall-tested in PipelineSpec.
+  */
+object PipelineQueries {
+
+  /** Exact dedup: representative doc per identical text (hash-groupBy). */
+  val q_dedup_exact = Q(
+    "q_dedup_exact",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Dedup.exact(d, "text", "doc_id"))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ORDER BY doc_id"""))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.55, word 3-grams). */
+  val q_dedup_jaccard = Q(
+    "q_dedup_jaccard",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.55))
+        .project("jaccard" -> round(col("jaccard"), 9))
+        .order(GTable.orderKeys(Seq("id1", "id2")))
+        .result
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+                list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS s
+              FROM toks),
+            sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id id1, b.doc_id id2, count(*) c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id1, id2,
+              round(c / (s1.sz + s2.sz - c), 9) AS jaccard
+            FROM common
+            JOIN sizes s1 ON id1 = s1.doc_id
+            JOIN sizes s2 ON id2 = s2.doc_id
+            WHERE c / (s1.sz + s2.sz - c) >= 0.55
+            ORDER BY id1, id2"""))
+
+  /** MinHash+LSH near-dup candidates (64 hashes, 16 bands) — rows-only:
+    * xxhash64 seeds are not reproducible in the oracle; recall is asserted
+    * against exact Jaccard in PipelineSpec. */
+  val q_dedup_minhash = Q(
+    "q_dedup_minhash",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Dedup.minhashPairs(d, "text", "doc_id", n = 3, k = 64,
+          bands = 16, threshold = 0.5))
+        .order(GTable.orderKeys(Seq("id1", "id2")))
+        .result
+    },
+    None)
+
+  /** SimHash near-dup candidates (Hamming ≤ 3 over 64 bits) — rows-only. */
+  val q_dedup_simhash = Q(
+    "q_dedup_simhash",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 3))
+        .order(GTable.orderKeys(Seq("id1", "id2")))
+        .result
+    },
+    None)
+
+  /** Exact embedding near-dup pairs: all-pairs cosine ≥ 0.2 (synthetic
+    * vectors are near-orthogonal; low threshold keeps the result non-empty). */
+  val q_dedup_cosine = Q(
+    "q_dedup_cosine",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      GTable(Similarity.cosinePairs(e, "vec_id", "embedding", threshold = 0.2))
+        .project("cos" -> round(col("cos"), 9))
+        .order(GTable.orderKeys(Seq("id1", "id2")))
+        .result
+    },
+    Some("""WITH v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            p AS (SELECT a.vec_id id1, b.vec_id id2,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])),
+                (x, y) -> x + y) /
+              (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])),
+                (x, y) -> x + y)) *
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])),
+                (x, y) -> x + y))) AS cos
+              FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            SELECT id1, id2, round(cos, 9) AS cos FROM p WHERE cos >= 0.2
+            ORDER BY id1, id2"""))
+
+  /** Brute-force cosine top-k ANN: queries = vec_id < 10, k = 5. */
+  val q_ann_topk = Q(
+    "q_ann_topk",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      GTable(Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5))
+        .project("score" -> round(col("score"), 9))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    Some("""WITH v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+            scored AS (SELECT query_id, v.vec_id AS neighbor_id,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i])),
+                (x, y) -> x + y) /
+              (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(qe) + 1), i -> qe[i] * qe[i])),
+                (x, y) -> x + y)) *
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(e) + 1), i -> e[i] * e[i])),
+                (x, y) -> x + y))) AS score
+              FROM v CROSS JOIN q WHERE v.vec_id != query_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) rank FROM scored)
+            SELECT query_id, neighbor_id, round(score, 9) AS score,
+              CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
+  /** LSH-bucketed ANN (8 hyperplanes) — rows-only; recall vs brute force
+    * asserted in PipelineSpec. */
+  val q_ann_lsh = Q(
+    "q_ann_lsh",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      GTable(Similarity.lshTopK(e, queries, "vec_id", "embedding", k = 5,
+          planes = 4, dim = 64, tables = 8))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    None)
+
+  /** Language ID + per-language doc counts (stopword-ratio heuristic). */
+  val q_lang_id = Q(
+    "q_lang_id",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      d.project("pred_lang" -> TextAnalysis.langId(col("text")))
+        .select("doc_id", "pred_lang")
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+            r AS (SELECT doc_id,
+              len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS en,
+              len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un','es','se','no'], x))) / greatest(len(toks), 1) AS es,
+              len(list_filter(toks, x -> list_contains(['der','die','das','und','zu','in','den','von','ist','mit'], x))) / greatest(len(toks), 1) AS de
+              FROM t)
+            SELECT doc_id,
+              CASE WHEN en >= es AND en >= de THEN 'en'
+                   WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang
+            FROM r ORDER BY doc_id"""))
+
+  /** Quality scoring: char/token stats, type-token ratio, stopword ratio,
+    * composite score. */
+  val q_text_quality = Q(
+    "q_text_quality",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      val metrics = TextAnalysis.qualityMetrics(col("text"))
+        .map { case (n, c) => n -> (if (n == "n_chars" || n == "n_tokens") c else round(c, 9)) }
+      d.project(metrics: _*)
+        .select("doc_id" +: metrics.map(_._1): _*)
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+            m AS (SELECT doc_id,
+              CAST(length(text) AS INTEGER) AS n_chars,
+              CAST(len(toks) AS INTEGER) AS n_tokens,
+              CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mean_tok_len,
+              CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS ttr,
+              CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE) / greatest(len(toks), 1) AS swr
+              FROM t)
+            SELECT doc_id, n_chars, n_tokens,
+              round(mean_tok_len, 9) AS mean_tok_len,
+              round(ttr, 9) AS type_token_ratio,
+              round(swr, 9) AS stopword_ratio,
+              round(least(greatest(ttr * 0.5 + swr * 0.3 +
+                CASE WHEN n_tokens >= 50 AND n_tokens <= 1000 THEN 0.2 ELSE 0.0 END,
+                0.0), 1.0), 9) AS quality
+            FROM m ORDER BY doc_id"""))
+
+  /** Token counting: whitespace + BPE-ish regex pieces. */
+  val q_token_count = Q(
+    "q_token_count",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      val counts = TextAnalysis.tokenCounts(col("text"))
+      d.project(counts: _*)
+        .select("doc_id" +: counts.map(_._1): _*)
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""SELECT doc_id,
+              CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS ws_tokens,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  /** Rolling-hash document fingerprint + duplicate-fingerprint count. */
+  val q_fingerprint = Q(
+    "q_fingerprint",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      d.project("fp" -> TextAnalysis.fingerprint(col("text")))
+        .select("doc_id", "fp")
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+            k AS (SELECT doc_id,
+              list_transform(toks, tok ->
+                list_reduce(list_prepend(CAST(7 AS BIGINT),
+                  list_transform(range(1, greatest(length(tok), 1) + 1),
+                    i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 131 + c) % 1000000007)) AS keys
+              FROM t)
+            SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT), keys),
+                (acc, tk) -> (acc * 31 + tk) % 1000000007) AS fp
+            FROM k ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
+    q_dedup_simhash, q_dedup_cosine, q_ann_topk, q_ann_lsh, q_lang_id,
+    q_text_quality, q_token_count, q_fingerprint)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class PipelineSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def embs = Tables.load(spark, sf, "embeddings")
+
+  test("minhash LSH recall vs exact jaccard pairs") {
+    val exact = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, "text", "doc_id", n = 3, k = 64,
+      bands = 16, threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(lsh).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall over ${exact.size} true pairs")
+    }
+    info(s"exact pairs: ${exact.size}, lsh candidates: ${lsh.size}")
+  }
+
+  test("simhash of identical text is identical; pairs are symmetric-free") {
+    val sh = docs.limit(20).select(col("doc_id"),
+      Dedup.simhash(col("text")).as("s1"),
+      Dedup.simhash(col("text")).as("s2")).collect()
+    assert(sh.forall(r => r.getLong(1) == r.getLong(2)))
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id").collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("LSH ANN recall vs brute force top-5") {
+    val q = embs.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(embs, q, "vec_id", "embedding", 5,
+        planes = 4, dim = 64, tables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    info(s"ANN recall@5 = $recall")
+    // near-orthogonal random vectors are LSH's worst case; multi-table
+    // probing still has to beat the ~tables*2^-planes random-scan baseline
+    assert(recall > 0.3)
+  }
+
+  test("exact dedup drops exact duplicates only") {
+    val n = docs.count()
+    val d = Dedup.exact(docs, "text", "doc_id").count()
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(d == distinctTexts && d <= n)
+  }
+
+  test("langId returns a configured language and quality is in [0,1]") {
+    val r = docs.select(TextAnalysis.langId(col("text")).as("l"),
+      TextAnalysis.qualityMetrics(col("text")).toMap.apply("quality").as("q")).collect()
+    assert(r.forall(x => Set("en", "es", "de")(x.getString(0))))
+    assert(r.forall(x => x.getDouble(1) >= 0.0 && x.getDouble(1) <= 1.0))
+  }
+}
