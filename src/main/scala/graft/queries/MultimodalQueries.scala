@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Tables}
+import graft.operators.Multimodal
+
+/** Multimodal plumbing queries: blob packing, typed metadata, frame
+  * sampling, and the typed mapPartitions decode path.
+  */
+object MultimodalQueries {
+
+  /** Blob + frame-sampling plumbing; frame geometry is pure arithmetic on
+    * byte lengths, so the oracle recomputes it relationally. */
+  val q_media_frames = Q(
+    "q_media_frames",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      d.project("blob" -> Multimodal.packBlob(col("text")))
+        .project(
+          "n_bytes" -> octet_length(col("blob")),
+          "frames" -> Multimodal.frameSample(col("blob"), n = 4, stride = 256, frameLen = 64))
+        .project(
+          "n_frames" -> size(col("frames")),
+          "frame_lens" -> transform(col("frames"), f => octet_length(f)))
+        .select("doc_id", "n_bytes", "n_frames", "frame_lens")
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+            f AS (SELECT doc_id, n_bytes,
+              list_filter(list_transform(range(0, 4),
+                i -> least(64, greatest(n_bytes - i * 256, 0))), x -> x > 0) AS fl
+              FROM t)
+            SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+              CAST(len(fl) AS INTEGER) AS n_frames,
+              CAST(fl AS INTEGER[]) AS frame_lens
+            FROM f ORDER BY doc_id"""))
+
+  /** Typed mapPartitions decode path (per-partition decoder lifecycle);
+    * the stub decoder's byte-fold is reproduced relationally in the oracle
+    * (ASCII corpus → char codes = bytes). */
+  val q_media_features = Q(
+    "q_media_features",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val rows = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.packBlob(col("text")).as("blob"))
+        .as[Multimodal.MediaRow]
+      GTable(Multimodal.decodeBatch(rows, k = 2).toDF())
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents)
+            SELECT doc_id, CAST(nb AS INTEGER) AS n_bytes,
+              CAST(list_transform(range(0, 2), feat ->
+                CAST(CAST(list_reduce(list_prepend(CAST(7 + feat AS BIGINT),
+                  list_transform(range(1, CAST(nb AS INTEGER) + 1),
+                    j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT))),
+                  (acc, b) -> (acc * 131 + b) % 1000000007) % 1000000
+                  AS DOUBLE) / 1000000.0 AS FLOAT)) AS FLOAT[]) AS features
+            FROM t ORDER BY doc_id"""))
+
+  /** Metadata struct + resize transform — hash-derived fake header fields,
+    * rows-only (xxhash64 not reproducible in the oracle). */
+  val q_media_meta = Q(
+    "q_media_meta",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      d.project("blob" -> Multimodal.packBlob(col("text")))
+        .project("meta" -> Multimodal.metadata(col("blob")))
+        .project("resized" -> Multimodal.resizeMeta(col("meta"), maxSide = 512))
+        .select("doc_id", "meta", "resized")
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    None)
+
+  def all: Seq[Q] = Seq(q_media_frames, q_media_features, q_media_meta)
+}

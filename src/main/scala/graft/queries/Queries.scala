@@ -19,5 +19,5 @@ object Queries {
   def all: Seq[Q] =
     AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
     WindowQueries.all ++ SortQueries.all ++ JoinQueries.all ++ SetQueries.all ++
-    ReshapeQueries.all ++ PipelineQueries.all
+    ReshapeQueries.all ++ PipelineQueries.all ++ MultimodalQueries.all
 }
