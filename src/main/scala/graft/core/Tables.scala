@@ -33,7 +33,7 @@ object Tables {
     // TIMESTAMP(NANOS) columns (events.ts). Read them as raw Long nanos...
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  private[core] def read(spark: SparkSession, p: String): DataFrame = {
+  def read(spark: SparkSession, p: String): DataFrame = {
     nanosConf(spark)
     spark.read.parquet(p)
   }
@@ -41,7 +41,7 @@ object Tables {
   /** ...then convert to micros TIMESTAMP_NTZ — integer `div` (a double
     * round-trip would lose precision at 1.7e18 nanos), truncation matching
     * DuckDB's ns→us behavior. */
-  private def normalize(df: DataFrame): DataFrame =
+  def normalize(df: DataFrame): DataFrame =
     df.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
       .foldLeft(df)((d, f) =>
         d.withColumn(f.name,

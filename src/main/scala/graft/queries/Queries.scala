@@ -19,5 +19,6 @@ object Queries {
   def all: Seq[Q] =
     AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
     WindowQueries.all ++ SortQueries.all ++ JoinQueries.all ++ SetQueries.all ++
-    ReshapeQueries.all ++ PipelineQueries.all ++ MultimodalQueries.all
+    ReshapeQueries.all ++ PipelineQueries.all ++ MultimodalQueries.all ++
+    StreamQueries.all
 }

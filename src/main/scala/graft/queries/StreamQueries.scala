@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Tables}
+import graft.streaming.StreamOps
+
+/** Event-time window queries (SURVEY §2.10 extension). The same builders
+  * power the streaming path (StreamingSpec); here they run on the batch
+  * events frame so the DuckDB oracle can check the window semantics.
+  */
+object StreamQueries {
+
+  /** Tumbling 1-hour windows per event_type. */
+  val q_stream_tumbling = Q(
+    "q_stream_tumbling",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      GTable(StreamOps.tumbling(e, "ts", "1 hour", Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))))
+        .order(GTable.orderKeys(Seq("w_start", "event_type")))
+        .result
+    },
+    Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+              time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS w_end,
+              event_type, count(*) AS n, round(sum(value), 6) AS total
+            FROM events GROUP BY 1, 2, 3
+            ORDER BY w_start, event_type"""))
+
+  /** Sliding windows: 1 hour long, 30-minute slide (every event lands in
+    * exactly two windows). */
+  val q_stream_sliding = Q(
+    "q_stream_sliding",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      GTable(StreamOps.sliding(e, "ts", "1 hour", "30 minutes", Seq("event_type"),
+          Seq(count(lit(1)).as("n"))))
+        .order(GTable.orderKeys(Seq("w_start", "event_type")))
+        .result
+    },
+    Some("""WITH w AS (
+              SELECT event_type, unnest([
+                time_bucket(INTERVAL 30 MINUTE, ts),
+                time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start
+              FROM events)
+            SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+              count(*) AS n
+            FROM w GROUP BY 1, 2, 3
+            ORDER BY w_start, event_type"""))
+
+  /** Session windows: 30-minute gap per user (end = last event + gap). */
+  val q_stream_session = Q(
+    "q_stream_session",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      GTable(StreamOps.session(e, "ts", "30 minutes", Seq("user_id"),
+          Seq(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))))
+        .order(GTable.orderKeys(Seq("user_id", "s_start")))
+        .result
+    },
+    Some("""WITH t AS (SELECT user_id, ts, value,
+              CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess
+              FROM t)
+            SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+              user_id, count(*) AS n, round(sum(value), 6) AS total
+            FROM g GROUP BY user_id, sess
+            ORDER BY user_id, s_start"""))
+
+  /** Dedup on keys (batch equivalent of dropDuplicatesWithinWatermark):
+    * first event per (user, type) by event time. */
+  val q_stream_dedup = Q(
+    "q_stream_dedup",
+    (s, dir) => {
+      val e = GTable(Tables.load(s, dir, "events"))
+      e.group(Seq("user_id", "event_type"),
+          Seq(min(struct(col("ts"), col("event_id"))).as("first")))
+        .project("ts" -> col("first.ts"), "event_id" -> col("first.event_id"))
+        .select("user_id", "event_type", "ts", "event_id")
+        .order(GTable.orderKeys(Seq("user_id", "event_type")))
+        .result
+    },
+    Some("""SELECT user_id, event_type, min(ts) AS ts,
+              arg_min(event_id, ts) AS event_id
+            FROM events GROUP BY 1, 2
+            ORDER BY user_id, event_type"""))
+
+  def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session,
+    q_stream_dedup)
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.10 extension): the reference has
+  * no streaming; here every stateless operator of the engine (pure Column
+  * expressions) is reusable on streaming DataFrames unchanged, and this
+  * module adds the stream-specific pieces — event-time windows, watermarks,
+  * within-watermark dedup, and custom state via flatMapGroupsWithState.
+  *
+  * The window builders run identically on batch frames (used by the
+  * oracle-checked q_stream_* queries) and on readStream frames (exercised
+  * in StreamingSpec with a memory sink).
+  */
+object StreamOps {
+
+  /** Flatten the struct window column of an aggregated frame into
+    * start/end columns, keeping keys and aggregates by name. */
+  private def flattenWindow(agged: DataFrame, win: String,
+                            startAs: String, endAs: String): DataFrame = {
+    val rest = agged.columns.filterNot(_ == win).toSeq
+    agged.select(col(s"$win.start").as(startAs) +: col(s"$win.end").as(endAs) +:
+      rest.map(col): _*)
+  }
+
+  /** Tumbling event-time window aggregation. */
+  def tumbling(df: DataFrame, ts: String, duration: String,
+               keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    flattenWindow(
+      df.groupBy(window(col(ts), duration) +: keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*),
+      "window", "w_start", "w_end")
+
+  /** Sliding event-time window aggregation. */
+  def sliding(df: DataFrame, ts: String, duration: String, slide: String,
+              keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    flattenWindow(
+      df.groupBy(window(col(ts), duration, slide) +: keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*),
+      "window", "w_start", "w_end")
+
+  /** Session window (gap-based) aggregation. */
+  def session(df: DataFrame, ts: String, gap: String,
+              keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    flattenWindow(
+      df.groupBy(session_window(col(ts), gap) +: keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*),
+      "session_window", "s_start", "s_end")
+
+  /** Event-time watermark (no-op on batch frames — safe to apply in shared
+    * pipelines). */
+  def watermarked(df: DataFrame, ts: String, delay: String): DataFrame =
+    if (df.isStreaming) df.withWatermark(ts, delay) else df
+
+  /** Streaming dedup bounded by the watermark; batch fallback keeps the
+    * exact semantics (plain dropDuplicates). */
+  def dedupWithinWatermark(df: DataFrame, ts: String, delay: String,
+                           keys: Seq[String]): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)
+    else df.dropDuplicates(keys)
+
+  // ─── custom state: per-user running counters ───
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  implicit val statsEnc: Encoder[UserStats] = Encoders.product[UserStats]
+
+  /** flatMapGroupsWithState: running per-user event count/value — the
+    * minimal custom-state shape (mapGroupsWithState family). Emits updated
+    * stats for every batch a user appears in. */
+  def runningUserStats(ds: Dataset[UserEvent]): Dataset[UserStats] = {
+    val fn = (userId: Long, events: Iterator[UserEvent], state: GroupState[UserStats]) => {
+      val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+      var n = prev.n_events
+      var tot = prev.total_value
+      events.foreach { e => n += 1; tot += e.value }
+      val next = UserStats(userId, n, tot)
+      state.update(next)
+      Iterator.single(next)
+    }
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** File-based streaming source over an events-shaped parquet directory.
+    * readStream needs the *raw* schema (ts as Long nanos under the
+    * nanosAsLong conf); the ns→NTZ normalization is re-applied on top, so
+    * stream and batch frames are column-compatible. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = graft.core.Tables.read(spark, s"$dir/events.parquet").schema
+    graft.core.Tables.normalize(
+      spark.readStream.schema(raw).parquet(s"$dir/events.parquet"))
+  }
+}
