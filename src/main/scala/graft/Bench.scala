@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.queries.Queries
+
+/** Benchmark main (driver contract): runs the headline query set on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Each query is forced through a noop sink — `count()` would let Catalyst
+  * prune the measured projections/joins out of the plan entirely.
+  */
 object Bench {
+  /** Representative cross-section: scan/filter, aggregation, window, top-k,
+    * join chain, as-of, set op, dedup (exact + LSH), ANN, sessionization,
+    * fingerprinting. Excludes the intentionally-quadratic exact-pair
+    * baselines (q_dedup_cosine, q_dedup_jaccard are oracle baselines, not
+    * the scale path). */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_filter", "q_project", "q_group_counts", "q_nunique",
+    "q_quantile", "q_window_rank", "q_window_cumsum", "q_topk_per_group",
+    "q_order_limit", "q_join_inner", "q_asof", "q_union_all",
+    "q_dedup_exact", "q_dedup_minhash", "q_ann_topk", "q_stream_session",
+    "q_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qmap = SparkEntry.queries
+    val names = headline.filter(qmap.contains)
+    // JVM/codegen warmup on the smallest scale of the first query
+    qmap(names.head)(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
