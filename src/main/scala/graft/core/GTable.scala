@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.DataType
   * [[Natural]] (attached by `Tables.loadOrdered`); order-free ops work on any
   * DataFrame and never force it.
   */
-final case class GTable(df: DataFrame) {
+final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
   import GTable._
+
+  /** True when the frame already carries an explicit row ordering (set by
+    * [[order]]); consumers must not re-sort by the natural row id then. */
+  def isSorted: Boolean = sortedBy.nonEmpty
 
   private def rid: Column = Natural.order(df)
   private def outputCols: Seq[String] = df.columns.filterNot(_ == Natural.rid).toSeq
@@ -34,10 +38,11 @@ final case class GTable(df: DataFrame) {
   def project(cols: (String, Column)*): GTable =
     GTable(df.withColumns(cols.toMap))
 
-  /** Keep only the named columns (plus hidden id if present). */
+  /** Keep only the named columns (plus hidden id if present). Projection
+    * preserves any explicit ordering. */
   def select(names: String*): GTable = {
     val keep = if (Natural.hasRowId(df)) names :+ Natural.rid else names
-    GTable(df.select(keep.map(df.col): _*))
+    GTable(df.select(keep.map(df.col): _*), sortedBy)
   }
 
   /** Cast listed columns; `tryMode` → null on failure (reference: interface.py:129-136). */
@@ -117,7 +122,7 @@ final case class GTable(df: DataFrame) {
         limited.filter(col("_gq_rn") <= k)).drop("_gq_rn"))
     } else {
       val sorted = df.orderBy(by: _*)
-      GTable(limit.fold(sorted)(sorted.limit))
+      GTable(limit.fold(sorted)(sorted.limit), sortedBy = by)
     }
 
   /** Top-k *by rank* — all rows whose (dense) rank < k, keeping ties

@@ -1,0 +1,202 @@
+package graft.graphql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Natural, Tables}
+import GVal._
+
+/** GraphQL execution over the engine: each root field is a table
+  * (reference's multi-root Query, middleware.py:55-90); every table field
+  * is a lazy relational operator returning a new table scope; scalars
+  * materialize only at the leaves (reference README.md:107). The resolver
+  * fold IS the plan build — Catalyst sees one composed DataFrame per leaf
+  * group.
+  *
+  * Served operator surface (round 1): count, any(limit), type, schema,
+  * slice(offset,limit), filter(<col>: {eq ne lt le gt ge isin}), order(by,
+  * limit), group(by, counts, aggregate {sum mean min max count}), distinct
+  * (on, counts), columns {<col> {values count countDistinct min max sum
+  * mean}}, row(index).
+  */
+final class GraphQLService(spark: SparkSession, sfDir: String,
+                           names: Seq[String] = Tables.names) {
+
+  /** Lazy per-table roots; natural order attached so slice/row work. */
+  private val roots: Map[String, () => GTable] =
+    names.map(n => n -> (() => GTable(Tables.loadOrdered(spark, sfDir, n)))).toMap
+
+  def execute(query: String): String = {
+    val doc = Parser.parse(query)
+    val out = doc.sels.map { f =>
+      val root = roots.getOrElse(f.name,
+        throw new IllegalArgumentException(s"unknown table '${f.name}'"))
+      f.outName -> resolveTable(root(), f)
+    }
+    Json.obj(Seq("data" -> Json.obj(out)))
+  }
+
+  /** SDL reflection (reference `_service { sdl }`). */
+  def sdl: String = SchemaGen.sdl(spark, sfDir, names)
+
+  // ─── resolvers ───
+
+  private def resolveTable(t: GTable, field: GField): String = {
+    // §4 persist policy: >1 materializing sibling → persist the shared plan
+    val consumers = field.sels.count(f =>
+      !Set("type", "schema").contains(f.name))
+    val persisted = consumers > 1
+    if (persisted) t.df.persist()
+    try Json.obj(field.sels.map(f => f.outName -> resolveField(t, f)))
+    finally if (persisted) { t.df.unpersist(); () }
+  }
+
+  private def resolveField(t: GTable, f: GField): String = f.name match {
+    case "count" => t.count().toString
+    case "any" => t.any(intArg(f, "limit").getOrElse(1)).toString
+    case "type" => Json.quote("ParquetSource")
+    case "schema" => resolveSchema(t, f)
+    case "slice" =>
+      resolveTable(t.slice(longArg(f, "offset").getOrElse(0L),
+        longArg(f, "limit")), f)
+    case "filter" => resolveTable(t.filter(filterPreds(t, f): _*), f)
+    case "order" =>
+      val by = strListArg(f, "by")
+      resolveTable(t.order(GTable.orderKeys(by), intArg(f, "limit")), f)
+    case "group" => resolveGroup(t, f)
+    case "distinct" =>
+      val on = strListArg(f, "on")
+      resolveTable(t.distinctOn(on,
+        f.arg("keep").collect { case GEnum(k) => k; case GStr(k) => k }.getOrElse("first"),
+        f.arg("counts").collect { case GStr(c) => c }), f)
+    case "columns" => resolveColumns(t, f)
+    case "row" => resolveRow(t, longArg(f, "index").getOrElse(0L))
+    case other => throw new IllegalArgumentException(s"unknown field '$other'")
+  }
+
+  private def resolveSchema(t: GTable, f: GField): String = {
+    val fields = t.result.schema.fields
+    Json.obj(f.sels.map(s => s.outName -> (s.name match {
+      case "names" => Json.write(fields.map(_.name).toSeq)
+      case "types" => Json.write(fields.map(_.dataType.simpleString).toSeq)
+      case other => throw new IllegalArgumentException(s"unknown schema field '$other'")
+    })))
+  }
+
+  /** filter(col: {eq: v, ...}, ...) → AND-ed per-column predicates. */
+  private def filterPreds(t: GTable, f: GField): Seq[Column] =
+    f.args.flatMap {
+      case (colName, GObj(preds)) => preds.map { case (op, v) =>
+        val c = col(colName)
+        op match {
+          case "eq" => if (v == GNull) c.isNull else c === litOf(v)
+          case "ne" => if (v == GNull) c.isNotNull else c =!= litOf(v)
+          case "lt" => c < litOf(v)
+          case "le" => c <= litOf(v)
+          case "gt" => c > litOf(v)
+          case "ge" => c >= litOf(v)
+          case "isin" => v match {
+            case GList(items) => c.isin(items.map(scalaOf): _*)
+            case _ => throw new IllegalArgumentException("isin expects a list")
+          }
+          case other => throw new IllegalArgumentException(s"unknown predicate '$other'")
+        }
+      }
+      case (colName, other) =>
+        throw new IllegalArgumentException(s"filter($colName:) expects an object")
+    }
+
+  /** group(by: [...], counts: "n", aggregate: {sum: [{name, alias}], ...}). */
+  private def resolveGroup(t: GTable, f: GField): String = {
+    val by = strListArg(f, "by")
+    val counts = f.arg("counts").collect { case GStr(c) => c }
+    val aggs = f.arg("aggregate").toSeq.flatMap {
+      case GObj(kinds) => kinds.flatMap { case (fn, GList(specs)) =>
+        specs.map {
+          case o: GObj =>
+            val name = o.get("name").collect { case GStr(n) => n }
+              .getOrElse(throw new IllegalArgumentException("aggregate needs name"))
+            val alias = o.get("alias").collect { case GStr(a) => a }
+              .getOrElse(s"${fn}_$name")
+            val c = col(name)
+            (fn match {
+              case "sum" => sum(c); case "mean" => avg(c)
+              case "min" => min(c); case "max" => max(c)
+              case "count" => count(c)
+              case other => throw new IllegalArgumentException(s"unknown aggregate '$other'")
+            }).as(alias)
+          case _ => throw new IllegalArgumentException("aggregate spec must be an object")
+        }
+      case (fn, _) => throw new IllegalArgumentException(s"aggregate.$fn expects a list")
+      }
+      case _ => throw new IllegalArgumentException("aggregate expects an object")
+    }
+    resolveTable(t.group(by, aggs, counts, firstSeenOrder = Natural.hasRowId(t.df)), f)
+  }
+
+  /** columns { name { values count countDistinct min max sum mean } } —
+    * pruned to the referenced columns; aggregate leaves batched into ONE
+    * df.agg pass per column set (no per-leaf jobs). */
+  private def resolveColumns(t: GTable, f: GField): String = {
+    val wanted = f.sels
+    val pruned = t.select(wanted.map(_.name): _*)
+    Json.obj(wanted.map { cf =>
+      val c = col(cf.name)
+      val leafs = cf.sels
+      val aggLeafs = leafs.filter(_.name != "values")
+      val aggCols = aggLeafs.map(l => (l.name match {
+        case "count" => count(c)
+        case "countDistinct" => countDistinct(c)
+        case "min" => min(c)
+        case "max" => max(c)
+        case "sum" => sum(c)
+        case "mean" => avg(c)
+        case other => throw new IllegalArgumentException(s"unknown column leaf '$other'")
+      }).as(l.outName))
+      val aggRow = if (aggCols.nonEmpty)
+        Some(pruned.result.agg(aggCols.head, aggCols.tail: _*).collect()(0)) else None
+      val parts = leafs.map { l =>
+        l.outName -> (l.name match {
+          case "values" =>
+            // explicit sort order (if any) wins over the natural row id
+            val ordered =
+              if (pruned.isSorted) pruned.df
+              else if (Natural.hasRowId(pruned.df)) pruned.df.orderBy(col(Natural.rid))
+              else pruned.df
+            val rows = Natural.strip(ordered).select(cf.name).collect()
+            Json.write(rows.map(_.get(0)).toSeq)
+          case _ => Json.write(aggRow.get.getAs[Any](l.outName))
+        })
+      }
+      cf.outName -> Json.obj(parts)
+    })
+  }
+
+  private def resolveRow(t: GTable, index: Long): String = {
+    val rows = t.rowAt(index).result.collect()
+    if (rows.isEmpty) "null" else Json.write(rows(0))
+  }
+
+  // ─── arg helpers ───
+
+  private def litOf(v: GVal): Column = lit(scalaOf(v))
+  private def scalaOf(v: GVal): Any = v match {
+    case GInt(x) => x
+    case GFloat(x) => x
+    case GStr(x) => x
+    case GBool(x) => x
+    case GEnum(x) => x
+    case GNull => null
+    case GList(xs) => xs.map(scalaOf)
+    case o: GObj => throw new IllegalArgumentException("unexpected object value")
+  }
+  private def intArg(f: GField, name: String): Option[Int] =
+    f.arg(name).collect { case GInt(v) => v.toInt }
+  private def longArg(f: GField, name: String): Option[Long] =
+    f.arg(name).collect { case GInt(v) => v }
+  private def strListArg(f: GField, name: String): Seq[String] =
+    f.arg(name).toSeq.flatMap {
+      case GList(items) => items.collect { case GStr(s) => s }
+      case GStr(s) => Seq(s)
+      case _ => Nil
+    }
+}

@@ -1,0 +1,62 @@
+package graft.graphql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** SDL derivation from table schemas (reference: middleware.py:104-141 —
+  * schema generated from the source, never declared; invalid field names
+  * are skipped with a warning, scalars mapped per §1.2).
+  */
+object SchemaGen {
+
+  /** §1.2 scalar mapping (reference scalars.py:59-87). */
+  def scalarOf(dt: DataType): String = dt match {
+    case BooleanType => "Boolean"
+    case LongType => "BigInt"
+    case _: IntegerType | ShortType | ByteType => "Int"
+    case FloatType | DoubleType => "Float"
+    case _: DecimalType => "Decimal"
+    case DateType => "Date"
+    case TimestampType | TimestampNTZType => "DateTime"
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => "Duration"
+    case BinaryType => "Base64"
+    case StringType => "String"
+    case ArrayType(e, _) => s"[${scalarOf(e)}]"
+    case _: StructType => "JSON"
+    case other => "String"
+  }
+
+  private val validName = "^[_A-Za-z][_A-Za-z0-9]*$".r
+  private val reserved = Set("query", "mutation", "subscription", "type",
+    "schema", "on", "fragment")
+
+  /** GraphQL-legal fields only: invalid identifiers are warned and skipped,
+    * not fatal (reference scalars.py:96-99). */
+  def typeFields(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.flatMap { f =>
+      if (validName.matches(f.name) && !reserved.contains(f.name.toLowerCase))
+        Some(f.name -> scalarOf(f.dataType))
+      else {
+        System.err.println(s"[schema] skipping invalid field name '${f.name}'")
+        None
+      }
+    }
+
+  def sdl(spark: SparkSession, sfDir: String, names: Seq[String]): String = {
+    val sb = new StringBuilder
+    sb.append("type Query {\n")
+    names.foreach(n => sb.append(s"  $n: ${typeName(n)}\n"))
+    sb.append("}\n")
+    names.foreach { n =>
+      val schema = Tables.load(spark, sfDir, n).schema
+      sb.append(s"\ntype ${typeName(n)} {\n")
+      typeFields(schema).foreach { case (f, t) => sb.append(s"  $f: $t\n") }
+      sb.append("}\n")
+    }
+    sb.toString
+  }
+
+  private def typeName(table: String): String =
+    table.head.toUpper +: table.tail
+}

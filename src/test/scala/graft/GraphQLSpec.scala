@@ -1,0 +1,78 @@
+package graft
+
+import graft.graphql.{GraphQLService, Parser}
+
+class GraphQLSpec extends SparkSpec {
+
+  lazy val service = new GraphQLService(spark, sf)
+
+  test("parser handles aliases, args, nesting, comments") {
+    val doc = Parser.parse(
+      """# comment
+        query { a: lineitem { filter(l_quantity: {ge: 30.5}, l_returnflag: {isin: ["A","R"]}) {
+          count } } }""")
+    val root = doc.sels.head
+    assert(root.outName == "a" && root.name == "lineitem")
+    val filter = root.sels.head
+    assert(filter.args.map(_._1) == Seq("l_quantity", "l_returnflag"))
+  }
+
+  test("count / filter / any end-to-end") {
+    val r = service.execute(
+      """{ nation { count filter(n_regionkey: {eq: 0}) { count any } } }""")
+    assert(r.contains(""""count":25"""))
+    assert(r.contains(""""any":true"""))
+  }
+
+  test("slice respects natural order; row returns scalars") {
+    val r = service.execute("""{ nation { slice(offset: 2, limit: 1) {
+      columns { n_nationkey { values } } } row(index: 2) } }""")
+    // row(2) and slice(2,1) must agree on the key
+    val key = """"n_nationkey":\{"values":\[(\d+)\]""".r.findFirstMatchIn(r).get.group(1)
+    assert(r.contains(s""""n_nationkey":$key"""))
+  }
+
+  test("group with aggregate and counts") {
+    val r = service.execute(
+      """{ orders { group(by: ["o_orderstatus"], counts: "n",
+           aggregate: {sum: [{name: "o_totalprice", alias: "total"}]}) {
+           columns { o_orderstatus { values } n { values } total { values } } } } }""")
+    assert(r.contains(""""o_orderstatus":{"values":["""))
+    assert(r.contains(""""total":{"values":["""))
+    assert(r.contains(""""n":{"values":["""))
+  }
+
+  test("columns batch aggregates in one pass") {
+    val r = service.execute(
+      """{ lineitem { columns { l_quantity { min max mean count } } } }""")
+    assert(r.contains(""""min":1.0""") && r.contains(""""max":50.0"""))
+  }
+
+  test("order with limit and desc keys") {
+    val r = service.execute(
+      """{ orders { order(by: ["-o_totalprice"], limit: 3) {
+           columns { o_totalprice { values } } } } }""")
+    val vals = """"o_totalprice":\{"values":\[([^\]]*)\]""".r.findFirstMatchIn(r).get.group(1)
+      .split(",").map(_.toDouble)
+    assert(vals.length == 3 && vals.sameElements(vals.sorted.reverse))
+  }
+
+  test("distinct keep=first with counts") {
+    val r = service.execute(
+      """{ orders { distinct(on: ["o_orderstatus"], counts: "n") { count } } }""")
+    assert(r.contains(""""count":3"""))
+  }
+
+  test("schema reflection and sdl") {
+    val r = service.execute("""{ region { schema { names types } } }""")
+    assert(r.contains(""""names":["r_regionkey","r_name"]"""))
+    val sdl = service.sdl
+    assert(sdl.contains("type Query {") && sdl.contains("lineitem: Lineitem"))
+    assert(sdl.contains("l_orderkey: BigInt"))
+  }
+
+  test("unknown table and field produce errors") {
+    intercept[IllegalArgumentException](service.execute("{ nope { count } }"))
+    intercept[IllegalArgumentException](service.execute("{ nation { bogus } }"))
+  }
+}
