@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Tables}
+import graft.sources.ParquetMeta
+
+/** Partitioned-dataset fast-path queries (SURVEY §2.1/§4). Each query first
+  * materializes a hive-partitioned copy of lineitem under /tmp (idempotent
+  * overwrite via the engine's own repartitioner) so the fast paths run
+  * against a real multi-fragment layout; the oracle recomputes from the
+  * flat table.
+  */
+object HiveQueries {
+
+  private val hiveDir = "/tmp/graft_hive/lineitem"
+
+  private def ensureHive(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    ParquetMeta.repartitionTo(Tables.load(s, dir, "lineitem"), hiveDir,
+      keys = Seq("l_returnflag", "l_linestatus"), sortWithin = Seq("l_orderkey"))
+
+  /** Metadata-only group counts from fragment footers — zero data pages
+    * read (reference interface.py:233-238). */
+  val q_hive_group_meta = Q(
+    "q_hive_group_meta",
+    (s, dir) => {
+      ensureHive(s, dir)
+      GTable(ParquetMeta.groupCounts(s, hiveDir, Seq("l_returnflag", "l_linestatus"))
+          .withColumn("l_returnflag", col("l_returnflag").cast("string"))
+          .withColumn("l_linestatus", col("l_linestatus").cast("string")))
+        .order(GTable.orderKeys(Seq("l_returnflag", "l_linestatus")))
+        .result
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS count
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Partition pruning: filter on partition keys only touches matching
+    * fragments (PruneFileSourcePartitions; verified in PartitionSpec via
+    * the physical plan's partition-filter count). */
+  val q_hive_prune = Q(
+    "q_hive_prune",
+    (s, dir) => {
+      ensureHive(s, dir)
+      val part = GTable(s.read.parquet(hiveDir))
+      part.filter(col("l_returnflag") === "R", col("l_linestatus") === "F")
+        .project("l_returnflag" -> col("l_returnflag").cast("string"),
+          "l_linestatus" -> col("l_linestatus").cast("string"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+        .order(GTable.orderKeys(Seq("l_orderkey", "l_linenumber", "l_quantity")))
+        .result
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+            FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+            ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** Fragment metadata total vs exact count (reference count fast path). */
+  val q_hive_count_meta = Q(
+    "q_hive_count_meta",
+    (s, dir) => {
+      ensureHive(s, dir)
+      s.range(1).select(lit(ParquetMeta.countRows(s, hiveDir)).as("n"))
+    },
+    Some("SELECT count(*) AS n FROM lineitem"))
+
+  def all: Seq[Q] = Seq(q_hive_group_meta, q_hive_prune, q_hive_count_meta)
+}
