@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential dot product of two float vectors as double. */
+  /** Sequential dot product of two float vectors as double — composable
+    * (pure built-in) form; [[graft.expressions.FloatVectorDot]] is the
+    * codegen'd fused form with identical results. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -25,6 +27,13 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd cosine via the native FloatVectorDot expression (same math,
+    * no per-pair array allocation). */
+  def cosineFast(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column = {
+    import graft.expressions.VectorFunctions.{dot => vdot}
+    vdot(spark, a, b) / (sqrt(vdot(spark, a, a)) * sqrt(vdot(spark, b, b)))
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (broadcast); corpus is scanned once;
@@ -35,7 +44,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("_qv"), col("_cv")))
+      .withColumn("score", cosineFast(corpus.sparkSession)(col("_qv"), col("_cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -81,7 +90,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "_qv", "neighbor_id", "_cv")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("score", cosine(col("_qv"), col("_cv")))
+    val scored = cand.withColumn("score", cosineFast(corpus.sparkSession)(col("_qv"), col("_cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -97,7 +106,7 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        cosineFast(df.sparkSession)(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -110,7 +119,7 @@ object Similarity {
     v.as("a").join(v.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        cosineFast(df.sparkSession)(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
