@@ -304,12 +304,56 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
     * per run (reference: interface.py:464-489). Classic lag → change flag →
     * cumulative sum → run id → groupBy. Requires natural order.
     */
+  /** Distributed gaps-and-islands over natural order — the 100 TB path.
+    *
+    * Exploits the DENSE 0-based row id: the predecessor of row i is exactly
+    * rid i−1, so adjacency is an equi-join (rid = prev.rid + 1), not a
+    * window. Run ids come from a block prefix sum: per-block flag counts
+    * (one row per `blockSize` rows) prefix-summed on the driver and
+    * broadcast back; within-block running counts use a window partitioned
+    * by block — every stage is a parallel shuffle, nothing global.
+    *
+    * `split` predicates receive (current, previous) column accessors.
+    */
+  def runsDistributed(by: Seq[String],
+                      split: Seq[(String => Column, String => Column) => Column] = Nil,
+                      aggs: Seq[Column] = Nil, counts: Option[String] = None,
+                      blockSize: Long = 1L << 20): GTable = {
+    val cur = (c: String) => col(c)
+    val prev = (c: String) => col(s"_gq_p_$c")
+    val needed = (by ++ df.columns.filterNot(_ == Natural.rid)).distinct
+    val prevDf = df.select((col(Natural.rid) + 1).as(Natural.rid) +:
+      needed.map(c => col(c).as(s"_gq_p_$c")): _*)
+    val changes = by.map(c => !(cur(c) <=> prev(c))) ++ split.map(f => f(cur, prev))
+    val flagged = df.join(prevDf, Seq(Natural.rid), "left")
+      .withColumn("_gq_chg",
+        when(col(Natural.rid) === 0, 1L)
+          .otherwise(when(changes.reduce(_ || _), 1L).otherwise(0L)))
+      .withColumn("_gq_blk", (col(Natural.rid) / blockSize).cast("long"))
+      .select(df.columns.map(col) :+ col("_gq_chg") :+ col("_gq_blk"): _*)
+    // per-block flag counts → driver prefix sum (1 row per blockSize rows)
+    val blockCounts = flagged.groupBy("_gq_blk").agg(sum("_gq_chg").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = blockCounts.map { case (b, n) => val o = acc; acc += n; (b, o) }
+    val offsetsDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("_gq_blk", "_gq_off")
+    val wBlk = Window.partitionBy(col("_gq_blk")).orderBy(col(Natural.rid))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = flagged.join(broadcast(offsetsDf), Seq("_gq_blk"))
+      .withColumn("_gq_run", col("_gq_off") + sum(col("_gq_chg")).over(wBlk) - 1)
+    val firstOfBy = by.map(c => min_by(col(c), col(Natural.rid)).as(c))
+    val allAggs = firstOfBy ++ aggs ++ counts.map(n => GTable.cnt.as(n)) :+
+      min(col(Natural.rid)).as(Natural.rid)
+    GTable(withRun.groupBy(col("_gq_run")).agg(allAggs.head, allAggs.tail: _*)
+      .drop("_gq_run").orderBy(col(Natural.rid)))
+  }
+
   def runs(by: Seq[String],
            split: Seq[org.apache.spark.sql.expressions.WindowSpec => Column] = Nil,
            aggs: Seq[Column] = Nil, counts: Option[String] = None): GTable = {
-    // NOTE single-partition global window: correct but serial. The 100 TB
-    // path is range-partition by rid + per-partition flags + boundary fix-up;
-    // planned as a custom physical op if runs() ever lands on the hot path.
+    // single-window reference implementation (correct but serial); see
+    // runsDistributed for the scale path
     val w = Window.orderBy(rid)
     val changes = by.map(c => !(col(c) <=> lag(col(c), 1).over(w))) ++ split.map(f => f(w))
     val flag = changes.reduceOption(_ || _).getOrElse(lit(false))

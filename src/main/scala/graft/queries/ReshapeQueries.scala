@@ -103,5 +103,33 @@ object ReshapeQueries {
               min(event_id) AS first_id, max(event_id) AS last_id, count(*) AS n
             FROM r GROUP BY run_id ORDER BY min(rid)"""))
 
-  def all: Seq[Q] = Seq(q_unnest, q_unnest_outer, q_runs, q_runs_split)
+  /** Distributed runs (dense-rid shift join + block prefix sum — no global
+    * window); same oracle as q_runs proves result equality. */
+  val q_runs_dist = Q(
+    "q_runs_dist",
+    (s, dir) => {
+      val e = GTable(Tables.loadOrdered(s, dir, "events"))
+      e.runsDistributed(
+          by = Seq("event_type"),
+          aggs = Seq(
+            min(col("event_id")).as("first_id"),
+            round(sum(col("value")), 6).as("run_value")),
+          counts = Some("n"),
+          blockSize = 512)
+        .result
+    },
+    Some("""WITH t AS (SELECT *, row_number() OVER () rid FROM events),
+            f AS (SELECT *, CASE WHEN event_type IS DISTINCT FROM
+                lag(event_type) OVER (ORDER BY rid) THEN 1 ELSE 0 END chg
+              FROM t),
+            r AS (SELECT *, sum(chg) OVER (ORDER BY rid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run_id
+              FROM f)
+            SELECT any_value(event_type) AS event_type,
+              min(event_id) AS first_id,
+              round(sum(value), 6) AS run_value,
+              count(*) AS n
+            FROM r GROUP BY run_id ORDER BY min(rid)"""))
+
+  def all: Seq[Q] = Seq(q_unnest, q_unnest_outer, q_runs, q_runs_split, q_runs_dist)
 }
