@@ -27,12 +27,20 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
 
   def execute(query: String): String = {
     val doc = Parser.parse(query)
+    val timings = Seq.newBuilder[(String, String)]
     val out = doc.sels.map { f =>
       val root = roots.getOrElse(f.name,
         throw new IllegalArgumentException(s"unknown table '${f.name}'"))
-      f.outName -> resolveTable(root(), f)
+      val t0 = System.nanoTime()
+      val r = f.outName -> resolveTable(root(), f)
+      timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
+      r
     }
-    Json.obj(Seq("data" -> Json.obj(out)))
+    // per-root resolver durations (reference's Apollo-tracing-style metrics,
+    // middleware.py:22-38)
+    Json.obj(Seq(
+      "data" -> Json.obj(out),
+      "extensions" -> Json.obj(Seq("timing_ms" -> Json.obj(timings.result())))))
   }
 
   /** SDL reflection (reference `_service { sdl }`). */
@@ -70,6 +78,52 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         f.arg("counts").collect { case GStr(c) => c }), f)
     case "columns" => resolveColumns(t, f)
     case "row" => resolveRow(t, longArg(f, "index").getOrElse(0L))
+    case "project" =>
+      // project(columns: [{alias: "x", ...expr}]): expression trees
+      val cols = f.arg("columns").toSeq.flatMap {
+        case GList(items) => items.map {
+          case o @ GObj(fields) =>
+            val alias = o.get("alias").collect { case GStr(a) => a }
+              .getOrElse(throw new IllegalArgumentException("projection needs alias"))
+            alias -> Exprs.compile(GObj(fields.filterNot(_._1 == "alias")))
+          case _ => throw new IllegalArgumentException("projection must be an object")
+        }
+        case _ => throw new IllegalArgumentException("project(columns:) expects a list")
+      }
+      resolveTable(t.project(cols: _*), f)
+    case "join" =>
+      val rightName = f.arg("right").collect { case GStr(r) => r }
+        .getOrElse(throw new IllegalArgumentException("join needs right:"))
+      val right = roots.getOrElse(rightName,
+        throw new IllegalArgumentException(s"unknown table '$rightName'"))
+      val how = f.arg("how").collect { case GStr(h) => h; case GEnum(h) => h }
+        .getOrElse("inner")
+      resolveTable(t.join(right(), strListArg(f, "keys"),
+        strListArg(f, "rkeys"), how), f)
+    case "first" =>
+      resolveTable(t.firstRank(strListArg(f, "by"),
+        intArg(f, "rank").getOrElse(1),
+        f.arg("dense").collect { case GBool(b) => b }.getOrElse(false),
+        strListArg(f, "over")), f)
+    case "take" =>
+      val idx = f.arg("indices").toSeq.flatMap {
+        case GList(items) => items.collect { case GInt(i) => i }
+        case _ => Nil
+      }
+      resolveTable(t.take(idx), f)
+    case "unnest" =>
+      val name = f.arg("name").collect { case GStr(n) => n }
+        .getOrElse(throw new IllegalArgumentException("unnest needs name:"))
+      resolveTable(t.unnest(name,
+        f.arg("offset").collect { case GStr(o) => o },
+        f.arg("keep_empty").collect { case GBool(b) => b }.getOrElse(false)), f)
+    case "runs" =>
+      resolveTable(t.runs(strListArg(f, "by"),
+        counts = f.arg("counts").collect { case GStr(c) => c }), f)
+    case "plan" =>
+      // plan reflection (nearest Spark analog of the reference's toSql,
+      // interface.py:109-115 — Spark has no plan→SQL printer)
+      Json.quote(t.df.queryExecution.analyzed.toString)
     case other => throw new IllegalArgumentException(s"unknown field '$other'")
   }
 

@@ -75,4 +75,32 @@ class GraphQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](service.execute("{ nope { count } }"))
     intercept[IllegalArgumentException](service.execute("{ nation { bogus } }"))
   }
+
+  test("project with expression tree") {
+    val r = service.execute(
+      """{ lineitem { project(columns: [
+           {alias: "rev", mul: [{name: "l_extendedprice"},
+                                {sub: [{value: 1}, {name: "l_discount"}]}]},
+           {alias: "bulk", ge: [{name: "l_quantity"}, {value: 30}]}]) {
+           filter(bulk: {eq: true}) { count } } } }""")
+    assert(""""count":(\d+)""".r.findFirstMatchIn(r).get.group(1).toInt > 0)
+  }
+
+  test("join against another root") {
+    val r = service.execute(
+      """{ orders { join(right: "customer", keys: ["o_custkey"],
+           rkeys: ["c_custkey"], how: "inner") { count } } }""")
+    assert(r.contains(""""count":1500"""))
+  }
+
+  test("first (rank top-k keeping ties), unnest, runs, plan, timings") {
+    val r1 = service.execute(
+      """{ lineitem { first(by: ["l_quantity"], rank: 1) { count } } }""")
+    assert(""""count":(\d+)""".r.findFirstMatchIn(r1).get.group(1).toInt >= 1)
+    val r2 = service.execute("""{ events { runs(by: ["event_type"], counts: "n") { count } } }""")
+    assert(""""count":(\d+)""".r.findFirstMatchIn(r2).get.group(1).toInt > 1)
+    val r3 = service.execute("""{ nation { plan } }""")
+    assert(r3.contains("Relation") || r3.contains("Project"))
+    assert(r3.contains(""""timing_ms""""))
+  }
 }
