@@ -83,8 +83,12 @@ object ScalarQueries {
           "sg" -> signum(col("p_size") - lit(25)),
           "ex" -> round(exp(col("p_size") / lit(10.0)), 9),
           "ln" -> round(log(col("p_size")), 9),
-          "neg" -> (lit(0) - col("p_size")))
-        .select("p_partkey", "ab", "ce", "fl", "sq", "sg", "ex", "ln", "neg")
+          "neg" -> (lit(0) - col("p_size")),
+          "as_" -> round(asin(col("p_size") / lit(50.0)), 9),
+          "ac" -> round(acos(col("p_size") / lit(50.0)), 9),
+          "at2" -> round(atan2(col("p_size").cast("double"), col("p_retailprice")), 9))
+        .select("p_partkey", "ab", "ce", "fl", "sq", "sg", "ex", "ln", "neg",
+          "as_", "ac", "at2")
         .order(GTable.orderKeys(Seq("p_partkey")))
         .result
     },
@@ -95,7 +99,10 @@ object ScalarQueries {
             CAST(sign(p_size - 25) AS DOUBLE) AS sg,
             round(exp(p_size / 10.0), 9) AS ex,
             round(ln(p_size), 9) AS ln,
-            -p_size AS neg
+            -p_size AS neg,
+            round(asin(p_size / 50.0), 9) AS as_,
+            round(acos(p_size / 50.0), 9) AS ac,
+            round(atan2(CAST(p_size AS DOUBLE), p_retailprice), 9) AS at2
             FROM part ORDER BY p_partkey"""))
 
   /** Temporal block: year/quarter/month/day/dayofyear/week/trunc/format/
@@ -110,12 +117,13 @@ object ScalarQueries {
           "mo" -> month(col("o_orderdate")),
           "dy" -> dayofmonth(col("o_orderdate")),
           "doy" -> dayofyear(col("o_orderdate")),
+          "wk" -> weekofyear(col("o_orderdate")),
           "mon_start" -> date_trunc("month", col("o_orderdate")),
           "fmt" -> date_format(col("o_orderdate"), "yyyy-MM"),
           "epoch_s" -> unix_timestamp(col("o_orderdate").cast("timestamp")),
           "days_since" -> delta(col("o_orderdate"),
             lit("1995-01-01").cast("timestamp"), "day"))
-        .select("o_orderkey", "yr", "qt", "mo", "dy", "doy", "mon_start",
+        .select("o_orderkey", "yr", "qt", "mo", "dy", "doy", "wk", "mon_start",
           "fmt", "epoch_s", "days_since")
         .order(GTable.orderKeys(Seq("o_orderkey")))
         .result
@@ -126,6 +134,7 @@ object ScalarQueries {
             CAST(month(o_orderdate) AS INTEGER) AS mo,
             CAST(day(o_orderdate) AS INTEGER) AS dy,
             CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+            CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
             strftime(o_orderdate, '%Y-%m') AS fmt,
             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
