@@ -19,8 +19,15 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  // Plan cache: schema inference + file listing run once per (session,
+  // table); the cached value is only the lazy plan, not data. Keyed by
+  // session so test sessions don't leak across restarts.
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalize(read(spark, path(sfDir, name)))
+    planCache.getOrElseUpdate((spark, path(sfDir, name)),
+      normalize(read(spark, path(sfDir, name))))
 
   /** Load with the natural-order row id attached (see [[Natural]]). */
   def loadOrdered(spark: SparkSession, sfDir: String, name: String): DataFrame = {
