@@ -349,6 +349,38 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
       .drop("_gq_run").orderBy(col(Natural.rid)))
   }
 
+  /** Distributed cumulative aggregate over natural order (reference
+    * cumsum/cummax/cummin with empty `by`) — no single-partition window.
+    *
+    * Dense-rid block decomposition: per-block running aggregate (window
+    * partitioned by block — parallel) combined with the prefix-combine of
+    * all previous blocks' totals (tiny driver-side scan, broadcast back).
+    * `agg`/`combine` must form the same monoid (sum/+, max/greatest,
+    * min/least, count/+).
+    */
+  def cumulative(valueCol: Column, alias: String,
+                 agg: Column => Column,
+                 combine: (Column, Column) => Column,
+                 blockSize: Long = 1L << 20): GTable = {
+    val withBlk = df.withColumn("_gq_blk", (rid / blockSize).cast("long"))
+    // per-block totals: distributed aggregation, one row per blockSize rows
+    val totals = withBlk.groupBy("_gq_blk").agg(agg(valueCol).as("_t"))
+    // prefix(b) = combine of totals of blocks < b — the window is global but
+    // runs over the TINY totals frame (n/blockSize rows), not the data
+    val wPrev = Window.orderBy(col("_gq_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = totals.withColumn("_gq_pref", agg(col("_t")).over(wPrev))
+      .select("_gq_blk", "_gq_pref")
+    val wBlk = Window.partitionBy(col("_gq_blk")).orderBy(rid)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = withBlk.join(broadcast(prefixes), Seq("_gq_blk"))
+      .withColumn(alias,
+        when(col("_gq_pref").isNull, agg(valueCol).over(wBlk))
+          .otherwise(combine(col("_gq_pref"), agg(valueCol).over(wBlk))))
+      .drop("_gq_blk", "_gq_pref")
+    GTable(out)
+  }
+
   def runs(by: Seq[String],
            split: Seq[org.apache.spark.sql.expressions.WindowSpec => Column] = Nil,
            aggs: Seq[Column] = Nil, counts: Option[String] = None): GTable = {

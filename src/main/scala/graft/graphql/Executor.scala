@@ -32,7 +32,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val root = roots.getOrElse(f.name,
         throw new IllegalArgumentException(s"unknown table '${f.name}'"))
       val t0 = System.nanoTime()
-      val r = f.outName -> resolveTable(root(), f)
+      val r = f.outName -> resolveTable(root(), f, Some(s"SELECT * FROM ${f.name}"))
       timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
       r
     }
@@ -48,34 +48,48 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
 
   // ─── resolvers ───
 
-  private def resolveTable(t: GTable, field: GField): String = {
+  private def resolveTable(t: GTable, field: GField,
+                           sql: Option[String]): String = {
     // §4 persist policy: >1 materializing sibling → persist the shared plan
     val consumers = field.sels.count(f =>
-      !Set("type", "schema").contains(f.name))
+      !Set("type", "schema", "toSql").contains(f.name))
     val persisted = consumers > 1
     if (persisted) t.df.persist()
-    try Json.obj(field.sels.map(f => f.outName -> resolveField(t, f)))
+    try Json.obj(field.sels.map(f => f.outName -> resolveField(t, f, sql)))
     finally if (persisted) { t.df.unpersist(); () }
   }
 
-  private def resolveField(t: GTable, f: GField): String = f.name match {
+  private def resolveField(t: GTable, f: GField, sql: Option[String]): String = f.name match {
     case "count" => t.count().toString
     case "any" => t.any(intArg(f, "limit").getOrElse(1)).toString
     case "type" => Json.quote("ParquetSource")
     case "schema" => resolveSchema(t, f)
+    case "toSql" =>
+      // SQL reflection (reference toSql, interface.py:109-115): the SQL text
+      // accumulated along the operator fold; null after a non-SQL op
+      Json.quote(sql.getOrElse(
+        throw new IllegalArgumentException("toSql: not SQL-expressible after this operator")))
     case "slice" =>
-      resolveTable(t.slice(longArg(f, "offset").getOrElse(0L),
-        longArg(f, "limit")), f)
-    case "filter" => resolveTable(t.filter(filterPreds(t, f): _*), f)
+      val off = longArg(f, "offset").getOrElse(0L)
+      val lim = longArg(f, "limit")
+      resolveTable(t.slice(off, lim), f,
+        sql.map(q => s"SELECT * FROM ($q) LIMIT ${lim.getOrElse(Long.MaxValue)} OFFSET $off"))
+    case "filter" =>
+      resolveTable(t.filter(filterPreds(t, f): _*), f,
+        sql.map(q => s"SELECT * FROM ($q) WHERE ${filterPredsSql(f).mkString(" AND ")}"))
     case "order" =>
       val by = strListArg(f, "by")
-      resolveTable(t.order(GTable.orderKeys(by), intArg(f, "limit")), f)
-    case "group" => resolveGroup(t, f)
+      val lim = intArg(f, "limit")
+      val bySql = by.map(k => if (k.startsWith("-")) s"${k.drop(1)} DESC" else s"$k ASC")
+      resolveTable(t.order(GTable.orderKeys(by), lim), f,
+        sql.map(q => s"SELECT * FROM ($q) ORDER BY ${bySql.mkString(", ")}" +
+          lim.fold("")(k => s" LIMIT $k")))
+    case "group" => resolveGroup(t, f, sql)
     case "distinct" =>
       val on = strListArg(f, "on")
       resolveTable(t.distinctOn(on,
         f.arg("keep").collect { case GEnum(k) => k; case GStr(k) => k }.getOrElse("first"),
-        f.arg("counts").collect { case GStr(c) => c }), f)
+        f.arg("counts").collect { case GStr(c) => c }), f, None)
     case "columns" => resolveColumns(t, f)
     case "row" => resolveRow(t, longArg(f, "index").getOrElse(0L))
     case "project" =>
@@ -90,7 +104,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         }
         case _ => throw new IllegalArgumentException("project(columns:) expects a list")
       }
-      resolveTable(t.project(cols: _*), f)
+      val projSql = f.arg("columns").toSeq.flatMap {
+        case GList(items) => items.collect {
+          case o @ GObj(fields2) =>
+            val alias = o.get("alias").collect { case GStr(a) => a }.get
+            s"${Exprs.toSql(GObj(fields2.filterNot(_._1 == "alias")))} AS $alias"
+        }
+        case _ => Nil
+      }
+      resolveTable(t.project(cols: _*), f,
+        sql.map(q => s"SELECT *, ${projSql.mkString(", ")} FROM ($q)"))
     case "join" =>
       val rightName = f.arg("right").collect { case GStr(r) => r }
         .getOrElse(throw new IllegalArgumentException("join needs right:"))
@@ -98,28 +121,36 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         throw new IllegalArgumentException(s"unknown table '$rightName'"))
       val how = f.arg("how").collect { case GStr(h) => h; case GEnum(h) => h }
         .getOrElse("inner")
-      resolveTable(t.join(right(), strListArg(f, "keys"),
-        strListArg(f, "rkeys"), how), f)
+      val keys = strListArg(f, "keys")
+      val rkeys0 = strListArg(f, "rkeys")
+      val rkeys = if (rkeys0.isEmpty) keys else rkeys0
+      val howSql = Map("inner" -> "JOIN", "left" -> "LEFT JOIN",
+        "right" -> "RIGHT JOIN", "full" -> "FULL OUTER JOIN")
+      val joinSql = sql.flatMap(q => howSql.get(how).map { hs =>
+        val cond = keys.zip(rkeys).map { case (k, rk) => s"l.$k = r.$rk" }.mkString(" AND ")
+        s"SELECT * FROM ($q) l $hs (SELECT * FROM $rightName) r ON $cond"
+      })
+      resolveTable(t.join(right(), keys, rkeys0, how), f, joinSql)
     case "first" =>
       resolveTable(t.firstRank(strListArg(f, "by"),
         intArg(f, "rank").getOrElse(1),
         f.arg("dense").collect { case GBool(b) => b }.getOrElse(false),
-        strListArg(f, "over")), f)
+        strListArg(f, "over")), f, None)
     case "take" =>
       val idx = f.arg("indices").toSeq.flatMap {
         case GList(items) => items.collect { case GInt(i) => i }
         case _ => Nil
       }
-      resolveTable(t.take(idx), f)
+      resolveTable(t.take(idx), f, None)
     case "unnest" =>
       val name = f.arg("name").collect { case GStr(n) => n }
         .getOrElse(throw new IllegalArgumentException("unnest needs name:"))
       resolveTable(t.unnest(name,
         f.arg("offset").collect { case GStr(o) => o },
-        f.arg("keep_empty").collect { case GBool(b) => b }.getOrElse(false)), f)
+        f.arg("keep_empty").collect { case GBool(b) => b }.getOrElse(false)), f, None)
     case "runs" =>
       resolveTable(t.runs(strListArg(f, "by"),
-        counts = f.arg("counts").collect { case GStr(c) => c }), f)
+        counts = f.arg("counts").collect { case GStr(c) => c }), f, None)
     case "plan" =>
       // plan reflection (nearest Spark analog of the reference's toSql,
       // interface.py:109-115 — Spark has no plan→SQL printer)
@@ -159,8 +190,26 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         throw new IllegalArgumentException(s"filter($colName:) expects an object")
     }
 
+  /** SQL rendering of the per-column predicate objects (toSql support). */
+  private def filterPredsSql(f: GField): Seq[String] =
+    f.args.flatMap {
+      case (colName, GObj(preds)) => preds.map { case (op, v) =>
+        op match {
+          case "eq" => if (v == GVal.GNull) s"$colName IS NULL" else s"$colName = ${Exprs.litSql(v)}"
+          case "ne" => if (v == GVal.GNull) s"$colName IS NOT NULL" else s"$colName <> ${Exprs.litSql(v)}"
+          case "lt" => s"$colName < ${Exprs.litSql(v)}"
+          case "le" => s"$colName <= ${Exprs.litSql(v)}"
+          case "gt" => s"$colName > ${Exprs.litSql(v)}"
+          case "ge" => s"$colName >= ${Exprs.litSql(v)}"
+          case "isin" => s"$colName IN ${Exprs.litSql(v)}"
+          case other => throw new IllegalArgumentException(s"unknown predicate '$other'")
+        }
+      }
+      case _ => Nil
+    }
+
   /** group(by: [...], counts: "n", aggregate: {sum: [{name, alias}], ...}). */
-  private def resolveGroup(t: GTable, f: GField): String = {
+  private def resolveGroup(t: GTable, f: GField, sql: Option[String]): String = {
     val by = strListArg(f, "by")
     val counts = f.arg("counts").collect { case GStr(c) => c }
     val aggs = f.arg("aggregate").toSeq.flatMap {
@@ -184,7 +233,23 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       }
       case _ => throw new IllegalArgumentException("aggregate expects an object")
     }
-    resolveTable(t.group(by, aggs, counts, firstSeenOrder = Natural.hasRowId(t.df)), f)
+    val aggSqls = f.arg("aggregate").toSeq.flatMap {
+      case GObj(kinds) => kinds.flatMap {
+        case (fn, GList(specs)) => specs.collect { case o: GObj =>
+          val nm = o.get("name").collect { case GStr(n) => n }.get
+          val al = o.get("alias").collect { case GStr(a) => a }.getOrElse(s"${fn}_$nm")
+          val sqlFn = if (fn == "mean") "avg" else fn
+          s"$sqlFn($nm) AS $al"
+        }
+        case _ => Nil
+      }
+      case _ => Nil
+    } ++ counts.map(c => s"count(*) AS $c")
+    val groupSql = sql.map { q =>
+      val sel = (by ++ aggSqls).mkString(", ")
+      s"SELECT $sel FROM ($q)" + (if (by.nonEmpty) s" GROUP BY ${by.mkString(", ")}" else "")
+    }
+    resolveTable(t.group(by, aggs, counts, firstSeenOrder = Natural.hasRowId(t.df)), f, groupSql)
   }
 
   /** columns { name { values count countDistinct min max sum mean } } —

@@ -68,6 +68,61 @@ object Exprs {
     case other => throw new IllegalArgumentException(s"expected string, got $other")
   }
 
+  /** SQL-text mirror of [[compile]] — powers the `toSql` reflection field
+    * (reference interface.py:109-115 compiles its expression tree to SQL;
+    * here the same input renders to ANSI SQL). */
+  def toSql(v: GVal): String = v match {
+    case GObj(fields) if fields.length == 1 =>
+      val (op, arg) = fields.head
+      def bin(sym: String) = { val Seq(a, b) = naryS(arg); s"($a $sym $b)" }
+      op match {
+        case "name" => arg match {
+          case GStr(s) => s
+          case _ => throw new IllegalArgumentException("name must be a string")
+        }
+        case "value" => litSql(arg)
+        case "add" => bin("+")
+        case "sub" => bin("-")
+        case "mul" => bin("*")
+        case "div" => bin("/")
+        case "eq" => bin("=")
+        case "ne" => bin("<>")
+        case "lt" => bin("<")
+        case "le" => bin("<=")
+        case "gt" => bin(">")
+        case "ge" => bin(">=")
+        case "and" => naryS(arg).mkString("(", " AND ", ")")
+        case "or" => naryS(arg).mkString("(", " OR ", ")")
+        case "not" => s"(NOT ${toSql(arg)})"
+        case "coalesce" => naryS(arg).mkString("coalesce(", ", ", ")")
+        case "ifelse" =>
+          val Seq(c, t, e) = naryS(arg)
+          s"CASE WHEN $c THEN $t ELSE $e END"
+        case "length" => s"length(${toSql(arg)})"
+        case "lower" => s"lower(${toSql(arg)})"
+        case "upper" => s"upper(${toSql(arg)})"
+        case "abs" => s"abs(${toSql(arg)})"
+        case other => throw new IllegalArgumentException(s"toSql: unknown op '$other'")
+      }
+    case other => throw new IllegalArgumentException(s"toSql: expression must be an object")
+  }
+
+  private def naryS(v: GVal): Seq[String] = v match {
+    case GList(items) => items.map(toSql)
+    case single => Seq(toSql(single))
+  }
+
+  def litSql(v: GVal): String = v match {
+    case GInt(x) => x.toString
+    case GFloat(x) => x.toString
+    case GStr(x) => "'" + x.replace("'", "''") + "'"
+    case GBool(x) => x.toString.toUpperCase
+    case GNull => "NULL"
+    case GEnum(x) => "'" + x + "'"
+    case GList(xs) => xs.map(litSql).mkString("(", ", ", ")")
+    case _: GObj => throw new IllegalArgumentException("litSql: unexpected object")
+  }
+
   def scalaOf(v: GVal): Any = v match {
     case GInt(x) => x
     case GFloat(x) => x

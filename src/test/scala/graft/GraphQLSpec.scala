@@ -93,6 +93,26 @@ class GraphQLSpec extends SparkSpec {
     assert(r.contains(""""count":1500"""))
   }
 
+  test("toSql emits runnable SQL along the operator fold") {
+    val r = service.execute(
+      """{ lineitem { filter(l_returnflag: {eq: "A"}, l_quantity: {ge: 30}) {
+           group(by: ["l_linestatus"], counts: "n",
+                 aggregate: {sum: [{name: "l_quantity", alias: "qty"}]}) {
+             order(by: ["l_linestatus"]) { toSql count } } } } }""")
+    val sql = """"toSql":"([^"]+)"""".r.findFirstMatchIn(r).get.group(1)
+    assert(sql.contains("GROUP BY l_linestatus") && sql.contains("WHERE"))
+    // the emitted SQL must actually run (Spark SQL) and agree with count
+    graft.core.Tables.load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    val viaSql = spark.sql(sql).count()
+    val n = """"count":(\d+)""".r.findFirstMatchIn(r).get.group(1).toLong
+    assert(viaSql == n)
+  }
+
+  test("toSql errors after a non-SQL-expressible operator") {
+    intercept[IllegalArgumentException](
+      service.execute("""{ lineitem { take(indices: [0, 1]) { toSql } } }"""))
+  }
+
   test("first (rank top-k keeping ties), unnest, runs, plan, timings") {
     val r1 = service.execute(
       """{ lineitem { first(by: ["l_quantity"], rank: 1) { count } } }""")
