@@ -151,6 +151,43 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     case "runs" =>
       resolveTable(t.runs(strListArg(f, "by"),
         counts = f.arg("counts").collect { case GStr(c) => c }), f, None)
+    case "window" =>
+      // window(over: [...], by: ["±col"], rowNumber: "rn0",
+      //        lag: [{name, offset, default, alias}],
+      //        sum: [{name, alias}]  — cumulative when `by` given)
+      val over = strListArg(f, "over").map(col)
+      val byKeys = strListArg(f, "by")
+      val w = graft.functions.GWindows.spec(over, GTable.orderKeys(byKeys))
+      var out = t
+      f.arg("rowNumber").foreach { case GStr(a) =>
+        out = out.project(a -> graft.functions.GWindows.rowNumber0(w)); case _ => () }
+      f.arg("lag").foreach {
+        case GList(specs) => specs.foreach {
+          case o: GObj =>
+            val nm = o.get("name").collect { case GStr(n) => n }.get
+            val off = o.get("offset").collect { case GInt(i) => i.toInt }.getOrElse(1)
+            val dflt = o.get("default").map(Exprs.scalaOf).orNull
+            val al = o.get("alias").collect { case GStr(a) => a }.getOrElse(s"lag_$nm")
+            out = out.project(al ->
+              graft.functions.GWindows.lagDefault(col(nm), off, dflt, w))
+          case _ => ()
+        }
+        case _ => ()
+      }
+      f.arg("sum").foreach {
+        case GList(specs) => specs.foreach {
+          case o: GObj =>
+            val nm = o.get("name").collect { case GStr(n) => n }.get
+            val al = o.get("alias").collect { case GStr(a) => a }.getOrElse(s"sum_$nm")
+            out = out.project(al ->
+              (if (byKeys.nonEmpty)
+                 graft.functions.GWindows.cumulative(sum, col(nm), w)
+               else graft.functions.GWindows.overPartition(sum, col(nm), over)))
+          case _ => ()
+        }
+        case _ => ()
+      }
+      resolveTable(out, f, None)
     case "plan" =>
       // plan reflection (nearest Spark analog of the reference's toSql,
       // interface.py:109-115 — Spark has no plan→SQL printer)

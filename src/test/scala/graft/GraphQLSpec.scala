@@ -93,6 +93,18 @@ class GraphQLSpec extends SparkSpec {
     assert(r.contains(""""count":1500"""))
   }
 
+  test("window block: 0-based row number, lag, cumulative sum") {
+    val r = service.execute(
+      """{ events { window(over: ["user_id"], by: ["ts"],
+           rowNumber: "rn0",
+           lag: [{name: "value", offset: 1, default: 0.0, alias: "prev"}],
+           sum: [{name: "value", alias: "running"}]) {
+           filter(rn0: {eq: 0}) { count } } } }""")
+    // one rank-0 row per user
+    val n = """"count":(\d+)""".r.findFirstMatchIn(r).get.group(1).toInt
+    assert(n > 0 && n <= 150)
+  }
+
   test("toSql emits runnable SQL along the operator fold") {
     val r = service.execute(
       """{ lineitem { filter(l_returnflag: {eq: "A"}, l_quantity: {ge: 30}) {
