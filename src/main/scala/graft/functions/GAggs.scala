@@ -49,6 +49,17 @@ object GAggs {
     if (approx) percentile_approx(c, lit(q), lit(10000))
     else call_function("percentile", c, lit(q))
 
+  /** Discrete quantile that also works on strings (reference quantile
+    * accepts string columns, tests/test_service.py:99-100): value at index
+    * floor(q·(n−1)) of the sorted non-null values. Aggregate form —
+    * collect-based, for modest group sizes; the whole-table scalable form
+    * is `df.orderBy(c).offset(idx).limit(1)`. */
+  def quantileDisc(c: Column, q: Double): Column = {
+    val sorted = array_sort(collect_list(c))
+    val idx = floor(lit(q) * (size(sorted) - 1)).cast("int") + 1
+    element_at(sorted, idx)
+  }
+
   def stdDev(c: Column, sample: Boolean = true): Column =
     if (sample) stddev_samp(c) else stddev_pop(c)
 

@@ -188,6 +188,10 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case _ => ()
       }
       resolveTable(out, f, None)
+    case "optional" =>
+      // nullable self: stops error propagation for partial results
+      // (reference interface.py:138-141)
+      try resolveTable(t, f, sql) catch { case _: Exception => "null" }
     case "plan" =>
       // plan reflection (nearest Spark analog of the reference's toSql,
       // interface.py:109-115 — Spark has no plan→SQL printer)

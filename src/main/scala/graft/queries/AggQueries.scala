@@ -210,6 +210,29 @@ object AggQueries {
             quantile_cont(l_quantity, 0.75) AS q75
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Discrete quantile on STRING columns (reference quantile works on
+    * strings; Spark's percentile does not — custom aggregate). */
+  val q_quantile_str = Q(
+    "q_quantile_str",
+    (s, dir) => {
+      val o = GTable(Tables.load(s, dir, "orders"))
+      o.group(
+          by = Seq("o_orderstatus"),
+          aggs = Seq(
+            GAggs.quantileDisc(col("o_orderpriority"), 0.5).as("median_prio"),
+            GAggs.quantileDisc(col("o_orderpriority"), 0.25).as("q25_prio")))
+        .order(GTable.orderKeys(Seq("o_orderstatus")))
+        .result
+    },
+    Some("""WITH r AS (SELECT o_orderstatus, o_orderpriority,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) rn,
+              count(*) OVER (PARTITION BY o_orderstatus) n
+              FROM orders)
+            SELECT o_orderstatus,
+              max(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 THEN o_orderpriority END) AS median_prio,
+              max(CASE WHEN rn = floor(0.25 * (n - 1)) + 1 THEN o_orderpriority END) AS q25_prio
+            FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** std/var sample+population (reference `std`/`var` how:), rounded 6 —
     * single-pass moment merges are order-sensitive in the last ulp. */
   val q_std_var = Q(
@@ -352,6 +375,6 @@ object AggQueries {
 
   def all: Seq[Q] = Seq(q1_agg, q_agg_whole, q_group_counts, q_first_last,
     q_argmax, q_collect, q_concat, q_nunique, q_approx_nunique, q_quantile,
-    q_std_var, q_moments, q_mode, q_filtered_agg, q_any_all, q_distinct_first,
-    q_group_first_seen)
+    q_quantile_str, q_std_var, q_moments, q_mode, q_filtered_agg, q_any_all,
+    q_distinct_first, q_group_first_seen)
 }

@@ -13,10 +13,14 @@ import graft.sources.ParquetMeta
 object HiveQueries {
 
   private val hiveDir = "/tmp/graft_hive/lineitem"
+  private val written = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   private def ensureHive(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    ParquetMeta.repartitionTo(Tables.load(s, dir, "lineitem"), hiveDir,
-      keys = Seq("l_returnflag", "l_linestatus"), sortWithin = Seq("l_orderkey"))
+    written.getOrElseUpdate(dir, {
+      ParquetMeta.repartitionTo(Tables.load(s, dir, "lineitem"), hiveDir,
+        keys = Seq("l_returnflag", "l_linestatus"), sortWithin = Seq("l_orderkey"))
+      true
+    })
 
   /** Metadata-only group counts from fragment footers — zero data pages
     * read (reference interface.py:233-238). */

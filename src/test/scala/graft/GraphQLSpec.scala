@@ -93,6 +93,11 @@ class GraphQLSpec extends SparkSpec {
     assert(r.contains(""""count":1500"""))
   }
 
+  test("optional stops error propagation for partial results") {
+    val r = service.execute("""{ nation { count optional { bogus } } }""")
+    assert(r.contains(""""count":25""") && r.contains(""""optional":null"""))
+  }
+
   test("window block: 0-based row number, lag, cumulative sum") {
     val r = service.execute(
       """{ events { window(over: ["user_id"], by: ["ts"],
