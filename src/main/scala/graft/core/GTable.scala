@@ -23,7 +23,6 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
   def isSorted: Boolean = sortedBy.nonEmpty
 
   private def rid: Column = Natural.order(df)
-  private def outputCols: Seq[String] = df.columns.filterNot(_ == Natural.rid).toSeq
 
   /** Result with hidden columns dropped. */
   def result: DataFrame = Natural.strip(df)

@@ -21,9 +21,13 @@ import GVal._
 final class GraphQLService(spark: SparkSession, sfDir: String,
                            names: Seq[String] = Tables.names) {
 
-  /** Lazy per-table roots; natural order attached so slice/row work. */
+  /** Per-table roots; natural order attached so slice/row work. Memoized —
+    * the row-id attach runs a (metadata-only) per-file count job once per
+    * table, not once per request. */
+  private val rootCache = scala.collection.concurrent.TrieMap.empty[String, GTable]
   private val roots: Map[String, () => GTable] =
-    names.map(n => n -> (() => GTable(Tables.loadOrdered(spark, sfDir, n)))).toMap
+    names.map(n => n -> (() =>
+      rootCache.getOrElseUpdate(n, GTable(Tables.loadOrdered(spark, sfDir, n))))).toMap
 
   def execute(query: String): String = {
     val doc = Parser.parse(query)
@@ -221,7 +225,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           case "gt" => c > litOf(v)
           case "ge" => c >= litOf(v)
           case "isin" => v match {
-            case GList(items) => c.isin(items.map(scalaOf): _*)
+            case GList(items) => c.isin(items.map(Exprs.scalaOf): _*)
             case _ => throw new IllegalArgumentException("isin expects a list")
           }
           case other => throw new IllegalArgumentException(s"unknown predicate '$other'")
@@ -338,17 +342,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
 
   // ─── arg helpers ───
 
-  private def litOf(v: GVal): Column = lit(scalaOf(v))
-  private def scalaOf(v: GVal): Any = v match {
-    case GInt(x) => x
-    case GFloat(x) => x
-    case GStr(x) => x
-    case GBool(x) => x
-    case GEnum(x) => x
-    case GNull => null
-    case GList(xs) => xs.map(scalaOf)
-    case o: GObj => throw new IllegalArgumentException("unexpected object value")
-  }
+  private def litOf(v: GVal): Column = lit(Exprs.scalaOf(v))
   private def intArg(f: GField, name: String): Option[Int] =
     f.arg(name).collect { case GInt(v) => v.toInt }
   private def longArg(f: GField, name: String): Option[Long] =
