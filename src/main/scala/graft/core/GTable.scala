@@ -29,13 +29,13 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
 
   // ─── Projection / filter (reference: interface.py:455-462,510-519) ───
 
-  /** AND-ed predicates; empty → unchanged. */
+  /** AND-ed predicates; empty → unchanged. Filtering preserves order. */
   def filter(preds: Column*): GTable =
-    if (preds.isEmpty) this else GTable(df.filter(preds.reduce(_ && _)))
+    if (preds.isEmpty) this else GTable(df.filter(preds.reduce(_ && _)), sortedBy)
 
-  /** Add/replace columns (reference `project`). */
+  /** Add/replace columns (reference `project`); order-preserving. */
   def project(cols: (String, Column)*): GTable =
-    GTable(df.withColumns(cols.toMap))
+    GTable(df.withColumns(cols.toMap), sortedBy)
 
   /** Keep only the named columns (plus hidden id if present). Projection
     * preserves any explicit ordering. */

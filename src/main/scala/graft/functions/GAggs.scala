@@ -60,6 +60,15 @@ object GAggs {
     element_at(sorted, idx)
   }
 
+  /** Sample (bias-corrected) excess kurtosis — the reference's
+    * kurtosis(how: "sample"); Spark's built-in is the population g2, so the
+    * correction is applied on top: G2 = ((n-1)/((n-2)(n-3)))·((n+1)·g2+6). */
+  def kurtosisSample(c: Column): Column = {
+    val n = count(c).cast("double")
+    val g2 = kurtosis(c)
+    ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+  }
+
   def stdDev(c: Column, sample: Boolean = true): Column =
     if (sample) stddev_samp(c) else stddev_pop(c)
 

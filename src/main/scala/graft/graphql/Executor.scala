@@ -33,12 +33,21 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     val doc = Parser.parse(query)
     val timings = Seq.newBuilder[(String, String)]
     val out = doc.sels.map { f =>
-      val root = roots.getOrElse(f.name,
-        throw new IllegalArgumentException(s"unknown table '${f.name}'"))
-      val t0 = System.nanoTime()
-      val r = f.outName -> resolveTable(root(), f, Some(s"SELECT * FROM ${f.name}"))
-      timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
-      r
+      if (f.name == "_service") {
+        // federation-style reflection (reference _service{sdl},
+        // middleware.py:55-90)
+        f.outName -> Json.obj(f.sels.map(s => s.outName -> (s.name match {
+          case "sdl" => Json.quote(sdl)
+          case other => throw new IllegalArgumentException(s"unknown _service field '$other'")
+        })))
+      } else {
+        val root = roots.getOrElse(f.name,
+          throw new IllegalArgumentException(s"unknown table '${f.name}'"))
+        val t0 = System.nanoTime()
+        val r = f.outName -> resolveTable(root(), f, Some(s"SELECT * FROM ${f.name}"))
+        timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
+        r
+      }
     }
     // per-root resolver durations (reference's Apollo-tracing-style metrics,
     // middleware.py:22-38)

@@ -268,7 +268,9 @@ object AggQueries {
           by = Nil,
           aggs = Seq(
             round(skewness(col("l_quantity")), 6).as("skew"),
-            round(kurtosis(col("l_quantity")), 6).as("kurt")))
+            round(kurtosis(col("l_quantity")), 6).as("kurt"),
+            // sample-corrected variant == DuckDB's native kurtosis
+            round(GAggs.kurtosisSample(col("l_quantity")), 6).as("kurt_samp")))
         .result
     },
     Some("""WITH s AS (SELECT avg(l_quantity) AS m FROM lineitem),
@@ -278,7 +280,9 @@ object AggQueries {
               avg((l_quantity - m) ^ 4) AS m4
               FROM lineitem, s)
             SELECT round(m3 / (m2 ^ 1.5), 6) AS skew,
-                   round(m4 / (m2 ^ 2) - 3, 6) AS kurt FROM c"""))
+                   round(m4 / (m2 ^ 2) - 3, 6) AS kurt,
+                   (SELECT round(kurtosis(l_quantity), 6) FROM lineitem) AS kurt_samp
+            FROM c"""))
 
   /** Deterministic mode via two-level aggregation (count per value, then
     * min_by (-count, value)) — engine-native `mode` breaks ties arbitrarily. */

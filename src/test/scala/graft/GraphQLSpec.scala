@@ -93,6 +93,21 @@ class GraphQLSpec extends SparkSpec {
     assert(r.contains(""""count":1500"""))
   }
 
+  test("_service { sdl } federation reflection") {
+    val r = service.execute("""{ _service { sdl } }""")
+    assert(r.contains("type Query") && r.contains("lineitem: Lineitem"))
+  }
+
+  test("order then filter keeps the explicit sort in values") {
+    val r = service.execute(
+      """{ orders { order(by: ["-o_totalprice"], limit: 10) {
+           filter(o_orderstatus: {eq: "F"}) {
+           columns { o_totalprice { values } } } } } }""")
+    val vals = """"o_totalprice":\{"values":\[([^\]]*)\]""".r
+      .findFirstMatchIn(r).get.group(1).split(",").filter(_.nonEmpty).map(_.toDouble)
+    assert(vals.sameElements(vals.sorted.reverse))
+  }
+
   test("optional stops error propagation for partial results") {
     val r = service.execute("""{ nation { count optional { bogus } } }""")
     assert(r.contains(""""count":25""") && r.contains(""""optional":null"""))
