@@ -99,6 +99,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("_rn").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN: the corpus is coarsely quantized to the
+    * nearest of `nlist` centroids (one narrow assignment pass); queries
+    * probe the `nprobe` nearest centroid lists only, then exact cosine +
+    * top-k inside them. Cluster assignment is write-time amortizable
+    * (partitionBy(cluster)); probing touches ~nprobe/nlist of the corpus.
+    *
+    * Centroids here are a deterministic id-ordered sample of the corpus —
+    * honest about the missing k-means refinement (no ML lib in scope);
+    * the probing/plumbing is the real IVF shape.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic coarse centroids: first nlist vectors by id
+    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosineFast(spark)(col("_cv"), col("cv")))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("neighbor_id"))
+      .orderBy(col("_sim").desc, col("cid").asc)
+    val assigned = assign.withColumn("_rn", row_number().over(wBest))
+      .filter(col("_rn") === 1)
+      .select(col("neighbor_id"), col("_cv"), col("cid"))
+    // queries probe their nprobe nearest centroid lists
+    val qAssign = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosineFast(spark)(col("_qv"), col("cv")))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("cid").asc)
+    val probes = qAssign.withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("score", cosineFast(spark)(col("_qv"), col("_cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("_rn").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: exact all-pairs cosine ≥ threshold.
     * Quadratic — the exact oracle/baseline; LSH variant is the scale path. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,

@@ -154,6 +154,20 @@ object PipelineQueries {
     },
     None)
 
+  /** IVF ANN (coarse quantization + nprobe probing) — rows-only; recall
+    * asserted in PipelineSpec (0.9 @ nprobe 6/16 on the test corpus). */
+  val q_ann_ivf = Q(
+    "q_ann_ivf",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      GTable(Similarity.ivfTopK(e, queries, "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 6))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    None)
+
   /** Language ID + per-language doc counts (stopword-ratio heuristic). */
   val q_lang_id = Q(
     "q_lang_id",
@@ -245,6 +259,6 @@ object PipelineQueries {
             FROM k ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
-    q_dedup_simhash, q_dedup_cosine, q_ann_topk, q_ann_lsh, q_lang_id,
-    q_text_quality, q_token_count, q_fingerprint)
+    q_dedup_simhash, q_dedup_cosine, q_ann_topk, q_ann_lsh, q_ann_ivf,
+    q_lang_id, q_text_quality, q_token_count, q_fingerprint)
 }

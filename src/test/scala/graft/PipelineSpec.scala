@@ -47,6 +47,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3)
   }
 
+  test("IVF ANN recall vs brute force top-5") {
+    val q = embs.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    info(s"IVF recall@5 = $recall (nprobe 6/16 ≈ ${6.0/16} of corpus scanned)")
+    assert(recall > 0.3)
+  }
+
   test("exact dedup drops exact duplicates only") {
     val n = docs.count()
     val d = Dedup.exact(docs, "text", "doc_id").count()
