@@ -144,6 +144,18 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         s"SELECT * FROM ($q) l $hs (SELECT * FROM $rightName) r ON $cond"
       })
       resolveTable(t.join(right(), keys, rkeys0, how), f, joinSql)
+    case "asofJoin" =>
+      // asofJoin(right: "events_errors"|table, on: "ts", rOn: "ts",
+      //          keys: [...], rkeys: [...]) — backward nearest match
+      val rightName = f.arg("right").collect { case GStr(r) => r }
+        .getOrElse(throw new IllegalArgumentException("asofJoin needs right:"))
+      val right = roots.getOrElse(rightName,
+        throw new IllegalArgumentException(s"unknown table '$rightName'"))
+      val on = f.arg("on").collect { case GStr(o) => o }
+        .getOrElse(throw new IllegalArgumentException("asofJoin needs on:"))
+      val rOn = f.arg("rOn").collect { case GStr(o) => o }.getOrElse("")
+      resolveTable(t.asofJoin(right(), on, rOn,
+        strListArg(f, "keys"), strListArg(f, "rkeys")), f, None)
     case "first" =>
       resolveTable(t.firstRank(strListArg(f, "by"),
         intArg(f, "rank").getOrElse(1),

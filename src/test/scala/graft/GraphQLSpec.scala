@@ -93,6 +93,14 @@ class GraphQLSpec extends SparkSpec {
     assert(r.contains(""""count":1500"""))
   }
 
+  test("asofJoin field: nearest prior order per event user is joined") {
+    val r = service.execute(
+      """{ events { asofJoin(right: "events", on: "ts", keys: ["user_id"]) {
+           count } } }""")
+    val n = """"count":(\d+)""".r.findFirstMatchIn(r).get.group(1).toLong
+    assert(n == 1000L) // left-join semantics: one row per left event
+  }
+
   test("_service { sdl } federation reflection") {
     val r = service.execute("""{ _service { sdl } }""")
     assert(r.contains("type Query") && r.contains("lineitem: Lineitem"))
