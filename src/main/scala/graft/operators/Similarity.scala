@@ -157,16 +157,24 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** LSH-bucketed near-duplicate pairs: same-bucket candidates verified by
-    * exact cosine — linear bucketing + intra-bucket pairs only. */
+  /** LSH-bucketed near-duplicate pairs: candidates collide in ANY of the
+    * `tables` independent bucketings (recall 1-(1-p^planes)^tables), then
+    * are verified by exact cosine. Linear bucketing + intra-bucket pairs
+    * only — never all-pairs. */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, planes: Int, dim: Int): DataFrame = {
+                     threshold: Double, planes: Int, dim: Int,
+                     tables: Int = 8): DataFrame = {
+    val buckets = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col(vecCol), planes, dim, t).as("b")))
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes, dim).as("_bucket"))
+      explode(array(buckets: _*)).as("_bucket"))
     v.as("a").join(v.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        cosineFast(df.sparkSession)(col("a.v"), col("b.v")).as("cos"))
+        col("a.v").as("v1"), col("b.v").as("v2"))
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"),
+        cosineFast(df.sparkSession)(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

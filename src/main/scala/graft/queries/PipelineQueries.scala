@@ -154,6 +154,19 @@ object PipelineQueries {
     },
     None)
 
+  /** LSH-bucketed embedding near-dup pairs (linear bucketing, intra-bucket
+    * verify) — rows-only; subset-of-exact asserted in PipelineSpec. */
+  val q_dedup_cosine_lsh = Q(
+    "q_dedup_cosine_lsh",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      GTable(Similarity.lshCosinePairs(e, "vec_id", "embedding",
+          threshold = 0.2, planes = 4, dim = 64))
+        .order(GTable.orderKeys(Seq("id1", "id2")))
+        .result
+    },
+    None)
+
   /** IVF ANN (coarse quantization + nprobe probing) — rows-only; recall
     * asserted in PipelineSpec (0.9 @ nprobe 6/16 on the test corpus). */
   val q_ann_ivf = Q(
@@ -259,6 +272,7 @@ object PipelineQueries {
             FROM k ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
-    q_dedup_simhash, q_dedup_cosine, q_ann_topk, q_ann_lsh, q_ann_ivf,
-    q_lang_id, q_text_quality, q_token_count, q_fingerprint)
+    q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
+    q_ann_lsh, q_ann_ivf, q_lang_id, q_text_quality, q_token_count,
+    q_fingerprint)
 }

@@ -61,6 +61,16 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3)
   }
 
+  test("LSH cosine pairs are a subset of exact pairs at the same threshold") {
+    val exact = Similarity.cosinePairs(embs, "vec_id", "embedding", 0.2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(embs, "vec_id", "embedding", 0.2,
+        planes = 4, dim = 64)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) info(s"pair recall = ${lsh.size.toDouble / exact.size}")
+  }
+
   test("exact dedup drops exact duplicates only") {
     val n = docs.count()
     val d = Dedup.exact(docs, "text", "doc_id").count()
