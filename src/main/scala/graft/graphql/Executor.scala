@@ -327,7 +327,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     Json.obj(wanted.map { cf =>
       val c = col(cf.name)
       val leafs = cf.sels
-      val aggLeafs = leafs.filter(_.name != "values")
+      val aggLeafs = leafs.filterNot(l => l.name == "values" || l.name == "distinct")
       val aggCols = aggLeafs.map(l => (l.name match {
         case "count" => count(c)
         case "countDistinct" => countDistinct(c)
@@ -349,6 +349,17 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
               else pruned.df
             val rows = Natural.strip(ordered).select(cf.name).collect()
             Json.write(rows.map(_.get(0)).toSeq)
+          case "distinct" =>
+            // the reference's Set: distinct values + counts pair
+            // (models.py:86-98) — one value_counts aggregation
+            val vc = Natural.strip(pruned.df).groupBy(c).agg(count(lit(1)).as("n"))
+              .orderBy(c).collect()
+            Json.obj(l.sels.map(s => s.outName -> (s.name match {
+              case "values" => Json.write(vc.map(_.get(0)).toSeq)
+              case "counts" => Json.write(vc.map(_.getLong(1)).toSeq)
+              case "length" => vc.length.toString
+              case other => throw new IllegalArgumentException(s"unknown Set field '$other'")
+            })))
           case _ => Json.write(aggRow.get.getAs[Any](l.outName))
         })
       }

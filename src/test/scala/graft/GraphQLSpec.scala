@@ -93,6 +93,16 @@ class GraphQLSpec extends SparkSpec {
     assert(r.contains(""""count":1500"""))
   }
 
+  test("column distinct Set: values + counts pair") {
+    val r = service.execute(
+      """{ orders { columns { o_orderstatus { distinct { values counts length } } } } }""")
+    assert(r.contains(""""values":["F","O","P"]"""))
+    assert(r.contains(""""length":3"""))
+    val counts = """"counts":\[([^\]]*)\]""".r.findFirstMatchIn(r).get.group(1)
+      .split(",").map(_.toLong)
+    assert(counts.sum == 1500L)
+  }
+
   test("asofJoin field: nearest prior order per event user is joined") {
     val r = service.execute(
       """{ events { asofJoin(right: "events", on: "ts", keys: ["user_id"]) {
