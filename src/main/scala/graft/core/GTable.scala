@@ -151,22 +151,56 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
     }
   }
 
-  /** Contiguous rows in natural order; negative offset = from the end
-    * (reference: interface.py:177-183). */
+  /** Contiguous rows of the *current* table: positions follow the explicit
+    * sort when one was applied (the reference slices the sorted table,
+    * interface.py:181-183), else natural order. Negative offset = from the
+    * end. The sorted path is Offset+Limit over the already-sorted plan —
+    * only offset+limit rows are ever gathered, never a global row_number
+    * window; the natural path is a row-id range filter pushed to the scan.
+    */
   def slice(offset: Long, limit: Option[Long] = None): GTable = {
     val off = if (offset < 0) math.max(0L, df.count() + offset) else offset
-    val hi = limit.map(off + _)
-    GTable(df.filter(rid >= off && hi.map(rid < _).getOrElse(lit(true)))
-      .orderBy(rid))
+    if (isSorted) {
+      require(off <= Int.MaxValue, s"sorted slice offset $off exceeds Int range")
+      val sliced = df.offset(off.toInt)
+      GTable(limit.fold(sliced)(l => sliced.limit(l.toInt)), sortedBy)
+    } else {
+      val hi = limit.map(off + _)
+      GTable(df.filter(rid >= off && hi.map(rid < _).getOrElse(lit(true)))
+        .orderBy(rid))
+    }
   }
 
-  /** One row by natural-order position (reference: interface.py:499-508). */
+  /** One row by position in the current table order (reference:
+    * interface.py:499-508). */
   def rowAt(index: Long): GTable = slice(index, Some(1L))
 
-  /** Materialize rows by positional index (reference: interface.py:424-435).
-    * An isin filter on the row id — pushed to the scan, no global sort. */
-  def take(indices: Seq[Long]): GTable =
-    GTable(df.filter(rid.isin(indices: _*)).orderBy(rid))
+  /** Materialize rows by positional index, preserving the request's order
+    * AND multiplicity (reference: interface.py:424-435 — pyarrow take
+    * semantics: duplicate indices repeat rows, output follows the request).
+    * The tiny (index, position) request frame is broadcast-hash-joined
+    * against the row id — no shuffle of the fact table, duplicates survive
+    * via join multiplicity. On a sorted table, positions index the sorted
+    * order: the plan is first cut to the max requested position + 1 rows
+    * (TakeOrderedAndProject) so the necessary row_number window only ever
+    * sees that bounded prefix. */
+  def take(indices: Seq[Long]): GTable = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val req = indices.zipWithIndex.map { case (r, p) => (r, p.toLong) }
+      .toDF("_gq_take_idx", "_gq_take_pos")
+    val posed =
+      if (isSorted) {
+        val bound = indices.max + 1
+        require(bound <= Int.MaxValue, s"sorted take index $bound exceeds Int range")
+        df.limit(bound.toInt)
+          .withColumn("_gq_take_rid",
+            row_number().over(Window.orderBy(sortedBy: _*)).cast("long") - 1L)
+      } else df.withColumn("_gq_take_rid", rid)
+    GTable(posed.join(broadcast(req), col("_gq_take_rid") === col("_gq_take_idx"))
+      .orderBy(col("_gq_take_pos"))
+      .drop("_gq_take_rid", "_gq_take_idx", "_gq_take_pos"))
+  }
 
   /** Existence probe scanning ≤ limit rows (reference: interface.py:151-157). */
   def any(limit: Int = 1): Boolean = df.limit(limit).count() >= limit

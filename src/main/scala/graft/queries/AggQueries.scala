@@ -128,7 +128,10 @@ object AggQueries {
               max(CASE WHEN rm = 1 THEN o_orderkey END) AS key_of_min_price
             FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  /** Ordered collect into arrays (reference `collect` with order_by). */
+  /** Ordered collect into arrays (reference `collect` with order_by).
+    * The array result is serialized to a joined string at the gate boundary
+    * so the driver's comparator can sort/hash it (arrays are unhashable in
+    * pandas); element order is exactly what the serialization proves. */
   val q_collect = Q(
     "q_collect",
     (s, dir) => {
@@ -136,11 +139,14 @@ object AggQueries {
       c.filter(col("c_custkey") < 50)
         .group(
           by = Seq("c_mktsegment"),
-          aggs = Seq(GAggs.collectBy(col("c_custkey"), col("c_custkey")).as("keys")))
+          aggs = Seq(GAggs.collectBy(col("c_custkey"), col("c_custkey")).as("keys_arr")))
+        .project("keys" -> array_join(col("keys_arr").cast("array<string>"), ","))
+        .select("c_mktsegment", "keys")
         .order(GTable.orderKeys(Seq("c_mktsegment")))
         .result
     },
-    Some("""SELECT c_mktsegment, list(c_custkey ORDER BY c_custkey) AS keys
+    Some("""SELECT c_mktsegment,
+            array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS keys
             FROM customer WHERE c_custkey < 50
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 

@@ -100,11 +100,12 @@ object ExtraQueries {
       val li = GTable(Tables.load(s, dir, "lineitem"))
       li.filter(col("l_partkey") < 40)
         .group(Seq("l_partkey"),
-          Seq(sort_array(collect_set(col("l_returnflag"))).as("flags")))
+          Seq(array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags")))
         .order(GTable.orderKeys(Seq("l_partkey")))
         .result
     },
-    Some("""SELECT l_partkey, list_sort(list_distinct(list(l_returnflag))) AS flags
+    Some("""SELECT l_partkey,
+            array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags
             FROM lineitem WHERE l_partkey < 40
             GROUP BY l_partkey ORDER BY l_partkey"""))
 

@@ -21,7 +21,10 @@ object MultimodalQueries {
           "frames" -> Multimodal.frameSample(col("blob"), n = 4, stride = 256, frameLen = 64))
         .project(
           "n_frames" -> size(col("frames")),
-          "frame_lens" -> transform(col("frames"), f => octet_length(f)))
+          // serialized for the gate: array cells are unhashable in the
+          // driver's comparator, a joined string proves the same geometry
+          "frame_lens" -> array_join(
+            transform(col("frames"), f => octet_length(f).cast("string")), ","))
         .select("doc_id", "n_bytes", "n_frames", "frame_lens")
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
@@ -33,7 +36,7 @@ object MultimodalQueries {
               FROM t)
             SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
               CAST(len(fl) AS INTEGER) AS n_frames,
-              CAST(fl AS INTEGER[]) AS frame_lens
+              array_to_string(CAST(fl AS INTEGER[]), ',') AS frame_lens
             FROM f ORDER BY doc_id"""))
 
   /** Typed mapPartitions decode path (per-partition decoder lifecycle);
@@ -47,19 +50,26 @@ object MultimodalQueries {
       val rows = Tables.load(s, dir, "documents")
         .select(col("doc_id"), Multimodal.packBlob(col("text")).as("blob"))
         .as[Multimodal.MediaRow]
+      // feature vector unpacked to scalar columns for the gate (array cells
+      // are unhashable in the driver's comparator); k=2 features -> f0, f1
       GTable(Multimodal.decodeBatch(rows, k = 2).toDF())
+        .project("f0" -> col("features")(0), "f1" -> col("features")(1))
+        .select("doc_id", "n_bytes", "f0", "f1")
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
-    Some("""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents)
-            SELECT doc_id, CAST(nb AS INTEGER) AS n_bytes,
-              CAST(list_transform(range(0, 2), feat ->
+    Some("""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+            f AS (SELECT doc_id, nb,
+              list_transform(range(0, 2), feat ->
                 CAST(CAST(list_reduce(list_prepend(CAST(7 + feat AS BIGINT),
                   list_transform(range(1, CAST(nb AS INTEGER) + 1),
                     j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT))),
                   (acc, b) -> (acc * 131 + b) % 1000000007) % 1000000
-                  AS DOUBLE) / 1000000.0 AS FLOAT)) AS FLOAT[]) AS features
-            FROM t ORDER BY doc_id"""))
+                  AS DOUBLE) / 1000000.0 AS FLOAT)) AS features
+              FROM t)
+            SELECT doc_id, CAST(nb AS INTEGER) AS n_bytes,
+              features[1] AS f0, features[2] AS f1
+            FROM f ORDER BY doc_id"""))
 
   /** Metadata struct + resize transform — hash-derived fake header fields,
     * rows-only (xxhash64 not reproducible in the oracle). */
@@ -70,7 +80,11 @@ object MultimodalQueries {
       d.project("blob" -> Multimodal.packBlob(col("text")))
         .project("meta" -> Multimodal.metadata(col("blob")))
         .project("resized" -> Multimodal.resizeMeta(col("meta"), maxSide = 512))
-        .select("doc_id", "meta", "resized")
+        // struct cells are unhashable in the driver's comparator; JSON text
+        // carries the same field values through the rows-only check
+        .project("meta_json" -> to_json(col("meta")),
+          "resized_json" -> to_json(col("resized")))
+        .select("doc_id", "meta_json", "resized_json")
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },

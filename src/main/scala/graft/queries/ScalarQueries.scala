@@ -94,7 +94,8 @@ object ScalarQueries {
     },
     Some("""SELECT p_partkey,
             abs(p_retailprice - 950.0) AS ab,
-            ceil(p_retailprice) AS ce, floor(p_retailprice) AS fl,
+            CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+            CAST(floor(p_retailprice) AS BIGINT) AS fl,
             sqrt(p_size) AS sq,
             CAST(sign(p_size - 25) AS DOUBLE) AS sg,
             round(exp(p_size / 10.0), 9) AS ex,

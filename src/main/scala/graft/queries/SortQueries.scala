@@ -95,6 +95,36 @@ object SortQueries {
             SELECT l_orderkey, l_linenumber, l_quantity FROM t
             WHERE rid IN (0, 17, 4242, 59999) ORDER BY rid"""))
 
+  /** take with out-of-order and duplicate indices: request order and
+    * multiplicity must survive (reference take = pyarrow semantics). */
+  val q_take_mixed = Q(
+    "q_take_mixed",
+    (s, dir) => {
+      val li = GTable(Tables.loadOrdered(s, dir, "lineitem"))
+      li.take(Seq(4242L, 17L, 17L, 0L))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .result
+    },
+    Some("""WITH t AS (SELECT *, row_number() OVER () - 1 rid FROM lineitem),
+            req(pos, ridx) AS (SELECT * FROM (VALUES (0, 4242), (1, 17), (2, 17), (3, 0)))
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM req JOIN t ON t.rid = req.ridx ORDER BY req.pos"""))
+
+  /** slice after an explicit order(): positions index the SORTED table, not
+    * natural ingest order (reference: interface.py:181-183). */
+  val q_slice_sorted = Q(
+    "q_slice_sorted",
+    (s, dir) => {
+      val li = GTable(Tables.loadOrdered(s, dir, "lineitem"))
+      li.order(GTable.orderKeys(Seq("-l_quantity", "l_orderkey", "l_linenumber")))
+        .slice(1000, Some(100))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .result
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+            LIMIT 100 OFFSET 1000"""))
+
   def all: Seq[Q] = Seq(q_order_limit, q_topk_per_group, q_first_rank,
-    q_first_rank_dense, q_slice, q_take)
+    q_first_rank_dense, q_slice, q_take, q_take_mixed, q_slice_sorted)
 }

@@ -9,7 +9,7 @@ tables registered as views, and compares: row count, column names (sorted),
 and values. Reports exact and tolerant (1e-9 rel) comparisons so FP-hash risk
 is visible before the driver runs.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -27,6 +27,8 @@ def main(out_dir, sf_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue  # partial verify run (graft.Verify with a name filter)
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
@@ -38,6 +40,13 @@ def main(out_dir, sf_dir):
             n_fail += 1
             continue
         problems = []
+        # the driver's pandas comparator cannot sort/hash LIST/STRUCT cells —
+        # flag them here so the crash is caught before the driver runs
+        complex_cols = [d[0] for d in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        ).fetchall() if "[" in d[1] or "STRUCT" in d[1] or "MAP" in d[1]]
+        if complex_cols:
+            problems.append(f"array/struct result cols {complex_cols} — driver harness crash RISK")
         if sorted(got_cols) != sorted(exp_cols):
             problems.append(f"cols got={sorted(got_cols)} exp={sorted(exp_cols)}")
         if len(got) != len(exp):
