@@ -242,6 +242,12 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
     * linear work, identical to the merge-asof algorithm distributed on the
     * key hash. Right rows sort before left rows at equal times, making the
     * match inclusive (r.on == l.on matches).
+    *
+    * With `keys = Nil` the merge is RANGE-partitioned on the time value
+    * (never a single global window): per-range windows run in parallel and
+    * each range's leading rows are back-filled with the latest right row of
+    * preceding ranges via a driver-side prefix over one tiny row per
+    * partition.
     */
   def asofJoin(right: GTable, on: String, rOn: String = "",
                keys: Seq[String] = Nil, rkeys: Seq[String] = Nil,
@@ -270,12 +276,61 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
     val rSide = rRenamed.select(keys.map(col) ++ Seq(col(ron).as("_gq_t"),
       lit(null).cast(lType).as("_gq_l"), rStruct.as("_gq_r"), lit(0).as("_gq_side")): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_gq_t").asc, col("_gq_side").asc, col("_gq_r").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lSide.unionByName(rSide)
-      .withColumn("_gq_m", last(col("_gq_r"), ignoreNulls = true).over(w))
-      .filter(col("_gq_side") === 1)
+    val matched =
+      if (keys.nonEmpty) {
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("_gq_t").asc, col("_gq_side").asc, col("_gq_r").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lSide.unionByName(rSide)
+          .withColumn("_gq_m", last(col("_gq_r"), ignoreNulls = true).over(w))
+          .filter(col("_gq_side") === 1)
+      } else {
+        // keyless case: a single partitionBy() window would serialize the
+        // whole table through one task. Instead, range-partition the union
+        // by time, run the last-right window per range partition (parallel),
+        // and fill each partition's leading unmatched rows with the latest
+        // right row of all PRECEDING partitions — a tiny per-partition
+        // aggregate prefix-combined on the driver (same block technique as
+        // GTable.cumulative / runsDistributed).
+        val spark = df.sparkSession
+        val nParts = spark.sessionState.conf.numShufflePartitions
+        val ranged = lSide.unionByName(rSide)
+          .repartitionByRange(nParts, col("_gq_t"), col("_gq_side"), col("_gq_r"))
+          .withColumn("_gq_pid", org.apache.spark.sql.functions.spark_partition_id())
+          .persist() // pin partition ids across the two jobs below
+        val wp = Window.partitionBy(col("_gq_pid"))
+          .orderBy(col("_gq_t").asc, col("_gq_side").asc, col("_gq_r").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // latest right row per partition: numPartitions rows on the driver
+        val perPid = ranged.filter(col("_gq_side") === 0)
+          .groupBy(col("_gq_pid"))
+          .agg(max_by(col("_gq_r"), struct(col("_gq_t"), col("_gq_r"))).as("_gq_last"))
+          .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+        // prefix(p) = latest right among partitions < p
+        var lastSeen: Any = null
+        val prefixPairs = (0 until nParts).map { p =>
+          val pair = (p, lastSeen)
+          perPid.find(_._1 == p).foreach(x => lastSeen = x._2)
+          pair
+        }
+        val prefixRows = prefixPairs.map { case (p, v) =>
+          org.apache.spark.sql.Row(p, v) }
+        val prefixSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_gq_pid",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("_gq_prev", rType)))
+        val prefixDf = spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(prefixRows).asJava,
+          prefixSchema)
+        // the persisted union stays cached (partition ids must not be
+        // resampled when the returned plan executes); Spark's LRU evicts
+        ranged
+          .withColumn("_gq_m0", last(col("_gq_r"), ignoreNulls = true).over(wp))
+          .join(broadcast(prefixDf), Seq("_gq_pid"))
+          .withColumn("_gq_m", coalesce(col("_gq_m0"), col("_gq_prev")))
+          .filter(col("_gq_side") === 1)
+          .drop("_gq_pid", "_gq_m0", "_gq_prev")
+      }
     val inTol = tolerance match {
       case None => col("_gq_m").isNotNull
       case Some(p) => col("_gq_m").isNotNull && p(col("_gq_t"), col("_gq_m").getField(ron))

@@ -1,8 +1,11 @@
 package graft.graphql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
 import graft.core.{GTable, Natural, Tables}
+import graft.functions.{GAggs, GWindows}
 import GVal._
 
 /** GraphQL execution over the engine: each root field is a table
@@ -12,11 +15,15 @@ import GVal._
   * fold IS the plan build — Catalyst sees one composed DataFrame per leaf
   * group.
   *
-  * Served operator surface (round 1): count, any(limit), type, schema,
-  * slice(offset,limit), filter(<col>: {eq ne lt le gt ge isin}), order(by,
-  * limit), group(by, counts, aggregate {sum mean min max count}), distinct
-  * (on, counts), columns {<col> {values count countDistinct min max sum
-  * mean}}, row(index).
+  * Served operator surface (round 2): count, any(limit), type, schema,
+  * slice, filter(per-column predicates + where: expression tree), order,
+  * group(by, counts, order, full Aggregates surface), distinct, columns
+  * (incl. quantile/mode/first/last and the Set leaf), row, project
+  * (expression trees incl. string/numeric/temporal/array/window blocks and
+  * distributed cumulatives), join, asofJoin, crossJoin, takeFrom, union,
+  * intersect, difference, cast, fillNull, dropNull, unpack, first, take,
+  * unnest, runs (distributed), window (full block), sql root, optional,
+  * toSql, plan, _service{sdl}.
   */
 final class GraphQLService(spark: SparkSession, sfDir: String,
                            names: Seq[String] = Tables.names) {
@@ -29,8 +36,13 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     names.map(n => n -> (() =>
       rootCache.getOrElseUpdate(n, GTable(Tables.loadOrdered(spark, sfDir, n))))).toMap
 
-  def execute(query: String): String = {
-    val doc = Parser.parse(query)
+  private lazy val viewsRegistered: Unit =
+    names.foreach(n => roots(n)().result.createOrReplaceTempView(n))
+
+  def execute(query: String): String = execute(query, Map.empty[String, GVal])
+
+  def execute(query: String, variables: Map[String, GVal]): String = {
+    val doc = Parser.parse(query, variables)
     val timings = Seq.newBuilder[(String, String)]
     val out = doc.sels.map { f =>
       if (f.name == "_service") {
@@ -40,6 +52,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           case "sdl" => Json.quote(sdl)
           case other => throw new IllegalArgumentException(s"unknown _service field '$other'")
         })))
+      } else if (f.name == "sql") {
+        // SQL escape hatch as a root field: every table is a view
+        // (reference supports raw SQL through its engine; §2.11)
+        val q = f.arg("query").collect { case GStr(s) => s }
+          .getOrElse(throw new IllegalArgumentException("sql needs query:"))
+        viewsRegistered
+        val t0 = System.nanoTime()
+        val r = f.outName -> resolveTable(GTable(spark.sql(q)), f, Some(q))
+        timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
+        r
       } else {
         val root = roots.getOrElse(f.name,
           throw new IllegalArgumentException(s"unknown table '${f.name}'"))
@@ -89,12 +111,15 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         sql.map(q => s"SELECT * FROM ($q) LIMIT ${lim.getOrElse(Long.MaxValue)} OFFSET $off"))
     case "filter" =>
       resolveTable(t.filter(filterPreds(t, f): _*), f,
-        sql.map(q => s"SELECT * FROM ($q) WHERE ${filterPredsSql(f).mkString(" AND ")}"))
+        filterPredsSql(f) match {
+          case Some(preds) => sql.map(q => s"SELECT * FROM ($q) WHERE ${preds.mkString(" AND ")}")
+          case None => None
+        })
     case "order" =>
       val by = strListArg(f, "by")
       val lim = intArg(f, "limit")
       val bySql = by.map(k => if (k.startsWith("-")) s"${k.drop(1)} DESC" else s"$k ASC")
-      resolveTable(t.order(GTable.orderKeys(by), lim), f,
+      resolveTable(t.order(GTable.orderKeys(by), lim, strListArg(f, "over")), f,
         sql.map(q => s"SELECT * FROM ($q) ORDER BY ${bySql.mkString(", ")}" +
           lim.fold("")(k => s" LIMIT $k")))
     case "group" => resolveGroup(t, f, sql)
@@ -105,28 +130,40 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         f.arg("counts").collect { case GStr(c) => c }), f, None)
     case "columns" => resolveColumns(t, f)
     case "row" => resolveRow(t, longArg(f, "index").getOrElse(0L))
-    case "project" =>
-      // project(columns: [{alias: "x", ...expr}]): expression trees
-      val cols = f.arg("columns").toSeq.flatMap {
-        case GList(items) => items.map {
-          case o @ GObj(fields) =>
-            val alias = o.get("alias").collect { case GStr(a) => a }
-              .getOrElse(throw new IllegalArgumentException("projection needs alias"))
-            alias -> Exprs.compile(GObj(fields.filterNot(_._1 == "alias")))
-          case _ => throw new IllegalArgumentException("projection must be an object")
-        }
-        case _ => throw new IllegalArgumentException("project(columns:) expects a list")
-      }
-      val projSql = f.arg("columns").toSeq.flatMap {
-        case GList(items) => items.collect {
-          case o @ GObj(fields2) =>
-            val alias = o.get("alias").collect { case GStr(a) => a }.get
-            s"${Exprs.toSql(GObj(fields2.filterNot(_._1 == "alias")))} AS $alias"
+    case "project" => resolveProject(t, f, sql)
+    case "cast" =>
+      // cast(columns: [{name, type}], try: bool) (reference interface.py:129-136)
+      val tryMode = f.arg("try").collect { case GBool(b) => b }.getOrElse(false)
+      val types = f.arg("columns").toSeq.flatMap {
+        case GList(items) => items.collect { case o: GObj =>
+          val nm = o.get("name").collect { case GStr(n) => n }
+            .getOrElse(throw new IllegalArgumentException("cast needs name"))
+          val ty = o.get("type").collect { case GStr(s) => s; case GEnum(s) => s }
+            .getOrElse(throw new IllegalArgumentException("cast needs type"))
+          nm -> DataType.fromDDL(ty)
         }
         case _ => Nil
       }
-      resolveTable(t.project(cols: _*), f,
-        sql.map(q => s"SELECT *, ${projSql.mkString(", ")} FROM ($q)"))
+      resolveTable(t.cast(types, tryMode), f,
+        sql.map { q =>
+          val casts = types.map { case (n, dt) =>
+            val fn = if (tryMode) "TRY_CAST" else "CAST"
+            s"$fn($n AS ${dt.sql}) AS $n" }
+          val keep = t.result.columns.filterNot(c => types.exists(_._1 == c))
+          s"SELECT ${(keep ++ casts).mkString(", ")} FROM ($q)"
+        })
+    case "fillNull" =>
+      // fillNull(values: {col: value, ...}) (reference interface.py:442-453)
+      val values = f.arg("values").collect { case GObj(pairs) =>
+        pairs.map { case (k, v) => k -> Exprs.scalaOf(v) }.toMap
+      }.getOrElse(throw new IllegalArgumentException("fillNull needs values:"))
+      resolveTable(t.fillNull(values), f, None)
+    case "dropNull" =>
+      resolveTable(t.dropNull(strListArg(f, "on"),
+        f.arg("how").collect { case GStr(h) => h; case GEnum(h) => h }.getOrElse("any")),
+        f, None)
+    case "unpack" =>
+      resolveTable(t.unpack(strListArg(f, "names"): _*), f, None)
     case "join" =>
       val rightName = f.arg("right").collect { case GStr(r) => r }
         .getOrElse(throw new IllegalArgumentException("join needs right:"))
@@ -144,9 +181,36 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         s"SELECT * FROM ($q) l $hs (SELECT * FROM $rightName) r ON $cond"
       })
       resolveTable(t.join(right(), keys, rkeys0, how), f, joinSql)
+    case "crossJoin" =>
+      val rightName = f.arg("right").collect { case GStr(r) => r }
+        .getOrElse(throw new IllegalArgumentException("crossJoin needs right:"))
+      val right = roots.getOrElse(rightName,
+        throw new IllegalArgumentException(s"unknown table '$rightName'"))
+      resolveTable(t.crossJoin(right()), f,
+        sql.map(q => s"SELECT * FROM ($q) CROSS JOIN (SELECT * FROM $rightName)"))
+    case "union" | "intersect" | "difference" =>
+      // multiset union, set intersect/difference by default
+      // (reference interface.py:397-422)
+      val others = strListArg(f, "right").map(n => roots.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown table '$n'"))())
+      val distinct = f.arg("distinct").collect { case GBool(b) => b }
+      val out = f.name match {
+        case "union" => t.union(others, distinct.getOrElse(false))
+        case "intersect" => t.intersect(others, distinct.getOrElse(true))
+        case _ => t.difference(others, distinct.getOrElse(true))
+      }
+      resolveTable(out, f, None)
+    case "takeFrom" =>
+      // takeFrom(right: table, field: intColumn): this table's column values
+      // are natural-order row indices into `right` (reference models.py:215-221)
+      val rightName = f.arg("right").collect { case GStr(r) => r }
+        .getOrElse(throw new IllegalArgumentException("takeFrom needs right:"))
+      val right = roots.getOrElse(rightName,
+        throw new IllegalArgumentException(s"unknown table '$rightName'"))
+      val fieldName = f.arg("field").collect { case GStr(s) => s }
+        .getOrElse(throw new IllegalArgumentException("takeFrom needs field:"))
+      resolveTable(t.takeFrom(fieldName, right()), f, None)
     case "asofJoin" =>
-      // asofJoin(right: "events_errors"|table, on: "ts", rOn: "ts",
-      //          keys: [...], rkeys: [...]) — backward nearest match
       val rightName = f.arg("right").collect { case GStr(r) => r }
         .getOrElse(throw new IllegalArgumentException("asofJoin needs right:"))
       val right = roots.getOrElse(rightName,
@@ -174,45 +238,11 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         f.arg("offset").collect { case GStr(o) => o },
         f.arg("keep_empty").collect { case GBool(b) => b }.getOrElse(false)), f, None)
     case "runs" =>
-      resolveTable(t.runs(strListArg(f, "by"),
+      // served path is the distributed variant — block prefix-sum run ids,
+      // never a global single-partition window (GTable.runsDistributed)
+      resolveTable(t.runsDistributed(strListArg(f, "by"),
         counts = f.arg("counts").collect { case GStr(c) => c }), f, None)
-    case "window" =>
-      // window(over: [...], by: ["±col"], rowNumber: "rn0",
-      //        lag: [{name, offset, default, alias}],
-      //        sum: [{name, alias}]  — cumulative when `by` given)
-      val over = strListArg(f, "over").map(col)
-      val byKeys = strListArg(f, "by")
-      val w = graft.functions.GWindows.spec(over, GTable.orderKeys(byKeys))
-      var out = t
-      f.arg("rowNumber").foreach { case GStr(a) =>
-        out = out.project(a -> graft.functions.GWindows.rowNumber0(w)); case _ => () }
-      f.arg("lag").foreach {
-        case GList(specs) => specs.foreach {
-          case o: GObj =>
-            val nm = o.get("name").collect { case GStr(n) => n }.get
-            val off = o.get("offset").collect { case GInt(i) => i.toInt }.getOrElse(1)
-            val dflt = o.get("default").map(Exprs.scalaOf).orNull
-            val al = o.get("alias").collect { case GStr(a) => a }.getOrElse(s"lag_$nm")
-            out = out.project(al ->
-              graft.functions.GWindows.lagDefault(col(nm), off, dflt, w))
-          case _ => ()
-        }
-        case _ => ()
-      }
-      f.arg("sum").foreach {
-        case GList(specs) => specs.foreach {
-          case o: GObj =>
-            val nm = o.get("name").collect { case GStr(n) => n }.get
-            val al = o.get("alias").collect { case GStr(a) => a }.getOrElse(s"sum_$nm")
-            out = out.project(al ->
-              (if (byKeys.nonEmpty)
-                 graft.functions.GWindows.cumulative(sum, col(nm), w)
-               else graft.functions.GWindows.overPartition(sum, col(nm), over)))
-          case _ => ()
-        }
-        case _ => ()
-      }
-      resolveTable(out, f, None)
+    case "window" => resolveWindow(t, f)
     case "optional" =>
       // nullable self: stops error propagation for partial results
       // (reference interface.py:138-141)
@@ -233,21 +263,104 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     })))
   }
 
-  /** filter(col: {eq: v, ...}, ...) → AND-ed per-column predicates. */
+  /** project(columns: [{alias: "x", ...expr}]): expression trees. Top-level
+    * cumsum/cummax/cummin/cummean over natural order route through
+    * GTable.cumulative (block prefix sums — no global window); on an
+    * explicitly sorted table they follow the sort via a window over the sort
+    * keys. */
+  private def resolveProject(t: GTable, f: GField, sql: Option[String]): String = {
+    val specs = f.arg("columns").toSeq.flatMap {
+      case GList(items) => items.map {
+        case o @ GObj(fields) =>
+          val alias = o.get("alias").collect { case GStr(a) => a }
+            .getOrElse(throw new IllegalArgumentException("projection needs alias"))
+          alias -> GObj(fields.filterNot(_._1 == "alias"))
+        case _ => throw new IllegalArgumentException("projection must be an object")
+      }
+      case _ => throw new IllegalArgumentException("project(columns:) expects a list")
+    }
+    var out = t
+    val plainCols = Seq.newBuilder[(String, Column)]
+    specs.foreach { case (alias, exprVal) =>
+      Exprs.cumulativeOf(exprVal) match {
+        case Some((op, inner)) =>
+          val c = Exprs.compile(inner)
+          out = cumulativeProject(out, alias, op, c)
+        case None =>
+          plainCols += (alias -> Exprs.compile(exprVal))
+      }
+    }
+    val plain = plainCols.result()
+    if (plain.nonEmpty) out = out.project(plain: _*)
+    val projSqls = specs.map { case (alias, e) => Exprs.toSqlOpt(e).map(s => s"$s AS $alias") }
+    val projSql =
+      if (projSqls.forall(_.isDefined))
+        sql.map(q => s"SELECT *, ${projSqls.flatten.mkString(", ")} FROM ($q)")
+      else None
+    resolveTable(out, f, projSql)
+  }
+
+  private def cumulativeProject(t: GTable, alias: String, op: String, c: Column): GTable =
+    if (t.isSorted) {
+      // explicit sort: follow the sorted order (user already paid the sort)
+      val w = GWindows.spec(Nil, t.sortedBy)
+      val agg: Column => Column = op match {
+        case "cumsum" | "cummean" => sum
+        case "cummax" => max
+        case "cummin" => min
+      }
+      val base = t.project(alias -> GWindows.cumulative(agg, c, w))
+      if (op == "cummean")
+        base.project("_gq_cn" -> GWindows.cumulative(count, c, w))
+          .project(alias -> (col(alias) / col("_gq_cn")))
+          .select(t.result.columns.toIndexedSeq :+ alias: _*)
+      else base
+    } else op match {
+      case "cumsum" => t.cumulative(c, alias, sum, _ + _)
+      case "cummax" => t.cumulative(c, alias, max, greatest(_, _))
+      case "cummin" => t.cumulative(c, alias, min, least(_, _))
+      case "cummean" =>
+        t.cumulative(c, alias, sum, _ + _)
+          .cumulative(when(c.isNotNull, 1L), "_gq_cn", sum, _ + _)
+          .project(alias -> (col(alias) / col("_gq_cn")))
+          .select(t.result.columns.toIndexedSeq :+ alias: _*)
+    }
+
+  /** filter(col: {eq: v|[vs], ne: v|[vs], lt.., contains: v}, ...,
+    * where: expressionTree) → AND-ed predicates (reference Filter input,
+    * inputs.py:66-129; where, interface.py:510-519). List-valued eq = isin,
+    * list-valued ne = notin (inputs.py:98-106); contains = array element
+    * membership (inputs.py:125-129). */
   private def filterPreds(t: GTable, f: GField): Seq[Column] =
     f.args.flatMap {
+      case ("where", e) => Seq(Exprs.compile(e))
       case (colName, GObj(preds)) => preds.map { case (op, v) =>
         val c = col(colName)
         op match {
-          case "eq" => if (v == GNull) c.isNull else c === litOf(v)
-          case "ne" => if (v == GNull) c.isNotNull else c =!= litOf(v)
+          case "eq" => v match {
+            case GNull => c.isNull
+            case GList(Seq(one)) => c === litOf(one)
+            case GList(items) => c.isin(items.map(Exprs.scalaOf): _*)
+            case single => c === litOf(single)
+          }
+          case "ne" => v match {
+            case GNull => c.isNotNull
+            case GList(Seq(one)) => c =!= litOf(one)
+            case GList(items) => !c.isin(items.map(Exprs.scalaOf): _*)
+            case single => c =!= litOf(single)
+          }
           case "lt" => c < litOf(v)
           case "le" => c <= litOf(v)
           case "gt" => c > litOf(v)
           case "ge" => c >= litOf(v)
+          case "contains" => array_contains(c, litOf(v))
           case "isin" => v match {
             case GList(items) => c.isin(items.map(Exprs.scalaOf): _*)
             case _ => throw new IllegalArgumentException("isin expects a list")
+          }
+          case "notin" => v match {
+            case GList(items) => !c.isin(items.map(Exprs.scalaOf): _*)
+            case _ => throw new IllegalArgumentException("notin expects a list")
           }
           case other => throw new IllegalArgumentException(s"unknown predicate '$other'")
         }
@@ -256,71 +369,304 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         throw new IllegalArgumentException(s"filter($colName:) expects an object")
     }
 
-  /** SQL rendering of the per-column predicate objects (toSql support). */
-  private def filterPredsSql(f: GField): Seq[String] =
-    f.args.flatMap {
-      case (colName, GObj(preds)) => preds.map { case (op, v) =>
-        op match {
-          case "eq" => if (v == GVal.GNull) s"$colName IS NULL" else s"$colName = ${Exprs.litSql(v)}"
-          case "ne" => if (v == GVal.GNull) s"$colName IS NOT NULL" else s"$colName <> ${Exprs.litSql(v)}"
-          case "lt" => s"$colName < ${Exprs.litSql(v)}"
-          case "le" => s"$colName <= ${Exprs.litSql(v)}"
-          case "gt" => s"$colName > ${Exprs.litSql(v)}"
-          case "ge" => s"$colName >= ${Exprs.litSql(v)}"
-          case "isin" => s"$colName IN ${Exprs.litSql(v)}"
-          case other => throw new IllegalArgumentException(s"unknown predicate '$other'")
+  /** SQL rendering of the predicate objects (toSql support); None when a
+    * predicate has no SQL mirror. */
+  private def filterPredsSql(f: GField): Option[Seq[String]] = {
+    val rendered = f.args.map {
+      case ("where", e) => Exprs.toSqlOpt(e).map(Seq(_))
+      case (colName, GObj(preds)) =>
+        val parts = preds.map { case (op, v) =>
+          op match {
+            case "eq" => v match {
+              case GNull => Some(s"$colName IS NULL")
+              case GList(Seq(one)) => Some(s"$colName = ${Exprs.litSql(one)}")
+              case GList(_) => Some(s"$colName IN ${Exprs.litSql(v)}")
+              case _ => Some(s"$colName = ${Exprs.litSql(v)}")
+            }
+            case "ne" => v match {
+              case GNull => Some(s"$colName IS NOT NULL")
+              case GList(Seq(one)) => Some(s"$colName <> ${Exprs.litSql(one)}")
+              case GList(_) => Some(s"$colName NOT IN ${Exprs.litSql(v)}")
+              case _ => Some(s"$colName <> ${Exprs.litSql(v)}")
+            }
+            case "lt" => Some(s"$colName < ${Exprs.litSql(v)}")
+            case "le" => Some(s"$colName <= ${Exprs.litSql(v)}")
+            case "gt" => Some(s"$colName > ${Exprs.litSql(v)}")
+            case "ge" => Some(s"$colName >= ${Exprs.litSql(v)}")
+            case "isin" => Some(s"$colName IN ${Exprs.litSql(v)}")
+            case "notin" => Some(s"$colName NOT IN ${Exprs.litSql(v)}")
+            case _ => None
+          }
         }
-      }
-      case _ => Nil
+        if (parts.forall(_.isDefined)) Some(parts.flatten) else None
+      case _ => None
     }
+    if (rendered.forall(_.isDefined)) Some(rendered.flatten.flatten) else None
+  }
 
-  /** group(by: [...], counts: "n", aggregate: {sum: [{name, alias}], ...}). */
+  /** group(by: [...], counts: "n", order: FIRST_SEEN,
+    * aggregate: {sum: [...], first: [...], quantile: [...], ...}) — the
+    * full Aggregates surface (reference inputs.py:206-231). Group order is
+    * opt-in (reference orders only when asked, interface.py:233-243). */
   private def resolveGroup(t: GTable, f: GField, sql: Option[String]): String = {
     val by = strListArg(f, "by")
     val counts = f.arg("counts").collect { case GStr(c) => c }
+    val firstSeen = f.arg("order").exists {
+      case GEnum(o) => o.equalsIgnoreCase("first_seen")
+      case GStr(o) => o.equalsIgnoreCase("first_seen")
+      case _ => false
+    }
     val aggs = f.arg("aggregate").toSeq.flatMap {
-      case GObj(kinds) => kinds.flatMap { case (fn, GList(specs)) =>
-        specs.map {
-          case o: GObj =>
-            val name = o.get("name").collect { case GStr(n) => n }
-              .getOrElse(throw new IllegalArgumentException("aggregate needs name"))
-            val alias = o.get("alias").collect { case GStr(a) => a }
-              .getOrElse(s"${fn}_$name")
-            val c = col(name)
-            (fn match {
-              case "sum" => sum(c); case "mean" => avg(c)
-              case "min" => min(c); case "max" => max(c)
-              case "count" => count(c)
-              case other => throw new IllegalArgumentException(s"unknown aggregate '$other'")
-            }).as(alias)
+      case GObj(kinds) => kinds.flatMap {
+        case (fn, GList(specs)) => specs.map {
+          case o: GObj => aggCol(t, fn, o)
           case _ => throw new IllegalArgumentException("aggregate spec must be an object")
         }
-      case (fn, _) => throw new IllegalArgumentException(s"aggregate.$fn expects a list")
+        case (fn, o: GObj) => Seq(aggCol(t, fn, o))
+        case (fn, _) => throw new IllegalArgumentException(s"aggregate.$fn expects a list")
       }
       case _ => throw new IllegalArgumentException("aggregate expects an object")
     }
     val aggSqls = f.arg("aggregate").toSeq.flatMap {
       case GObj(kinds) => kinds.flatMap {
-        case (fn, GList(specs)) => specs.collect { case o: GObj =>
-          val nm = o.get("name").collect { case GStr(n) => n }.get
-          val al = o.get("alias").collect { case GStr(a) => a }.getOrElse(s"${fn}_$nm")
-          val sqlFn = if (fn == "mean") "avg" else fn
-          s"$sqlFn($nm) AS $al"
-        }
+        case (fn, GList(specs)) => specs.collect { case o: GObj => aggSql(fn, o) }
+        case (fn, o: GObj) => Seq(aggSql(fn, o))
         case _ => Nil
       }
       case _ => Nil
-    } ++ counts.map(c => s"count(*) AS $c")
-    val groupSql = sql.map { q =>
-      val sel = (by ++ aggSqls).mkString(", ")
-      s"SELECT $sel FROM ($q)" + (if (by.nonEmpty) s" GROUP BY ${by.mkString(", ")}" else "")
-    }
-    resolveTable(t.group(by, aggs, counts, firstSeenOrder = Natural.hasRowId(t.df)), f, groupSql)
+    } ++ counts.map(c => Some(s"count(*) AS $c"))
+    val groupSql =
+      if (aggSqls.forall(_.isDefined)) sql.map { q =>
+        val sel = (by ++ aggSqls.flatten).mkString(", ")
+        s"SELECT $sel FROM ($q)" + (if (by.nonEmpty) s" GROUP BY ${by.mkString(", ")}" else "")
+      } else None
+    resolveTable(t.group(by, aggs, counts,
+      firstSeenOrder = firstSeen && Natural.hasRowId(t.df)), f, groupSql)
   }
 
-  /** columns { name { values count countDistinct min max sum mean } } —
-    * pruned to the referenced columns; aggregate leaves batched into ONE
-    * df.agg pass per column set (no per-leaf jobs). */
+  /** One aggregate spec → aliased Column (reference Aggregate subclasses,
+    * inputs.py:132-203). Spec keys: name, alias (default = name), where,
+    * order_by/orderBy (first/last/collect/concat), distinct (collect),
+    * sep (concat), key (argmax/argmin), q + approx (quantile/nunique),
+    * how (std/var/kurtosis). */
+  private def aggCol(t: GTable, fn: String, o: GObj): Column = {
+    def get(key: String): Option[GVal] =
+      o.v.collectFirst { case (k, v) if k.replace("_", "").equalsIgnoreCase(key) => v }
+    val name = get("name").collect { case GStr(n) => n }
+      .getOrElse(throw new IllegalArgumentException(s"aggregate.$fn needs name"))
+    val alias = get("alias").collect { case GStr(a) => a }.getOrElse(name)
+    val c = col(name)
+    val where = get("where").map(Exprs.compile)
+    def filt(x: Column): Column = where.fold(x)(w => when(w, x))
+    val orderBy = get("orderby").toSeq.flatMap {
+      case GList(items) => items.collect { case GStr(s) => s }
+      case GStr(s) => Seq(s)
+      case _ => Nil
+    }
+    // ordered first/last: min_by/max_by over the order struct; desc keys
+    // flip the direction (all keys must agree — mixed asc/desc unsupported)
+    def ordStruct(keys: Seq[String]): (Column, Boolean) = {
+      val desc = keys.forall(_.startsWith("-"))
+      if (!desc && keys.exists(_.startsWith("-")))
+        throw new IllegalArgumentException("mixed asc/desc order_by unsupported in aggregates")
+      val s = struct(keys.map(k => col(k.stripPrefix("-"))): _*)
+      (where.fold(s)(w => when(w, s)), desc)
+    }
+    val base: Column = fn.replace("_", "").toLowerCase match {
+      case "sum" => sum(filt(c))
+      case "mean" => avg(filt(c))
+      case "min" => min(filt(c))
+      case "max" => max(filt(c))
+      case "count" => count(filt(c))
+      case "all" => bool_and(filt(c))
+      case "any" => bool_or(filt(c))
+      case "argmax" | "argmin" =>
+        // key may be a list — extra keys break ties deterministically
+        val keys = get("key").toSeq.flatMap {
+          case GStr(k) => Seq(k)
+          case GList(items) => items.collect { case GStr(k) => k }
+          case _ => Nil
+        }
+        if (keys.isEmpty) throw new IllegalArgumentException(s"$fn needs key")
+        val k = if (keys.length == 1) col(keys.head) else struct(keys.map(col): _*)
+        if (fn.toLowerCase == "argmax") max_by(c, filt(k)) else min_by(c, filt(k))
+      case "first" =>
+        val keys = if (orderBy.isEmpty) Seq(name) else orderBy
+        val (s, desc) = ordStruct(keys)
+        if (desc) max_by(c, s) else min_by(c, s)
+      case "last" =>
+        val keys = if (orderBy.isEmpty) Seq(name) else orderBy
+        val (s, desc) = ordStruct(keys)
+        if (desc) min_by(c, s) else max_by(c, s)
+      case "collect" =>
+        val distinct = get("distinct").collect { case GBool(b) => b }.getOrElse(false)
+        val collected =
+          if (orderBy.nonEmpty) {
+            val (s, desc) = ordStruct(orderBy)
+            val sorted = transform(
+              array_sort(collect_list(struct(s.as("o"), filt(c).as("v")))),
+              x => x.getField("v"))
+            if (desc) reverse(sorted) else sorted
+          } else collect_list(filt(c))
+        if (distinct) array_distinct(collected) else collected
+      case "concat" =>
+        val sep = get("sep").collect { case GStr(s) => s }.getOrElse(",")
+        if (orderBy.nonEmpty) {
+          val (s, desc) = ordStruct(orderBy)
+          val sorted = transform(
+            array_sort(collect_list(struct(s.as("o"), filt(c).cast("string").as("v")))),
+            x => x.getField("v"))
+          array_join(if (desc) reverse(sorted) else sorted, sep)
+        } else array_join(collect_list(filt(c).cast("string")), sep)
+      case "nunique" =>
+        val approx = get("approx").collect { case GBool(b) => b }.getOrElse(false)
+        GAggs.nunique(filt(c), approx)
+      case "quantile" =>
+        val q = get("q").collect { case GFloat(x) => x; case GInt(x) => x.toDouble }
+          .getOrElse(0.5)
+        val approx = get("approx").collect { case GBool(b) => b }.getOrElse(false)
+        val isString = t.df.schema.find(_.name == name).exists(_.dataType == StringType)
+        if (isString) GAggs.quantileDisc(filt(c), q)
+        else GAggs.quantile(filt(c), q, approx)
+      case "std" =>
+        val how = get("how").collect { case GStr(h) => h }.getOrElse("sample")
+        GAggs.stdDev(filt(c), how == "sample")
+      case "var" =>
+        val how = get("how").collect { case GStr(h) => h }.getOrElse("sample")
+        GAggs.variance(filt(c), how == "sample")
+      case "kurtosis" =>
+        val how = get("how").collect { case GStr(h) => h }.getOrElse("sample")
+        if (how == "sample") GAggs.kurtosisSample(filt(c)) else kurtosis(filt(c))
+      case "mode" => mode(filt(c), deterministic = true)
+      case other => throw new IllegalArgumentException(s"unknown aggregate '$other'")
+    }
+    base.as(alias)
+  }
+
+  /** DuckDB-SQL mirror of the aggregate spec for toSql; None when there is
+    * no simple SQL equivalent. */
+  private def aggSql(fn: String, o: GObj): Option[String] = {
+    def get(key: String): Option[GVal] =
+      o.v.collectFirst { case (k, v) if k.replace("_", "").equalsIgnoreCase(key) => v }
+    val nameO = get("name").collect { case GStr(n) => n }
+    if (get("where").nonEmpty || get("orderby").nonEmpty) return None
+    nameO.flatMap { nm =>
+      val al = get("alias").collect { case GStr(a) => a }.getOrElse(nm)
+      fn.toLowerCase match {
+        case "sum" | "min" | "max" | "count" => Some(s"$fn($nm) AS $al")
+        case "mean" => Some(s"avg($nm) AS $al")
+        case "std" => Some(s"stddev_samp($nm) AS $al")
+        case "var" => Some(s"var_samp($nm) AS $al")
+        case "nunique" => Some(s"count(DISTINCT $nm) AS $al")
+        case _ => None
+      }
+    }
+  }
+
+  /** window(over: [...], by: ["±col"], <ops>) — the full reference Window
+    * block (inputs.py:490-557): 0-based ranking, ntile, lag/lead with
+    * defaults, pairwise adjacency ops, framed/cumulative aggregates. Ops
+    * take a list of specs {name, alias, offset, default, preceding,
+    * following, range, n}. */
+  private def resolveWindow(t: GTable, f: GField): String = {
+    val over = strListArg(f, "over").map(col)
+    val byKeys = strListArg(f, "by")
+    val w = GWindows.spec(over, GTable.orderKeys(byKeys))
+    var out = t
+    def specList(v: GVal): Seq[GObj] = v match {
+      case GList(items) => items.collect { case o: GObj => o }
+      case o: GObj => Seq(o)
+      case _ => Nil
+    }
+    def sGet(o: GObj, key: String): Option[GVal] =
+      o.v.collectFirst { case (k, v) if k.replace("_", "").equalsIgnoreCase(key) => v }
+    f.args.foreach {
+      case ("over", _) | ("by", _) => ()
+      case (op, v) => op match {
+        case "rowNumber" | "rank" | "denseRank" | "percentRank" | "cumeDist" =>
+          val alias = v match {
+            case GStr(a) => a
+            case o: GObj => sGet(o, "alias").collect { case GStr(a) => a }.getOrElse(op)
+            case _ => op
+          }
+          val c = op match {
+            case "rowNumber" => GWindows.rowNumber0(w)
+            case "rank" => GWindows.rank0(w)
+            case "denseRank" => GWindows.denseRank0(w)
+            case "percentRank" => GWindows.percentRank(w)
+            case _ => GWindows.cumeDist(w)
+          }
+          out = out.project(alias -> c)
+        case "ntile" =>
+          val (n, alias) = v match {
+            case GInt(n0) => (n0.toInt, "ntile")
+            case o: GObj => (
+              sGet(o, "n").collect { case GInt(i) => i.toInt }
+                .getOrElse(throw new IllegalArgumentException("ntile needs n")),
+              sGet(o, "alias").collect { case GStr(a) => a }.getOrElse("ntile"))
+            case _ => throw new IllegalArgumentException("ntile expects int or {n, alias}")
+          }
+          out = out.project(alias -> GWindows.ntile0(n, w))
+        case "lag" | "lead" | "eq" | "ne" | "lt" | "le" | "gt" | "ge" | "sub" =>
+          specList(v).foreach { o =>
+            val nm = sGet(o, "name").collect { case GStr(n) => n }
+              .getOrElse(throw new IllegalArgumentException(s"window.$op needs name"))
+            val off = sGet(o, "offset").collect { case GInt(i) => i.toInt }.getOrElse(1)
+            val dflt = sGet(o, "default").map(Exprs.scalaOf).orNull
+            val al = sGet(o, "alias").collect { case GStr(a) => a }.getOrElse(s"${op}_$nm")
+            val c = op match {
+              case "lag" => GWindows.lagDefault(col(nm), off, dflt, w)
+              case "lead" => GWindows.leadDefault(col(nm), off, dflt, w)
+              case "eq" => GWindows.pairwise(col(nm), _ === _, off, dflt, w)
+              case "ne" => GWindows.pairwise(col(nm), _ =!= _, off, dflt, w)
+              case "lt" => GWindows.pairwise(col(nm), _ < _, off, dflt, w)
+              case "le" => GWindows.pairwise(col(nm), _ <= _, off, dflt, w)
+              case "gt" => GWindows.pairwise(col(nm), _ > _, off, dflt, w)
+              case "ge" => GWindows.pairwise(col(nm), _ >= _, off, dflt, w)
+              case _ => GWindows.pairwise(col(nm), _ - _, off, dflt, w)
+            }
+            out = out.project(al -> c)
+          }
+        case "count" | "sum" | "mean" | "min" | "max" =>
+          val agg: Column => Column = op match {
+            case "count" => count
+            case "sum" => sum
+            case "mean" => avg
+            case "min" => min
+            case _ => max
+          }
+          specList(v).foreach { o =>
+            val nm = sGet(o, "name").collect { case GStr(n) => n }
+              .getOrElse(throw new IllegalArgumentException(s"window.$op needs name"))
+            val al = sGet(o, "alias").collect { case GStr(a) => a }.getOrElse(s"${op}_$nm")
+            val prec = sGet(o, "preceding").collect { case GInt(i) => i }
+            val foll = sGet(o, "following").collect { case GInt(i) => i }
+            val ranged = sGet(o, "range").collect { case GBool(b) => b }.getOrElse(false)
+            val c = (prec, foll) match {
+              case (None, None) =>
+                if (byKeys.nonEmpty) GWindows.cumulative(agg, col(nm), w)
+                else GWindows.overPartition(agg, col(nm), over)
+              case _ =>
+                // absent bound = unbounded on that side (reference
+                // inputs.py:521-529 / ibis window semantics)
+                val lo = prec.map(p => -p).getOrElse(Long.MinValue)
+                val hi = foll.getOrElse(Long.MaxValue)
+                if (ranged) agg(col(nm)).over(w.rangeBetween(lo, hi))
+                else agg(col(nm)).over(w.rowsBetween(lo, hi))
+            }
+            out = out.project(al -> c)
+          }
+        case other => throw new IllegalArgumentException(s"unknown window op '$other'")
+      }
+    }
+    resolveTable(out, f, None)
+  }
+
+  /** columns { name { values count countDistinct min max sum mean quantile
+    * mode first last distinct {...} } } — pruned to the referenced columns;
+    * aggregate leaves batched into ONE df.agg pass per column set (no
+    * per-leaf jobs). first/last follow natural order (reference
+    * models.py:47-255). */
   private def resolveColumns(t: GTable, f: GField): String = {
     val wanted = f.sels
     val pruned = t.select(wanted.map(_.name): _*)
@@ -328,6 +674,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val c = col(cf.name)
       val leafs = cf.sels
       val aggLeafs = leafs.filterNot(l => l.name == "values" || l.name == "distinct")
+      val hasRid = Natural.hasRowId(pruned.df)
       val aggCols = aggLeafs.map(l => (l.name match {
         case "count" => count(c)
         case "countDistinct" => countDistinct(c)
@@ -335,10 +682,21 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case "max" => max(c)
         case "sum" => sum(c)
         case "mean" => avg(c)
+        case "length" => count(lit(1))
+        case "quantile" =>
+          val q = l.arg("q").collect { case GFloat(x) => x; case GInt(x) => x.toDouble }
+            .getOrElse(0.5)
+          val isString = t.df.schema.find(_.name == cf.name).exists(_.dataType == StringType)
+          if (isString) GAggs.quantileDisc(c, q) else GAggs.quantile(c, q)
+        case "mode" => mode(c, deterministic = true)
+        case "first" =>
+          if (hasRid) min_by(c, col(Natural.rid)) else first(c)
+        case "last" =>
+          if (hasRid) max_by(c, col(Natural.rid)) else last(c)
         case other => throw new IllegalArgumentException(s"unknown column leaf '$other'")
       }).as(l.outName))
       val aggRow = if (aggCols.nonEmpty)
-        Some(pruned.result.agg(aggCols.head, aggCols.tail: _*).collect()(0)) else None
+        Some(pruned.df.agg(aggCols.head, aggCols.tail: _*).collect()(0)) else None
       val parts = leafs.map { l =>
         l.outName -> (l.name match {
           case "values" =>

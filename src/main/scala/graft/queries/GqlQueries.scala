@@ -1,0 +1,434 @@
+package graft.queries
+
+import graft.graphql.GVal
+
+/** GraphQL-served correctness entries: each runs a full GraphQL document
+  * through GraphQLService.execute and hash-matches the same DuckDB oracles
+  * as the Scala-API queries (VERDICT round 1 §next-round #1 — the service
+  * must be able to express the engine's operator surface, reference
+  * tests/test_service.py:71-268). The GqlBridge turns the JSON column
+  * leaves back into typed DataFrames for the driver's gate.
+  */
+object GqlQueries {
+
+  /** filter: where-expression tree AND per-column predicates with list eq
+    * (= isin, reference inputs.py:98-106; where interface.py:510-519). */
+  val q_gql_filter = Q(
+    "q_gql_filter",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           f: filter(l_returnflag: {eq: ["A", "R"]},
+                     where: {and: [{gt: [{name: "l_quantity"}, {value: 30}]},
+                                   {lt: [{name: "l_discount"}, {value: 0.03}]}]}) {
+             o: order(by: ["l_orderkey", "l_linenumber", "l_quantity"]) {
+               c: columns { l_orderkey { values } l_linenumber { values }
+                            l_quantity { values } } } } } }""",
+      Seq("t", "f", "o", "c"),
+      "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_returnflag IN ('A', 'R') AND l_quantity > 30 AND l_discount < 0.03
+            ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** group: core + filtered + nunique + std aggregates, rounded via a
+    * project expression block (reference Aggregates, inputs.py:206-231). */
+  val q_gql_group = Q(
+    "q_gql_group",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           g: group(by: ["l_returnflag"], counts: "n", aggregate: {
+                 sum: [{name: "l_quantity", alias: "sum_qty"},
+                       {name: "l_quantity", alias: "sum_disc",
+                        where: {gt: [{name: "l_discount"}, {value: 0.02}]}}],
+                 mean: [{name: "l_quantity", alias: "avg_raw"}],
+                 min: [{name: "l_extendedprice", alias: "min_price"}],
+                 max: [{name: "l_extendedprice", alias: "max_price"}],
+                 nunique: [{name: "l_orderkey", alias: "n_orders"}],
+                 std: [{name: "l_quantity", alias: "std_raw"}]}) {
+             p: project(columns: [
+                   {alias: "avg_qty", numeric: {round: [{name: "avg_raw"}, {value: 6}]}},
+                   {alias: "std_qty", numeric: {round: [{name: "std_raw"}, {value: 6}]}}]) {
+               o: order(by: ["l_returnflag"]) {
+                 c: columns { l_returnflag { values } sum_qty { values }
+                              sum_disc { values } avg_qty { values }
+                              min_price { values } max_price { values }
+                              n_orders { values } std_qty { values }
+                              n { values } } } } } } }""",
+      Seq("t", "g", "p", "o", "c"),
+      "l_returnflag STRING, sum_qty DOUBLE, sum_disc DOUBLE, avg_qty DOUBLE, " +
+        "min_price DOUBLE, max_price DOUBLE, n_orders BIGINT, std_qty DOUBLE, n BIGINT"),
+    Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+            sum(l_quantity) FILTER (WHERE l_discount > 0.02) AS sum_disc,
+            round(avg(l_quantity), 6) AS avg_qty,
+            min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+            count(DISTINCT l_orderkey) AS n_orders,
+            round(stddev_samp(l_quantity), 6) AS std_qty, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** group: ordered first/last aggregates (reference OrderAggregate,
+    * inputs.py:151-161). */
+  val q_gql_first_last = Q(
+    "q_gql_first_last",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: orders {
+           g: group(by: ["o_orderstatus"], aggregate: {
+                 first: [{name: "o_orderkey", alias: "first_key",
+                          orderBy: ["o_orderdate", "o_orderkey"]}],
+                 last: [{name: "o_orderkey", alias: "last_key",
+                         orderBy: ["o_orderdate", "o_orderkey"]}]}) {
+             o: order(by: ["o_orderstatus"]) {
+               c: columns { o_orderstatus { values } first_key { values }
+                            last_key { values } } } } } }""",
+      Seq("t", "g", "o", "c"),
+      "o_orderstatus STRING, first_key BIGINT, last_key BIGINT"),
+    Some("""WITH r AS (SELECT o_orderstatus, o_orderkey,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey) rn,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate DESC, o_orderkey DESC) rn2
+              FROM orders)
+            SELECT o_orderstatus,
+              max(CASE WHEN rn = 1 THEN o_orderkey END) AS first_key,
+              max(CASE WHEN rn2 = 1 THEN o_orderkey END) AS last_key
+            FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** group: argmax/argmin with composite tie-break key (reference
+    * ArgAggregate, inputs.py:198-203). */
+  val q_gql_argmax = Q(
+    "q_gql_argmax",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: orders {
+           g: group(by: ["o_orderstatus"], aggregate: {
+                 argmax: [{name: "o_orderkey", alias: "key_of_max_price",
+                           key: ["o_totalprice", "o_orderkey"]}],
+                 argmin: [{name: "o_orderkey", alias: "key_of_min_price",
+                           key: ["o_totalprice", "o_orderkey"]}]}) {
+             o: order(by: ["o_orderstatus"]) {
+               c: columns { o_orderstatus { values } key_of_max_price { values }
+                            key_of_min_price { values } } } } } }""",
+      Seq("t", "g", "o", "c"),
+      "o_orderstatus STRING, key_of_max_price BIGINT, key_of_min_price BIGINT"),
+    Some("""WITH r AS (SELECT o_orderstatus, o_orderkey,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC) rx,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) rm
+              FROM orders)
+            SELECT o_orderstatus,
+              max(CASE WHEN rx = 1 THEN o_orderkey END) AS key_of_max_price,
+              max(CASE WHEN rm = 1 THEN o_orderkey END) AS key_of_min_price
+            FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** group: continuous quantiles (reference QuantileAggregate,
+    * inputs.py:172-177). */
+  val q_gql_quantile = Q(
+    "q_gql_quantile",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           g: group(by: ["l_returnflag"], aggregate: {
+                 quantile: [{name: "l_quantity", alias: "q25", q: 0.25},
+                            {name: "l_quantity", alias: "q50", q: 0.5},
+                            {name: "l_quantity", alias: "q75", q: 0.75}]}) {
+             o: order(by: ["l_returnflag"]) {
+               c: columns { l_returnflag { values } q25 { values }
+                            q50 { values } q75 { values } } } } } }""",
+      Seq("t", "g", "o", "c"),
+      "l_returnflag STRING, q25 DOUBLE, q50 DOUBLE, q75 DOUBLE"),
+    Some("""SELECT l_returnflag,
+            quantile_cont(l_quantity, 0.25) AS q25,
+            quantile_cont(l_quantity, 0.5) AS q50,
+            quantile_cont(l_quantity, 0.75) AS q75
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** group: ordered concat with custom separator (reference
+    * ConcatAggregate, inputs.py:188-195). */
+  val q_gql_concat = Q(
+    "q_gql_concat",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: nation {
+           g: group(by: ["n_regionkey"], aggregate: {
+                 concat: [{name: "n_name", alias: "nations", sep: "|",
+                           orderBy: ["n_name"]}]}) {
+             o: order(by: ["n_regionkey"]) {
+               c: columns { n_regionkey { values } nations { values } } } } } }""",
+      Seq("t", "g", "o", "c"),
+      "n_regionkey INT, nations STRING"),
+    Some("""SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  /** window: 0-based ranking, lag with default, cumulative sum (reference
+    * Window, inputs.py:490-557). */
+  val q_gql_window = Q(
+    "q_gql_window",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: events {
+           w: window(over: ["user_id"], by: ["ts", "event_id"],
+                     rowNumber: "rn", rank: "rk",
+                     lag: [{name: "value", default: 0.0, alias: "prev_v"}],
+                     sum: [{name: "value", alias: "cum_raw"}]) {
+             p: project(columns: [
+                   {alias: "cum_v", numeric: {round: [{name: "cum_raw"}, {value: 6}]}}]) {
+               o: order(by: ["event_id"]) {
+                 c: columns { event_id { values } rn { values } rk { values }
+                              prev_v { values } cum_v { values } } } } } } }""",
+      Seq("t", "w", "p", "o", "c"),
+      "event_id BIGINT, rn INT, rk INT, prev_v DOUBLE, cum_v DOUBLE"),
+    Some("""SELECT event_id,
+            CAST(row_number() OVER w - 1 AS INTEGER) AS rn,
+            CAST(rank() OVER w - 1 AS INTEGER) AS rk,
+            lag(value, 1, 0.0) OVER w AS prev_v,
+            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_v
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id"""))
+
+  /** window: ntile, lead with default, pairwise difference (reference
+    * inputs.py:500-506,514-519). */
+  val q_gql_ntile_lead = Q(
+    "q_gql_ntile_lead",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: events {
+           w: window(over: ["user_id"], by: ["event_id"],
+                     ntile: {n: 4, alias: "quartile"},
+                     lead: [{name: "event_type", default: "none", alias: "next_type"}],
+                     sub: [{name: "value", default: 0.0, alias: "dv"}]) {
+             o: order(by: ["event_id"]) {
+               c: columns { event_id { values } quartile { values }
+                            next_type { values } dv { values } } } } } }""",
+      Seq("t", "w", "o", "c"),
+      "event_id BIGINT, quartile INT, next_type STRING, dv DOUBLE"),
+    Some("""SELECT event_id,
+            CAST(ntile(4) OVER w - 1 AS INTEGER) AS quartile,
+            lead(event_type, 1, 'none') OVER w AS next_type,
+            coalesce(value - lag(value, 1) OVER w, 0.0) AS dv
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ORDER BY event_id"""))
+
+  /** project: string/numeric/temporal expression blocks (reference
+    * inputs.py:329-487). */
+  val q_gql_project = Q(
+    "q_gql_project",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: orders {
+           p: project(columns: [
+                 {alias: "pri_num", string: {reExtract: [{name: "o_orderpriority"},
+                    {value: "([0-9]+)"}, {value: 1}]}},
+                 {alias: "pri_up", string: {lower: {name: "o_orderpriority"}}},
+                 {alias: "yr", temporal: {year: {name: "o_orderdate"}}},
+                 {alias: "mo", temporal: {month: {name: "o_orderdate"}}},
+                 {alias: "ym", temporal: {strftime: {name: "o_orderdate"},
+                    formatStr: "%Y-%m"}},
+                 {alias: "sq", numeric: {sqrt: {name: "o_totalprice"}}},
+                 {alias: "bkt", numeric: {bucket: {name: "o_totalprice"},
+                    buckets: [0, 50000, 150000, 400000]}}]) {
+             o: order(by: ["o_orderkey"]) {
+               c: columns { o_orderkey { values } pri_num { values }
+                            pri_up { values } yr { values } mo { values }
+                            ym { values } sq { values } bkt { values } } } } } }""",
+      Seq("t", "p", "o", "c"),
+      "o_orderkey BIGINT, pri_num STRING, pri_up STRING, yr INT, mo INT, " +
+        "ym STRING, sq DOUBLE, bkt INT"),
+    Some("""SELECT o_orderkey,
+            regexp_extract(o_orderpriority, '([0-9]+)', 1) AS pri_num,
+            lower(o_orderpriority) AS pri_up,
+            CAST(year(o_orderdate) AS INTEGER) AS yr,
+            CAST(month(o_orderdate) AS INTEGER) AS mo,
+            strftime(o_orderdate, '%Y-%m') AS ym,
+            sqrt(o_totalprice) AS sq,
+            CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0
+                 WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1
+                 WHEN o_totalprice >= 150000 AND o_totalprice < 400000 THEN 2
+                 ELSE NULL END AS bkt
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** cast field (reference interface.py:129-136). */
+  val q_gql_cast = Q(
+    "q_gql_cast",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           x: cast(columns: [{name: "l_quantity", type: "INT"},
+                             {name: "l_shipdate", type: "DATE"}]) {
+             o: order(by: ["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"]) {
+               c: columns { l_orderkey { values } l_linenumber { values }
+                            l_quantity { values } l_shipdate { values } } } } } }""",
+      Seq("t", "x", "o", "c"),
+      "l_orderkey BIGINT, l_linenumber INT, l_quantity INT, l_shipdate DATE"),
+    Some("""SELECT l_orderkey, l_linenumber,
+            CAST(l_quantity AS INTEGER) AS l_quantity,
+            CAST(l_shipdate AS DATE) AS l_shipdate
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER),
+              CAST(l_shipdate AS DATE)"""))
+
+  /** ifelse expression + fillNull field (reference interface.py:442-453). */
+  val q_gql_fillnull = Q(
+    "q_gql_fillnull",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: orders {
+           p: project(columns: [{alias: "status_n",
+                 ifelse: [{eq: [{name: "o_orderstatus"}, {value: "O"}]},
+                          {value: null}, {name: "o_orderstatus"}]}]) {
+             f: fillNull(values: {status_n: "none"}) {
+               o: order(by: ["o_orderkey"]) {
+                 c: columns { o_orderkey { values } status_n { values } } } } } } }""",
+      Seq("t", "p", "f", "o", "c"),
+      "o_orderkey BIGINT, status_n STRING"),
+    Some("""SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'), 'none') AS status_n
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** dropNull field (reference interface.py:437-440). */
+  val q_gql_dropnull = Q(
+    "q_gql_dropnull",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: orders {
+           p: project(columns: [{alias: "status_n",
+                 ifelse: [{eq: [{name: "o_orderstatus"}, {value: "O"}]},
+                          {value: null}, {name: "o_orderstatus"}]}]) {
+             f: dropNull(on: ["status_n"]) {
+               o: order(by: ["o_orderkey"]) {
+                 c: columns { o_orderkey { values } status_n { values } } } } } } }""",
+      Seq("t", "p", "f", "o", "c"),
+      "o_orderkey BIGINT, status_n STRING"),
+    Some("""SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_n
+            FROM orders WHERE nullif(o_orderstatus, 'O') IS NOT NULL
+            ORDER BY o_orderkey"""))
+
+  /** union field: multiset union with a root table (reference
+    * interface.py:397-404). */
+  val q_gql_union = Q(
+    "q_gql_union",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: customer {
+           f: filter(c_custkey: {le: 500}) {
+             u: union(right: ["customer"]) {
+               o: order(by: ["c_custkey", "c_mktsegment"]) {
+                 c: columns { c_custkey { values } c_mktsegment { values } } } } } } }""",
+      Seq("t", "f", "u", "o", "c"),
+      "c_custkey BIGINT, c_mktsegment STRING"),
+    Some("""SELECT c_custkey, c_mktsegment FROM
+            (SELECT * FROM customer WHERE c_custkey <= 500
+             UNION ALL SELECT * FROM customer)
+            ORDER BY c_custkey, c_mktsegment"""))
+
+  /** intersect field: set intersection with a root table (reference
+    * interface.py:406-413). */
+  val q_gql_intersect = Q(
+    "q_gql_intersect",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: customer {
+           f: filter(c_custkey: {le: 500}) {
+             u: intersect(right: ["customer"]) {
+               o: order(by: ["c_custkey"]) {
+                 c: columns { c_custkey { values } c_mktsegment { values } } } } } } }""",
+      Seq("t", "f", "u", "o", "c"),
+      "c_custkey BIGINT, c_mktsegment STRING"),
+    Some("""SELECT c_custkey, c_mktsegment FROM
+            (SELECT * FROM customer WHERE c_custkey <= 500
+             INTERSECT SELECT * FROM customer)
+            ORDER BY c_custkey"""))
+
+  /** crossJoin field (reference interface.py:385-395). */
+  val q_gql_crossjoin = Q(
+    "q_gql_crossjoin",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: nation {
+           x: crossJoin(right: "region") {
+             o: order(by: ["n_nationkey", "r_regionkey"]) {
+               c: columns { n_nationkey { values } n_name { values }
+                            r_regionkey { values } r_name { values } } } } } }""",
+      Seq("t", "x", "o", "c"),
+      "n_nationkey INT, n_name STRING, r_regionkey INT, r_name STRING"),
+    Some("""SELECT n_nationkey, n_name, r_regionkey, r_name
+            FROM nation CROSS JOIN region
+            ORDER BY n_nationkey, r_regionkey"""))
+
+  /** takeFrom field: int column values as natural-order row indices into
+    * another root (reference models.py:215-221). */
+  val q_gql_takefrom = Q(
+    "q_gql_takefrom",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           f: filter(l_quantity: {ge: 49}) {
+             x: takeFrom(right: "supplier", field: "l_suppkey") {
+               c: columns { s_suppkey { values } s_name { values }
+                            s_acctbal { values } } } } } }""",
+      Seq("t", "f", "x", "c"),
+      "s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE"),
+    Some("""WITH pos AS (SELECT *, row_number() OVER () - 1 rid FROM supplier)
+            SELECT s_suppkey, s_name, s_acctbal FROM pos
+            WHERE rid IN (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity >= 49)
+            ORDER BY rid"""))
+
+  /** sql root field: the SQL escape hatch over table views (§2.11). */
+  val q_gql_sql = Q(
+    "q_gql_sql",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ q: sql(query: "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag") {
+           c: columns { l_returnflag { values } sum_qty { values } } } }""",
+      Seq("q", "c"),
+      "l_returnflag STRING, sum_qty DOUBLE"),
+    Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** project: natural-order cumulatives — served by the DISTRIBUTED block
+    * prefix-sum path (GTable.cumulative), not a global window (VERDICT
+    * round 1 "what's wrong" #3). */
+  val q_gql_cumsum = Q(
+    "q_gql_cumsum",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: events {
+           p: project(columns: [
+                 {alias: "run_sum_raw", numeric: {cumsum: {name: "value"}}},
+                 {alias: "run_max", cummax: {name: "value"}}]) {
+             r: project(columns: [
+                 {alias: "run_sum", numeric: {round: [{name: "run_sum_raw"}, {value: 6}]}}]) {
+               o: order(by: ["event_id"]) {
+                 c: columns { event_id { values } value { values }
+                              run_sum { values } run_max { values } } } } } } }""",
+      Seq("t", "p", "r", "o", "c"),
+      "event_id BIGINT, value DOUBLE, run_sum DOUBLE, run_max DOUBLE"),
+    Some("""WITH t AS (SELECT *, row_number() OVER () rid FROM events)
+            SELECT event_id, value,
+            round(sum(value) OVER w, 6) AS run_sum,
+            max(value) OVER w AS run_max
+            FROM t
+            WINDOW w AS (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
+  /** variables + named fragment through the parser (reference column
+    * queries rely on fragments, tests/test_models.py; variables are core
+    * GraphQL). */
+  val q_gql_vars_frag = Q(
+    "q_gql_vars_frag",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """query Q($minq: Float = 45.0) {
+           t: lineitem {
+             f: filter(where: {ge: [{name: "l_quantity"}, {value: $minq}]}) {
+               o: order(by: ["l_orderkey", "l_linenumber"]) { ...Cols } } } }
+         fragment Cols on Lineitem {
+           c: columns { l_orderkey { values } l_linenumber { values }
+                        l_quantity { values } } }""",
+      Seq("t", "f", "o", "c"),
+      "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE",
+      variables = Map("minq" -> GVal.GFloat(48.0))),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity >= 48.0 ORDER BY l_orderkey, l_linenumber"""))
+
+  /** explicit order + slice through the service: positions index the SORTED
+    * table (reference interface.py:181-183). */
+  val q_gql_order_slice = Q(
+    "q_gql_order_slice",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           o: order(by: ["-l_quantity", "l_orderkey", "l_linenumber"]) {
+             s: slice(offset: 1000, limit: 100) {
+               c: columns { l_orderkey { values } l_linenumber { values }
+                            l_quantity { values } } } } } }""",
+      Seq("t", "o", "s", "c"),
+      "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+            LIMIT 100 OFFSET 1000"""))
+
+  def all: Seq[Q] = Seq(q_gql_filter, q_gql_group, q_gql_first_last,
+    q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
+    q_gql_ntile_lead, q_gql_project, q_gql_cast, q_gql_fillnull,
+    q_gql_dropnull, q_gql_union, q_gql_intersect, q_gql_crossjoin,
+    q_gql_takefrom, q_gql_sql, q_gql_cumsum, q_gql_vars_frag,
+    q_gql_order_slice)
+}

@@ -173,4 +173,65 @@ class GraphQLSpec extends SparkSpec {
     assert(r3.contains("Relation") || r3.contains("Project"))
     assert(r3.contains(""""timing_ms""""))
   }
+
+  test("filter notin and ne-list exclude; isin keeps") {
+    val r = service.execute(
+      """{ nation { a: filter(n_regionkey: {notin: [0, 1]}) { count }
+                   b: filter(n_regionkey: {ne: [0, 1]}) { count }
+                   c: filter(n_regionkey: {eq: [0, 1]}) { count } } }""")
+    val counts = """"count":(\d+)""".r.findAllMatchIn(r).map(_.group(1).toInt).toSeq
+    assert(counts(0) == counts(1))       // notin == ne-list
+    assert(counts(0) + counts(2) == 25)  // complement of eq-list (isin)
+  }
+
+  test("typed scalar literals: date, decimal, duration arithmetic") {
+    val r = service.execute(
+      """{ orders { filter(where: {ge: [{name: "o_orderdate"},
+            {scalar: {datetime: "1995-01-01T00:00:00"}}]}) { count } } }""")
+    val n = """"count":(\d+)""".r.findFirstMatchIn(r).get.group(1).toInt
+    assert(n > 0)
+    val r2 = service.execute(
+      """{ orders { slice(limit: 5) { project(columns: [{alias: "later",
+            add: [{name: "o_orderdate"}, {scalar: {duration: "P1M2DT3H"}}]}]) {
+          columns { later { values } } } } } }""")
+    assert(r2.contains(""""later":{"values":["""))
+  }
+
+  test("array expression block over a split column") {
+    val r = service.execute(
+      """{ customer { slice(limit: 3) {
+            project(columns: [{alias: "parts", string: {split: [{name: "c_name"}, {value: "#"}]}}]) {
+              project(columns: [
+                {alias: "np", array: {length: {name: "parts"}}},
+                {alias: "first_part", array: {value: {name: "parts"}, offset: 0}},
+                {alias: "joined", array: {join: {name: "parts"}, sep: "-"}}]) {
+                columns { np { values } first_part { values } joined { values } } } } } } }""")
+    assert(r.contains(""""np":{"values":[""") && r.contains(""""joined""""))
+  }
+
+  test("unpack spreads struct fields; difference field subtracts") {
+    val r = service.execute(
+      """{ customer { f: filter(c_custkey: {le: 100}) {
+            d: difference(right: ["customer"]) { count } } } }""")
+    assert(r.contains(""""count":0"""))
+  }
+
+  test("group order is opt-in first_seen") {
+    val r = service.execute(
+      """{ events { group(by: ["event_type"], counts: "n", order: FIRST_SEEN) {
+            columns { event_type { values } } } } }""")
+    // first-seen order = order of first occurrence in the file
+    val vals = """"event_type":\{"values":\[([^\]]*)\]""".r.findFirstMatchIn(r).get.group(1)
+    assert(vals.nonEmpty)
+  }
+
+  test("variables and fragments resolve in the parser") {
+    val doc = Parser.parse(
+      """query Q($k: Int = 3) { nation { filter(n_regionkey: {eq: $k}) { ...C } } }
+         fragment C on Nation { count }""",
+      Map.empty)
+    val filter = doc.sels.head.sels.head
+    assert(filter.args.head._2.toString.contains("3"))
+    assert(filter.sels.map(_.name) == Seq("count"))
+  }
 }

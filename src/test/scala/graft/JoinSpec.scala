@@ -22,6 +22,20 @@ class JoinSpec extends SparkSpec {
     assert(expected == 0)
   }
 
+  test("keyless asofJoin (range-partitioned merge) equals constant-key merge") {
+    val ev = GTable(Tables.load(spark, sf, "events"))
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "ts")
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "ts")
+    val keyless = clicks.asofJoin(errors, on = "ts").result
+    // reference: same merge through the keyed path with a constant key
+    val ck = clicks.project("k" -> lit(1))
+    val ek = errors.project("k" -> lit(1))
+    val keyed = ck.asofJoin(ek, on = "ts", keys = Seq("k")).result.drop("k")
+    assert(keyless.count() == clicks.result.count())
+    assert(keyless.exceptAll(keyed).count() == 0)
+    assert(keyed.exceptAll(keyless).count() == 0)
+  }
+
   test("asofJoin inclusive at equal timestamps") {
     import spark.implicits._
     val l = GTable(Seq((1L, 10L), (2L, 20L)).toDF("id", "t"))
