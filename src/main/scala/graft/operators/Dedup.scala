@@ -45,10 +45,24 @@ object Dedup {
   /** Exact n-gram Jaccard pairs with similarity ≥ threshold.
     * Shingle-explode → self-join on shingle → common counts → |A∪B| via
     * per-doc sizes. Pairs restricted to id1 < id2.
+    *
+    * `maxDf` > 0 drops shingles occurring in more than that many documents
+    * before the self-join — a shingle with document frequency F contributes
+    * F² join rows, so common n-grams (stopword trigrams) make the join
+    * quadratic at scale; capping df is what production near-dup pipelines
+    * do. Doc sizes are computed AFTER the cap so the metric stays a true
+    * Jaccard over the kept shingle sets. The hot-shingle list is tiny by
+    * construction (few shingles exceed the cap) — broadcast anti-join, no
+    * extra shuffle of the shingle stream.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+                   n: Int, threshold: Double, maxDf: Int = 0): DataFrame = {
+    val shAll = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sh = if (maxDf > 0) {
+      val hot = shAll.groupBy("sh").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select("sh")
+      shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    } else shAll
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.id") < col("b.id"))

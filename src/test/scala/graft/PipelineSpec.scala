@@ -22,6 +22,21 @@ class PipelineSpec extends SparkSpec {
     info(s"exact pairs: ${exact.size}, lsh candidates: ${lsh.size}")
   }
 
+  test("jaccard shingle-df cap: lenient cap equals uncapped; tight cap stays consistent") {
+    val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a cap far above any real df must not change the result
+    val lenient = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.7,
+      maxDf = 1000000)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lenient == uncapped)
+    // a tight cap yields a valid self-consistent jaccard in [threshold, 1]
+    val tight = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.7,
+      maxDf = 50)
+    val bad = tight.filter(col("jaccard") < 0.7 || col("jaccard") > 1.0).count()
+    assert(bad == 0)
+  }
+
   test("simhash of identical text is identical; pairs are symmetric-free") {
     val sh = docs.limit(20).select(col("doc_id"),
       Dedup.simhash(col("text")).as("s1"),
