@@ -662,67 +662,118 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     resolveTable(out, f, None)
   }
 
-  /** columns { name { values count countDistinct min max sum mean quantile
-    * mode first last distinct {...} } } — pruned to the referenced columns;
-    * aggregate leaves batched into ONE df.agg pass per column set (no
-    * per-leaf jobs). first/last follow natural order (reference
-    * models.py:47-255). */
+  /** columns { name { ... } } — pruned to the referenced columns; the full
+    * per-type Column surface (reference models.py:47-255): generic values/
+    * distinct/first/last/dropNull/fillNull/mode/min/max/quantile, numeric
+    * sum/mean/std/var, boolean any/all, array unnest/length, struct
+    * names/types, plus type/count/countDistinct. Aggregate leaves batch
+    * into ONE df.agg pass per column (no per-leaf jobs). */
   private def resolveColumns(t: GTable, f: GField): String = {
     val wanted = f.sels
     val pruned = t.select(wanted.map(_.name): _*)
-    Json.obj(wanted.map { cf =>
-      val c = col(cf.name)
-      val leafs = cf.sels
-      val aggLeafs = leafs.filterNot(l => l.name == "values" || l.name == "distinct")
-      val hasRid = Natural.hasRowId(pruned.df)
-      val aggCols = aggLeafs.map(l => (l.name match {
-        case "count" => count(c)
-        case "countDistinct" => countDistinct(c)
-        case "min" => min(c)
-        case "max" => max(c)
-        case "sum" => sum(c)
-        case "mean" => avg(c)
-        case "length" => count(lit(1))
-        case "quantile" =>
-          val q = l.arg("q").collect { case GFloat(x) => x; case GInt(x) => x.toDouble }
-            .getOrElse(0.5)
-          val isString = t.df.schema.find(_.name == cf.name).exists(_.dataType == StringType)
-          if (isString) GAggs.quantileDisc(c, q) else GAggs.quantile(c, q)
-        case "mode" => mode(c, deterministic = true)
-        case "first" =>
-          if (hasRid) min_by(c, col(Natural.rid)) else first(c)
-        case "last" =>
-          if (hasRid) max_by(c, col(Natural.rid)) else last(c)
-        case other => throw new IllegalArgumentException(s"unknown column leaf '$other'")
-      }).as(l.outName))
-      val aggRow = if (aggCols.nonEmpty)
-        Some(pruned.df.agg(aggCols.head, aggCols.tail: _*).collect()(0)) else None
-      val parts = leafs.map { l =>
-        l.outName -> (l.name match {
-          case "values" =>
-            // explicit sort order (if any) wins over the natural row id
-            val ordered =
-              if (pruned.isSorted) pruned.df
-              else if (Natural.hasRowId(pruned.df)) pruned.df.orderBy(col(Natural.rid))
-              else pruned.df
-            val rows = Natural.strip(ordered).select(cf.name).collect()
-            Json.write(rows.map(_.get(0)).toSeq)
-          case "distinct" =>
-            // the reference's Set: distinct values + counts pair
-            // (models.py:86-98) — one value_counts aggregation
-            val vc = Natural.strip(pruned.df).groupBy(c).agg(count(lit(1)).as("n"))
-              .orderBy(c).collect()
-            Json.obj(l.sels.map(s => s.outName -> (s.name match {
-              case "values" => Json.write(vc.map(_.get(0)).toSeq)
-              case "counts" => Json.write(vc.map(_.getLong(1)).toSeq)
-              case "length" => vc.length.toString
-              case other => throw new IllegalArgumentException(s"unknown Set field '$other'")
-            })))
-          case _ => Json.write(aggRow.get.getAs[Any](l.outName))
-        })
-      }
-      cf.outName -> Json.obj(parts)
-    })
+    Json.obj(wanted.map(cf => cf.outName -> resolveOneColumn(pruned, cf)))
+  }
+
+  private def resolveOneColumn(pruned: GTable, cf: GField): String = {
+    val c = col(cf.name)
+    val dt = pruned.df.schema.find(_.name == cf.name).map(_.dataType)
+    val isString = dt.contains(StringType)
+    val leafs = cf.sels
+    val collectLeaves = Set("values", "distinct", "type", "dropNull",
+      "fillNull", "unnest", "length", "names", "types")
+    val aggLeafs = leafs.filterNot(l => collectLeaves.contains(l.name))
+    val hasRid = Natural.hasRowId(pruned.df)
+    def qList(l: GField): Seq[Double] = l.arg("q").toSeq.flatMap {
+      case GFloat(x) => Seq(x)
+      case GInt(x) => Seq(x.toDouble)
+      case GList(items) => items.collect { case GFloat(x) => x; case GInt(x) => x.toDouble }
+      case _ => Nil
+    } match { case Nil => Seq(0.5); case qs => qs }
+    val aggCols = aggLeafs.map(l => (l.name match {
+      case "count" => count(c)
+      case "countDistinct" => countDistinct(c)
+      case "nunique" =>
+        val approx = l.arg("approx").collect { case GBool(b) => b }.getOrElse(false)
+        GAggs.nunique(c, approx)
+      case "min" => min(c)
+      case "max" => max(c)
+      case "sum" => sum(c)
+      case "mean" => avg(c)
+      case "any" => bool_or(c)
+      case "all" => bool_and(c)
+      case "std" =>
+        val how = l.arg("how").collect { case GStr(h) => h }.getOrElse("sample")
+        GAggs.stdDev(c, how == "sample")
+      case "var" =>
+        val how = l.arg("how").collect { case GStr(h) => h }.getOrElse("sample")
+        GAggs.variance(c, how == "sample")
+      case "quantile" =>
+        // list of qs → list result (reference models.py:143-145)
+        val qs = qList(l)
+        if (isString) array(qs.map(GAggs.quantileDisc(c, _)): _*)
+        else array(qs.map(GAggs.quantile(c, _)): _*)
+      case "mode" => mode(c, deterministic = true)
+      case "first" =>
+        if (hasRid) min_by(c, col(Natural.rid)) else first(c)
+      case "last" =>
+        if (hasRid) max_by(c, col(Natural.rid)) else last(c)
+      case other => throw new IllegalArgumentException(s"unknown column leaf '$other'")
+    }).as(l.outName))
+    val aggRow = if (aggCols.nonEmpty)
+      Some(pruned.df.agg(aggCols.head, aggCols.tail: _*).collect()(0)) else None
+    /** rows in current order: explicit sort wins over the natural row id. */
+    def orderedRows(extra: Column => Column = identity): Seq[Any] = {
+      val ordered =
+        if (pruned.isSorted) pruned.df
+        else if (hasRid) pruned.df.orderBy(col(Natural.rid))
+        else pruned.df
+      ordered.select(extra(c).as("_v")).collect().map(_.get(0)).toSeq
+    }
+    val parts = leafs.map { l =>
+      l.outName -> (l.name match {
+        case "type" => Json.quote(dt.map(_.simpleString).getOrElse("unknown"))
+        case "values" => Json.write(orderedRows())
+        case "dropNull" =>
+          // non-null values in order (reference models.py:122-125)
+          Json.write(orderedRows().filter(_ != null))
+        case "fillNull" =>
+          val v = l.arg("value").map(Exprs.scalaOf)
+            .getOrElse(throw new IllegalArgumentException("fillNull needs value:"))
+          Json.write(orderedRows(x => coalesce(x, lit(v))))
+        case "length" =>
+          // per-row array lengths (reference ArrayColumn.length)
+          Json.write(orderedRows(x => size(x)))
+        case "unnest" =>
+          // flattened elements served as a nested column object
+          // (reference ArrayColumn.unnest, models.py:227-233)
+          val exploded = GTable(Natural.strip(pruned.df)
+            .select(explode(c).as(cf.name)))
+          resolveOneColumn(exploded, cf.copy(sels = l.sels))
+        case "names" => dt match {
+          case Some(s: org.apache.spark.sql.types.StructType) =>
+            Json.write(s.fieldNames.toSeq)
+          case _ => throw new IllegalArgumentException(s"names: ${cf.name} is not a struct")
+        }
+        case "types" => dt match {
+          case Some(s: org.apache.spark.sql.types.StructType) =>
+            Json.write(s.fields.map(_.dataType.simpleString).toSeq)
+          case _ => throw new IllegalArgumentException(s"types: ${cf.name} is not a struct")
+        }
+        case "distinct" =>
+          // the reference's Set: distinct values + counts pair
+          // (models.py:86-98) — one value_counts aggregation
+          val vc = Natural.strip(pruned.df).groupBy(c).agg(count(lit(1)).as("n"))
+            .orderBy(c).collect()
+          Json.obj(l.sels.map(s => s.outName -> (s.name match {
+            case "values" => Json.write(vc.map(_.get(0)).toSeq)
+            case "counts" => Json.write(vc.map(_.getLong(1)).toSeq)
+            case "length" => vc.length.toString
+            case other => throw new IllegalArgumentException(s"unknown Set field '$other'")
+          })))
+        case _ => Json.write(aggRow.get.getAs[Any](l.outName))
+      })
+    }
+    Json.obj(parts)
   }
 
   private def resolveRow(t: GTable, index: Long): String = {

@@ -425,7 +425,33 @@ object GqlQueries {
             ORDER BY l_quantity DESC, l_orderkey, l_linenumber
             LIMIT 100 OFFSET 1000"""))
 
-  def all: Seq[Q] = Seq(q_gql_filter, q_gql_group, q_gql_first_last,
+  /** typed scalars across the JSON boundary: date, timestamp, decimal,
+    * boolean, bigint, double, string round-trip through the service codecs
+    * (reference scalars.py:59-87; tests/test_models.py:61-129). */
+  val q_gql_alltypes = Q(
+    "q_gql_alltypes",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: orders {
+           p: project(columns: [
+                 {alias: "od", temporal: {date: {name: "o_orderdate"}}},
+                 {alias: "big", gt: [{name: "o_totalprice"}, {value: 150000}]},
+                 {alias: "price", name: "o_totalprice"}]) {
+             x: cast(columns: [{name: "price", type: "DECIMAL(12,2)"}]) {
+               o: order(by: ["o_orderkey"]) {
+                 c: columns { o_orderkey { values } o_orderstatus { values }
+                              od { values } o_orderdate { values }
+                              price { values } big { values }
+                              o_totalprice { values } } } } } } }""",
+      Seq("t", "p", "x", "o", "c"),
+      "o_orderkey BIGINT, o_orderstatus STRING, od DATE, o_orderdate TIMESTAMP_NTZ, " +
+        "price DECIMAL(12,2), big BOOLEAN, o_totalprice DOUBLE"),
+    Some("""SELECT o_orderkey, o_orderstatus,
+            CAST(o_orderdate AS DATE) AS od, o_orderdate,
+            CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+            o_totalprice > 150000 AS big, o_totalprice
+            FROM orders ORDER BY o_orderkey"""))
+
+  def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
     q_gql_ntile_lead, q_gql_project, q_gql_cast, q_gql_fillnull,
     q_gql_dropnull, q_gql_union, q_gql_intersect, q_gql_crossjoin,

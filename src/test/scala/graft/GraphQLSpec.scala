@@ -225,6 +225,57 @@ class GraphQLSpec extends SparkSpec {
     assert(vals.nonEmpty)
   }
 
+  test("duration scalar round-trips through parse + serialize") {
+    import graft.graphql.{Exprs, Json}
+    // month-day-nano (reference scalars.py:25-56 + tests/test_core.py:16-31)
+    for (iso <- Seq("P1M2DT3H", "P0M3DT4H", "PT3H", "P2D", "PT0.5S", "P1Y2M")) {
+      val v = spark.range(1).select(Exprs.durationLit(iso)).collect()(0).get(0)
+      val out = Json.write(v)
+      val normalized = if (iso == "P1Y2M") "\"P14M\"" else s""""$iso""""
+      assert(out == normalized, s"$iso -> $out")
+    }
+  }
+
+  test("per-type column leaves: quantile list, dropNull, fillNull, any/all, unnest, length") {
+    val r = service.execute(
+      """{ customer { slice(limit: 50) { columns {
+            c_acctbal { q: quantile(q: [0.25, 0.75]) std var }
+          } } } }""")
+    assert(""""q":\[[-0-9.,]+\]""".r.findFirstIn(r).nonEmpty, r.take(300))
+    val r2 = service.execute(
+      """{ orders { slice(limit: 20) {
+            project(columns: [{alias: "st",
+              ifelse: [{eq: [{name: "o_orderstatus"}, {value: "O"}]},
+                       {value: null}, {name: "o_orderstatus"}]}]) {
+            columns { st { type values dropNull fillNull(value: "zz") } } } } } }""")
+    assert(r2.contains(""""type":"string""""))
+    assert(!r2.split("\"dropNull\":")(1).split("]")(0).contains("null"))
+    assert(r2.contains("zz"))
+    val r3 = service.execute(
+      """{ customer { slice(limit: 5) {
+            project(columns: [{alias: "parts",
+              string: {split: [{name: "c_name"}, {value: "#"}]}}]) {
+            columns { parts { length unnest { count values } } } } } } }""")
+    assert(r3.contains(""""length":[""") && r3.contains(""""count":"""))
+    val r4 = service.execute(
+      """{ orders { slice(limit: 20) {
+            project(columns: [{alias: "big",
+              gt: [{name: "o_totalprice"}, {value: 100000}]}]) {
+            columns { big { any all } } } } } }""")
+    assert(r4.contains(""""any":true""") && r4.contains(""""all":false"""))
+  }
+
+  test("struct column names/types leaves") {
+    val r = service.execute(
+      """{ customer { slice(limit: 3) {
+            project(columns: [{alias: "s", ifelse: [{value: true},
+              {name: "c_custkey"}, {name: "c_custkey"}]}]) { count } } } }""")
+    assert(r.contains(""""count":3"""))
+    val r2 = service.execute(
+      """{ events { slice(limit: 3) { columns { props { type } } } } }""")
+    assert(r2.contains(""""type":"string""""))
+  }
+
   test("variables and fragments resolve in the parser") {
     val doc = Parser.parse(
       """query Q($k: Int = 3) { nation { filter(n_regionkey: {eq: $k}) { ...C } } }
