@@ -15,12 +15,21 @@ import org.apache.spark.sql.types.DataType
   * [[Natural]] (attached by `Tables.loadOrdered`); order-free ops work on any
   * DataFrame and never force it.
   */
-final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
+final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
+                        denseRid: Boolean = true) {
   import GTable._
 
   /** True when the frame already carries an explicit row ordering (set by
     * [[order]]); consumers must not re-sort by the natural row id then. */
   def isSorted: Boolean = sortedBy.nonEmpty
+
+  /** True when the hidden row id (if present) still equals the 0-based
+    * POSITION of each row in the current table — set false by any op that
+    * removes/duplicates/reorders rows (filter, join, slice...). Position
+    * ops (slice/rowAt/take) use the rid range-filter fast path only then;
+    * otherwise they address positions of the current table via its order.
+    * The rid stays a valid ORDER key either way. */
+  def hasDensePositions: Boolean = denseRid && Natural.hasRowId(df)
 
   private def rid: Column = Natural.order(df)
 
@@ -29,38 +38,41 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
 
   // ─── Projection / filter (reference: interface.py:455-462,510-519) ───
 
-  /** AND-ed predicates; empty → unchanged. Filtering preserves order. */
+  /** AND-ed predicates; empty → unchanged. Filtering preserves order but
+    * breaks rid-position density. */
   def filter(preds: Column*): GTable =
-    if (preds.isEmpty) this else GTable(df.filter(preds.reduce(_ && _)), sortedBy)
+    if (preds.isEmpty) this
+    else GTable(df.filter(preds.reduce(_ && _)), sortedBy, denseRid = false)
 
   /** Add/replace columns (reference `project`); order-preserving. */
   def project(cols: (String, Column)*): GTable =
-    GTable(df.withColumns(cols.toMap), sortedBy)
+    copy(df = df.withColumns(cols.toMap))
 
   /** Keep only the named columns (plus hidden id if present). Projection
     * preserves any explicit ordering. */
   def select(names: String*): GTable = {
     val keep = if (Natural.hasRowId(df)) names :+ Natural.rid else names
-    GTable(df.select(keep.map(df.col): _*), sortedBy)
+    copy(df = df.select(keep.map(df.col): _*))
   }
 
   /** Cast listed columns; `tryMode` → null on failure (reference: interface.py:129-136). */
   def cast(types: Seq[(String, DataType)], tryMode: Boolean = false): GTable =
-    GTable(types.foldLeft(df) { case (d, (name, dt)) =>
+    copy(df = types.foldLeft(df) { case (d, (name, dt)) =>
       d.withColumn(name,
         if (tryMode) expr(s"try_cast(`$name` AS ${dt.sql})") else col(name).cast(dt))
     })
 
   /** Fill nulls in the named columns (reference: interface.py:442-453). */
-  def fillNull(values: Map[String, Any]): GTable = GTable(df.na.fill(values))
+  def fillNull(values: Map[String, Any]): GTable = copy(df = df.na.fill(values))
 
   /** Drop rows with any/all nulls in `subset` (reference: interface.py:437-440). */
   def dropNull(subset: Seq[String] = Nil, how: String = "any"): GTable =
-    GTable(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
+    GTable(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset),
+      sortedBy, denseRid = false)
 
   /** Explode struct columns into top-level fields (reference: interface.py:324-327). */
   def unpack(names: String*): GTable =
-    GTable(names.foldLeft(df)((d, n) => d.select((d.columns.filterNot(_ == n)
+    copy(df = names.foldLeft(df)((d, n) => d.select((d.columns.filterNot(_ == n)
       .map(c => d.col(c)) :+ expr(s"`$n`.*")): _*)))
 
   // ─── Aggregation (reference: interface.py:185-243) ───
@@ -81,7 +93,8 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
       else df.groupBy(by.map(col): _*).agg(a.head, a.tail: _*)
     // `order` on group: re-sort groups to first-seen order via min(row id)
     // (reference: interface.py:217-243)
-    GTable(if (firstSeenOrder) grouped.orderBy(col(Natural.rid)) else grouped)
+    GTable(if (firstSeenOrder) grouped.orderBy(col(Natural.rid)) else grouped,
+      denseRid = false)
   }
 
   /** Dedup on `on`, keeping first/last (by natural order) or none; optional
@@ -103,7 +116,7 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
         case Some(c) => df.withColumn(c, GTable.cnt.over(Window.partitionBy(on.map(col): _*)))
       }
       GTable(counted.withColumn("_gq_rn", row_number().over(w))
-        .filter(col("_gq_rn") === 1).drop("_gq_rn"))
+        .filter(col("_gq_rn") === 1).drop("_gq_rn"), denseRid = false)
     case other => throw new IllegalArgumentException(s"keep=$other")
   }
 
@@ -118,10 +131,10 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
       val w = Window.partitionBy(over.map(col): _*).orderBy(by: _*)
       val limited = df.withColumn("_gq_rn", row_number().over(w))
       GTable(limit.fold(limited.orderBy((over.map(col(_).asc) ++ by): _*))(k =>
-        limited.filter(col("_gq_rn") <= k)).drop("_gq_rn"))
+        limited.filter(col("_gq_rn") <= k)).drop("_gq_rn"), denseRid = false)
     } else {
       val sorted = df.orderBy(by: _*)
-      GTable(limit.fold(sorted)(sorted.limit), sortedBy = by)
+      GTable(limit.fold(sorted)(sorted.limit), sortedBy = by, denseRid = false)
     }
 
   /** Top-k *by rank* — all rows whose (dense) rank < k, keeping ties
@@ -136,7 +149,7 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
       val w = Window.partitionBy(over.map(col): _*).orderBy(ord: _*)
       val rk = if (dense) dense_rank() else org.apache.spark.sql.functions.rank()
       GTable(df.withColumn("_gq_rk", rk.over(w))
-        .filter(col("_gq_rk") <= rank).drop("_gq_rk"))
+        .filter(col("_gq_rk") <= rank).drop("_gq_rk"), denseRid = false)
     } else {
       // semi-join against the ordered key mask: never a single-partition
       // global window (the reference's own strategy for high-cardinality
@@ -147,7 +160,7 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
       val mask =
         if (dense) keyDf.distinct().orderBy(ord: _*).limit(rank)
         else keyDf.orderBy(ord: _*).limit(rank).distinct()
-      GTable(df.join(broadcast(mask), keyNames, "left_semi"))
+      GTable(df.join(broadcast(mask), keyNames, "left_semi"), denseRid = false)
     }
   }
 
@@ -163,11 +176,20 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
     if (isSorted) {
       require(off <= Int.MaxValue, s"sorted slice offset $off exceeds Int range")
       val sliced = df.offset(off.toInt)
-      GTable(limit.fold(sliced)(l => sliced.limit(l.toInt)), sortedBy)
-    } else {
+      GTable(limit.fold(sliced)(l => sliced.limit(l.toInt)), sortedBy,
+        denseRid = false)
+    } else if (hasDensePositions) {
       val hi = limit.map(off + _)
       GTable(df.filter(rid >= off && hi.map(rid < _).getOrElse(lit(true)))
-        .orderBy(rid))
+        .orderBy(rid), denseRid = false)
+    } else {
+      // positions of the CURRENT table (e.g. after a filter, where the rid
+      // is sparse): order by the rid if present and Offset+Limit — bounded
+      // gather, no positional re-numbering
+      require(off <= Int.MaxValue, s"slice offset $off exceeds Int range")
+      val ordered = if (Natural.hasRowId(df)) df.orderBy(rid) else df
+      val sliced = ordered.offset(off.toInt)
+      GTable(limit.fold(sliced)(l => sliced.limit(l.toInt)), denseRid = false)
     }
   }
 
@@ -190,16 +212,24 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
     val req = indices.zipWithIndex.map { case (r, p) => (r, p.toLong) }
       .toDF("_gq_take_idx", "_gq_take_pos")
     val posed =
-      if (isSorted) {
+      if (hasDensePositions && !isSorted) df.withColumn("_gq_take_rid", rid)
+      else {
+        // positions index the current order (explicit sort, else rid order):
+        // cut the plan to the max position + 1 rows first so the positional
+        // row_number window only sees that bounded prefix
         val bound = indices.max + 1
-        require(bound <= Int.MaxValue, s"sorted take index $bound exceeds Int range")
-        df.limit(bound.toInt)
+        require(bound <= Int.MaxValue, s"take index $bound exceeds Int range")
+        val ordKeys = if (isSorted) sortedBy
+          else if (Natural.hasRowId(df)) Seq(rid.asc)
+          else throw new IllegalArgumentException(
+            "take: table has neither an explicit sort nor a natural row id")
+        df.orderBy(ordKeys: _*).limit(bound.toInt)
           .withColumn("_gq_take_rid",
-            row_number().over(Window.orderBy(sortedBy: _*)).cast("long") - 1L)
-      } else df.withColumn("_gq_take_rid", rid)
+            row_number().over(Window.orderBy(ordKeys: _*)).cast("long") - 1L)
+      }
     GTable(posed.join(broadcast(req), col("_gq_take_rid") === col("_gq_take_idx"))
       .orderBy(col("_gq_take_pos"))
-      .drop("_gq_take_rid", "_gq_take_idx", "_gq_take_pos"))
+      .drop("_gq_take_rid", "_gq_take_idx", "_gq_take_pos"), denseRid = false)
   }
 
   /** Existence probe scanning ≤ limit rows (reference: interface.py:151-157). */
@@ -224,11 +254,11 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
       if (from == to) d else d.withColumnRenamed(from, to) }
     val overlap = rAligned.columns.toSet.intersect(l0.columns.toSet) -- keys.toSet
     val rRenamed = overlap.foldLeft(rAligned)((d, c) => d.withColumnRenamed(c, rname(c)))
-    GTable(l0.join(rRenamed, keys, how))
+    GTable(l0.join(rRenamed, keys, how), denseRid = false)
   }
 
   def crossJoin(right: GTable): GTable =
-    GTable(Natural.strip(df).crossJoin(Natural.strip(right.df)))
+    GTable(Natural.strip(df).crossJoin(Natural.strip(right.df)), denseRid = false)
 
   /** As-of join (reference: interface.py:354-383): for each left row the
     * nearest right row with r.on ≤ l.on (backward direction), matched within
@@ -339,7 +369,7 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
     val out = keys.map(col) ++
       leftCols.filterNot(keys.contains).map(c => col("_gq_l").getField(c).as(c)) ++
       rValueCols.map(c => when(col("_gq_ok"), col("_gq_m").getField(c)).as(c))
-    GTable(withMatch.select(out: _*))
+    GTable(withMatch.select(out: _*), denseRid = false)
   }
 
   /** Index join (reference `takeFrom`, models.py:215-221): use this table's
@@ -350,7 +380,7 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
   def takeFrom(field: String, other: GTable): GTable = {
     val indices = df.select(col(field).cast("long").as(Natural.rid)).distinct()
     GTable(other.df.join(broadcast(indices), Seq(Natural.rid), "left_semi")
-      .orderBy(col(Natural.rid)))
+      .orderBy(col(Natural.rid)), denseRid = false)
   }
 
   // ─── Set ops (reference: interface.py:397-422) ───
@@ -384,7 +414,7 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
       case (Some(o), true)  => df.select((others ++ Seq(posexplode_outer(col(name)))): _*)
         .withColumnRenamed("pos", o).withColumnRenamed("col", name)
     }
-    GTable(exploded)
+    GTable(exploded, denseRid = false)
   }
 
   /** Gaps-and-islands: group by *adjacent* equal values of `by` (plus custom
@@ -407,6 +437,10 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
                       split: Seq[(String => Column, String => Column) => Column] = Nil,
                       aggs: Seq[Column] = Nil, counts: Option[String] = None,
                       blockSize: Long = 1L << 20): GTable = {
+    // adjacency here is the rid+1 equi-join — valid only while the rid is
+    // dense positions; after a filter use `runs` (rid-ordered window)
+    require(hasDensePositions,
+      "runsDistributed requires dense natural positions; use runs() on filtered tables")
     val cur = (c: String) => col(c)
     val prev = (c: String) => col(s"_gq_p_$c")
     val needed = (by ++ df.columns.filterNot(_ == Natural.rid)).distinct
@@ -434,7 +468,7 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
     val allAggs = firstOfBy ++ aggs ++ counts.map(n => GTable.cnt.as(n)) :+
       min(col(Natural.rid)).as(Natural.rid)
     GTable(withRun.groupBy(col("_gq_run")).agg(allAggs.head, allAggs.tail: _*)
-      .drop("_gq_run").orderBy(col(Natural.rid)))
+      .drop("_gq_run").orderBy(col(Natural.rid)), denseRid = false)
   }
 
   /** Distributed cumulative aggregate over natural order (reference
@@ -466,7 +500,34 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
         when(col("_gq_pref").isNull, agg(valueCol).over(wBlk))
           .otherwise(combine(col("_gq_pref"), agg(valueCol).over(wBlk))))
       .drop("_gq_blk", "_gq_pref")
-    GTable(out)
+    copy(df = out)
+  }
+
+  // ─── Sink (reference: the dataset is also a pipeline stage; SURVEY §2.1
+  //      sink — user-facing write, reusing the hive repartitioner and the
+  //      bucketed-table path from Scale) ───
+
+  /** Write the table as parquet. `partitionBy` → hive layout with optional
+    * within-fragment sort (ParquetMeta.repartitionTo: clustered so each
+    * partition directory is written by one task, not #tasks fragment
+    * files); `bucketBy` → a bucketed+sorted saved table for exchange-free
+    * repeated joins (Scale.writeBucketed); neither → plain parquet dir.
+    * Hidden columns are stripped; explicit sort is preserved in file order
+    * for the plain path. */
+  def write(dest: String, partitionBy: Seq[String] = Nil,
+            sortWithin: Seq[String] = Nil,
+            bucketBy: Option[(Int, Seq[String])] = None): Unit = {
+    val out = result
+    (partitionBy, bucketBy) match {
+      case (_, Some((n, keys))) =>
+        graft.core.Scale.writeBucketed(out, dest, keys, n)
+      case (keys, None) if keys.nonEmpty =>
+        graft.sources.ParquetMeta.repartitionTo(out, dest, keys, sortWithin)
+      case _ =>
+        val sorted = if (sortWithin.nonEmpty)
+          out.sortWithinPartitions(sortWithin.map(col): _*) else out
+        sorted.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dest)
+    }
   }
 
   def runs(by: Seq[String],
@@ -484,7 +545,7 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil) {
     val allAggs = firstOfBy ++ aggs ++ counts.map(n => GTable.cnt.as(n)) :+
       min(rid).as(Natural.rid)
     GTable(withRun.groupBy(col("_gq_run")).agg(allAggs.head, allAggs.tail: _*)
-      .drop("_gq_run").orderBy(col(Natural.rid)))
+      .drop("_gq_run").orderBy(col(Natural.rid)), denseRid = false)
   }
 }
 

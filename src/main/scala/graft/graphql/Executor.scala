@@ -26,7 +26,8 @@ import GVal._
   * toSql, plan, _service{sdl}.
   */
 final class GraphQLService(spark: SparkSession, sfDir: String,
-                           names: Seq[String] = Tables.names) {
+                           names: Seq[String] = Tables.names,
+                           keys: Map[String, Seq[String]] = Map.empty) {
 
   /** Per-table roots; natural order attached so slice/row work. Memoized —
     * the row-id attach runs a (metadata-only) per-file count job once per
@@ -52,6 +53,28 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           case "sdl" => Json.quote(sdl)
           case other => throw new IllegalArgumentException(s"unknown _service field '$other'")
         })))
+      } else if (f.name == "_entities") {
+        // federation entity resolution (reference middleware.py:104-141 +
+        // tests/test_dataset.py:148-152): each representation names a typed
+        // table plus its @key field values; the entity is the table filtered
+        // to those keys, served with the (inline-fragment) selection set
+        val reps = f.arg("representations").toSeq.flatMap {
+          case GList(items) => items.collect { case o: GObj => o }
+          case o: GObj => Seq(o)
+          case _ => Nil
+        }
+        val t0 = System.nanoTime()
+        val resolved = reps.map { rep =>
+          val typename = rep.get("__typename").collect { case GStr(s) => s }
+            .getOrElse(throw new IllegalArgumentException("representation needs __typename"))
+          val table = names.find(n => SchemaGen.typeName(n) == typename)
+            .getOrElse(throw new IllegalArgumentException(s"unknown entity type '$typename'"))
+          val preds = rep.v.filterNot(_._1 == "__typename").map { case (k, v) =>
+            col(k) === lit(Exprs.scalaOf(v)) }
+          resolveTable(roots(table)().filter(preds: _*), f, None)
+        }
+        timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
+        f.outName -> resolved.mkString("[", ",", "]")
       } else if (f.name == "sql") {
         // SQL escape hatch as a root field: every table is a view
         // (reference supports raw SQL through its engine; §2.11)
@@ -78,8 +101,9 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       "extensions" -> Json.obj(Seq("timing_ms" -> Json.obj(timings.result())))))
   }
 
-  /** SDL reflection (reference `_service { sdl }`). */
-  def sdl: String = SchemaGen.sdl(spark, sfDir, names)
+  /** SDL reflection (reference `_service { sdl }`); tables with configured
+    * federation keys carry `@key(fields: ...)` directives. */
+  def sdl: String = SchemaGen.sdl(spark, sfDir, names, keys)
 
   // ─── resolvers ───
 
@@ -239,9 +263,14 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         f.arg("keep_empty").collect { case GBool(b) => b }.getOrElse(false)), f, None)
     case "runs" =>
       // served path is the distributed variant — block prefix-sum run ids,
-      // never a global single-partition window (GTable.runsDistributed)
-      resolveTable(t.runsDistributed(strListArg(f, "by"),
-        counts = f.arg("counts").collect { case GStr(c) => c }), f, None)
+      // never a global single-partition window. A filtered table has sparse
+      // rids (adjacency ≠ rid+1), so it falls back to the rid-ordered
+      // window form.
+      val counts = f.arg("counts").collect { case GStr(c) => c }
+      val by = strListArg(f, "by")
+      resolveTable(
+        if (t.hasDensePositions) t.runsDistributed(by, counts = counts)
+        else t.runs(by, counts = counts), f, None)
     case "window" => resolveWindow(t, f)
     case "optional" =>
       // nullable self: stops error propagation for partial results

@@ -43,20 +43,25 @@ object SchemaGen {
       }
     }
 
-  def sdl(spark: SparkSession, sfDir: String, names: Seq[String]): String = {
+  def sdl(spark: SparkSession, sfDir: String, names: Seq[String],
+          keys: Map[String, Seq[String]] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append("type Query {\n")
     names.foreach(n => sb.append(s"  $n: ${typeName(n)}\n"))
     sb.append("}\n")
     names.foreach { n =>
       val schema = Tables.load(spark, sfDir, n).schema
-      sb.append(s"\ntype ${typeName(n)} {\n")
+      // federation @key directive per configured table (reference
+      // middleware.py:138-141 strawberry.federation.type(keys=...))
+      val keyDir = keys.get(n).filter(_.nonEmpty)
+        .map(ks => s""" @key(fields: "${ks.mkString(" ")}")""").getOrElse("")
+      sb.append(s"\ntype ${typeName(n)}$keyDir {\n")
       typeFields(schema).foreach { case (f, t) => sb.append(s"  $f: $t\n") }
       sb.append("}\n")
     }
     sb.toString
   }
 
-  private def typeName(table: String): String =
+  def typeName(table: String): String =
     table.head.toUpper +: table.tail
 }
