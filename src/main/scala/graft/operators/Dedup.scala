@@ -87,21 +87,19 @@ object Dedup {
       array_min(transform(sh, s => xxhash64(s, i))))
   }
 
-  /** Relational MinHash signatures: explode shingles once, hash each
-    * shingle row k times, min-aggregate per doc — tokenization runs once
-    * per doc (the expression form re-tokenized per hash function: 65× the
-    * work, measured 380s → 3s at sf0.1). Map-side partial min keeps the
-    * shuffle at k longs per doc. */
+  /** MinHash signatures via the fused native expression
+    * ([[graft.expressions.MinHashSignature]]): one compiled pass per doc —
+    * no shingle explode, no shuffle, no wide min-aggregate. The earlier
+    * relational form (explode → k seeded hashes → 64 min accumulators) was
+    * correct but spent its time in interpreted higher-order lambdas and a
+    * 64-wide hash aggregate (~7 s of the 8.6 s sf0.1 bench); the fused
+    * sketch is a plain map stage — the shape a 1000-executor scan wants. */
   private def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                                n: Int, k: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("_s"))
-      .select(col("id"), xxhash64(col("_s")).as("_h"))
-    // k seeded hashes of the 8-byte base hash, not of the string — same
-    // independence, a fraction of the hashing bytes
-    val aggs = (0 until k).map(i => min(xxhash64(col("_h"), lit(i))).as(s"_m$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
-  }
+                                n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.expressions.MinHashFunctions
+          .signature(df.sparkSession, col(textCol), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH candidate pairs from MinHash signatures: `bands` bands of
     * `k/bands` rows each; docs sharing any band bucket are candidates;
