@@ -153,6 +153,30 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         f.arg("keep").collect { case GEnum(k) => k; case GStr(k) => k }.getOrElse("first"),
         f.arg("counts").collect { case GStr(c) => c }), f, None)
     case "columns" => resolveColumns(t, f)
+    case "column" =>
+      // column(name: [..], cast:, try:, index: [..]): any column by (nested)
+      // name / array offset, optionally cast — served as a Column object
+      // (reference interface.py:165-176)
+      val nameParts = strListArg(f, "name")
+      require(nameParts.nonEmpty, "column needs name:")
+      val idx = f.arg("index").toSeq.flatMap {
+        case GList(items) => items.collect { case GInt(i) => i }
+        case GInt(i) => Seq(i)
+        case _ => Nil
+      }
+      val base = nameParts.tail.foldLeft(col(nameParts.head))(_.getField(_))
+      val indexed = idx.foldLeft(base)((c, i) =>
+        if (i >= 0) element_at(c, i.toInt + 1) else element_at(c, i.toInt))
+      val castTo = f.arg("cast").collect { case GStr(s) if s.nonEmpty => s }
+      val tryCast = f.arg("try").collect { case GBool(b) => b }.getOrElse(false)
+      val outCol = castTo.fold(indexed)(ddl =>
+        if (tryCast) indexed.try_cast(DataType.fromDDL(ddl).sql)
+        else indexed.cast(DataType.fromDDL(ddl)))
+      val alias = f.outName
+      val keep = if (Natural.hasRowId(t.df))
+        Seq(outCol.as(alias), col(Natural.rid)) else Seq(outCol.as(alias))
+      resolveOneColumn(GTable(t.df.select(keep: _*), t.sortedBy, t.denseRid),
+        f.copy(name = alias, alias = None))
     case "row" => resolveRow(t, longArg(f, "index").getOrElse(0L))
     case "project" => resolveProject(t, f, sql)
     case "cast" =>
@@ -440,11 +464,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
   private def resolveGroup(t: GTable, f: GField, sql: Option[String]): String = {
     val by = strListArg(f, "by")
     val counts = f.arg("counts").collect { case GStr(c) => c }
-    val firstSeen = f.arg("order").exists {
-      case GEnum(o) => o.equalsIgnoreCase("first_seen")
-      case GStr(o) => o.equalsIgnoreCase("first_seen")
-      case _ => false
+    // order: names a first-seen position column added to the output, and
+    // sorts the groups by it (reference interface.py:240-243, where order
+    // mutates a row_number and keeps its first() per group); the bare
+    // FIRST_SEEN enum orders without exposing the column
+    val orderName = f.arg("order").collect {
+      case GEnum(o) if o.nonEmpty => o
+      case GStr(o) if o.nonEmpty => o
     }
+    val firstSeen = orderName.nonEmpty
+    val exposeOrder = orderName.filterNot(_.equalsIgnoreCase("first_seen"))
     val aggs = f.arg("aggregate").toSeq.flatMap {
       case GObj(kinds) => kinds.flatMap {
         case (fn, GList(specs)) => specs.map {
@@ -469,8 +498,14 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         val sel = (by ++ aggSqls.flatten).mkString(", ")
         s"SELECT $sel FROM ($q)" + (if (by.nonEmpty) s" GROUP BY ${by.mkString(", ")}" else "")
       } else None
-    resolveTable(t.group(by, aggs, counts,
-      firstSeenOrder = firstSeen && Natural.hasRowId(t.df)), f, groupSql)
+    val grouped = t.group(by, aggs, counts,
+      firstSeenOrder = firstSeen && Natural.hasRowId(t.df))
+    val out = exposeOrder match {
+      // the hidden min-rid IS the first-seen 0-based position on a dense root
+      case Some(n) if Natural.hasRowId(grouped.df) => grouped.project(n -> col(Natural.rid))
+      case _ => grouped
+    }
+    resolveTable(out, f, groupSql)
   }
 
   /** One aggregate spec → aliased Column (reference Aggregate subclasses,

@@ -329,6 +329,23 @@ class GraphQLSpec extends SparkSpec {
     assert(viaTake(1).getInt(0) == expectFirst) // request order preserved
   }
 
+  test("column(name/cast/index) field and group order column") {
+    val r = service.execute(
+      """{ nation { column(name: ["n_name"]) { count first } } }""")
+    assert(r.contains(""""count":25"""))
+    val r2 = service.execute(
+      """{ orders { slice(limit: 10) {
+           column(name: ["o_totalprice"], cast: "INT") { max type } } } }""")
+    assert(r2.contains(""""type":"int""""))
+    val r3 = service.execute(
+      """{ events { group(by: ["event_type"], counts: "n", order: "ord") {
+           columns { event_type { values } ord { values } } } } }""")
+    // ord = first-seen 0-based position, ascending because groups are sorted by it
+    val ords = """"ord":\{"values":\[([^\]]*)\]""".r.findFirstMatchIn(r3).get.group(1)
+      .split(",").map(_.trim.toLong)
+    assert(ords.head == 0L && ords.sameElements(ords.sorted))
+  }
+
   test("variables and fragments resolve in the parser") {
     val doc = Parser.parse(
       """query Q($k: Int = 3) { nation { filter(n_regionkey: {eq: $k}) { ...C } } }
