@@ -149,9 +149,21 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     case "group" => resolveGroup(t, f, sql)
     case "distinct" =>
       val on = strListArg(f, "on")
-      resolveTable(t.distinctOn(on,
-        f.arg("keep").collect { case GEnum(k) => k; case GStr(k) => k }.getOrElse("first"),
-        f.arg("counts").collect { case GStr(c) => c }), f, None)
+      // keep: null = drop order information entirely (reference keep=None)
+      val keep = f.arg("keep").map {
+        case GEnum(k) => k; case GStr(k) => k; case GNull => "none"
+        case other => throw new IllegalArgumentException(s"keep: $other")
+      }.getOrElse("first")
+      val distinctT = t.distinctOn(on, keep, f.arg("counts").collect { case GStr(c) => c })
+      // order: names a first-seen position column (reference test_service
+      // distinct(on:, order: "idx") → int64 column)
+      val out = f.arg("order").collect { case GStr(o) if o.nonEmpty => o } match {
+        case Some(n) if Natural.hasRowId(distinctT.df) =>
+          GTable(distinctT.df.withColumn(n, col(Natural.rid))
+            .orderBy(col(Natural.rid)), denseRid = false)
+        case _ => distinctT
+      }
+      resolveTable(out, f, None)
     case "columns" => resolveColumns(t, f)
     case "column" =>
       // column(name: [..], cast:, try:, index: [..]): any column by (nested)
@@ -180,17 +192,19 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     case "row" => resolveRow(t, longArg(f, "index").getOrElse(0L))
     case "project" => resolveProject(t, f, sql)
     case "cast" =>
-      // cast(columns: [{name, type}], try: bool) (reference interface.py:129-136)
+      // cast(schema: {name, type} | [..], try: bool) — `columns` accepted as
+      // an alias for the arg name (reference interface.py:129-136 `schema`)
       val tryMode = f.arg("try").collect { case GBool(b) => b }.getOrElse(false)
-      val types = f.arg("columns").toSeq.flatMap {
-        case GList(items) => items.collect { case o: GObj =>
-          val nm = o.get("name").collect { case GStr(n) => n }
-            .getOrElse(throw new IllegalArgumentException("cast needs name"))
-          val ty = o.get("type").collect { case GStr(s) => s; case GEnum(s) => s }
-            .getOrElse(throw new IllegalArgumentException("cast needs type"))
-          nm -> DataType.fromDDL(ty)
-        }
+      val types = (f.arg("schema").toSeq ++ f.arg("columns").toSeq).flatMap {
+        case GList(items) => items.collect { case o: GObj => o }
+        case o: GObj => Seq(o)
         case _ => Nil
+      }.map { o =>
+        val nm = o.get("name").collect { case GStr(n) => n }
+          .getOrElse(throw new IllegalArgumentException("cast needs name"))
+        val ty = o.get("type").collect { case GStr(s) => s; case GEnum(s) => s }
+          .getOrElse(throw new IllegalArgumentException("cast needs type"))
+        nm -> DataType.fromDDL(ty)
       }
       resolveTable(t.cast(types, tryMode), f,
         sql.map { q =>
@@ -282,19 +296,67 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     case "unnest" =>
       val name = f.arg("name").collect { case GStr(n) => n }
         .getOrElse(throw new IllegalArgumentException("unnest needs name:"))
-      resolveTable(t.unnest(name,
-        f.arg("offset").collect { case GStr(o) => o },
-        f.arg("keep_empty").collect { case GBool(b) => b }.getOrElse(false)), f, None)
+      // order: adds the element offset column AND sorts by it (reference
+      // test_service unnest(order: "idx"))
+      val orderAlias = f.arg("order").collect { case GStr(o) if o.nonEmpty => o }
+      val offsetAlias = f.arg("offset").collect { case GStr(o) => o }.orElse(orderAlias)
+      val un = t.unnest(name, offsetAlias,
+        f.arg("keep_empty").collect { case GBool(b) => b }.getOrElse(false))
+      val out = orderAlias.fold(un)(o =>
+        GTable(un.df.orderBy(col(o)), sortedBy = Seq(col(o).asc), denseRid = false))
+      resolveTable(out, f, None)
     case "runs" =>
-      // served path is the distributed variant — block prefix-sum run ids,
-      // never a global single-partition window. A filtered table has sparse
-      // rids (adjacency ≠ rid+1), so it falls back to the rid-ordered
-      // window form.
+      // runs(by:, split: [{window: {op: {name}}}], aggregate:, counts:,
+      // order:) — reference interface.py:471-489. Served path is the
+      // distributed variant (block prefix-sum run ids, never a global
+      // single-partition window); a filtered table has sparse rids
+      // (adjacency ≠ rid+1) and falls back to the rid-ordered window form.
       val counts = f.arg("counts").collect { case GStr(c) => c }
       val by = strListArg(f, "by")
-      resolveTable(
-        if (t.hasDensePositions) t.runsDistributed(by, counts = counts)
-        else t.runs(by, counts = counts), f, None)
+      val aggs = aggregatesOf(t, f)
+      val splits = f.arg("split").toSeq.flatMap {
+        case GList(xs) => xs
+        case o: GObj => Seq(o)
+        case _ => Nil
+      }.collect { case o: GObj =>
+        o.get("window") match {
+          case Some(GObj(wf)) =>
+            val (ops, _) = wf.partition { case (k, _) =>
+              !Set("over", "by", "offset", "default").contains(k) }
+            val (op, arg) = ops.headOption
+              .getOrElse(throw new IllegalArgumentException("split window needs an op"))
+            val nm = arg match {
+              case GObj(Seq(("name", GStr(n)))) => n
+              case GStr(n) => n
+              case other => throw new IllegalArgumentException(s"split operand $other")
+            }
+            (op, nm)
+          case _ => throw new IllegalArgumentException("split expects {window: {...}}")
+        }
+      }
+      def cmp(op: String): (Column, Column) => Column = op match {
+        case "eq" => _ === _; case "ne" => _ =!= _
+        case "lt" => _ < _; case "le" => _ <= _
+        case "gt" => _ > _; case "ge" => _ >= _
+        case other => throw new IllegalArgumentException(s"split op '$other'")
+      }
+      val ran =
+        if (t.hasDensePositions)
+          t.runsDistributed(by,
+            splits.map { case (op, nm) =>
+              (cur: String => Column, prev: String => Column) => cmp(op)(cur(nm), prev(nm)) },
+            aggs, counts)
+        else t.runs(by,
+          splits.map { case (op, nm) =>
+            (w: org.apache.spark.sql.expressions.WindowSpec) =>
+              cmp(op)(col(nm), lag(col(nm), 1).over(w)) },
+          aggs, counts)
+      // order: names the first-seen position column of each run
+      val out = f.arg("order").collect { case GStr(o) if o.nonEmpty => o } match {
+        case Some(n) if Natural.hasRowId(ran.df) => ran.project(n -> col(Natural.rid))
+        case _ => ran
+      }
+      resolveTable(out, f, None)
     case "window" => resolveWindow(t, f)
     case "optional" =>
       // nullable self: stops error propagation for partial results
@@ -322,15 +384,25 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     * explicitly sorted table they follow the sort via a window over the sort
     * keys. */
   private def resolveProject(t: GTable, f: GField, sql: Option[String]): String = {
-    val specs = f.arg("columns").toSeq.flatMap {
-      case GList(items) => items.map {
-        case o @ GObj(fields) =>
-          val alias = o.get("alias").collect { case GStr(a) => a }
-            .getOrElse(throw new IllegalArgumentException("projection needs alias"))
-          alias -> GObj(fields.filterNot(_._1 == "alias"))
-        case _ => throw new IllegalArgumentException("projection must be an object")
-      }
-      case _ => throw new IllegalArgumentException("project(columns:) expects a list")
+    val items = f.arg("columns").toSeq.flatMap {
+      case GList(xs) => xs
+      case o: GObj => Seq(o)
+      case _ => throw new IllegalArgumentException("project(columns:) expects objects")
+    }
+    val specs = items.map {
+      case o @ GObj(fields) =>
+        // alias defaults to the (joined) name path (reference
+        // Projection.to_ibis, inputs.py:318-326)
+        val alias = o.get("alias").collect { case GStr(a) if a.nonEmpty => a }
+          .orElse(o.get("name").collect {
+            case GStr(s) => s
+            case GList(parts) => parts.collect {
+              case GStr(s) => s; case GInt(i) => i.toString }.mkString(".")
+          }.filter(_.nonEmpty))
+          .getOrElse(throw new IllegalArgumentException(
+            "projected fields require a name or alias"))
+        alias -> GObj(fields.filterNot(_._1 == "alias"))
+      case _ => throw new IllegalArgumentException("projection must be an object")
     }
     var out = t
     val plainCols = Seq.newBuilder[(String, Column)]
@@ -474,17 +546,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     }
     val firstSeen = orderName.nonEmpty
     val exposeOrder = orderName.filterNot(_.equalsIgnoreCase("first_seen"))
-    val aggs = f.arg("aggregate").toSeq.flatMap {
-      case GObj(kinds) => kinds.flatMap {
-        case (fn, GList(specs)) => specs.map {
-          case o: GObj => aggCol(t, fn, o)
-          case _ => throw new IllegalArgumentException("aggregate spec must be an object")
-        }
-        case (fn, o: GObj) => Seq(aggCol(t, fn, o))
-        case (fn, _) => throw new IllegalArgumentException(s"aggregate.$fn expects a list")
-      }
-      case _ => throw new IllegalArgumentException("aggregate expects an object")
-    }
+    val aggs = aggregatesOf(t, f)
     val aggSqls = f.arg("aggregate").toSeq.flatMap {
       case GObj(kinds) => kinds.flatMap {
         case (fn, GList(specs)) => specs.collect { case o: GObj => aggSql(fn, o) }
@@ -507,6 +569,21 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     }
     resolveTable(out, f, groupSql)
   }
+
+  /** aggregate: {kind: spec | [specs], ...} → aliased Columns (shared by
+    * group and runs). */
+  private def aggregatesOf(t: GTable, f: GField): Seq[Column] =
+    f.arg("aggregate").toSeq.flatMap {
+      case GObj(kinds) => kinds.flatMap {
+        case (fn, GList(specs)) => specs.map {
+          case o: GObj => aggCol(t, fn, o)
+          case _ => throw new IllegalArgumentException("aggregate spec must be an object")
+        }
+        case (fn, o: GObj) => Seq(aggCol(t, fn, o))
+        case (fn, _) => throw new IllegalArgumentException(s"aggregate.$fn expects a list")
+      }
+      case _ => throw new IllegalArgumentException("aggregate expects an object")
+    }
 
   /** One aggregate spec → aliased Column (reference Aggregate subclasses,
     * inputs.py:132-203). Spec keys: name, alias (default = name), where,

@@ -346,6 +346,52 @@ class GraphQLSpec extends SparkSpec {
     assert(ords.head == 0L && ords.sameElements(ords.sorted))
   }
 
+  test("reference argument forms: cast(schema:), alias-from-name, keep null, unnest order") {
+    val r = service.execute(
+      """{ nation { cast(schema: {name: "n_nationkey", type: "BIGINT"}) {
+           column(name: ["n_nationkey"]) { type } } } }""")
+    assert(r.contains(""""type":"bigint""""))
+    // bare-name projection aliases itself; name+op is a conflict; no name
+    // and no alias errors with the reference's message
+    val r2 = service.execute(
+      """{ nation { project(columns: {name: "n_name"}) { count } } }""")
+    assert(r2.contains(""""count":25"""))
+    intercept[IllegalArgumentException](service.execute(
+      """{ nation { project(columns: {string: {lower: {name: "n_name"}}}) { count } } }"""))
+    intercept[IllegalArgumentException](service.execute(
+      """{ nation { project(columns: {name: "n_name", value: 1, alias: "x"}) { count } } }"""))
+    val r3 = service.execute("""{ orders { distinct(on: ["o_orderstatus"], keep: null) { count } } }""")
+    assert(r3.contains(""""count":3"""))
+    val r4 = service.execute(
+      """{ customer { slice(limit: 5) {
+           project(columns: [{alias: "parts", string: {split: [{name: "c_name"}, {value: "#"}]}}]) {
+             unnest(name: "parts", order: "idx") {
+               columns { idx { values } } } } } } }""")
+    val idx = """"idx":\{"values":\[([^\]]*)\]""".r.findFirstMatchIn(r4).get.group(1)
+      .split(",").map(_.trim.toInt)
+    assert(idx.sameElements(idx.sorted))
+  }
+
+  test("runs with split predicate, aggregate, and order column") {
+    val r = service.execute(
+      """{ events { runs(split: {window: {gt: {name: "value"}}}, counts: "c", order: "pos") {
+           count schema { names } } } }""")
+    val n = """"count":(\d+)""".r.findFirstMatchIn(r).get.group(1).toInt
+    assert(n > 1)
+    assert(r.contains("pos") && r.contains("\"c\""))
+    val r2 = service.execute(
+      """{ events { runs(by: ["event_type"], aggregate: {mean: {name: "value", alias: "v"}}, counts: "n") {
+           count } } }""")
+    assert(""""count":(\d+)""".r.findFirstMatchIn(r2).get.group(1).toInt > 1)
+    // distinct(order:) exposes the first-seen position column
+    val r3 = service.execute(
+      """{ orders { distinct(on: ["o_orderstatus"], order: "idx") {
+           columns { o_orderstatus { values } idx { values } } } } }""")
+    val idx = """"idx":\{"values":\[([^\]]*)\]""".r.findFirstMatchIn(r3).get.group(1)
+      .split(",").map(_.trim.toLong)
+    assert(idx.head == 0L && idx.sameElements(idx.sorted))
+  }
+
   test("variables and fragments resolve in the parser") {
     val doc = Parser.parse(
       """query Q($k: Int = 3) { nation { filter(n_regionkey: {eq: $k}) { ...C } } }
