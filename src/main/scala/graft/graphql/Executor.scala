@@ -374,6 +374,12 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     Json.obj(f.sels.map(s => s.outName -> (s.name match {
       case "names" => Json.write(fields.map(_.name).toSeq)
       case "types" => Json.write(fields.map(_.dataType.simpleString).toSeq)
+      case "partitioning" =>
+        // hive partition keys detected from the scan's file paths
+        // (reference schema.partitioning, test_dataset.py:66-70)
+        val keys = t.df.inputFiles.flatMap(_.split('/')
+          .filter(_.contains('=')).map(_.takeWhile(_ != '='))).distinct.toSeq
+        Json.write(keys)
       case other => throw new IllegalArgumentException(s"unknown schema field '$other'")
     })))
   }
@@ -458,6 +464,10 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     * membership (inputs.py:125-129). */
   private def filterPreds(t: GTable, f: GField): Seq[Column] =
     f.args.flatMap {
+      // a multi-key where object ANDs its predicates (reference
+      // test_dataset.py:29-31 — filter(where: {lt: [...], eq: [...]}))
+      case ("where", GObj(fields)) if fields.length > 1 =>
+        fields.map(kv => Exprs.compile(GObj(Seq(kv))))
       case ("where", e) => Seq(Exprs.compile(e))
       case (colName, GObj(preds)) => preds.map { case (op, v) =>
         val c = col(colName)
