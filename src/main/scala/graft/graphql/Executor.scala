@@ -27,15 +27,21 @@ import GVal._
   */
 final class GraphQLService(spark: SparkSession, sfDir: String,
                            names: Seq[String] = Tables.names,
-                           keys: Map[String, Seq[String]] = Map.empty) {
+                           keys: Map[String, Seq[String]] = Map.empty,
+                           extraRoots: Map[String, String] = Map.empty) {
 
   /** Per-table roots; natural order attached so slice/row work. Memoized —
     * the row-id attach runs a (metadata-only) per-file count job once per
-    * table, not once per request. */
+    * table, not once per request. `extraRoots` maps additional root names to
+    * parquet paths — e.g. hive-partitioned directories (the reference's
+    * FileSystemDataset root; partition pruning and the schema.partitioning
+    * leaf come from the scan). */
   private val rootCache = scala.collection.concurrent.TrieMap.empty[String, GTable]
   private val roots: Map[String, () => GTable] =
     names.map(n => n -> (() =>
-      rootCache.getOrElseUpdate(n, GTable(Tables.loadOrdered(spark, sfDir, n))))).toMap
+      rootCache.getOrElseUpdate(n, GTable(Tables.loadOrdered(spark, sfDir, n))))).toMap ++
+    extraRoots.map { case (n, path) => n -> (() =>
+      rootCache.getOrElseUpdate(n, GTable(Natural.withRowId(spark, path)))) }
 
   private lazy val viewsRegistered: Unit =
     names.foreach(n => roots(n)().result.createOrReplaceTempView(n))
@@ -375,10 +381,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       case "names" => Json.write(fields.map(_.name).toSeq)
       case "types" => Json.write(fields.map(_.dataType.simpleString).toSeq)
       case "partitioning" =>
-        // hive partition keys detected from the scan's file paths
+        // hive partition keys read from the scan relations' partition schema
         // (reference schema.partitioning, test_dataset.py:66-70)
-        val keys = t.df.inputFiles.flatMap(_.split('/')
-          .filter(_.contains('=')).map(_.takeWhile(_ != '='))).distinct.toSeq
+        val keys = t.df.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.partitionSchema.fieldNames.toSeq
+              case _ => Nil
+            }
+        }.flatten.distinct
         Json.write(keys)
       case other => throw new IllegalArgumentException(s"unknown schema field '$other'")
     })))

@@ -392,6 +392,20 @@ class GraphQLSpec extends SparkSpec {
     assert(idx.head == 0L && idx.sameElements(idx.sorted))
   }
 
+  test("hive-partitioned extra root: partitioning leaf + partition-pruned filter") {
+    import graft.core.{GTable, Tables}
+    import graft.graphql.GraphQLService
+    val dir = java.nio.file.Files.createTempDirectory("graft_hive_root").toString + "/nation"
+    GTable(Tables.load(spark, sf, "nation")).write(dir, partitionBy = Seq("n_regionkey"))
+    val svc = new GraphQLService(spark, sf, extraRoots = Map("nhive" -> dir))
+    val r = svc.execute(
+      """{ nhive { schema { partitioning } count
+           filter(n_regionkey: {eq: 2}) { count } } }""")
+    assert(r.contains(""""partitioning":["n_regionkey"]"""), r.take(300))
+    assert(r.contains(""""count":25"""))
+    assert(r.contains(""""count":5"""))
+  }
+
   test("variables and fragments resolve in the parser") {
     val doc = Parser.parse(
       """query Q($k: Int = 3) { nation { filter(n_regionkey: {eq: $k}) { ...C } } }
