@@ -67,13 +67,22 @@ object TextAnalysis {
 
   /** Deterministic rolling-hash fingerprint: outer polynomial fold over
     * tokens, inner fold over character codes — mod 1e9+7 keeps every
-    * intermediate exact in a long (ANSI-safe) and is reproducible in SQL. */
-  def fingerprint(text: Column): Column = {
+    * intermediate exact in a long (ANSI-safe) and is reproducible in SQL.
+    * Composable reference form; [[fingerprint]] is the fused compiled
+    * expression with bit-identical results (spec-asserted). */
+  def fingerprintComposable(text: Column): Column = {
     val toks = tokens(text)
     val tokenKey = (t: Column) => aggregate(
       transform(sequence(lit(1), greatest(length(t), lit(1))),
         i => ascii(substring(t, i, lit(1))).cast("long")),
       lit(7L), (acc, c) => (acc * 131 + c) % 1000000007L)
     aggregate(toks, lit(0L), (acc, t) => (acc * 31 + tokenKey(t)) % 1000000007L)
+  }
+
+  /** Fused fingerprint (one compiled pass per doc — the per-character
+    * interpreted lambdas of the composable form dominate at scale). */
+  def fingerprint(text: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.expressions.TextFunctions.fingerprint(spark, text)
   }
 }

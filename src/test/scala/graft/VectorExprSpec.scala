@@ -7,6 +7,24 @@ import graft.operators.Similarity
 
 class VectorExprSpec extends SparkSpec {
 
+  test("RollingFingerprint is bit-identical to the composable fold") {
+    import graft.core.Tables
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sf, "documents")
+    val both = docs.select(
+      TextAnalysis.fingerprint(col("text")).as("fused"),
+      TextAnalysis.fingerprintComposable(col("text")).as("composed"))
+    assert(both.filter(!(col("fused") <=> col("composed"))).count() == 0)
+    // edge cases: empty, whitespace-led/trailed, multi-space
+    import spark.implicits._
+    val edge = Seq("", " ", "a  b", " x ", "Hello WORLD").toDF("text")
+    val e = edge.select(
+      TextAnalysis.fingerprint(col("text")).as("fused"),
+      TextAnalysis.fingerprintComposable(col("text")).as("composed"))
+    assert(e.filter(!(col("fused") <=> col("composed"))).count() == 0)
+  }
+
+
   test("FloatVectorDot is bit-identical to the composable fold") {
     val e = Tables.load(spark, sf, "embeddings").limit(100)
     val both = e.select(
