@@ -530,6 +530,161 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     }
   }
 
+  /** Distributed per-key rankings for LOW-CARDINALITY partition keys — the
+    * case where a plain window collapses to #keys tasks no matter how many
+    * executors exist.
+    *
+    * Strategy: range-repartition on (keys, order) so each range holds a
+    * contiguous slice of every key's sorted run; compute in-range window
+    * ranks (parallel across ranges); merge with driver-side per-(key,range)
+    * prefix stats (rows before, distinct order values before) broadcast
+    * back. Order values tied ACROSS a range boundary are detected via the
+    * carried boundary value: their rank is pulled back by the carried tie
+    * count and dense rank drops the double-counted boundary value. Equal
+    * (keys ++ order) tuples are contiguous under range partitioning, so
+    * only boundary-value ties need the adjustment.
+    *
+    * `desc(i)` flips the i-th order column. Outputs are 0-based like the
+    * reference's ranking block; percentRank/ntile derive from the merged
+    * rank/rowNumber and per-key totals.
+    */
+  def rankings(partKeys: Seq[String], orderCols: Seq[Column],
+               desc: Seq[Boolean] = Nil,
+               rowNumber: Option[String] = None, rank: Option[String] = None,
+               denseRank: Option[String] = None,
+               percentRank: Option[String] = None,
+               ntile: Option[(Int, String)] = None): GTable = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val dirs = orderCols.indices.map(i => desc.lift(i).getOrElse(false))
+    val sortCols = orderCols.zip(dirs).map { case (c, d) => if (d) c.desc else c.asc }
+    val keyCols = partKeys.map(col)
+    // materialize order values as plain columns once: the equality struct
+    // and the sort keys must agree
+    val ordNames = orderCols.indices.map(i => s"_gq_o$i")
+    val ranged = df
+      .withColumns(ordNames.zip(orderCols).toMap)
+      .repartitionByRange(nParts,
+        (keyCols ++ ordNames.zip(dirs).map { case (n, d) =>
+          if (d) col(n).desc else col(n).asc }): _*)
+      .withColumn("_gq_pid", spark_partition_id())
+    val wp = Window.partitionBy((col("_gq_pid") +: keyCols): _*)
+      .orderBy(ordNames.zip(dirs).map { case (n, d) =>
+        if (d) col(n).desc else col(n).asc }: _*)
+    val ordCols = ordNames.map(col)
+    val ordTuple = struct(ordCols: _*)
+    // persist AFTER the in-range windows: the stats/eqLast aggregations and
+    // the final merge all reuse the ranked cache instead of recomputing the
+    // window three times
+    val withRanks = ranged
+      .withColumn("_gq_wrn", row_number().over(wp))
+      .withColumn("_gq_wrk", org.apache.spark.sql.functions.rank().over(wp))
+      .withColumn("_gq_wdr", dense_rank().over(wp))
+      .persist()
+    // per-(range, key) stats (tiny: ranges x keys rows on the driver)
+    val stats = withRanks
+      .groupBy(col("_gq_pid") +: keyCols: _*)
+      .agg(
+        GTable.cnt.as("_n"),
+        countDistinct(ordTuple).as("_nd"),
+        min_by(ordTuple, col("_gq_wrn")).as("_firstOrd"),
+        max_by(ordTuple, col("_gq_wrn")).as("_lastOrd"),
+        GTable.cnt.minus(max(when(col("_gq_wdr") === 1, lit(0L))
+          .otherwise(lit(0L)))).as("_unused"))
+      .drop("_unused")
+    val eqLast = withRanks
+      .groupBy((col("_gq_pid") +: keyCols) :+ ordTuple.as("_ord"): _*)
+      .agg(GTable.cnt.as("_eqLast"))
+      .withColumnRenamed("_ord", "_lastOrd")
+    val statRows = stats
+      .join(eqLast, Seq("_gq_pid") ++ partKeys ++ Seq("_lastOrd"))
+      .collect()
+    val keyIdx = partKeys.indices
+    final case class RangeStat(pid: Int, key: Seq[Any], n: Long, nd: Long,
+                               firstOrd: Any, lastOrd: Any, eqLast: Long)
+    val sts = statRows.map { r =>
+      RangeStat(r.getAs[Int]("_gq_pid"), keyIdx.map(i => r.get(1 + i)).toSeq,
+        r.getAs[Long]("_n"), r.getAs[Long]("_nd"),
+        r.getAs[Any]("_firstOrd"), r.getAs[Any]("_lastOrd"),
+        r.getAs[Long]("_eqLast"))
+    }
+    val byKey = sts.groupBy(_.key)
+    // fold each key's ranges in order: prefix rows/distincts + carried
+    // boundary order value and its accumulated tie count
+    val merged = byKey.values.flatMap { ss =>
+      var prefixRows = 0L; var prefixDist = 0L
+      var carriedOrd: Any = null; var carriedCount = 0L
+      ss.sortBy(_.pid).map { s =>
+        val row = (s.pid, s.key, prefixRows, prefixDist, carriedOrd, carriedCount)
+        val overlap = carriedOrd != null && s.firstOrd == carriedOrd
+        prefixRows += s.n
+        prefixDist += s.nd - (if (overlap) 1L else 0L)
+        carriedCount = if (carriedOrd != null && s.lastOrd == carriedOrd)
+          carriedCount + s.eqLast else s.eqLast
+        carriedOrd = s.lastOrd
+        row
+      }
+    }.toSeq
+    val keyTotals = byKey.map { case (k, ss) =>
+      var t = 0L; var co: Any = null
+      ss.sortBy(_.pid).foreach { s =>
+        t += s.nd - (if (co != null && s.firstOrd == co) 1L else 0L)
+        co = s.lastOrd
+      }
+      (k, ss.map(_.n).sum, t)
+    }
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val ordSchema = withRanks.select(ordTuple.as("_o")).schema("_o").dataType
+    val prefixSchema = StructType(
+      Seq(StructField("_gq_pid", IntegerType, nullable = false)) ++
+      partKeys.map(k => df.schema(k)) ++ Seq(
+        StructField("_gq_pr", LongType, nullable = false),
+        StructField("_gq_pd", LongType, nullable = false),
+        StructField("_gq_co", ordSchema, nullable = true),
+        StructField("_gq_cc", LongType, nullable = false)))
+    val prefixDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        merged.map { case (pid, key, pr, pd, co, cc) =>
+          org.apache.spark.sql.Row.fromSeq(Seq(pid) ++ key ++ Seq(pr, pd, co, cc)) }).asJava,
+      prefixSchema)
+    val totalsSchema = StructType(partKeys.map(k => df.schema(k)) ++ Seq(
+      StructField("_gq_nk", LongType, nullable = false),
+      StructField("_gq_ndk", LongType, nullable = false)))
+    val totalsDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        keyTotals.map { case (k, n, nd) =>
+          org.apache.spark.sql.Row.fromSeq(k ++ Seq(n, nd)) }.toSeq).asJava,
+      totalsSchema)
+    val joined = withRanks
+      .join(broadcast(prefixDf), Seq("_gq_pid") ++ partKeys)
+      .join(broadcast(totalsDf), partKeys)
+    val tied = col("_gq_co").isNotNull && ordTuple === col("_gq_co")
+    val rn0 = col("_gq_pr") + col("_gq_wrn") - 1
+    val rk0 = col("_gq_pr") + col("_gq_wrk") -
+      when(tied, col("_gq_cc")).otherwise(lit(0L)) - 1
+    val dr0 = col("_gq_pd") + col("_gq_wdr") -
+      when(tied, lit(1L)).otherwise(lit(0L)) - 1
+    var out = joined
+    rowNumber.foreach(a => out = out.withColumn(a, rn0.cast("int")))
+    rank.foreach(a => out = out.withColumn(a, rk0.cast("int")))
+    denseRank.foreach(a => out = out.withColumn(a, dr0.cast("int")))
+    percentRank.foreach(a => out = out.withColumn(a,
+      when(col("_gq_nk") === 1, lit(0.0))
+        .otherwise(rk0.cast("double") / (col("_gq_nk") - 1))))
+    ntile.foreach { case (b, a) =>
+      // Spark ntile: the first n%b tiles carry one extra row
+      val q = (col("_gq_nk") / b).cast("long")
+      val r = col("_gq_nk") % b
+      val bigSpan = (q + 1) * r
+      out = out.withColumn(a,
+        when(rn0 < bigSpan, (rn0 / (q + 1)).cast("int"))
+          .otherwise((r + ((rn0 - bigSpan) / greatest(q, lit(1L)))).cast("int")))
+    }
+    GTable(out.drop((Seq("_gq_pid", "_gq_wrn", "_gq_wrk", "_gq_wdr", "_gq_pr",
+      "_gq_pd", "_gq_co", "_gq_cc", "_gq_nk", "_gq_ndk") ++ ordNames): _*),
+      denseRid = false)
+  }
+
   def runs(by: Seq[String],
            split: Seq[org.apache.spark.sql.expressions.WindowSpec => Column] = Nil,
            aggs: Seq[Column] = Nil, counts: Option[String] = None): GTable = {

@@ -40,6 +40,27 @@ object WindowQueries {
               ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC)
             ORDER BY l_returnflag, rn0"""))
 
+  /** Distributed rankings (range-partitioned per-key ranks + driver prefix
+    * merge — GTable.rankings): parallelism = #ranges instead of #keys. At
+    * sf0.1 the plain 3-task window is faster (fixed costs dominate); at
+    * cluster scale the window's 3-task ceiling loses. Same oracle as
+    * q_window_rank. */
+  val q_window_rank_dist = Q(
+    "q_window_rank_dist",
+    (s, dir) => {
+      val li = GTable(Tables.load(s, dir, "lineitem"))
+      li.rankings(Seq("l_returnflag"),
+          Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+          desc = Seq(true, false, false),
+          rowNumber = Some("rn0"), rank = Some("rk0"), denseRank = Some("dr0"),
+          percentRank = Some("pr"), ntile = Some((4, "nt0")))
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+          "rn0", "rk0", "dr0", "nt0", "pr")
+        .order(GTable.orderKeys(Seq("l_returnflag", "rn0")))
+        .result
+    },
+    q_window_rank.oracle)
+
   /** lag/lead with defaults (reference: inputs.py:497-498). */
   val q_window_lag_lead = Q(
     "q_window_lag_lead",
@@ -195,7 +216,7 @@ object WindowQueries {
             WINDOW w AS (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             ORDER BY event_id"""))
 
-  def all: Seq[Q] = Seq(q_window_rank, q_window_lag_lead, q_window_pairwise,
+  def all: Seq[Q] = Seq(q_window_rank, q_window_rank_dist, q_window_lag_lead, q_window_pairwise,
     q_window_cumsum, q_window_frame, q_window_range, q_window_partition,
     q_cum_natural)
 }

@@ -6,6 +6,46 @@ import graft.core.{GTable, Natural, Tables}
 
 class CumulativeSpec extends SparkSpec {
 
+  test("distributed rankings equal the plain window (incl. cross-range ties)") {
+    import graft.core.{GTable, Tables}
+    import graft.functions.GWindows
+    val li = Tables.load(spark, sf, "lineitem")
+    // adversarial: order by a low-cardinality column — massive tie runs that
+    // must span range-partition boundaries
+    for (ordCols <- Seq(
+        Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+        Seq(col("l_quantity")))) {
+      val desc = Seq(true) ++ Seq.fill(ordCols.length - 1)(false)
+      val sortCols = ordCols.zip(desc).map { case (c, d) => if (d) c.desc else c.asc }
+      val w = GWindows.spec(Seq(col("l_returnflag")), sortCols)
+      val expected = li.select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        GWindows.rowNumber0(w).cast("int").as("rn0"),
+        GWindows.rank0(w).cast("int").as("rk0"),
+        GWindows.denseRank0(w).cast("int").as("dr0"),
+        GWindows.ntile0(4, w).as("nt0"),
+        GWindows.percentRank(w).as("pr"))
+      val got = GTable(li).rankings(Seq("l_returnflag"), ordCols, desc,
+        rowNumber = Some("rn0"), rank = Some("rk0"), denseRank = Some("dr0"),
+        percentRank = Some("pr"), ntile = Some((4, "nt0")))
+        .result.select("l_returnflag", "l_orderkey", "l_linenumber",
+          "rn0", "rk0", "dr0", "nt0", "pr")
+      if (ordCols.length > 1) {
+        // unique order key: full row equality
+        assert(got.exceptAll(expected).count() == 0)
+        assert(expected.exceptAll(got).count() == 0)
+      } else {
+        // ties make rowNumber/ntile nondeterministic between plans; compare
+        // the deterministic rank/denseRank/percentRank only
+        val e2 = expected.select("l_returnflag", "l_orderkey", "l_linenumber", "rk0", "dr0", "pr")
+        val g2 = got.select("l_returnflag", "l_orderkey", "l_linenumber", "rk0", "dr0", "pr")
+        assert(g2.exceptAll(e2).count() == 0, "rank/denseRank mismatch under ties")
+        assert(e2.exceptAll(g2).count() == 0)
+      }
+    }
+  }
+
+
   test("distributed cumulative sum/max equal the global window") {
     val e = GTable(Tables.loadOrdered(spark, sf, "events"))
     val w = Window.orderBy(col(Natural.rid))
