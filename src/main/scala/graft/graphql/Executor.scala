@@ -221,10 +221,15 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           s"SELECT ${(keep ++ casts).mkString(", ")} FROM ($q)"
         })
     case "fillNull" =>
-      // fillNull(values: {col: value, ...}) (reference interface.py:442-453)
+      // fillNull(values: {col: value, ...}) or the reference's
+      // fillNull(name: [cols], value: v) form (interface.py:442-453,
+      // tests/test_models.py fillNull)
       val values = f.arg("values").collect { case GObj(pairs) =>
         pairs.map { case (k, v) => k -> Exprs.scalaOf(v) }.toMap
-      }.getOrElse(throw new IllegalArgumentException("fillNull needs values:"))
+      }.orElse {
+        f.arg("value").map(Exprs.scalaOf).map(v =>
+          strListArg(f, "name").map(_ -> v).toMap)
+      }.getOrElse(throw new IllegalArgumentException("fillNull needs values: or name:/value:"))
       resolveTable(t.fillNull(values), f, None)
     case "dropNull" =>
       resolveTable(t.dropNull(strListArg(f, "on"),

@@ -95,4 +95,33 @@ object StreamOps {
     graft.core.Tables.normalize(
       spark.readStream.schema(raw).parquet(s"$dir/events.parquet"))
   }
+
+  /** Streaming parquet sink: append-mode writeStream with a checkpoint —
+    * the structured-streaming counterpart of GTable.write, completing the
+    * readStream → transform → writeStream pipeline (§2.10). Returns the
+    * started query; callers own awaitTermination/stop. */
+  def writeParquetStream(df: DataFrame, dest: String, checkpoint: String,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** Batch-wise sink for arbitrary output modes / richer writers: each
+    * micro-batch lands through GTable.write (hive layout, bucketing) via
+    * foreachBatch. */
+  def writeBatches(df: DataFrame, checkpoint: String)
+                  (write: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(write)
+      .start()
 }

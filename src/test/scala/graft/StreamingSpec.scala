@@ -66,6 +66,22 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Double]("total_value") == 6.0)
   }
 
+  test("streaming parquet sink round-trips the filtered stream") {
+    import graft.streaming.StreamOps
+    val base = java.nio.file.Files.createTempDirectory("graft_ssink").toString
+    // the parquet file sink requires a directory-backed source basePath
+    graft.core.Tables.load(spark, sf, "events").write.parquet(s"$base/src")
+    val srcSchema = spark.read.parquet(s"$base/src").schema
+    val src = spark.readStream.schema(srcSchema).parquet(s"$base/src")
+      .filter(col("event_type") === "click").select("event_id", "user_id")
+    val q = StreamOps.writeParquetStream(src, s"$base/out", s"$base/ckpt")
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$base/out").count()
+    val want = graft.core.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(got == want)
+  }
+
   test("file streaming source over events parquet produces batch-equal rows") {
     // FileStreamSource requires a directory: materialize a multi-file copy
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
