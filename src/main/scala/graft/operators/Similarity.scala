@@ -109,20 +109,64 @@ object Similarity {
     * honest about the missing k-means refinement (no ML lib in scope);
     * the probing/plumbing is the real IVF shape.
     */
+  /** Lloyd k-means refinement of the coarse centroids — each iteration is
+    * one assignment pass (per-row fold against the broadcast literal
+    * centroids, no join) plus one per-(cluster, dim) average (posexplode →
+    * groupBy agg → k·dim tiny rows to the driver). Deterministic: seeded by
+    * the id-ordered sample, ties in assignment break to the larger cid.
+    * Empty clusters keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int): Array[(Long, Array[Float])] = {
+    val spark = corpus.sparkSession
+    var cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    for (_ <- 1 to iters) {
+      val centArr = array(cents.map { case (cid, cv) =>
+        struct(typedLit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
+      def scored(vec: Column): Column =
+        transform(centArr, c => struct(
+          cosineFast(spark)(vec, c.getField("cv")).as("sim"),
+          c.getField("cid").as("cid")))
+      val dims = corpus
+        .select(array_max(scored(col(vecCol))).getField("cid").as("cid"),
+          posexplode(col(vecCol)))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCid = dims.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val v = prev.clone()
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            (cid, v)
+          case None => (cid, prev) // empty cluster: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              kmeansIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     // deterministic coarse centroids: first nlist vectors by id, collected
     // to the driver (centroids are driver-resident in real IVF builds) and
-    // inlined as a literal struct array. Assignment is then a per-row fold —
+    // inlined as a literal struct array; kmeansIters > 0 refines them with
+    // Lloyd passes. Assignment is then a per-row fold —
     // NO crossJoin, NO ×nlist row explosion riding a shuffle, NO window
     // (VERDICT round 1 "what's wrong" #6); the only corpus shuffle left is
     // the candidate join itself, which is write-time amortizable via
     // partitionBy(cid).
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+      else corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val centArr = array(cents.map { case (cid, cv) =>
       struct(typedLit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
     // per-row (sim, cid) against every centroid; struct order makes

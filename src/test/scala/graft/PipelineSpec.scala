@@ -76,6 +76,25 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3)
   }
 
+  test("k-means-refined IVF centroids keep (or beat) sample-centroid recall") {
+    val q = embs.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(iters: Int): Double = {
+      val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = 6, kmeansIters = iters)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      bf.intersect(ivf).size.toDouble / bf.size
+    }
+    val base = recallOf(0)
+    val refined = recallOf(3)
+    info(s"IVF recall@5: sample centroids $base, 3 Lloyd iters $refined")
+    assert(refined >= base - 0.05) // refinement must not regress materially
+    assert(refined > 0.3)
+  }
+
   test("LSH cosine pairs are a subset of exact pairs at the same threshold") {
     val exact = Similarity.cosinePairs(embs, "vec_id", "embedding", 0.2)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
