@@ -451,7 +451,73 @@ object GqlQueries {
             o_totalprice > 150000 AS big, o_totalprice
             FROM orders ORDER BY o_orderkey"""))
 
-  def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_filter, q_gql_group, q_gql_first_last,
+  /** runs through the service: adjacency grouping with counts and the
+    * first-seen position column (reference interface.py:471-489). */
+  val q_gql_runs = Q(
+    "q_gql_runs",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: events {
+           r: runs(by: ["event_type"], counts: "n", order: "pos") {
+             c: columns { event_type { values } n { values } pos { values } } } } }""",
+      Seq("t", "r", "c"),
+      "event_type STRING, n BIGINT, pos BIGINT"),
+    Some("""WITH t AS (SELECT *, row_number() OVER () - 1 rid FROM events),
+            f AS (SELECT *, CASE WHEN event_type IS DISTINCT FROM
+                lag(event_type) OVER (ORDER BY rid) THEN 1 ELSE 0 END chg
+              FROM t),
+            r AS (SELECT *, sum(chg) OVER (ORDER BY rid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run_id
+              FROM f)
+            SELECT any_value(event_type ORDER BY rid) AS event_type,
+              count(*) AS n, min(rid) AS pos
+            FROM r GROUP BY run_id ORDER BY pos"""))
+
+  /** distinct(on:, order:) through the service: first-seen dedup with the
+    * exposed position column. */
+  val q_gql_distinct = Q(
+    "q_gql_distinct",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: orders {
+           d: distinct(on: ["o_orderstatus"], order: "idx") {
+             c: columns { o_orderstatus { values } idx { values } } } } }""",
+      Seq("t", "d", "c"),
+      "o_orderstatus STRING, idx BIGINT"),
+    Some("""WITH t AS (SELECT *, row_number() OVER () - 1 rid FROM orders)
+            SELECT o_orderstatus, min(rid) AS idx
+            FROM t GROUP BY o_orderstatus ORDER BY idx"""))
+
+  /** column(name:, cast:) field: single column served with values in
+    * natural order (reference interface.py:165-176). */
+  val q_gql_column = Q(
+    "q_gql_column",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           qty: column(name: ["l_quantity"], cast: "INT") { values } } }""",
+      Seq("t"),
+      "qty INT"),
+    Some("""WITH t AS (SELECT *, row_number() OVER () rid FROM lineitem)
+            SELECT CAST(l_quantity AS INTEGER) AS qty FROM t ORDER BY rid"""))
+
+  /** window expression block inside project (reference inputs.py:490-557
+    * via Expression.window). */
+  val q_gql_window_expr = Q(
+    "q_gql_window_expr",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           p: project(columns: [{alias: "dr", window: {over: ["l_returnflag"],
+                 by: ["-l_quantity", "l_orderkey", "l_linenumber"], denseRank: null}}]) {
+             o: order(by: ["l_orderkey", "l_linenumber", "dr"]) {
+               c: columns { l_orderkey { values } l_linenumber { values }
+                            dr { values } } } } } }""",
+      Seq("t", "p", "o", "c"),
+      "l_orderkey BIGINT, l_linenumber INT, dr INT"),
+    Some("""SELECT l_orderkey, l_linenumber,
+            CAST(dense_rank() OVER (PARTITION BY l_returnflag
+              ORDER BY l_quantity DESC, l_orderkey, l_linenumber) - 1 AS INTEGER) AS dr
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, dr"""))
+
+  def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_runs, q_gql_distinct,
+    q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
     q_gql_ntile_lead, q_gql_project, q_gql_cast, q_gql_fillnull,
     q_gql_dropnull, q_gql_union, q_gql_intersect, q_gql_crossjoin,
