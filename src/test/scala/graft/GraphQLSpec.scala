@@ -406,6 +406,17 @@ class GraphQLSpec extends SparkSpec {
     assert(r.contains(""""count":5"""))
   }
 
+  test("invalid field names are warned and skipped in the SDL (nofields behavior)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ok_name", LongType),
+      StructField("bad-dash", LongType),
+      StructField("0leading", StringType),
+      StructField("fragment", StringType))) // reserved word
+    val fields = graft.graphql.SchemaGen.typeFields(schema)
+    assert(fields.map(_._1) == Seq("ok_name"))
+  }
+
   test("variables and fragments resolve in the parser") {
     val doc = Parser.parse(
       """query Q($k: Int = 3) { nation { filter(n_regionkey: {eq: $k}) { ...C } } }
