@@ -56,13 +56,67 @@ case class RollingFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused 64-bit SimHash over whitespace tokens — bit-identical to the
+  * composable form in [[graft.operators.Dedup.simhashComposable]]: bit b of
+  * the fingerprint is set iff Σ_tokens sign(xxhash64(token, b)) ≥ 0, where
+  * xxhash64(token, b) replicates Spark's two-child fold
+  * (hashUnsafeBytes(token, 42) then hashInt(b, ·)); bits packed b=0 first
+  * via shiftleft|or. The composable form walks a 64-wide zip_with lambda
+  * per token (interpreted); this is one compiled pass with a 64-int
+  * counter array. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val toks = text.split("\\s+", -1)
+    val counters = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val tok = UTF8String.fromString(toks(t))
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        tok.getBaseObject, tok.getBaseOffset, tok.numBytes(), 42L)
+      var b = 0
+      while (b < 64) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, base)
+        if (h >= 0) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) {
+      acc = (acc << 1) | (if (counters(b) >= 0) 1L else 0L)
+      b += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_fingerprint", exprs => RollingFingerprint(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
+  }
 
   def fingerprint(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("rolling_fingerprint", text)
+  }
+
+  def simhash(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("simhash64", text)
   }
 }

@@ -291,8 +291,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val on = f.arg("on").collect { case GStr(o) => o }
         .getOrElse(throw new IllegalArgumentException("asofJoin needs on:"))
       val rOn = f.arg("rOn").collect { case GStr(o) => o }.getOrElse("")
+      // tolerance: ISO-8601 duration — matches only within l.on - r.on ≤ it
+      // (reference asof_join tolerance, interface.py:364-383)
+      val tol = f.arg("tolerance").collect { case GStr(iso) =>
+        val d = java.time.Duration.parse(iso)
+        val micros = d.getSeconds * 1000000L + d.getNano / 1000L
+        (lt: Column, rt: Column) =>
+          unix_micros(lt.cast("timestamp")) - unix_micros(rt.cast("timestamp")) <= micros
+      }
       resolveTable(t.asofJoin(right(), on, rOn,
-        strListArg(f, "keys"), strListArg(f, "rkeys")), f, None)
+        strListArg(f, "keys"), strListArg(f, "rkeys"), tolerance = tol), f, None)
     case "first" =>
       resolveTable(t.firstRank(strListArg(f, "by"),
         intArg(f, "rank").getOrElse(1),

@@ -141,8 +141,10 @@ object Dedup {
 
   /** 64-bit SimHash over tokens: bit b is set iff the sum over tokens of
     * ±1 (sign of the independent hash xxhash64(token, b)) is ≥ 0. Packed
-    * with shift/or (bit ops — no ANSI arithmetic overflow on the top bit). */
-  def simhash(text: Column): Column = {
+    * with shift/or (bit ops — no ANSI arithmetic overflow on the top bit).
+    * Composable reference form; [[simhash]] is the fused compiled
+    * expression with bit-identical results (spec-asserted). */
+  def simhashComposable(text: Column): Column = {
     val toks = tokens(text)
     val counters = aggregate(
       toks,
@@ -154,6 +156,12 @@ object Dedup {
     val bits = transform(counters, c => when(c >= 0, lit(1L)).otherwise(lit(0L)))
     aggregate(bits, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
   }
+
+  /** Fused SimHash (one compiled pass per doc — the 64-wide per-token
+    * zip_with lambdas of the composable form are interpreted). */
+  def simhash(text: Column): Column =
+    graft.expressions.TextFunctions.simhash(
+      org.apache.spark.sql.SparkSession.active, text)
 
   /** SimHash near-dup candidates: 4 bands of 16 bits; same-band collision →
     * candidate; verified by Hamming distance ≤ maxHamming. */

@@ -417,6 +417,19 @@ class GraphQLSpec extends SparkSpec {
     assert(fields.map(_._1) == Seq("ok_name"))
   }
 
+  test("asofJoin tolerance: tight window yields fewer matches") {
+    def matched(tol: String): Long = {
+      val r = service.execute(
+        s"""{ events { asofJoin(right: "events", on: "ts", keys: ["user_id"]$tol) {
+             f: filter(ts_right: {ne: null}) { count } } } }""")
+      """"count":(\d+)""".r.findFirstMatchIn(r).get.group(1).toLong
+    }
+    val loose = matched("")
+    val tight = matched(""", tolerance: "PT0.001S"""")
+    assert(tight <= loose)
+    assert(tight > 0) // self-join at equal timestamps always matches
+  }
+
   test("variables and fragments resolve in the parser") {
     val doc = Parser.parse(
       """query Q($k: Int = 3) { nation { filter(n_regionkey: {eq: $k}) { ...C } } }

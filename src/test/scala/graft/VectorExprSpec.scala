@@ -7,6 +7,16 @@ import graft.operators.Similarity
 
 class VectorExprSpec extends SparkSpec {
 
+  test("SimHash64 is bit-identical to the composable fold") {
+    import graft.core.Tables
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val both = docs.select(
+      Dedup.simhash(col("text")).as("fused"),
+      Dedup.simhashComposable(col("text")).as("composed"))
+    assert(both.filter(!(col("fused") <=> col("composed"))).count() == 0)
+  }
+
   test("RollingFingerprint is bit-identical to the composable fold") {
     import graft.core.Tables
     import graft.operators.TextAnalysis
