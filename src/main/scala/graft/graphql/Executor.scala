@@ -195,7 +195,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         Seq(outCol.as(alias), col(Natural.rid)) else Seq(outCol.as(alias))
       resolveOneColumn(GTable(t.df.select(keep: _*), t.sortedBy, t.denseRid),
         f.copy(name = alias, alias = None))
-    case "row" => resolveRow(t, longArg(f, "index").getOrElse(0L))
+    case "row" => resolveRow(t, f, longArg(f, "index").getOrElse(0L))
     case "project" => resolveProject(t, f, sql)
     case "cast" =>
       // cast(schema: {name, type} | [..], try: bool) — `columns` accepted as
@@ -952,9 +952,19 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     Json.obj(parts)
   }
 
-  private def resolveRow(t: GTable, index: Long): String = {
-    val rows = t.rowAt(index).result.collect()
-    if (rows.isEmpty) "null" else Json.write(rows(0))
+  /** row(index) { fields } — selection-driven: only the requested columns
+    * are gathered (pruned to the scan); no selection returns the full row.
+    * Aliased selections respect outName. */
+  private def resolveRow(t: GTable, f: GField, index: Long): String = {
+    val pruned = if (f.sels.nonEmpty) t.select(f.sels.map(_.name): _*) else t
+    val rows = pruned.rowAt(index).result.collect()
+    if (rows.isEmpty) "null"
+    else if (f.sels.isEmpty) Json.write(rows(0))
+    else {
+      val row = rows(0)
+      Json.obj(f.sels.map(s =>
+        s.outName -> Json.write(row.getAs[Any](s.name))))
+    }
   }
 
   // ─── arg helpers ───

@@ -48,6 +48,9 @@ object SchemaGen {
     val sb = new StringBuilder
     sb.append("type Query {\n")
     names.foreach(n => sb.append(s"  $n: ${typeName(n)}\n"))
+    sb.append("  sql(query: String!): Table\n")
+    sb.append("  _entities(representations: [_Any!]!): [_Entity]!\n")
+    sb.append("  _service: _Service!\n")
     sb.append("}\n")
     names.foreach { n =>
       val schema = Tables.load(spark, sfDir, n).schema

@@ -430,6 +430,15 @@ class GraphQLSpec extends SparkSpec {
     assert(tight > 0) // self-join at equal timestamps always matches
   }
 
+  test("row selection prunes to requested fields with aliases") {
+    val r = service.execute(
+      """{ nation { row(index: 1) { key: n_nationkey n_name } } }""")
+    val rowJson = """"row":(\{[^}]*\})""".r.findFirstMatchIn(r).get.group(1)
+    assert(rowJson.contains(""""key":"""))
+    assert(rowJson.contains(""""n_name":"""))
+    assert(!rowJson.contains("n_regionkey")) // unselected column absent
+  }
+
   test("variables and fragments resolve in the parser") {
     val doc = Parser.parse(
       """query Q($k: Int = 3) { nation { filter(n_regionkey: {eq: $k}) { ...C } } }
