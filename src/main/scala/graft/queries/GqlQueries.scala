@@ -516,7 +516,26 @@ object GqlQueries {
               ORDER BY l_quantity DESC, l_orderkey, l_linenumber) - 1 AS INTEGER) AS dr
             FROM lineitem ORDER BY l_orderkey, l_linenumber, dr"""))
 
-  def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_runs, q_gql_distinct,
+  /** unnest through the service: split → explode with offset column
+    * (reference interface.py:307-322). */
+  val q_gql_unnest = Q(
+    "q_gql_unnest",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: customer {
+           p: project(columns: [{alias: "parts",
+                 string: {split: [{name: "c_name"}, {value: "#"}]}}]) {
+             u: unnest(name: "parts", offset: "idx") {
+               o: order(by: ["c_custkey", "idx"]) {
+                 c: columns { c_custkey { values } idx { values }
+                              parts { values } } } } } } }""",
+      Seq("t", "p", "u", "o", "c"),
+      "c_custkey BIGINT, idx INT, parts STRING"),
+    Some("""WITH t AS (SELECT c_custkey, string_split(c_name, '#') AS ps FROM customer)
+            SELECT c_custkey, CAST(g.i - 1 AS INTEGER) AS idx, ps[g.i] AS parts
+            FROM t, unnest(generate_series(1, len(ps))) AS g(i)
+            ORDER BY c_custkey, idx"""))
+
+  def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
     q_gql_ntile_lead, q_gql_project, q_gql_cast, q_gql_fillnull,
