@@ -207,6 +207,7 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     * (TakeOrderedAndProject) so the necessary row_number window only ever
     * sees that bounded prefix. */
   def take(indices: Seq[Long]): GTable = {
+    if (indices.isEmpty) return GTable(df.limit(0), denseRid = false)
     val spark = df.sparkSession
     import spark.implicits._
     val req = indices.zipWithIndex.map { case (r, p) => (r, p.toLong) }
@@ -352,14 +353,21 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
         val prefixDf = spark.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(prefixRows).asJava,
           prefixSchema)
-        // the persisted union stays cached (partition ids must not be
-        // resampled when the returned plan executes); Spark's LRU evicts
-        ranged
+        // Eagerly materialize while the cache still holds the partition ids
+        // the collected prefix was computed from: localCheckpoint truncates
+        // the lineage, so a later recompute can never resample the range
+        // partitioning into different ids. The intermediate cache is then
+        // released instead of leaking until LRU eviction (the service is
+        // long-lived).
+        val out = ranged
           .withColumn("_gq_m0", last(col("_gq_r"), ignoreNulls = true).over(wp))
           .join(broadcast(prefixDf), Seq("_gq_pid"))
           .withColumn("_gq_m", coalesce(col("_gq_m0"), col("_gq_prev")))
           .filter(col("_gq_side") === 1)
           .drop("_gq_pid", "_gq_m0", "_gq_prev")
+          .localCheckpoint(true)
+        ranged.unpersist()
+        out
       }
     val inTol = tolerance match {
       case None => col("_gq_m").isNotNull
@@ -680,9 +688,14 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
         when(rn0 < bigSpan, (rn0 / (q + 1)).cast("int"))
           .otherwise((r + ((rn0 - bigSpan) / greatest(q, lit(1L)))).cast("int")))
     }
-    GTable(out.drop((Seq("_gq_pid", "_gq_wrn", "_gq_wrk", "_gq_wdr", "_gq_pr",
-      "_gq_pd", "_gq_co", "_gq_cc", "_gq_nk", "_gq_ndk") ++ ordNames): _*),
-      denseRid = false)
+    // Eager localCheckpoint while the ranked cache still holds the partition
+    // ids the collected stats were computed from (a recompute could resample
+    // the range partitioning); then release the cache instead of leaking it.
+    val result = out.drop((Seq("_gq_pid", "_gq_wrn", "_gq_wrk", "_gq_wdr",
+      "_gq_pr", "_gq_pd", "_gq_co", "_gq_cc", "_gq_nk", "_gq_ndk") ++
+      ordNames): _*).localCheckpoint(true)
+    withRanks.unpersist()
+    GTable(result, denseRid = false)
   }
 
   def runs(by: Seq[String],

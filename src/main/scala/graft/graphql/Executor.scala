@@ -645,9 +645,12 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val desc = keys.forall(_.startsWith("-"))
       if (!desc && keys.exists(_.startsWith("-")))
         throw new IllegalArgumentException("mixed asc/desc order_by unsupported in aggregates")
-      val s = struct(keys.map(k => col(k.stripPrefix("-"))): _*)
-      (where.fold(s)(w => when(w, s)), desc)
+      (struct(keys.map(k => col(k.stripPrefix("-"))): _*), desc)
     }
+    // where-gate an expression to null so null-skipping aggregates
+    // (min_by/max_by/collect_list) drop filtered rows entirely — gating only
+    // the inner fields would leave a non-null struct shell in collect_list
+    def gated(e: Column): Column = where.fold(e)(w => when(w, e))
     val base: Column = fn.replace("_", "").toLowerCase match {
       case "sum" => sum(filt(c))
       case "mean" => avg(filt(c))
@@ -665,22 +668,25 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         }
         if (keys.isEmpty) throw new IllegalArgumentException(s"$fn needs key")
         val k = if (keys.length == 1) col(keys.head) else struct(keys.map(col): _*)
-        if (fn.toLowerCase == "argmax") max_by(c, filt(k)) else min_by(c, filt(k))
+        // dispatch on the same normalized spelling the outer match accepted
+        // ("arg_max" must not silently fall through to min_by)
+        if (fn.replace("_", "").toLowerCase == "argmax") max_by(c, filt(k))
+        else min_by(c, filt(k))
       case "first" =>
         val keys = if (orderBy.isEmpty) Seq(name) else orderBy
         val (s, desc) = ordStruct(keys)
-        if (desc) max_by(c, s) else min_by(c, s)
+        if (desc) max_by(c, gated(s)) else min_by(c, gated(s))
       case "last" =>
         val keys = if (orderBy.isEmpty) Seq(name) else orderBy
         val (s, desc) = ordStruct(keys)
-        if (desc) min_by(c, s) else max_by(c, s)
+        if (desc) min_by(c, gated(s)) else max_by(c, gated(s))
       case "collect" =>
         val distinct = get("distinct").collect { case GBool(b) => b }.getOrElse(false)
         val collected =
           if (orderBy.nonEmpty) {
             val (s, desc) = ordStruct(orderBy)
             val sorted = transform(
-              array_sort(collect_list(struct(s.as("o"), filt(c).as("v")))),
+              array_sort(collect_list(gated(struct(s.as("o"), c.as("v"))))),
               x => x.getField("v"))
             if (desc) reverse(sorted) else sorted
           } else collect_list(filt(c))
@@ -690,7 +696,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         if (orderBy.nonEmpty) {
           val (s, desc) = ordStruct(orderBy)
           val sorted = transform(
-            array_sort(collect_list(struct(s.as("o"), filt(c).cast("string").as("v")))),
+            array_sort(collect_list(gated(struct(s.as("o"), c.cast("string").as("v"))))),
             x => x.getField("v"))
           array_join(if (desc) reverse(sorted) else sorted, sep)
         } else array_join(collect_list(filt(c).cast("string")), sep)

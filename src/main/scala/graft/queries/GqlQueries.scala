@@ -437,17 +437,25 @@ object GqlQueries {
                  {alias: "big", gt: [{name: "o_totalprice"}, {value: 150000}]},
                  {alias: "price", name: "o_totalprice"}]) {
              x: cast(columns: [{name: "price", type: "DECIMAL(12,2)"}]) {
-               o: order(by: ["o_orderkey"]) {
-                 c: columns { o_orderkey { values } o_orderstatus { values }
-                              od { values } o_orderdate { values }
-                              price { values } big { values }
-                              o_totalprice { values } } } } } } }""",
-      Seq("t", "p", "x", "o", "c"),
+               x2: cast(columns: [{name: "price", type: "DOUBLE"}]) {
+                 o: order(by: ["o_orderkey"]) {
+                   c: columns { o_orderkey { values } o_orderstatus { values }
+                                od { values } o_orderdate { values }
+                                price { values } big { values }
+                                o_totalprice { values } } } } } } } }""",
+      Seq("t", "p", "x", "x2", "o", "c"),
       "o_orderkey BIGINT, o_orderstatus STRING, od DATE, o_orderdate TIMESTAMP_NTZ, " +
-        "price DECIMAL(12,2), big BOOLEAN, o_totalprice DOUBLE"),
+        "price DOUBLE, big BOOLEAN, o_totalprice DOUBLE"),
+    // price runs through the Decimal JSON codec inside the service (the x
+    // stage casts to DECIMAL(12,2), serialized as a string per the reference
+    // scalar contract), then a final DOUBLE cast so the gate's pandas
+    // comparator sees float64 on both sides: DuckDB's .df() converts DECIMAL
+    // results to float64, while a Spark decimal parquet column arrives as
+    // Decimal objects whose string form keeps trailing zeros ("100000.10"
+    // vs "100000.1") — a guaranteed hash mismatch on any value ending in 0.
     Some("""SELECT o_orderkey, o_orderstatus,
             CAST(o_orderdate AS DATE) AS od, o_orderdate,
-            CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
             o_totalprice > 150000 AS big, o_totalprice
             FROM orders ORDER BY o_orderkey"""))
 
