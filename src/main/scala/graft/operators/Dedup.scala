@@ -139,6 +139,92 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** md5-derived 60-bit hash (first 15 hex digits folded to a long) of a
+    * seeded string — reproducible in ANY engine with md5, unlike the
+    * xxhash64 family, so correctness oracles can recompute it relationally.
+    * The xxhash64 variants stay the throughput path. */
+  def md5Hash60(c: Column, seed: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash+LSH pairs with md5-derived permutation hashes: identical
+    * algorithm to [[minhashPairs]] (k per-shingle hash mins → signature →
+    * b bands → bucket join → equal-component verification), but every value
+    * is cross-engine reproducible, so the full pipeline is adjudicated by
+    * the DuckDB oracle rather than rows-only. Band buckets join on the
+    * slice's joined string (no second-level hash) for the same reason.
+    * Slower than the fused sketch (k md5 calls per shingle) — verification
+    * tier, not the 100 TB path; the relational shape (narrow shuffles,
+    * banded candidates, no all-pairs stage) is the same. */
+  def minhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val hv = sh.select(col("id"),
+        explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
+      .select(col("id"), col("seed"), md5Hash60(col("sh"), col("seed")).as("h"))
+    val sig = hv.groupBy("id", "seed").agg(min(col("h")).as("m"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("seed"), col("m")))),
+        x => x.getField("m")).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ","))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)) / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** SimHash pairs with md5-derived per-token bits: token bit b comes from
+    * two 60-bit md5 folds (bits 0-59 from hex digits 1-15, 60-63 from
+    * digits 16-30), bit-counters aggregate map-side (64 sums), and the
+    * banding/Hamming stage matches [[simhashPairs]]. Cross-engine
+    * reproducible end to end — the oracle keeps the bits as a list and
+    * compares slices, which is equality-equivalent to the packed-long
+    * banding here. */
+  def simhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val hv = tok.select(col("id"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("v1"),
+      conv(substring(md5(col("t")), 16, 15), 16, 10).cast("long").as("v2"))
+    val sums = (0 until 64).map { b =>
+      val (src, sh) = if (b < 60) (col("v1"), b) else (col("v2"), b - 60)
+      val bit = shiftrightunsigned(src, sh).bitwiseAND(lit(1L))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"_c$b")
+    }
+    val packed = (0 until 64).foldLeft(lit(0L))((acc, b) =>
+      shiftleft(acc, 1).bitwiseOR(
+        when(col(s"_c$b") >= 0, lit(1L)).otherwise(lit(0L))))
+    val fp = hv.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"), packed.as("sh"))
+    val banded = fp.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .dropDuplicates("id1", "id2")
+    cand.withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   /** 64-bit SimHash over tokens: bit b is set iff the sum over tokens of
     * ±1 (sign of the independent hash xxhash64(token, b)) is ≥ 0. Packed
     * with shift/or (bit ops — no ANSI arithmetic overflow on the top bit).

@@ -25,13 +25,22 @@ object Multimodal {
   def packBlob(text: Column): Column = encode(text, "UTF-8")
 
   /** Typed media metadata derived deterministically from the blob: the
-    * schema a real decoder would fill from the container header. */
-  def metadata(blob: Column): Column = struct(
-    octet_length(blob).as("n_bytes"),
-    element_at(array(lit("jpeg"), lit("png"), lit("webp")),
-      (pmod(xxhash64(blob), lit(3)) + 1).cast("int")).as("format"),
-    (pmod(xxhash64(blob, lit(1)), lit(1920)) + 1).cast("int").as("width"),
-    (pmod(xxhash64(blob, lit(2)), lit(1080)) + 1).cast("int").as("height"))
+    * schema a real decoder would fill from the container header. Fields
+    * derive from md5 hex slices (not xxhash64) so the synthetic header is
+    * reproducible in any engine with md5 — the correctness oracle recomputes
+    * the same fold relationally. Slices stay ≤ 15 hex digits (60 bits), so
+    * the conv() result fits a signed long exactly. */
+  def metadata(blob: Column): Column = {
+    val hex = md5(blob)
+    def slice(from: Int, len: Int): Column =
+      conv(substring(hex, from, len), 16, 10).cast("long")
+    struct(
+      octet_length(blob).as("n_bytes"),
+      element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+        (slice(1, 15) % 3 + 1).cast("int")).as("format"),
+      (slice(16, 8) % 1920 + 1).cast("int").as("width"),
+      (slice(24, 8) % 1080 + 1).cast("int").as("height"))
+  }
 
   /** STUB feature extraction as pure expressions: k pseudo-features from
     * seeded blob hashes in [0,1). A real image model would replace this with
@@ -51,14 +60,20 @@ object Multimodal {
       f => octet_length(f) > 0)
 
   /** "Resize": metadata-level transform preserving aspect ratio — the shape
-    * a real resize kernel (mapPartitions) would update after re-encoding. */
+    * a real resize kernel (mapPartitions) would update after re-encoding.
+    * Scaled dims use exact integer half-up arithmetic, (d*maxSide + m/2)/m,
+    * rather than FP round(): Spark rounds half-up and other engines half-even,
+    * so an FP formulation could not be verified cross-engine. The long side
+    * lands on exactly maxSide. */
   def resizeMeta(meta: Column, maxSide: Int): Column = {
-    val w = meta.getField("width")
-    val h = meta.getField("height")
-    val scale = lit(maxSide).cast("double") / greatest(w, h)
+    val w = meta.getField("width").cast("long")
+    val h = meta.getField("height").cast("long")
+    val m = greatest(w, h)
+    def scaled(d: Column): Column =
+      floor((d * maxSide + (m / 2).cast("long")) / m.cast("double")).cast("int")
     struct(meta.getField("n_bytes").as("n_bytes"), meta.getField("format").as("format"),
-      when(scale >= 1, w).otherwise(round(w * scale).cast("int")).as("width"),
-      when(scale >= 1, h).otherwise(round(h * scale).cast("int")).as("height"))
+      when(m <= maxSide, w.cast("int")).otherwise(scaled(w)).as("width"),
+      when(m <= maxSide, h.cast("int")).otherwise(scaled(h)).as("height"))
   }
 
   // ─── typed batch path (mapInPandas analog) ───

@@ -53,22 +53,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("_rn").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: hash-derived value in
-    * [-0.5, 0.5) for (plane p, dimension i). */
-  private def planeComponent(p: Column, i: Column): Column =
-    (pmod(xxhash64(p, i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5) for
+    * (plane p, dimension i): first 15 hex digits of md5("p:i") folded to a
+    * long, mod 1e6, scaled. md5 (not xxhash64) so the correctness oracle can
+    * recompute identical planes in SQL; computed ONCE here on the driver —
+    * the previous per-row form re-hashed the same constant planes×dim grid
+    * for every row (2048 hashes/row at 8 tables × 4 planes × 64 dims). */
+  private[operators] def planeComponent(p: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L).toDouble /
+      1000000.0 - 0.5
+  }
 
   /** Sign-bucket id from `planes` random hyperplanes (bit per plane);
-    * `table` selects an independent plane family. */
+    * `table` selects an independent plane family. Planes are inlined as
+    * literal arrays — per-row work is just the dim-length dot folds. */
   def lshBucket(vec: Column, planes: Int, dim: Int, table: Int = 0): Column = {
-    val bits = transform(sequence(lit(table * planes), lit((table + 1) * planes - 1)), p => {
-      val d = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+    val bits = (table * planes until (table + 1) * planes).map { p =>
+      val plane = typedLit((0 until dim).map(i => planeComponent(p, i)).toArray)
+      val d = aggregate(zip_with(vec, plane, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+    }
+    bits.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1).bitwiseOR(b))
   }
 
   /** ANN via multi-table LSH: `tables` independent plane families; queries

@@ -71,8 +71,12 @@ object MultimodalQueries {
               features[1] AS f0, features[2] AS f1
             FROM f ORDER BY doc_id"""))
 
-  /** Metadata struct + resize transform — hash-derived fake header fields,
-    * rows-only (xxhash64 not reproducible in the oracle). */
+  /** Metadata struct + resize transform: the md5-derived fake header fields
+    * and the exact integer half-up resize are both recomputed relationally
+    * in the oracle (hex digits folded to ints with list_reduce; the corpus
+    * is ASCII so DuckDB's md5(VARCHAR) sees the same bytes as Spark's
+    * md5(BINARY)). Struct fields are unpacked to scalar columns for the
+    * gate's comparator. */
   val q_media_meta = Q(
     "q_media_meta",
     (s, dir) => {
@@ -80,15 +84,42 @@ object MultimodalQueries {
       d.project("blob" -> Multimodal.packBlob(col("text")))
         .project("meta" -> Multimodal.metadata(col("blob")))
         .project("resized" -> Multimodal.resizeMeta(col("meta"), maxSide = 512))
-        // struct cells are unhashable in the driver's comparator; JSON text
-        // carries the same field values through the rows-only check
-        .project("meta_json" -> to_json(col("meta")),
-          "resized_json" -> to_json(col("resized")))
-        .select("doc_id", "meta_json", "resized_json")
+        .project(
+          "n_bytes" -> col("meta.n_bytes"),
+          "format" -> col("meta.format"),
+          "width" -> col("meta.width"),
+          "height" -> col("meta.height"),
+          "r_width" -> col("resized.width"),
+          "r_height" -> col("resized.height"))
+        .select("doc_id", "n_bytes", "format", "width", "height",
+          "r_width", "r_height")
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
-    None)
+    Some("""WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+              md5(text) AS hex FROM documents),
+            m AS (SELECT doc_id, n_bytes,
+              list_reduce(list_transform(range(1, 16), i ->
+                CAST(strpos('0123456789abcdef', substr(hex, CAST(i AS INT), 1)) - 1
+                  AS BIGINT)), (a, b) -> a * 16 + b) AS h1,
+              list_reduce(list_transform(range(16, 24), i ->
+                CAST(strpos('0123456789abcdef', substr(hex, CAST(i AS INT), 1)) - 1
+                  AS BIGINT)), (a, b) -> a * 16 + b) AS h2,
+              list_reduce(list_transform(range(24, 32), i ->
+                CAST(strpos('0123456789abcdef', substr(hex, CAST(i AS INT), 1)) - 1
+                  AS BIGINT)), (a, b) -> a * 16 + b) AS h3
+              FROM h),
+            d AS (SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+              (['jpeg', 'png', 'webp'])[CAST(h1 % 3 + 1 AS INTEGER)] AS format,
+              h2 % 1920 + 1 AS width, h3 % 1080 + 1 AS height FROM m),
+            r AS (SELECT *, greatest(width, height) AS m FROM d)
+            SELECT doc_id, n_bytes, format,
+              CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+              CAST(CASE WHEN m <= 512 THEN width
+                ELSE (width * 512 + m // 2) // m END AS INTEGER) AS r_width,
+              CAST(CASE WHEN m <= 512 THEN height
+                ELSE (height * 512 + m // 2) // m END AS INTEGER) AS r_height
+            FROM r ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(q_media_frames, q_media_features, q_media_meta)
 }

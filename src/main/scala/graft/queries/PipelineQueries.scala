@@ -11,6 +11,37 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
+  /** Oracle-SQL builder: sequential double dot fold over two DuckDB DOUBLE
+    * lists — the exact mirror of Similarity.dot's left fold (see
+    * duckdb list_reduce(list_prepend(...)) parity rule). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+       |  (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Oracle-SQL fragment: the LSH sign buckets of [[Similarity.lshBucket]] —
+    * md5-derived plane grid recomputed in SQL, per-vector sign bits, bucket
+    * string per (vector, table). Expects a CTE `v(vec_id, e)` in scope. */
+  private def lshBucketsSql(planes: Int, dim: Int, tables: Int): String =
+    s"""pc AS (SELECT p, list(c ORDER BY i) AS pl FROM (
+       |    SELECT tp.p, ti.i,
+       |      CAST(list_reduce(list_transform(range(1, 16), j ->
+       |        CAST(strpos('0123456789abcdef',
+       |          substr(md5(CAST(tp.p AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)),
+       |            CAST(j AS INT), 1)) - 1 AS BIGINT)),
+       |        (a, b) -> a * 16 + b) % 1000000 AS DOUBLE) / 1000000.0 - 0.5 AS c
+       |    FROM range(0, ${tables * planes}) tp(p), range(0, $dim) ti(i))
+       |  GROUP BY p),
+       |bits AS (SELECT v.vec_id, pc.p,
+       |    CASE WHEN ${dotSql("v.e", "pc.pl")} >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM v, pc),
+       |buck AS (SELECT vec_id, p // $planes AS t,
+       |    array_to_string(list(bit ORDER BY p), '') AS bucket
+       |  FROM bits GROUP BY vec_id, p // $planes)""".stripMargin
+
   /** Exact dedup: representative doc per identical text (hash-groupBy). */
   val q_dedup_exact = Q(
     "q_dedup_exact",
@@ -67,6 +98,98 @@ object PipelineQueries {
         .result
     },
     None)
+
+  /** MinHash+LSH with md5-derived hashes: the full pipeline (seeded shingle
+    * hash mins → signature → banding → bucket join → equal-component
+    * verification) recomputed relationally by the oracle — the hash-matched
+    * adjudication of the minhash ALGORITHM that the xxhash64 sketch
+    * (q_dedup_minhash) can only get rows-only. */
+  val q_dedup_minhash_md5 = Q(
+    "q_dedup_minhash_md5",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Dedup.minhashPairsMd5(d, "text", "doc_id", n = 3, k = 32,
+          bands = 8, threshold = 0.5))
+        .order(GTable.orderKeys(Seq("id1", "id2")))
+        .result
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+            sh AS (
+              SELECT id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+                list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS s
+              FROM toks),
+            hv AS (SELECT id, seed,
+                list_reduce(list_transform(range(1, 16), i ->
+                  CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(seed AS VARCHAR) || ':' || s),
+                      CAST(i AS INT), 1)) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b) AS h
+              FROM sh, (SELECT unnest(range(0, 32)) AS seed) seeds),
+            mins AS (SELECT id, seed, min(h) AS m FROM hv GROUP BY id, seed),
+            sig AS (SELECT id, list(m ORDER BY seed) AS sg FROM mins GROUP BY id),
+            banded AS (SELECT id, band,
+                array_to_string(sg[CAST(band * 4 + 1 AS INT) : CAST(band * 4 + 4 AS INT)],
+                  ',') AS bucket
+              FROM sig, (SELECT unnest(range(0, 8)) AS band) bands),
+            cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+            est AS (SELECT id1, id2,
+                len(list_filter(list_transform(range(1, 33),
+                  i -> s1.sg[CAST(i AS INT)] = s2.sg[CAST(i AS INT)]), x -> x)) / 32.0
+                  AS est_jaccard
+              FROM cand JOIN sig s1 ON cand.id1 = s1.id
+                        JOIN sig s2 ON cand.id2 = s2.id)
+            SELECT id1, id2, est_jaccard FROM est
+            WHERE est_jaccard >= 0.5 ORDER BY id1, id2"""))
+
+  /** SimHash with md5-derived per-token bits: fingerprint bits, banding and
+    * Hamming verification all recomputed by the oracle (bits kept as a list;
+    * slice equality ⇔ packed-band equality). */
+  val q_dedup_simhash_md5 = Q(
+    "q_dedup_simhash_md5",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Dedup.simhashPairsMd5(d, "text", "doc_id", maxHamming = 3))
+        .project("hamming" -> col("hamming").cast("int"))
+        .order(GTable.orderKeys(Seq("id1", "id2")))
+        .result
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS t
+              FROM documents),
+            hv AS (SELECT id,
+                list_reduce(list_transform(range(1, 16), i ->
+                  CAST(strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1
+                    AS BIGINT)), (a, b) -> a * 16 + b) AS v1,
+                list_reduce(list_transform(range(16, 31), i ->
+                  CAST(strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1
+                    AS BIGINT)), (a, b) -> a * 16 + b) AS v2
+              FROM toks),
+            cnt AS (SELECT id, b,
+                sum(CASE WHEN ((CASE WHEN b < 60 THEN v1 ELSE v2 END)
+                  >> CAST(CASE WHEN b < 60 THEN b ELSE b - 60 END AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS c
+              FROM hv, (SELECT unnest(range(0, 64)) AS b) bs GROUP BY id, b),
+            bits AS (SELECT id, list(CASE WHEN c >= 0 THEN 1 ELSE 0 END ORDER BY b)
+                AS bt FROM cnt GROUP BY id),
+            banded AS (SELECT id, band,
+                array_to_string(bt[CAST(49 - 16 * band AS INT) : CAST(64 - 16 * band AS INT)],
+                  '') AS bucket
+              FROM bits, (SELECT unnest(range(0, 4)) AS band) bands),
+            cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+            ham AS (SELECT id1, id2,
+                len(list_filter(list_transform(range(1, 65),
+                  i -> b1.bt[CAST(i AS INT)] != b2.bt[CAST(i AS INT)]), x -> x)) AS hamming
+              FROM cand JOIN bits b1 ON cand.id1 = b1.id
+                        JOIN bits b2 ON cand.id2 = b2.id)
+            SELECT id1, id2, CAST(hamming AS INTEGER) AS hamming FROM ham
+            WHERE hamming <= 3 ORDER BY id1, id2"""))
 
   /** SimHash near-dup candidates (Hamming ≤ 3 over 64 bits) — rows-only. */
   val q_dedup_simhash = Q(
@@ -149,26 +272,61 @@ object PipelineQueries {
       val queries = e.filter(col("vec_id") < 10)
       GTable(Similarity.lshTopK(e, queries, "vec_id", "embedding", k = 5,
           planes = 4, dim = 64, tables = 8))
+        .project("score" -> round(col("score"), 9))
         .order(GTable.orderKeys(Seq("query_id", "rank")))
         .result
     },
-    None)
+    // full adjudication: the oracle recomputes the md5-derived planes, sign
+    // buckets, candidate union, exact re-score and top-k ranking
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          ${lshBucketsSql(planes = 4, dim = 64, tables = 8)},
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          scored AS (SELECT query_id, neighbor_id,
+              ${cosSql("qv.e", "cv.e")} AS score
+            FROM cand JOIN v qv ON cand.query_id = qv.vec_id
+                      JOIN v cv ON cand.neighbor_id = cv.vec_id),
+          ranked AS (SELECT query_id, neighbor_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn
+            FROM scored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rn AS INT) AS rank
+          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
 
   /** LSH-bucketed embedding near-dup pairs (linear bucketing, intra-bucket
-    * verify) — rows-only; subset-of-exact asserted in PipelineSpec. */
+    * verify): fully adjudicated — buckets, pairing and exact cosine verify
+    * all recomputed by the oracle. */
   val q_dedup_cosine_lsh = Q(
     "q_dedup_cosine_lsh",
     (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       GTable(Similarity.lshCosinePairs(e, "vec_id", "embedding",
           threshold = 0.2, planes = 4, dim = 64))
+        .project("cos" -> round(col("cos"), 9))
         .order(GTable.orderKeys(Seq("id1", "id2")))
         .result
     },
-    None)
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          ${lshBucketsSql(planes = 4, dim = 64, tables = 8)},
+          cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+            FROM buck a JOIN buck b ON a.t = b.t AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id),
+          scored AS (SELECT id1, id2, ${cosSql("v1.e", "v2.e")} AS cos
+            FROM cand JOIN v v1 ON cand.id1 = v1.vec_id
+                      JOIN v v2 ON cand.id2 = v2.vec_id)
+          SELECT id1, id2, round(cos, 9) AS cos FROM scored
+          WHERE cos >= 0.2 ORDER BY id1, id2"""))
 
-  /** IVF ANN (coarse quantization + nprobe probing) — rows-only; recall
-    * asserted in PipelineSpec (0.9 @ nprobe 6/16 on the test corpus). */
+  /** IVF ANN (coarse quantization + nprobe probing): with the deterministic
+    * id-ordered sample centroids the whole path — assignment (ties to the
+    * larger cid), nprobe probing, candidate re-score, top-k — is recomputed
+    * by the oracle. The kmeansIters>0 refinement stays spec-verified. */
   val q_ann_ivf = Q(
     "q_ann_ivf",
     (s, dir) => {
@@ -176,10 +334,37 @@ object PipelineQueries {
       val queries = e.filter(col("vec_id") < 10)
       GTable(Similarity.ivfTopK(e, queries, "vec_id", "embedding", k = 5,
           nlist = 16, nprobe = 6))
+        .project("score" -> round(col("score"), 9))
         .order(GTable.orderKeys(Seq("query_id", "rank")))
         .result
     },
-    None)
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cid, e AS ce FROM v
+            ORDER BY vec_id LIMIT 16),
+          asg AS (SELECT v.vec_id AS neighbor_id,
+              (SELECT c.cid FROM cents c
+               ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM v),
+          probes AS (SELECT q.vec_id AS query_id, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.e", "c.ce")} DESC, c.cid DESC) AS pr
+            FROM v q, cents c WHERE q.vec_id < 10),
+          cand AS (SELECT DISTINCT query_id, neighbor_id
+            FROM (SELECT query_id, cid FROM probes WHERE pr <= 6) p
+            JOIN asg USING (cid) WHERE query_id <> neighbor_id),
+          scored AS (SELECT query_id, neighbor_id,
+              ${cosSql("qv.e", "cv.e")} AS score
+            FROM cand JOIN v qv ON cand.query_id = qv.vec_id
+                      JOIN v cv ON cand.neighbor_id = cv.vec_id),
+          ranked AS (SELECT query_id, neighbor_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn
+            FROM scored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rn AS INT) AS rank
+          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
 
   /** Language ID + per-language doc counts (stopword-ratio heuristic). */
   val q_lang_id = Q(
@@ -272,6 +457,7 @@ object PipelineQueries {
             FROM k ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
+    q_dedup_minhash_md5, q_dedup_simhash_md5,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_lang_id, q_text_quality, q_token_count,
     q_fingerprint)
