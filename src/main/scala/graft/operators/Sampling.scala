@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Natural}
+
+/** Deterministic sampling / splitting / packing for training-data pipelines.
+  *
+  * Everything derives from md5 hash buckets rather than rand(): assignments
+  * are stable under repartitioning, task retries and re-runs (a rand()-based
+  * split changes on every recompute — silent train/test leakage), need no
+  * shuffle or state, and are reproducible in any engine with md5, so the
+  * correctness gate adjudicates them exactly.
+  *
+  * Scale shape: each op is a pure per-row codegen'd expression (split,
+  * stratified keep) or the block prefix-sum technique (packing) — nothing
+  * here adds a shuffle beyond its own aggregation.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, buckets): first 15 hex digits of
+    * md5(key) folded to a long (60 bits, exact), mod buckets. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    (conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+      % buckets).cast("int")
+
+  /** Named split by integer weights: `Seq("train" -> 8, "val" -> 1,
+    * "test" -> 1)` partitions the bucket space [0, weight sum). */
+  def split(key: Column, shares: Seq[(String, Int)]): Column = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0),
+      "split needs positive integer shares")
+    val b = hashBucket(key, shares.map(_._2).sum)
+    shares.foldLeft((Option.empty[Column], 0)) {
+      case ((acc, off), (name, w)) =>
+        val c = b >= off && b < off + w
+        (Some(acc.fold(when(c, name))(_.when(c, name))), off + w)
+    }._1.get
+  }
+
+  /** Per-stratum deterministic downsampling predicate: keep a row iff its
+    * hash bucket (of `resolution`) falls below fraction(stratum)·resolution.
+    * The fraction map rides as a literal map column — one codegen'd lookup
+    * per row, no join, no shuffle; strata missing from the map keep
+    * `default`. The standard knob for rebalancing a web corpus (downsample
+    * over-represented languages/sources) at scan speed. */
+  def stratifiedKeep(strata: Column, key: Column,
+                     fractions: Map[String, Double], default: Double = 1.0,
+                     resolution: Int = 10000): Column = {
+    val f = coalesce(element_at(typedLit(fractions), strata), lit(default))
+    // threshold via floor(f·res + 0.5): Spark's double→int cast truncates
+    // while other engines round, so a bare cast of 0.07·10000 = 699.999…
+    // would disagree cross-engine
+    hashBucket(key, resolution) < floor(f * resolution + 0.5).cast("int")
+  }
+
+  /** Token-budget sequence packing: rows (in natural order) are assigned to
+    * context-window bins of `budget` tokens at their exclusive prefix token
+    * offset — bin = floor(prefix / budget), the chunk-at-offset packing used
+    * by pretraining pipelines (a document straddling a bin boundary is split
+    * at tokenization time; exact greedy first-fit is inherently sequential).
+    * The prefix sum uses GTable.cumulative's block technique (per-block
+    * totals + a window over the tiny totals frame) — no global
+    * single-partition window, so the pass stays parallel at any scale.
+    * Returns one row per bin: doc count, token total, first/last id. */
+  def packBins(t: GTable, idCol: String, tokenCount: Column,
+               budget: Long): DataFrame = {
+    require(budget > 0, "packBins needs a positive token budget")
+    val cum = t.project("_gq_tok" -> tokenCount.cast("long"))
+      .cumulative(col("_gq_tok"), "_gq_cum", sum, (a, b) => a + b)
+    cum.df
+      .withColumn("bin",
+        floor((col("_gq_cum") - col("_gq_tok")) / lit(budget).cast("double"))
+          .cast("long"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_gq_tok")).as("tokens"),
+        min_by(col(idCol), col(Natural.rid)).as("first_id"),
+        max_by(col(idCol), col(Natural.rid)).as("last_id"))
+  }
+}

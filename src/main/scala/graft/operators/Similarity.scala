@@ -203,6 +203,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("_rn").as("rank"))
   }
 
+  /** Symmetric int8 quantization of a float vector: scale = max |x|,
+    * q_i = clamp(floor(x_i/scale·127 + 0.5), -127, 127). floor(x+0.5) rather
+    * than round() — Spark rounds half-up and other engines half-even, so the
+    * floor form is the only one verifiable cross-engine; every step is plain
+    * IEEE arithmetic (bit-identical everywhere). An all-zero vector
+    * quantizes to zeros. 4× embedding-storage compression is a standard
+    * pretraining-corpus optimization; pure per-row expression, codegen'd,
+    * no shuffle. */
+  def quantizeInt8(vec: Column): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    val scale = array_max(transform(d, x => abs(x)))
+    val q = transform(d, x =>
+      when(scale === 0.0, lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor(x / scale * 127 + 0.5)))))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
   /** Embedding near-duplicate pairs: exact all-pairs cosine ≥ threshold.
     * Quadratic — the exact oracle/baseline; LSH variant is the scale path. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.{GTable, Tables}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries: dedup, similarity search, text analysis
   * over the documents/embeddings tables. Exact-algorithm variants carry
@@ -433,6 +433,125 @@ object PipelineQueries {
               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens
             FROM documents ORDER BY doc_id"""))
 
+  /** md5 bucket SQL fragment for the sampling oracles: fold of the first 15
+    * hex digits of md5(key) mod `buckets` — mirrors Sampling.hashBucket. */
+  private def hashBucketSql(key: String, buckets: Int): String =
+    s"""(list_reduce(list_transform(range(1, 16), i ->
+       |  CAST(strpos('0123456789abcdef',
+       |    substr(md5(CAST($key AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |  (a, b) -> a * 16 + b) % $buckets)""".stripMargin
+
+  /** Deterministic train/val/test split (80/10/10 by hashed doc id): stable
+    * under repartitioning and re-runs, unlike rand() splits. */
+  val q_split_hash = Q(
+    "q_split_hash",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      d.project("split" -> Sampling.split(col("doc_id"),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+        .select("doc_id", "lang", "split")
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some(s"""WITH b AS (SELECT doc_id, lang,
+            ${hashBucketSql("doc_id", 10)} AS bk FROM documents)
+          SELECT doc_id, lang,
+            CASE WHEN bk < 8 THEN 'train' WHEN bk < 9 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM b ORDER BY doc_id"""))
+
+  /** Deterministic stratified downsampling: rebalance the corpus by keeping
+    * 50% of en and 80% of zh (hash-bucket threshold per stratum). */
+  val q_sample_stratified = Q(
+    "q_sample_stratified",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      d.filter(Sampling.stratifiedKeep(col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "zh" -> 0.8)))
+        .select("doc_id", "lang")
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some(s"""WITH b AS (SELECT doc_id, lang,
+            ${hashBucketSql("doc_id", 10000)} AS bk FROM documents)
+          SELECT doc_id, lang FROM b
+          WHERE bk < CAST(floor(
+            (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 ELSE 1.0 END)
+            * 10000 + 0.5) AS INT)
+          ORDER BY doc_id"""))
+
+  /** Token-budget sequence packing: docs chunked into 2048-token context
+    * bins at their exclusive prefix token offset (distributed block
+    * prefix-sum — no global window). */
+  val q_pack_tokens = Q(
+    "q_pack_tokens",
+    (s, dir) => {
+      val d = GTable(Tables.loadOrdered(s, dir, "documents"))
+      GTable(Sampling.packBins(d, "doc_id",
+          size(TextAnalysis.tokens(col("text"))), budget = 2048L))
+        .order(GTable.orderKeys(Seq("bin")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok,
+              row_number() OVER () - 1 AS rid
+            FROM documents),
+          c AS (SELECT *, sum(tok) OVER (ORDER BY rid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pref
+            FROM t),
+          b AS (SELECT *, CAST(floor(pref / 2048.0) AS BIGINT) AS bin FROM c)
+          SELECT bin, count(*) AS n_docs, sum(tok) AS tokens,
+            arg_min(doc_id, rid) AS first_id, arg_max(doc_id, rid) AS last_id
+          FROM b GROUP BY bin ORDER BY bin"""))
+
+  /** Vocabulary extraction: top-100 tokens by frequency (deterministic
+    * tie-break on the token) — the counting pass a BPE/vocab build runs;
+    * map-side combinable groupBy, top-k via TakeOrdered. */
+  val q_vocab_topk = Q(
+    "q_vocab_topk",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(100)
+    },
+    Some("""SELECT t AS token, count(*) AS cnt
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+                  FROM documents)
+            GROUP BY t ORDER BY cnt DESC, token LIMIT 100"""))
+
+  /** Symmetric int8 embedding quantization: per-vector scale + quantized
+    * checksum/min/max (array cells are unhashable in the gate comparator;
+    * the scalars pin the same values). */
+  val q_embed_quant = Q(
+    "q_embed_quant",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      e.select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("_z"))
+        .select(col("vec_id"), col("_z.scale").as("scale"),
+          aggregate(col("_z.q"), lit(0L), (a, b) => a + b).as("qsum"),
+          array_min(col("_z.q")).as("qmin"),
+          array_max(col("_z.q")).as("qmax"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+          s AS (SELECT vec_id, e,
+              list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+          q AS (SELECT vec_id, scale,
+              list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                ELSE greatest(-127, least(127,
+                  CAST(floor(x / scale * 127 + 0.5) AS BIGINT))) END) AS qa
+            FROM s)
+          SELECT vec_id, scale,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), qa),
+              (a, b) -> a + b) AS qsum,
+            list_min(qa) AS qmin, list_max(qa) AS qmax
+          FROM q ORDER BY vec_id"""))
+
   /** Rolling-hash document fingerprint + duplicate-fingerprint count. */
   val q_fingerprint = Q(
     "q_fingerprint",
@@ -460,5 +579,6 @@ object PipelineQueries {
     q_dedup_minhash_md5, q_dedup_simhash_md5,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_lang_id, q_text_quality, q_token_count,
-    q_fingerprint)
+    q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
+    q_embed_quant, q_fingerprint)
 }

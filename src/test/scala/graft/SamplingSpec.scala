@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Tables}
+import graft.operators.{Sampling, Similarity, TextAnalysis}
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def embs = Tables.load(spark, sf, "embeddings")
+
+  test("hash split is total, stable under repartitioning, roughly proportional") {
+    val shares = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val d = docs.withColumn("split", Sampling.split(col("doc_id"), shares))
+    val counts = d.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count(), "every row must get a split")
+    // 80% ± generous slack at 500 docs (hash bucketing, not exact quota)
+    assert(counts("train").toDouble / total > 0.6 &&
+      counts("train").toDouble / total < 0.95, s"train share off: $counts")
+    // determinism: the assignment must not depend on partitioning
+    val again = docs.repartition(7)
+      .withColumn("split", Sampling.split(col("doc_id"), shares))
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val first = d.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(first == again)
+  }
+
+  test("stratified keep downsamples only the targeted strata, deterministically") {
+    val kept = docs.filter(Sampling.stratifiedKeep(col("lang"), col("doc_id"),
+      Map("en" -> 0.5, "zh" -> 0.8)))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // untouched strata keep every row
+    for (l <- totalByLang.keys if l != "en" && l != "zh")
+      assert(byLang.getOrElse(l, 0L) == totalByLang(l), s"stratum $l was sampled")
+    // sampled strata shrink to roughly their fraction
+    val enShare = byLang("en").toDouble / totalByLang("en")
+    assert(enShare > 0.3 && enShare < 0.7, s"en share $enShare")
+    // kept set is a subset picked by key only: rerun equals first run
+    assert(kept.collect().map(_.getLong(0)).toSet ==
+      docs.filter(Sampling.stratifiedKeep(col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "zh" -> 0.8))).collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packBins partitions every doc once and matches a local greedy-offset reference") {
+    val budget = 2048L
+    val t = GTable(Tables.loadOrdered(spark, sf, "documents"))
+    val bins = Sampling.packBins(t, "doc_id",
+      size(TextAnalysis.tokens(col("text"))), budget)
+      .orderBy("bin").collect()
+    val local = Tables.loadOrdered(spark, sf, "documents")
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("tok"))
+      .orderBy(col(graft.core.Natural.rid))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // local reference: exclusive prefix offset over natural order
+    var pref = 0L
+    val expect = local.map { case (id, tok) =>
+      val bin = pref / budget
+      pref += tok
+      (bin, id, tok)
+    }
+    val expBins = expect.groupBy(_._1).map { case (b, rows) =>
+      b -> (rows.length.toLong, rows.map(_._3).sum, rows.head._2, rows.last._2)
+    }
+    assert(bins.length == expBins.size)
+    bins.foreach { r =>
+      val (n, tok, first, last) = expBins(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == tok &&
+        r.getLong(3) == first && r.getLong(4) == last,
+        s"bin ${r.getLong(0)} mismatch")
+    }
+    assert(bins.map(_.getLong(1)).sum == local.length, "every doc in exactly one bin")
+  }
+
+  test("int8 quantization bounds and reconstruction error") {
+    val q = embs.select(col("vec_id"), col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("z"))
+    // bounds: |q_i| <= 127
+    val outOfRange = q.filter(exists(col("z.q"),
+      x => abs(x) > 127)).count()
+    assert(outOfRange == 0)
+    // reconstruction: |x - q*scale/127| <= scale/127 * 0.5 + eps per component
+    val bad = q.filter(exists(
+      zip_with(col("embedding"), col("z.q"),
+        (x, qi) => abs(x.cast("double") - qi * col("z.scale") / 127.0)),
+      err => err > col("z.scale") / 127.0 * 0.5 + lit(1e-9))).count()
+    assert(bad == 0, "reconstruction error exceeds half a quantization step")
+  }
+}
