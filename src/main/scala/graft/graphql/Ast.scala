@@ -23,9 +23,14 @@ final case class GField(
     alias: Option[String],
     name: String,
     args: Seq[(String, GVal)],
-    sels: Seq[GField]) {
+    sels: Seq[GField],
+    typeCond: Option[String] = None) {
   def outName: String = alias.getOrElse(name)
   def arg(name: String): Option[GVal] = args.collectFirst { case (`name`, v) => v }
+  /** Does this field apply inside a parent of GraphQL type `t`? Fields
+    * spliced from fragments carry the fragment's type condition; fields
+    * written directly have none and always apply. */
+  def appliesTo(t: String): Boolean = typeCond.forall(_ == t)
 }
 
 final case class GDocument(sels: Seq[GField])

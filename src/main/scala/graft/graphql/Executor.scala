@@ -77,7 +77,10 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
             .getOrElse(throw new IllegalArgumentException(s"unknown entity type '$typename'"))
           val preds = rep.v.filterNot(_._1 == "__typename").map { case (k, v) =>
             col(k) === lit(Exprs.scalaOf(v)) }
-          resolveTable(roots(table)().filter(preds: _*), f, None)
+          // mixed-type batches: only the selections whose fragment type
+          // condition matches this representation's type apply to it
+          val forType = f.copy(sels = f.sels.filter(_.appliesTo(typename)))
+          resolveTable(roots(table)().filter(preds: _*), forType, None)
         }
         timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
         f.outName -> resolved.mkString("[", ",", "]")
@@ -856,11 +859,37 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     Json.obj(wanted.map(cf => cf.outName -> resolveOneColumn(pruned, cf)))
   }
 
+  /** Reference-style typed-column GraphQL type name (models.py's
+    * IntColumn/LongColumn/FloatColumn/…) — the target of inline-fragment
+    * type conditions on column selections. */
+  private def columnTypeName(dt: DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType => "IntColumn"
+      case LongType => "LongColumn"
+      case FloatType | DoubleType => "FloatColumn"
+      case StringType => "StringColumn"
+      case BooleanType => "BooleanColumn"
+      case DateType => "DateColumn"
+      case TimestampType | TimestampNTZType => "DatetimeColumn"
+      case _: DecimalType => "DecimalColumn"
+      case _: ArrayType => "ListColumn"
+      case _: StructType => "StructColumn"
+      case _: DayTimeIntervalType | _: YearMonthIntervalType => "DurationColumn"
+      case _ => "Column"
+    }
+  }
+
   private def resolveOneColumn(pruned: GTable, cf: GField): String = {
     val c = col(cf.name)
     val dt = pruned.df.schema.find(_.name == cf.name).map(_.dataType)
     val isString = dt.contains(StringType)
-    val leafs = cf.sels
+    // enforce fragment type conditions where the parent type varies by
+    // column: `... on FloatColumn { sum }` must not run against a string
+    val leafs = dt match {
+      case Some(d) => cf.sels.filter(_.appliesTo(columnTypeName(d)))
+      case None => cf.sels
+    }
     val collectLeaves = Set("values", "distinct", "type", "dropNull",
       "fillNull", "unnest", "length", "names", "types")
     val aggLeafs = leafs.filterNot(l => collectLeaves.contains(l.name))

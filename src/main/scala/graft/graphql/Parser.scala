@@ -23,7 +23,8 @@ object Parser {
 private final class Parser(s: String, provided: Map[String, GVal]) {
   private var i = 0
   private var vars = Map.empty[String, GVal]
-  private val fragments = scala.collection.mutable.Map.empty[String, Seq[GField]]
+  private val fragments =
+    scala.collection.mutable.Map.empty[String, (String, Seq[GField])]
 
   private def err(msg: String): Nothing = throw new ParseError(msg, i)
 
@@ -77,8 +78,8 @@ private final class Parser(s: String, provided: Map[String, GVal]) {
             val fname = name()
             val on = name()
             if (on != "on") err("expected 'on' in fragment definition")
-            name() // type condition, not enforced (schema is structural)
-            fragments(fname) = selectionSet()
+            val cond = name() // type condition, enforced where types can vary
+            fragments(fname) = (cond, selectionSet())
           case kw => err(s"unsupported operation '$kw'")
         }
       } else err(s"unexpected '$peek'")
@@ -138,8 +139,8 @@ private final class Parser(s: String, provided: Map[String, GVal]) {
       if (isNameStart(peek)) {
         val n = name()
         if (n == "on") {
-          name() // type condition, not enforced
-          GField(None, "...inline", Nil, selectionSet())
+          val cond = name()
+          GField(None, "...inline", Seq("on" -> GStr(cond)), selectionSet())
         } else GField(None, "...spread", Seq("name" -> GStr(n)), Nil)
       } else err("expected fragment name or 'on'")
     } else field()
@@ -158,15 +159,25 @@ private final class Parser(s: String, provided: Map[String, GVal]) {
   }
 
   /** Splice fragment spreads / inline fragments into the selection they
-    * appear in (type conditions are structural no-ops here). */
+    * appear in. Spliced fields carry the fragment's type condition
+    * (innermost wins for nested fragments); the executor enforces it where
+    * the parent type can actually vary (_entities batches, typed columns)
+    * and ignores it where GraphQL validation makes it trivially true. */
   private def resolveSpreads(f: GField): Seq[GField] = f.name match {
     case "...spread" =>
       val fname = f.arg("name").collect { case GStr(n) => n }.get
-      fragments.getOrElse(fname, err(s"unknown fragment '$fname'"))
-        .flatMap(resolveSpreads)
-    case "...inline" => f.sels.flatMap(resolveSpreads)
+      val (cond, sels) =
+        fragments.getOrElse(fname, err(s"unknown fragment '$fname'"))
+      sels.flatMap(resolveSpreads).map(tagCond(_, cond))
+    case "...inline" =>
+      val cond = f.arg("on").collect { case GStr(c) => c }
+      f.sels.flatMap(resolveSpreads)
+        .map(s => cond.fold(s)(tagCond(s, _)))
     case _ => Seq(f.copy(sels = f.sels.flatMap(resolveSpreads)))
   }
+
+  private def tagCond(f: GField, cond: String): GField =
+    if (f.typeCond.isDefined) f else f.copy(typeCond = Some(cond))
 
   private def arguments(): Seq[(String, GVal)] = {
     expect('(')

@@ -35,4 +35,13 @@ class CoreSpec extends SparkSpec {
   test("entry smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("take of no indices returns an empty table on dense, sorted and filtered paths") {
+    val t = GTable(Tables.loadOrdered(spark, sf, "nation"))
+    assert(t.take(Seq()).result.count() == 0)
+    // sorted / filtered tables go through the non-dense path (indices.max
+    // used to throw on an empty request)
+    assert(t.order(GTable.orderKeys(Seq("n_name"))).take(Seq()).result.count() == 0)
+    assert(t.filter(col("n_regionkey") === 2).take(Seq()).result.count() == 0)
+  }
 }

@@ -42,6 +42,48 @@ class GraphQLSpec extends SparkSpec {
     assert(r.contains(""""n":{"values":["""))
   }
 
+  test("arg_max underscore spelling computes max_by, not min_by") {
+    def ks(r: String): String =
+      """"k":\{"values":\[([^\]]*)\]""".r.findFirstMatchIn(r).get.group(1)
+    val underscored = service.execute(
+      """{ orders { group(by: ["o_orderstatus"], aggregate: {
+           arg_max: [{name: "o_orderkey", key: "o_totalprice", alias: "k"}]}) {
+           order(by: ["o_orderstatus"]) {
+           columns { o_orderstatus { values } k { values } } } } } }""")
+    val camel = service.execute(
+      """{ orders { group(by: ["o_orderstatus"], aggregate: {
+           argmax: [{name: "o_orderkey", key: "o_totalprice", alias: "k"}]}) {
+           order(by: ["o_orderstatus"]) {
+           columns { o_orderstatus { values } k { values } } } } } }""")
+    val mins = service.execute(
+      """{ orders { group(by: ["o_orderstatus"], aggregate: {
+           argmin: [{name: "o_orderkey", key: "o_totalprice", alias: "k"}]}) {
+           order(by: ["o_orderstatus"]) {
+           columns { o_orderstatus { values } k { values } } } } } }""")
+    assert(ks(underscored) == ks(camel), "arg_max must equal argMax")
+    assert(ks(underscored) != ks(mins), "arg_max must not fall through to argmin")
+  }
+
+  test("ordered collect with where drops filtered rows, not nulls them") {
+    val r = service.execute(
+      """{ orders { group(by: ["o_orderstatus"], aggregate: {
+           collect: [{name: "o_orderkey", alias: "ids",
+                      order_by: ["-o_orderkey"],
+                      where: {lt: [{name: "o_orderkey"}, {value: 10}]}}]}) {
+           order(by: ["o_orderstatus"]) {
+           columns { o_orderstatus { values } ids { values } } } } } }""")
+    val arrays = """"ids":\{"values":\[(.*?)\]\}""".r
+      .findAllMatchIn(r).map(_.group(1)).toSeq
+    assert(arrays.nonEmpty, r.take(300))
+    // the filtered-out rows must vanish entirely — the old struct-shell bug
+    // kept them as leading nulls after the desc reverse
+    assert(!arrays.exists(_.contains("null")), r.take(500))
+    // contents must be the <10 keys, descending
+    val all = arrays.flatMap(_.split("\\],\\[")).mkString(",")
+      .split(",").filter(_.nonEmpty).map(_.replaceAll("[\\[\\]]", "").toLong)
+    assert(all.forall(_ < 10), all.mkString(","))
+  }
+
   test("columns batch aggregates in one pass") {
     val r = service.execute(
       """{ lineitem { columns { l_quantity { min max mean count } } } }""")
@@ -291,6 +333,32 @@ class GraphQLSpec extends SparkSpec {
                                        {__typename: "Nation", n_nationkey: 2}]) {
            ... on Nation { count } } }""")
     assert(r2.contains("""[{"count":1},{"count":1}]"""))
+  }
+
+  test("fragment type conditions: mixed-type _entities batches and typed columns") {
+    import graft.graphql.GraphQLService
+    val fed = new GraphQLService(spark, sf,
+      keys = Map("nation" -> Seq("n_nationkey"), "region" -> Seq("r_regionkey")))
+    // a mixed batch: each representation must get only ITS fragment's fields
+    val r = fed.execute(
+      """{ _entities(representations: [{__typename: "Nation", n_nationkey: 3},
+                                       {__typename: "Region", r_regionkey: 1}]) {
+           ... on Nation { row { n_name } }
+           ... on Region { row { r_name } } } }""")
+    val entities = """\{"row":\{[^}]*\}\}""".r.findAllIn(r).toSeq
+    assert(entities.length == 2, r.take(400))
+    assert(entities(0).contains(""""n_name"""") && !entities(0).contains("r_name"),
+      r.take(400))
+    assert(entities(1).contains(""""r_name"""") && !entities(1).contains("n_name"),
+      r.take(400))
+    // typed columns: a FloatColumn fragment must not run against a string
+    val r2 = service.execute(
+      """{ lineitem { slice(limit: 5) { columns {
+           l_quantity { ... on FloatColumn { sum } }
+           l_returnflag { ... on FloatColumn { sum } count } } } } }""")
+    assert(r2.contains(""""sum":"""))
+    // the string column answered count but skipped the non-matching sum
+    assert(""""l_returnflag":\{"count":\d+\}""".r.findFirstIn(r2).nonEmpty, r2.take(400))
   }
 
   test("write sink round-trips: plain, hive-partitioned, sorted-within") {
