@@ -581,31 +581,32 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
         if (d) col(n).desc else col(n).asc }: _*)
     val ordCols = ordNames.map(col)
     val ordTuple = struct(ordCols: _*)
-    // persist AFTER the in-range windows: the stats/eqLast aggregations and
-    // the final merge all reuse the ranked cache instead of recomputing the
-    // window three times
-    val withRanks = ranged
-      .withColumn("_gq_wrn", row_number().over(wp))
+    // row_number is only needed when a row-numbered output was requested;
+    // rank/dense_rank ride the same in-partition sort either way
+    val needRn = rowNumber.isDefined || ntile.isDefined
+    val withRanks0 = ranged
       .withColumn("_gq_wrk", org.apache.spark.sql.functions.rank().over(wp))
       .withColumn("_gq_wdr", dense_rank().over(wp))
-      .persist()
-    // per-(range, key) stats (tiny: ranges x keys rows on the driver)
-    val stats = withRanks
+    // persist AFTER the in-range windows: the stats aggregation and the
+    // final merge both reuse the ranked cache instead of recomputing
+    val withRanks =
+      (if (needRn) withRanks0.withColumn("_gq_wrn", row_number().over(wp))
+       else withRanks0).persist()
+    // per-(range, key) stats in ONE aggregation pass (tiny output: ranges ×
+    // keys rows on the driver). Within a range partition the in-order window
+    // ranks make the boundary stats algebraic: distinct order values
+    // nd = max(dense_rank); rows tied on the LAST value
+    // eqLast = n − max(rank) + 1; first/last order value = arg-min/max by
+    // rank. (The earlier form paid a full per-distinct-value aggregation
+    // plus a join for eqLast — an entire extra pass over the data.)
+    val statRows = withRanks
       .groupBy(col("_gq_pid") +: keyCols: _*)
       .agg(
         GTable.cnt.as("_n"),
-        countDistinct(ordTuple).as("_nd"),
-        min_by(ordTuple, col("_gq_wrn")).as("_firstOrd"),
-        max_by(ordTuple, col("_gq_wrn")).as("_lastOrd"),
-        GTable.cnt.minus(max(when(col("_gq_wdr") === 1, lit(0L))
-          .otherwise(lit(0L)))).as("_unused"))
-      .drop("_unused")
-    val eqLast = withRanks
-      .groupBy((col("_gq_pid") +: keyCols) :+ ordTuple.as("_ord"): _*)
-      .agg(GTable.cnt.as("_eqLast"))
-      .withColumnRenamed("_ord", "_lastOrd")
-    val statRows = stats
-      .join(eqLast, Seq("_gq_pid") ++ partKeys ++ Seq("_lastOrd"))
+        max(col("_gq_wdr")).cast("long").as("_nd"),
+        min_by(ordTuple, col("_gq_wrk")).as("_firstOrd"),
+        max_by(ordTuple, col("_gq_wrk")).as("_lastOrd"),
+        (GTable.cnt - max(col("_gq_wrk")) + 1L).as("_eqLast"))
       .collect()
     val keyIdx = partKeys.indices
     final case class RangeStat(pid: Int, key: Seq[Any], n: Long, nd: Long,
