@@ -87,6 +87,31 @@ object StreamQueries {
             FROM events GROUP BY 1, 2
             ORDER BY user_id, event_type"""))
 
-  def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session,
+  /** Stream-stream interval join (attribution shape): clicks by the same
+    * user within the 5 minutes before each purchase. Runs on the batch
+    * frame here (watermark is a no-op) so the oracle checks the interval
+    * semantics; StreamingSpec runs the same builder on two memory streams
+    * with watermarked, state-bounded append output. */
+  val q_stream_join = Q(
+    "q_stream_join",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      GTable(StreamOps.intervalJoin(purchases, clicks, "user_id", "ts",
+          before = "5 MINUTES", after = "0 SECONDS", delay = "10 minutes")
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks")))
+        .order(GTable.orderKeys(Seq("event_id")))
+        .result
+    },
+    Some("""SELECT p.event_id, count(*) AS n_clicks
+            FROM events p JOIN events c
+            ON p.event_type = 'purchase' AND c.event_type = 'click'
+             AND p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+            GROUP BY p.event_id ORDER BY p.event_id"""))
+
+  def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session, q_stream_join,
     q_stream_dedup)
 }

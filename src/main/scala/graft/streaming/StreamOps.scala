@@ -62,6 +62,32 @@ object StreamOps {
       df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)
     else df.dropDuplicates(keys)
 
+  /** Stream-static enrichment join: broadcast the (small) static dimension
+    * onto each micro-batch — stateless, no watermark, the standard
+    * dim-table enrichment stage of an ingest pipeline. Works identically on
+    * batch frames. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
+  /** Stream-stream interval join: rows with equal `key` whose right
+    * timestamp lies within [left.ts − before, left.ts + after]. Watermarks
+    * on BOTH sides bound the buffered join state (Spark evicts rows older
+    * than watermark + interval), so state stays O(rate × interval) at any
+    * stream length. Right columns are prefixed `r_`; on batch frames the
+    * same builder degrades to a plain interval join (watermark is a no-op),
+    * which is what the oracle-checked q_stream_join runs. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                   before: String, after: String, delay: String): DataFrame = {
+    val l = watermarked(left, ts, delay)
+    val r0 = watermarked(right, ts, delay)
+    val r = r0.select(r0.columns.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$ts") >= col(ts) - expr(s"INTERVAL $before") &&
+        col(s"r_$ts") <= col(ts) + expr(s"INTERVAL $after"))
+      .drop(s"r_$key")
+  }
+
   // ─── custom state: per-user running counters ───
 
   final case class UserEvent(user_id: Long, event_type: String, value: Double)

@@ -82,6 +82,57 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    val spark2 = spark
+    import spark2.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // left purchases, right clicks: user 1 has clicks 2 and 4 min before
+    // its purchase; user 2's click is 10 min before (outside the interval)
+    val purchases = Seq((10L, t(10), 1L), (20L, t(20), 2L))
+    val clicks = Seq((1L, t(8), 1L), (2L, t(6), 1L), (3L, t(10), 2L))
+    val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    lMem.addData(purchases: _*)
+    rMem.addData(clicks: _*)
+    val joined = StreamOps.intervalJoin(
+      lMem.toDF.toDF("event_id", "ts", "user_id"),
+      rMem.toDF.toDF("event_id", "ts", "user_id"),
+      "user_id", "ts", before = "5 MINUTES", after = "0 SECONDS",
+      delay = "30 minutes")
+    val q = joined.select("event_id", "r_event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivj")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ivj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((10L, 1L), (10L, 2L)), streamed.toString)
+    // batch equivalence through the same builder
+    val batch = StreamOps.intervalJoin(
+      purchases.toDF("event_id", "ts", "user_id"),
+      clicks.toDF("event_id", "ts", "user_id"),
+      "user_id", "ts", "5 MINUTES", "0 SECONDS", "30 minutes")
+      .select("event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == streamed)
+  }
+
+  test("stream-static enrichment broadcast-joins the dimension per batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)](spark)
+    mem.addData((100L, 1L), (101L, 2L), (102L, 1L))
+    val q = StreamOps.enrich(mem.toDF.toDF("event_id", "user_id"), dim, Seq("user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enr")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val tiers = spark.table("enr").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier"))).toSet
+    assert(tiers == Set((100L, "gold"), (101L, "basic"), (102L, "gold")))
+  }
+
   test("file streaming source over events parquet produces batch-equal rows") {
     // FileStreamSource requires a directory: materialize a multi-file copy
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
