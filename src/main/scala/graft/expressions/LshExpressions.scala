@@ -1,0 +1,81 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native codegen'd hyperplane sign-bucket over an `array<float>` vector.
+  *
+  * The composable form (per plane: `aggregate(zip_with(vec, planeLit, …))`,
+  * then a shift/or fold) walks interpreted higher-order-function lambdas —
+  * ~planes × dim interpreted steps per row. This expression fuses the whole
+  * bucket into one compiled double-multiply-add loop over the inlined plane
+  * matrix; accumulation order and the `d >= 0` sign rule are identical to
+  * the composable form (spec-asserted bit parity), so the DuckDB oracle's
+  * SQL re-derivation of the buckets keeps matching.
+  *
+  * Bit layout: plane 0 of the matrix lands at the HIGHEST produced bit
+  * (`acc = acc << 1 | bit`, planes in order) — same as the composable fold.
+  */
+case class LshBits(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bits"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var acc = 0L
+    var p = 0
+    while (p < planes.length) {
+      val row = planes(p)
+      val n = math.min(x.numElements(), row.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += x.getFloat(i).toDouble * row(i); i += 1 }
+      acc = (acc << 1) | (if (d >= 0) 1L else 0L)
+      p += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val row = ctx.freshName("row")
+      s"""
+         |long $acc = 0L;
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double[] $row = $mat[$p];
+         |  int $n = java.lang.Math.min($v.numElements(), $row.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += (double) $v.getFloat($i) * $row[$i];
+         |  }
+         |  $acc = ($acc << 1) | ($d >= 0 ? 1L : 0L);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshFunctions {
+  /** Register (idempotently, one name per plane family) and call. */
+  def bits(spark: SparkSession, vec: Column, name: String,
+           planes: Array[Array[Double]]): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => LshBits(exprs(0), planes), "scala_udf")
+    call_function(name, vec)
+  }
+}

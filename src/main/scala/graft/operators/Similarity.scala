@@ -67,9 +67,22 @@ object Similarity {
   }
 
   /** Sign-bucket id from `planes` random hyperplanes (bit per plane);
-    * `table` selects an independent plane family. Planes are inlined as
-    * literal arrays — per-row work is just the dim-length dot folds. */
+    * `table` selects an independent plane family. Served by the fused
+    * native [[graft.expressions.LshBits]] (one compiled multiply-add loop
+    * over the inlined plane matrix); [[lshBucketComposable]] is the
+    * pure-built-in reference form, spec-asserted bit-identical. */
   def lshBucket(vec: Column, planes: Int, dim: Int, table: Int = 0): Column = {
+    val matrix = Array.tabulate(planes, dim)((pi, i) =>
+      planeComponent(table * planes + pi, i))
+    graft.expressions.LshFunctions.bits(
+      org.apache.spark.sql.SparkSession.active, vec,
+      s"lsh_bits_${table}_${planes}_${dim}", matrix)
+  }
+
+  /** Composable reference form of [[lshBucket]] (interpreted HOF lambdas —
+    * the fused expression replaces it on hot paths). */
+  def lshBucketComposable(vec: Column, planes: Int, dim: Int,
+                          table: Int = 0): Column = {
     val bits = (table * planes until (table + 1) * planes).map { p =>
       val plane = typedLit((0 until dim).map(i => planeComponent(p, i)).toArray)
       val d = aggregate(zip_with(vec, plane, (x, c) => x.cast("double") * c),

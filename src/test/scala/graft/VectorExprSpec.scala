@@ -57,4 +57,16 @@ class VectorExprSpec extends SparkSpec {
       .filter(col("d") > 0).count()
     assert(n > 0)
   }
+
+  test("LshBits is bit-identical to the composable plane fold, every table") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sf, "embeddings")
+    for (t <- 0 until 4) {
+      val diff = e.select(
+          Similarity.lshBucket(col("embedding"), planes = 4, dim = 64, table = t).as("f"),
+          Similarity.lshBucketComposable(col("embedding"), planes = 4, dim = 64, table = t).as("c"))
+        .filter(col("f") =!= col("c")).count()
+      assert(diff == 0, s"table $t")
+    }
+  }
 }
