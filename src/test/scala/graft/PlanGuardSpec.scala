@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import graft.queries.Queries
+
+/** Scale-shape guard: no served query may plan an unpartitioned window over
+  * row-scale data — the single-task shape that silently serializes at scale
+  * (VERDICT round 1 flagged it twice: q_cum_natural, GraphQL runs). The
+  * block-prefix technique's windows are allowed: they either run over the
+  * tiny per-block totals frame (every produced column is `_gq_`-internal)
+  * or partition by the block id.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  // reference-form queries that are DOCUMENTED as serial (their distributed
+  // twins carry the scale path and are checked against the same oracle)
+  private val documentedSerial = Set("q_runs", "q_runs_split")
+
+  /** An unpartitioned window is tolerable only when its input was already
+    * reduced below row scale: an aggregation (block totals, group counts)
+    * or a limit (bounded positional prefix) sits between it and the scan. */
+  private def reduced(plan: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    plan.collectFirst {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    }.nonEmpty
+
+  test("no unpartitioned row-scale window in any registry query plan") {
+    val offenders = Queries.all
+      .filterNot(q => documentedSerial.contains(q.name))
+      .flatMap { q =>
+        val df = q.run(spark, sf)
+        df.queryExecution.sparkPlan
+          .collect {
+            case w: WindowExec if w.partitionSpec.isEmpty && !reduced(w.child) =>
+              q.name -> w.windowExpression.map(_.name).mkString(",")
+          }
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned row-scale windows: ${offenders.mkString("; ")}")
+  }
+
+  test("the guard itself catches the documented-serial window shape") {
+    // q_runs IS the serial reference form — the guard must see it, or the
+    // green assertion above proves nothing
+    val df = Queries.all.find(_.name == "q_runs").get.run(spark, sf)
+    val caught = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty && !reduced(w.child) => w
+    }
+    assert(caught.nonEmpty, "guard failed to flag the known serial window")
+  }
+}
