@@ -85,4 +85,24 @@ object TextAnalysis {
     val spark = org.apache.spark.sql.SparkSession.active
     graft.expressions.TextFunctions.fingerprint(spark, text)
   }
+
+  /** CCNet-style LM quality score: per-document mean unigram
+    * log-probability under the corpus's OWN unigram distribution (documents
+    * of improbable tokens — boilerplate, gibberish, wrong-language — score
+    * low and get filtered). Two passes: corpus token counts (map-side
+    * combinable groupBy) with the total collected as one driver scalar,
+    * then a broadcast join of the vocab onto the exploded tokens and a
+    * per-doc mean of ln p(token). At 100 TB the vocab frame is the only
+    * broadcast state and the doc-level mean is a map-side-combinable
+    * aggregation — no row-scale shuffle beyond the token join. */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as(idCol),
+      explode(tokens(col(textCol))).as("_gq_t"))
+    val vocab = toks.groupBy("_gq_t").agg(count(lit(1)).as("_gq_c"))
+    val total = vocab.agg(sum(col("_gq_c"))).collect()(0).getLong(0)
+    toks.join(broadcast(vocab), Seq("_gq_t"))
+      .groupBy(idCol)
+      .agg(avg(log(col("_gq_c").cast("double") / total)).as("logprob"))
+  }
 }

@@ -552,6 +552,26 @@ object PipelineQueries {
             list_min(qa) AS qmin, list_max(qa) AS qmax
           FROM q ORDER BY vec_id"""))
 
+  /** CCNet-style LM quality score: mean unigram log-prob per doc under the
+    * corpus's own distribution. Rounded at 6: the doc-level mean sums FP
+    * logs in partition order (order-sensitive aggregate rule). */
+  val q_doc_logprob = Q(
+    "q_doc_logprob",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(TextAnalysis.unigramLogProb(d, "doc_id", "text"))
+        .project("logprob" -> round(col("logprob"), 6))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+              unnest(string_split(lower(text), ' ')) AS t FROM documents),
+            vocab AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM vocab)
+            SELECT doc_id, round(avg(ln(CAST(c AS DOUBLE) / s)), 6) AS logprob
+            FROM toks JOIN vocab USING (t), tot
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Rolling-hash document fingerprint + duplicate-fingerprint count. */
   val q_fingerprint = Q(
     "q_fingerprint",
@@ -580,5 +600,5 @@ object PipelineQueries {
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
-    q_embed_quant, q_fingerprint)
+    q_embed_quant, q_doc_logprob, q_fingerprint)
 }
