@@ -572,6 +572,37 @@ object PipelineQueries {
             FROM toks JOIN vocab USING (t), tot
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** End-to-end preprocessing pipeline in one composed plan — the
+    * 100 TB shape: quality gate (scan-level filter) → exact dedup
+    * (hash-groupBy + semi-join) → deterministic split → per-(split, lang)
+    * corpus stats. Each stage is an operator verified on its own elsewhere;
+    * this entry proves the COMPOSITION hash-exact. */
+  val q_pipeline_e2e = Q(
+    "q_pipeline_e2e",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val toks = size(TextAnalysis.tokens(col("text")))
+      val quality = d.filter(toks >= 30)
+      val rep = Dedup.exact(quality, "text", "doc_id")
+      val deduped = quality.join(rep, Seq("doc_id"), "left_semi")
+      val withSplit = deduped.withColumn("split",
+        Sampling.split(col("doc_id"), Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+      GTable(withSplit.groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(toks.cast("long")).as("tokens")))
+        .order(GTable.orderKeys(Seq("split", "lang")))
+        .result
+    },
+    Some(s"""WITH q AS (SELECT * FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 30),
+          rep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+          ded AS (SELECT q.* FROM q JOIN rep USING (doc_id)),
+          b AS (SELECT *, ${hashBucketSql("doc_id", 10)} AS bk FROM ded),
+          spl AS (SELECT *, CASE WHEN bk < 8 THEN 'train'
+              WHEN bk < 9 THEN 'val' ELSE 'test' END AS split FROM b)
+          SELECT split, lang, count(*) AS n_docs,
+            sum(len(string_split(lower(text), ' '))) AS tokens
+          FROM spl GROUP BY split, lang ORDER BY split, lang"""))
+
   /** Rolling-hash document fingerprint + duplicate-fingerprint count. */
   val q_fingerprint = Q(
     "q_fingerprint",
@@ -600,5 +631,5 @@ object PipelineQueries {
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
-    q_embed_quant, q_doc_logprob, q_fingerprint)
+    q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint)
 }
