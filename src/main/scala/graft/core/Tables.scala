@@ -29,6 +29,19 @@ object Tables {
     planCache.getOrElseUpdate((spark, path(sfDir, name)),
       normalize(read(spark, path(sfDir, name))))
 
+  /** Read any Spark-supported source format as an engine table — the
+    * operator surface is source-agnostic (GTable wraps any DataFrame), so
+    * csv/json/orc corpora drop in wherever parquet does. Pass the schema
+    * for text formats (csv/json) to keep types exact rather than inferred.
+    * (SourceFormatsSpec asserts csv/json/orc round-trip equality with the
+    * parquet source and runs engine operators over each.) */
+  def loadFormat(spark: SparkSession, dir: String, format: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None,
+                 options: Map[String, String] = Map.empty): DataFrame = {
+    val r0 = spark.read.format(format).options(options)
+    normalize(schema.fold(r0)(r0.schema).load(dir))
+  }
+
   /** Load with the natural-order row id attached (see [[Natural]]). */
   def loadOrdered(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     nanosConf(spark)
