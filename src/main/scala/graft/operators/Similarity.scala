@@ -188,6 +188,14 @@ object Similarity {
         .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (cents.isEmpty)
+      // empty corpus → empty centroid sample: no candidates (a zero-length
+      // literal struct array would not even analyze)
+      return corpus.select(col(idCol).as("neighbor_id"))
+        .crossJoin(queries.select(col(idCol).as("query_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0.0).as("score"), lit(0).as("rank"))
+        .limit(0)
     val centArr = array(cents.map { case (cid, cv) =>
       struct(typedLit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
     // per-row (sim, cid) against every centroid; struct order makes

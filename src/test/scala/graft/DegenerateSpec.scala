@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GTable, Tables}
+import graft.operators.{Dedup, Sampling, Similarity}
+
+/** Degenerate-input hardening: every operator must behave on an EMPTY
+  * table (the take(Seq()) crash was exactly this class of bug — paths that
+  * compute driver-side stats from data that may not exist). */
+class DegenerateSpec extends SparkSpec {
+
+  private def emptyT = GTable(Tables.loadOrdered(spark, sf, "nation"))
+    .filter(lit(false))
+  private def nation = GTable(Tables.loadOrdered(spark, sf, "nation"))
+
+  test("row ops on an empty table: slice, rowAt, take, order, any, count") {
+    assert(emptyT.slice(0, Some(5L)).result.count() == 0)
+    assert(emptyT.order(GTable.orderKeys(Seq("n_name"))).result.count() == 0)
+    assert(emptyT.take(Seq()).result.count() == 0)
+    assert(!emptyT.any())
+    assert(emptyT.count() == 0)
+  }
+
+  test("group/distinct/runs/cumulative on an empty table") {
+    assert(emptyT.group(Seq("n_regionkey"), Seq(count(lit(1)).as("n")))
+      .result.count() == 0)
+    // whole-table aggregate over empty input: one row, count 0 (Spark and
+    // the reference both produce the global-aggregate row)
+    val whole = emptyT.group(Nil, Seq(count(lit(1)).as("n"))).result.collect()
+    assert(whole.length == 1 && whole(0).getLong(0) == 0)
+    assert(emptyT.distinctOn(Seq("n_regionkey")).result.count() == 0)
+    assert(emptyT.runs(Seq("n_regionkey")).result.count() == 0)
+    // runsDistributed requires dense positions BY CONTRACT (the GraphQL
+    // service falls back to runs() on filtered tables) — the guard must fire
+    intercept[IllegalArgumentException](
+      emptyT.runsDistributed(Seq("n_regionkey")))
+    assert(emptyT.cumulative(col("n_regionkey"), "c", sum, (a, b) => a + b)
+      .result.count() == 0)
+  }
+
+  test("rankings on an empty table") {
+    assert(nation.filter(lit(false))
+      .rankings(Seq("n_regionkey"), Seq(col("n_name")), rank = Some("rk"))
+      .result.count() == 0)
+  }
+
+  test("asofJoin with an empty right side keeps left rows with null matches") {
+    val left = nation
+    val right = nation.filter(lit(false))
+    val keyed = left.asofJoin(right, on = "n_nationkey",
+      keys = Seq("n_regionkey"))
+    assert(keyed.result.count() == left.result.count())
+    val keyless = left.asofJoin(right, on = "n_nationkey", keys = Nil)
+    assert(keyless.result.count() == left.result.count())
+  }
+
+  test("set ops and unnest with empty inputs") {
+    assert(emptyT.union(Seq(emptyT)).result.count() == 0)
+    assert(nation.union(Seq(emptyT)).result.count() == nation.result.count())
+    assert(emptyT.intersect(Seq(nation)).result.count() == 0)
+    assert(nation.difference(Seq(emptyT)).result.count() ==
+      nation.result.distinct().count())
+    val arr = emptyT.project("a" -> split(col("n_name"), "#"))
+    assert(arr.unnest("a").result.count() == 0)
+  }
+
+  test("pipeline operators on empty frames") {
+    val ed = Tables.load(spark, sf, "documents").filter(lit(false))
+    assert(Dedup.exact(ed, "text", "doc_id").count() == 0)
+    assert(Dedup.jaccardPairs(ed, "text", "doc_id", 3, 0.5).count() == 0)
+    assert(Dedup.minhashPairs(ed, "text", "doc_id").count() == 0)
+    assert(Sampling.packBins(GTable(
+      Tables.loadOrdered(spark, sf, "documents")).filter(lit(false)),
+      "doc_id", lit(1), 100L).count() == 0)
+    val ee = Tables.load(spark, sf, "embeddings").filter(lit(false))
+    val q = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 3)
+    assert(Similarity.bruteForceTopK(ee, q, "vec_id", "embedding", 5).count() == 0)
+    assert(Similarity.lshTopK(ee, q, "vec_id", "embedding", 5,
+      planes = 4, dim = 64).count() == 0)
+    assert(Similarity.ivfTopK(ee, q, "vec_id", "embedding", 5,
+      nlist = 4, nprobe = 2).count() == 0)
+  }
+}
