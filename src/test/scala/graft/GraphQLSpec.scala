@@ -361,6 +361,20 @@ class GraphQLSpec extends SparkSpec {
     assert(""""l_returnflag":\{"count":\d+\}""".r.findFirstIn(r2).nonEmpty, r2.take(400))
   }
 
+  test("service degrades gracefully on empty filter results") {
+    val r = service.execute(
+      """{ nation { filter(n_name: {eq: "NO_SUCH_NATION"}) {
+           count
+           s: slice(limit: 3) { columns { n_name { values } } }
+           g: group(by: ["n_regionkey"], counts: "n") { count }
+           r: runs(by: ["n_regionkey"], counts: "rn") { count }
+           c: columns { n_nationkey { min max count } } } } }""")
+    assert(r.contains(""""count":0"""), r.take(400))
+    assert(r.contains(""""values":[]"""), r.take(400))
+    // aggregates over no rows: SQL null / zero-count semantics
+    assert(r.contains(""""min":null""") && r.contains(""""max":null"""), r.take(600))
+  }
+
   test("write sink round-trips: plain, hive-partitioned, sorted-within") {
     import graft.core.{GTable, Tables}
     val t = GTable(Tables.load(spark, sf, "orders"))
