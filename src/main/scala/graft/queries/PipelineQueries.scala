@@ -553,14 +553,17 @@ object PipelineQueries {
           FROM q ORDER BY vec_id"""))
 
   /** CCNet-style LM quality score: mean unigram log-prob per doc under the
-    * corpus's own distribution. Rounded at 6: the doc-level mean sums FP
-    * logs in partition order (order-sensitive aggregate rule). */
+    * corpus's own distribution. Rounded at 4: the doc-level mean sums FP
+    * logs in partition order (order-sensitive aggregate rule), and with
+    * ~1e-10 cross-engine association noise a 1e-6 grid over 500 docs
+    * leaves a material chance of landing on a boundary — 1e-4 puts the
+    * noise 6 orders below the grid. */
   val q_doc_logprob = Q(
     "q_doc_logprob",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
       GTable(TextAnalysis.unigramLogProb(d, "doc_id", "text"))
-        .project("logprob" -> round(col("logprob"), 6))
+        .project("logprob" -> round(col("logprob"), 4))
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
@@ -568,7 +571,7 @@ object PipelineQueries {
               unnest(string_split(lower(text), ' ')) AS t FROM documents),
             vocab AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
             tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM vocab)
-            SELECT doc_id, round(avg(ln(CAST(c AS DOUBLE) / s)), 6) AS logprob
+            SELECT doc_id, round(avg(ln(CAST(c AS DOUBLE) / s)), 4) AS logprob
             FROM toks JOIN vocab USING (t), tot
             GROUP BY doc_id ORDER BY doc_id"""))
 
