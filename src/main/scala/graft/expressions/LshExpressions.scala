@@ -28,11 +28,17 @@ case class LshBits(child: Expression, planes: Array[Array[Double]])
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
+    // a null ELEMENT nulls every plane's dot in the composable form
+    // (zip_with propagates null through the fold), forcing every bit to 0 —
+    // match that, rather than reading the slot as 0.0
+    var i0 = 0
+    val ne = x.numElements()
+    while (i0 < ne) { if (x.isNullAt(i0)) return 0L; i0 += 1 }
     var acc = 0L
     var p = 0
     while (p < planes.length) {
       val row = planes(p)
-      val n = math.min(x.numElements(), row.length)
+      val n = math.min(ne, row.length)
       var d = 0.0
       var i = 0
       while (i < n) { d += x.getFloat(i).toDouble * row(i); i += 1 }
@@ -51,16 +57,24 @@ case class LshBits(child: Expression, planes: Array[Array[Double]])
       val d = ctx.freshName("d")
       val n = ctx.freshName("n")
       val row = ctx.freshName("row")
+      val hasNull = ctx.freshName("hasNull")
+      val j = ctx.freshName("j")
       s"""
          |long $acc = 0L;
-         |for (int $p = 0; $p < $mat.length; $p++) {
-         |  double[] $row = $mat[$p];
-         |  int $n = java.lang.Math.min($v.numElements(), $row.length);
-         |  double $d = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $d += (double) $v.getFloat($i) * $row[$i];
+         |boolean $hasNull = false;
+         |for (int $j = 0; $j < $v.numElements(); $j++) {
+         |  if ($v.isNullAt($j)) { $hasNull = true; break; }
+         |}
+         |if (!$hasNull) {
+         |  for (int $p = 0; $p < $mat.length; $p++) {
+         |    double[] $row = $mat[$p];
+         |    int $n = java.lang.Math.min($v.numElements(), $row.length);
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $d += (double) $v.getFloat($i) * $row[$i];
+         |    }
+         |    $acc = ($acc << 1) | ($d >= 0 ? 1L : 0L);
          |  }
-         |  $acc = ($acc << 1) | ($d >= 0 ? 1L : 0L);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -139,13 +139,12 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
-  /** md5-derived 60-bit hash (first 15 hex digits folded to a long) of a
-    * seeded string — reproducible in ANY engine with md5, unlike the
-    * xxhash64 family, so correctness oracles can recompute it relationally.
-    * The xxhash64 variants stay the throughput path. */
+  /** md5-derived 60-bit hash of a seeded string — reproducible in ANY
+    * engine with md5, unlike the xxhash64 family, so correctness oracles
+    * can recompute it relationally. The xxhash64 variants stay the
+    * throughput path. */
   def md5Hash60(c: Column, seed: Column): Column =
-    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 15), 16, 10)
-      .cast("long")
+    Hashing.md5Long(concat(seed.cast("string"), lit(":"), c))
 
   /** MinHash+LSH pairs with md5-derived permutation hashes: identical
     * algorithm to [[minhashPairs]] (k per-shingle hash mins → signature →
@@ -164,10 +163,14 @@ object Dedup {
     val hv = sh.select(col("id"),
         explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
       .select(col("id"), col("seed"), md5Hash60(col("sh"), col("seed")).as("h"))
+    // consumed 3x (banding + two verification joins): persist, as
+    // minhashPairs does — the k-seeded md5 aggregation is the dominant cost
+    // and must not run three times
     val sig = hv.groupBy("id", "seed").agg(min(col("h")).as("m"))
       .groupBy("id")
       .agg(transform(array_sort(collect_list(struct(col("seed"), col("m")))),
         x => x.getField("m")).as("sig"))
+      .persist()
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ","))))
@@ -208,8 +211,11 @@ object Dedup {
     val packed = (0 until 64).foldLeft(lit(0L))((acc, b) =>
       shiftleft(acc, 1).bitwiseOR(
         when(col(s"_c$b") >= 0, lit(1L)).otherwise(lit(0L))))
+    // the fingerprint frame feeds both sides of the self-join — persist so
+    // the md5-fold + 64-counter aggregation runs once
     val fp = hv.groupBy("id").agg(sums.head, sums.tail: _*)
       .select(col("id"), packed.as("sh"))
+      .persist()
     val banded = fp.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -31,9 +31,7 @@ object Multimodal {
     * the same fold relationally. Slices stay ≤ 15 hex digits (60 bits), so
     * the conv() result fits a signed long exactly. */
   def metadata(blob: Column): Column = {
-    val hex = md5(blob)
-    def slice(from: Int, len: Int): Column =
-      conv(substring(hex, from, len), 16, 10).cast("long")
+    def slice(from: Int, len: Int): Column = Hashing.md5Long(blob, from, len)
     struct(
       octet_length(blob).as("n_bytes"),
       element_at(array(lit("jpeg"), lit("png"), lit("webp")),

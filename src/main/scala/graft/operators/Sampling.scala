@@ -19,10 +19,13 @@ import graft.core.{GTable, Natural}
 object Sampling {
 
   /** Deterministic bucket in [0, buckets): first 15 hex digits of
-    * md5(key) folded to a long (60 bits, exact), mod buckets. */
+    * md5(key) folded to a long (60 bits, exact), mod buckets. A NULL key
+    * hashes as the empty string rather than propagating null — otherwise
+    * split() would assign no share and stratifiedKeep() would silently
+    * DROP the row (filter on a null predicate), i.e. silent data loss for
+    * exactly the malformed rows a pipeline most needs to account for. */
   def hashBucket(key: Column, buckets: Int): Column =
-    (conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
-      % buckets).cast("int")
+    (Hashing.md5Long(coalesce(key.cast("string"), lit(""))) % buckets).cast("int")
 
   /** Named split by integer weights: `Seq("train" -> 8, "val" -> 1,
     * "test" -> 1)` partitions the bucket space [0, weight sum). */

@@ -232,13 +232,23 @@ object Similarity {
     * quantizes to zeros. 4× embedding-storage compression is a standard
     * pretraining-corpus optimization; pure per-row expression, codegen'd,
     * no shuffle. */
-  def quantizeInt8(vec: Column): Column = {
+  def quantizeInt8(vec: Column): Column =
+    graft.expressions.QuantizeFunctions.quantize(
+      org.apache.spark.sql.SparkSession.active, vec)
+
+  /** Composable reference form of [[quantizeInt8]] — NOTE: the scale
+    * aggregate is re-evaluated inside every element lambda (no CSE across
+    * interpreted HOFs → O(dim²) per row); kept only for the parity spec.
+    * A null element must be guarded explicitly: Spark's least/greatest SKIP
+    * nulls, so the unguarded clamp would turn a null component into 127. */
+  def quantizeInt8Composable(vec: Column): Column = {
     val d = transform(vec, x => x.cast("double"))
     val scale = array_max(transform(d, x => abs(x)))
     val q = transform(d, x =>
       when(scale === 0.0, lit(0L)).otherwise(
-        greatest(lit(-127L), least(lit(127L),
-          floor(x / scale * 127 + 0.5)))))
+        when(x.isNull, lit(null).cast("long")).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            floor(x / scale * 127 + 0.5))))))
     struct(scale.as("scale"), q.as("q"))
   }
 

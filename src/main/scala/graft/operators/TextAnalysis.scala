@@ -100,7 +100,10 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as(idCol),
       explode(tokens(col(textCol))).as("_gq_t"))
     val vocab = toks.groupBy("_gq_t").agg(count(lit(1)).as("_gq_c"))
-    val total = vocab.agg(sum(col("_gq_c"))).collect()(0).getLong(0)
+    // sum() over an empty vocab is SQL NULL — an empty corpus must yield an
+    // empty result, not a driver NullPointerException
+    val total = Option(vocab.agg(sum(col("_gq_c"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
     toks.join(broadcast(vocab), Seq("_gq_t"))
       .groupBy(idCol)
       .agg(avg(log(col("_gq_c").cast("double") / total)).as("logprob"))

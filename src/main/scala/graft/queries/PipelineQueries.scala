@@ -438,7 +438,8 @@ object PipelineQueries {
   private def hashBucketSql(key: String, buckets: Int): String =
     s"""(list_reduce(list_transform(range(1, 16), i ->
        |  CAST(strpos('0123456789abcdef',
-       |    substr(md5(CAST($key AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |    substr(md5(coalesce(CAST($key AS VARCHAR), '')), CAST(i AS INT), 1)) - 1
+       |      AS BIGINT)),
        |  (a, b) -> a * 16 + b) % $buckets)""".stripMargin
 
   /** Deterministic train/val/test split (80/10/10 by hashed doc id): stable

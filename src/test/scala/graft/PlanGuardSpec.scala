@@ -18,13 +18,21 @@ class PlanGuardSpec extends SparkSpec {
 
   /** An unpartitioned window is tolerable only when its input was already
     * reduced below row scale: an aggregation (block totals, group counts)
-    * or a limit (bounded positional prefix) sits between it and the scan. */
+    * or a limit (bounded positional prefix) sits on EVERY path between it
+    * and a source. A collectFirst over the whole subtree would green-light
+    * a window over Join(tinyAgg, fullScan) because the tiny side has an
+    * aggregate — so recurse: a node is reduced iff it reduces itself, or
+    * ALL of its children are reduced (a join is row-scale if any input
+    * is). Leaves (scans) are not reduced. */
   private def reduced(plan: org.apache.spark.sql.execution.SparkPlan): Boolean =
-    plan.collectFirst {
+    plan match {
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
       case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
       case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
-    }.nonEmpty
+      case p if p.children.isEmpty => false
+      case p => p.children.forall(reduced)
+    }
 
   test("no unpartitioned row-scale window in any registry query plan") {
     val offenders = Queries.all

@@ -58,6 +58,27 @@ class VectorExprSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("QuantizeInt8 matches the composable form on data and edge vectors") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sf, "embeddings")
+    val diff = e.select(
+        Similarity.quantizeInt8(col("embedding")).as("f"),
+        Similarity.quantizeInt8Composable(col("embedding")).as("c"))
+      .filter(not(col("f") <=> col("c"))).count()
+    assert(diff == 0)
+    // edges: empty vector, zero vector, null element
+    val edge = spark.sql(
+      """SELECT v FROM VALUES
+         (array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+         (array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT), CAST(-3.0 AS FLOAT))),
+         (CAST(array() AS ARRAY<FLOAT>)) AS t(v)""")
+    val edgeDiff = edge.select(
+        Similarity.quantizeInt8(col("v")).as("f"),
+        Similarity.quantizeInt8Composable(col("v")).as("c"))
+      .filter(not(col("f") <=> col("c"))).count()
+    assert(edgeDiff == 0)
+  }
+
   test("LshBits is bit-identical to the composable plane fold, every table") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sf, "embeddings")
