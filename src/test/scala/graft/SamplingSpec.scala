@@ -77,6 +77,20 @@ class SamplingSpec extends SparkSpec {
     assert(bins.map(_.getLong(1)).sum == local.length, "every doc in exactly one bin")
   }
 
+  test("null keys are assigned deterministically, never dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+      .withColumn("split", Sampling.split(col("id"),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+    // totality: the null-id row still lands in a named share
+    assert(df.filter(col("split").isNull).count() == 0)
+    // stratifiedKeep with fraction 1.0 must keep the null-key row
+    val kept = Seq((Some(1L), "en"), (None, "en")).toDF("id", "lang")
+      .filter(Sampling.stratifiedKeep(col("lang"), col("id"), Map("en" -> 1.0)))
+    assert(kept.count() == 2)
+  }
+
   test("int8 quantization bounds and reconstruction error") {
     val q = embs.select(col("vec_id"), col("embedding"),
       Similarity.quantizeInt8(col("embedding")).as("z"))
