@@ -1,11 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native codegen'd hyperplane sign-bucket over an `array<float>` vector.
   *
@@ -26,6 +27,14 @@ case class LshBits(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bits"
 
+  // eval/codegen read elements with getFloat — any other element type would
+  // silently produce garbage buckets; fail at analysis instead
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bits requires array<float> input, got ${other.catalogString}")
+  }
+
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     // a null ELEMENT nulls every plane's dot in the composable form
@@ -38,11 +47,17 @@ case class LshBits(child: Expression, planes: Array[Array[Double]])
     var p = 0
     while (p < planes.length) {
       val row = planes(p)
-      val n = math.min(ne, row.length)
-      var d = 0.0
-      var i = 0
-      while (i < n) { d += x.getFloat(i).toDouble * row(i); i += 1 }
-      acc = (acc << 1) | (if (d >= 0) 1L else 0L)
+      // zip_with null-pads the SHORTER side (either direction) → null
+      // product → null dot → bit 0; a partial dot would diverge from the
+      // composable reference, so only an exact-length vector scores
+      var bit = 0L
+      if (ne == row.length) {
+        var d = 0.0
+        var i = 0
+        while (i < ne) { d += x.getFloat(i).toDouble * row(i); i += 1 }
+        bit = if (d >= 0) 1L else 0L
+      }
+      acc = (acc << 1) | bit
       p += 1
     }
     acc
@@ -68,12 +83,15 @@ case class LshBits(child: Expression, planes: Array[Array[Double]])
          |if (!$hasNull) {
          |  for (int $p = 0; $p < $mat.length; $p++) {
          |    double[] $row = $mat[$p];
-         |    int $n = java.lang.Math.min($v.numElements(), $row.length);
-         |    double $d = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $d += (double) $v.getFloat($i) * $row[$i];
+         |    long $n = 0L;
+         |    if ($v.numElements() == $row.length) {
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $row.length; $i++) {
+         |        $d += (double) $v.getFloat($i) * $row[$i];
+         |      }
+         |      $n = $d >= 0 ? 1L : 0L;
          |    }
-         |    $acc = ($acc << 1) | ($d >= 0 ? 1L : 0L);
+         |    $acc = ($acc << 1) | $n;
          |  }
          |}
          |${ev.value} = $acc;

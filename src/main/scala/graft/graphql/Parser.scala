@@ -163,18 +163,26 @@ private final class Parser(s: String, provided: Map[String, GVal]) {
     * (innermost wins for nested fragments); the executor enforces it where
     * the parent type can actually vary (_entities batches, typed columns)
     * and ignores it where GraphQL validation makes it trivially true. */
-  private def resolveSpreads(f: GField): Seq[GField] = f.name match {
-    case "...spread" =>
-      val fname = f.arg("name").collect { case GStr(n) => n }.get
-      val (cond, sels) =
-        fragments.getOrElse(fname, err(s"unknown fragment '$fname'"))
-      sels.flatMap(resolveSpreads).map(tagCond(_, cond))
-    case "...inline" =>
-      val cond = f.arg("on").collect { case GStr(c) => c }
-      f.sels.flatMap(resolveSpreads)
-        .map(s => cond.fold(s)(tagCond(s, _)))
-    case _ => Seq(f.copy(sels = f.sels.flatMap(resolveSpreads)))
-  }
+  private def resolveSpreads(f: GField): Seq[GField] =
+    resolveSpreads(f, Set.empty)
+
+  /** `visiting` = fragment names on the current expansion path: GraphQL
+    * requires fragment-spread cycles be rejected, and without the guard a
+    * self- or mutually-referencing fragment would recurse unboundedly. */
+  private def resolveSpreads(f: GField, visiting: Set[String]): Seq[GField] =
+    f.name match {
+      case "...spread" =>
+        val fname = f.arg("name").collect { case GStr(n) => n }.get
+        if (visiting(fname)) err(s"fragment cycle through '$fname'")
+        val (cond, sels) =
+          fragments.getOrElse(fname, err(s"unknown fragment '$fname'"))
+        sels.flatMap(resolveSpreads(_, visiting + fname)).map(tagCond(_, cond))
+      case "...inline" =>
+        val cond = f.arg("on").collect { case GStr(c) => c }
+        f.sels.flatMap(resolveSpreads(_, visiting))
+          .map(s => cond.fold(s)(tagCond(s, _)))
+      case _ => Seq(f.copy(sels = f.sels.flatMap(resolveSpreads(_, visiting))))
+    }
 
   private def tagCond(f: GField, cond: String): GField =
     if (f.typeCond.isDefined) f else f.copy(typeCond = Some(cond))

@@ -112,6 +112,9 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands): a remainder " +
+        "would silently exclude trailing signature components from banding")
     val r = k / bands
     // consumed 3x (banding + two verification joins): persist the narrow
     // signature frame — the local analog of materializing a signature table,
@@ -158,6 +161,9 @@ object Dedup {
   def minhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands): a remainder " +
+        "would silently exclude trailing signature components from banding")
     val r = k / bands
     val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
     val hv = sh.select(col("id"),
@@ -273,5 +279,87 @@ object Dedup {
     cand.withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+  }
+
+  /** Duplicate clusters from near-dup pair edges: connected components,
+    * label(id) = smallest id reachable. Output: (id, cluster) for every id
+    * appearing in a pair.
+    *
+    * Shape: iterative hash-min label propagation with a pointer-jumping
+    * shortcut (label := label(label)) each round — O(log diameter) rounds
+    * instead of O(diameter), each round two equi-join shuffles over narrow
+    * (id, label) rows. This is the alternating-star family of MapReduce CC
+    * algorithms: no driver-side graph, no vertex ever holds more than its
+    * label. Near-dup clusters are tiny-diameter in practice (similarity is
+    * near-transitive), so real corpora converge in 2-3 rounds. Each round is
+    * `localCheckpoint`ed: label frames are narrow, and truncating lineage
+    * keeps round N's plan from nesting all N-1 predecessors. Convergence is
+    * detected by the label sum (labels are monotone non-increasing, so an
+    * unchanged sum ⇔ a fixed point) — one tiny agg action per round, no
+    * change-count join. */
+  def clusters(pairs: DataFrame, id1Col: String = "id1",
+               id2Col: String = "id2", maxIter: Int = 25): DataFrame = {
+    // materialize the (possibly expensive) pair lineage ONCE — the
+    // bidirectional union below references it twice, and without the
+    // checkpoint both branches recompute the upstream (e.g. a shingle
+    // self-join) inside the first action
+    val p = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
+      .localCheckpoint()
+    val edges = p
+      .union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cl", col("id"))
+      .localCheckpoint()
+    // decimal(38,0): a long sum of 64-bit ids overflows at corpus scale
+    def labelSum(df: DataFrame): Any =
+      df.agg(sum(col("cl").cast("decimal(38,0)"))).head().get(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nmin = edges
+        .join(labels.select(col("id").as("b"), col("cl").as("ncl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("ncl")).as("nmin"))
+      // checkpoint before the self-join: both sides of the jump reference
+      // prop, and at graph scale (labels = one row per node) recomputing
+      // the propagation join twice per round costs more than one
+      // materialization of the narrow (id, label) frame
+      val prop = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cl"), coalesce(col("nmin"), col("cl"))).as("cl"))
+        .localCheckpoint()
+      // pointer jump: labels are always node ids, so label(label) exists;
+      // left join only guards the transient frame mid-round
+      val jumped = prop.as("x")
+        .join(prop.select(col("id").as("_jid"), col("cl").as("_jcl")),
+          col("x.cl") === col("_jid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("_jcl"), col("x.cl")).as("cl"))
+        .localCheckpoint()
+      val s = labelSum(jumped)
+      converged = s == prevSum
+      prevSum = s
+      labels = jumped
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("cl").as("cluster"))
+  }
+
+  /** Representative-per-cluster dedup: drops every row whose id belongs to
+    * a near-dup cluster but is not its smallest member; rows with no pair
+    * (singletons) survive untouched. The last stage of a real dedup
+    * pipeline — pairs alone over-delete (a<b<c with pairs (a,b),(b,c) must
+    * drop b and c, not b OR c) and naive "drop all id2" under-deletes
+    * transitively. */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String,
+                          id1Col: String = "id1",
+                          id2Col: String = "id2"): DataFrame = {
+    val dupes = clusters(pairs, id1Col, id2Col)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(dupes, Seq(idCol), "left_anti")
   }
 }

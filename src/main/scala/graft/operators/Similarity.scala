@@ -249,7 +249,10 @@ object Similarity {
         when(x.isNull, lit(null).cast("long")).otherwise(
           greatest(lit(-127L), least(lit(127L),
             floor(x / scale * 127 + 0.5))))))
-    struct(scale.as("scale"), q.as("q"))
+    // struct() of null children is never null in Spark, so a NULL input
+    // vector must be guarded explicitly to match the fused expression's
+    // null-in → null-struct-out
+    when(vec.isNotNull, struct(scale.as("scale"), q.as("q")))
   }
 
   /** Embedding near-duplicate pairs: exact all-pairs cosine ≥ threshold.

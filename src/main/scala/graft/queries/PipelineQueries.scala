@@ -501,7 +501,7 @@ object PipelineQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pref
             FROM t),
           b AS (SELECT *, CAST(floor(pref / 2048.0) AS BIGINT) AS bin FROM c)
-          SELECT bin, count(*) AS n_docs, sum(tok) AS tokens,
+          SELECT bin, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens,
             arg_min(doc_id, rid) AS first_id, arg_max(doc_id, rid) AS last_id
           FROM b GROUP BY bin ORDER BY bin"""))
 
@@ -604,7 +604,7 @@ object PipelineQueries {
           spl AS (SELECT *, CASE WHEN bk < 8 THEN 'train'
               WHEN bk < 9 THEN 'val' ELSE 'test' END AS split FROM b)
           SELECT split, lang, count(*) AS n_docs,
-            sum(len(string_split(lower(text), ' '))) AS tokens
+            CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
           FROM spl GROUP BY split, lang ORDER BY split, lang"""))
 
   /** Rolling-hash document fingerprint + duplicate-fingerprint count. */
@@ -630,10 +630,207 @@ object PipelineQueries {
                 (acc, tk) -> (acc * 31 + tk) % 1000000007) AS fp
             FROM k ORDER BY doc_id"""))
 
+  /** Shared oracle CTE block: exact word-3-gram Jaccard pairs at the given
+    * threshold (mirror of Dedup.jaccardPairs; same text as q_dedup_jaccard's
+    * oracle), ending in a `pairs(id1, id2)` relation. */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+       |    list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END)) AS s
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id id1, b.doc_id id2, count(*) c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id1, id2 FROM common
+       |  JOIN sizes s1 ON id1 = s1.doc_id
+       |  JOIN sizes s2 ON id2 = s2.doc_id
+       |  WHERE c / (s1.sz + s2.sz - c) >= $threshold)""".stripMargin
+
+  /** Near-dup clusters: connected components over exact Jaccard pair edges
+    * (hash-min label propagation with pointer jumping in the engine; the
+    * oracle re-derives the same fixed point as a recursive reachability
+    * closure — min reachable id per node). */
+  val q_dedup_clusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.55)
+      GTable(Dedup.clusters(pairs))
+        .order(GTable.orderKeys(Seq("id")))
+        .result
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsSql(0.55)},
+             edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                       UNION SELECT id2, id1 FROM pairs),
+             nodes AS (SELECT DISTINCT a AS id FROM edges),
+             reach(src, dst) AS (
+               SELECT id, id FROM nodes
+               UNION
+               SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+             SELECT src AS id, min(dst) AS cluster
+             FROM reach GROUP BY src ORDER BY id"""))
+
+  /** Representative-per-cluster dedup: documents surviving
+    * keepRepresentatives over the Jaccard pair edges (transitive closure —
+    * only the smallest id of each connected component survives). */
+  val q_dedup_reps = Q(
+    "q_dedup_reps",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.55)
+      GTable(Dedup.keepRepresentatives(d, pairs, "doc_id").select("doc_id"))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsSql(0.55)},
+             edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                       UNION SELECT id2, id1 FROM pairs),
+             nodes AS (SELECT DISTINCT a AS id FROM edges),
+             reach(src, dst) AS (
+               SELECT id, id FROM nodes
+               UNION
+               SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             dupes AS (
+               SELECT src AS id FROM reach GROUP BY src
+               HAVING src != min(dst))
+             SELECT doc_id FROM documents
+             WHERE doc_id NOT IN (SELECT id FROM dupes)
+             ORDER BY doc_id"""))
+
+  /** Gopher-style repetition + document statistics (top-2-gram occupancy,
+    * duplicate-3-gram fraction, mean word length, alpha-word fraction,
+    * symbol-word ratio, distinct-stopword hits). */
+  val q_text_repetition = Q(
+    "q_text_repetition",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      val metrics =
+        (TextAnalysis.repetitionMetrics(col("text")) ++
+          TextAnalysis.gopherMetrics(col("text")))
+          .map { case (n, c) =>
+            n -> (if (n == "stopword_hits") c else round(c, 9)) }
+      d.project(metrics: _*)
+        .select("doc_id" +: metrics.map(_._1): _*)
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+            g AS (SELECT doc_id, toks,
+              CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bi,
+              CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END AS tri
+              FROM t),
+            m AS (SELECT doc_id,
+              CASE WHEN len(bi) > 0 THEN
+                CAST(list_max(list_transform(list_distinct(bi),
+                  g2 -> len(list_filter(bi, x -> x = g2)))) AS DOUBLE) / len(bi)
+                ELSE 0.0 END AS topbi,
+              CASE WHEN len(tri) > 0 THEN
+                CAST(list_reduce(list_prepend(0, list_transform(list_distinct(tri),
+                  g2 -> CASE WHEN len(list_filter(tri, x -> x = g2)) > 1
+                    THEN len(list_filter(tri, x -> x = g2)) ELSE 0 END)),
+                  (a, b) -> a + b) AS DOUBLE) / len(tri)
+                ELSE 0.0 END AS duptri,
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                (a, b) -> a + b) AS DOUBLE) / greatest(len(toks), 1) AS mwl,
+              CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                AS DOUBLE) / greatest(len(toks), 1) AS awf,
+              CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '[a-z0-9]')))
+                AS DOUBLE) / greatest(len(toks), 1) AS syr,
+              CAST(len(list_intersect(list_distinct(toks),
+                ['the','a','of','and','to','in','is','that','it','for']))
+                AS INTEGER) AS sh
+              FROM g)
+            SELECT doc_id,
+              round(topbi, 9) AS top_bigram_frac,
+              round(duptri, 9) AS dup_trigram_frac,
+              round(mwl, 9) AS mean_word_len,
+              round(awf, 9) AS alpha_word_frac,
+              round(syr, 9) AS symbol_word_ratio,
+              sh AS stopword_hits
+            FROM m ORDER BY doc_id"""))
+
+  /** Composite Gopher keep/drop verdict per document (331/500 keep at
+    * sf0.01 — a real split, not pass-all). */
+  val q_gopher_filter = Q(
+    "q_gopher_filter",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      d.project("keep" -> TextAnalysis.gopherFilter(col("text")))
+        .select("doc_id", "keep")
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+            g AS (SELECT doc_id, toks,
+              CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bi,
+              CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END AS tri
+              FROM t),
+            m AS (SELECT doc_id, len(toks) AS n,
+              CASE WHEN len(bi) > 0 THEN
+                CAST(list_max(list_transform(list_distinct(bi),
+                  g2 -> len(list_filter(bi, x -> x = g2)))) AS DOUBLE) / len(bi)
+                ELSE 0.0 END AS topbi,
+              CASE WHEN len(tri) > 0 THEN
+                CAST(list_reduce(list_prepend(0, list_transform(list_distinct(tri),
+                  g2 -> CASE WHEN len(list_filter(tri, x -> x = g2)) > 1
+                    THEN len(list_filter(tri, x -> x = g2)) ELSE 0 END)),
+                  (a, b) -> a + b) AS DOUBLE) / len(tri)
+                ELSE 0.0 END AS duptri,
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                (a, b) -> a + b) AS DOUBLE) / greatest(len(toks), 1) AS mwl,
+              CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                AS DOUBLE) / greatest(len(toks), 1) AS awf,
+              CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '[a-z0-9]')))
+                AS DOUBLE) / greatest(len(toks), 1) AS syr,
+              len(list_intersect(list_distinct(toks),
+                ['the','a','of','and','to','in','is','that','it','for'])) AS sh
+              FROM g)
+            SELECT doc_id,
+              (n BETWEEN 40 AND 10000 AND mwl BETWEEN 3.0 AND 10.0
+                AND awf > 0.8 AND syr < 0.1 AND sh >= 1
+                AND topbi < 0.09 AND duptri < 0.25) AS keep
+            FROM m ORDER BY doc_id"""))
+
+  /** Intra-document repetition scrub: collapse immediate token repeats. */
+  val q_dedup_tokens = Q(
+    "q_dedup_tokens",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      d.project("collapsed" -> TextAnalysis.dedupConsecutiveTokens(col("text")))
+        .select("doc_id", "collapsed")
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+            SELECT doc_id,
+              array_to_string(list_filter(toks,
+                (x, i) -> i = 1 OR x != toks[i - 1]), ' ') AS collapsed
+            FROM t ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
     q_dedup_minhash_md5, q_dedup_simhash_md5,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
-    q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint)
+    q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,
+    q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,
+    q_dedup_tokens)
 }

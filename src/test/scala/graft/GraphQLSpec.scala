@@ -530,4 +530,20 @@ class GraphQLSpec extends SparkSpec {
     assert(filter.args.head._2.toString.contains("3"))
     assert(filter.sels.map(_.name) == Seq("count"))
   }
+
+  test("fragment-spread cycles are rejected, not a stack overflow") {
+    val self = intercept[graphql.ParseError](Parser.parse(
+      """{ nation { ...A } } fragment A on Nation { ...A }""", Map.empty))
+    assert(self.getMessage.contains("fragment cycle"))
+    val mutual = intercept[graphql.ParseError](Parser.parse(
+      """{ nation { ...A } }
+         fragment A on Nation { ...B }
+         fragment B on Nation { ...A }""", Map.empty))
+    assert(mutual.getMessage.contains("fragment cycle"))
+    // re-use of the same fragment on SIBLING paths is legal, not a cycle
+    val doc = Parser.parse(
+      """{ nation { ...C } region { ...C } } fragment C on Nation { count }""",
+      Map.empty)
+    assert(doc.sels.map(_.name) == Seq("nation", "region"))
+  }
 }

@@ -22,6 +22,59 @@ class PipelineSpec extends SparkSpec {
     info(s"exact pairs: ${exact.size}, lsh candidates: ${lsh.size}")
   }
 
+  test("minhash banding rejects k not divisible by bands") {
+    // k=30, bands=8 would silently drop the trailing 30-8*3=6 signature
+    // components from banding while est_jaccard still divides by k
+    intercept[IllegalArgumentException](
+      Dedup.minhashPairs(docs, "text", "doc_id", k = 30, bands = 8))
+    intercept[IllegalArgumentException](
+      Dedup.minhashPairsMd5(docs, "text", "doc_id", k = 30, bands = 8))
+  }
+
+  test("clusters: hash-min label propagation finds connected components") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus isolated pair 10-11 and a long path 20..24 —
+    // pointer jumping must converge the 5-node path, not just diameter-2
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      .toDF("id1", "id2")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
+  test("keepRepresentatives drops all non-minimal cluster members, keeps singletons") {
+    import spark.implicits._
+    val df = (1L to 6L).toDF("id")
+    // component {1,2,3} via transitive chain; {5,6}; 4 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val kept = Dedup.keepRepresentatives(df, pairs, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("gopher filter agrees with its own metrics; consecutive-token collapse is idempotent") {
+    val m = docs.select(col("doc_id"),
+        TextAnalysis.gopherFilter(col("text")).as("keep"))
+      .groupBy("keep").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    // a real split on this corpus, not pass-all / drop-all
+    assert(m.getOrElse(true, 0L) > 0 && m.getOrElse(false, 0L) > 0)
+    val collapsed = docs.select(
+      TextAnalysis.dedupConsecutiveTokens(col("text")).as("c1"))
+    val twice = collapsed.select(
+      TextAnalysis.dedupConsecutiveTokens(col("c1")).as("c2"),
+      col("c1"))
+    assert(twice.filter(col("c1") =!= col("c2")).count() == 0)
+    // no immediate repeats survive
+    val bad = twice.select(split(col("c2"), " ").as("t"))
+      .filter(expr(
+        "exists(transform(t, (x, i) -> i > 0 AND x = t[i - 1]), b -> b)"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("jaccard shingle-df cap: lenient cap equals uncapped; tight cap stays consistent") {
     val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.7)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -66,12 +66,13 @@ class VectorExprSpec extends SparkSpec {
         Similarity.quantizeInt8Composable(col("embedding")).as("c"))
       .filter(not(col("f") <=> col("c"))).count()
     assert(diff == 0)
-    // edges: empty vector, zero vector, null element
+    // edges: empty vector, zero vector, null element, NULL vector
     val edge = spark.sql(
       """SELECT v FROM VALUES
          (array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))),
          (array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT), CAST(-3.0 AS FLOAT))),
-         (CAST(array() AS ARRAY<FLOAT>)) AS t(v)""")
+         (CAST(array() AS ARRAY<FLOAT>)),
+         (CAST(NULL AS ARRAY<FLOAT>)) AS t(v)""")
     val edgeDiff = edge.select(
         Similarity.quantizeInt8(col("v")).as("f"),
         Similarity.quantizeInt8Composable(col("v")).as("c"))
@@ -89,5 +90,25 @@ class VectorExprSpec extends SparkSpec {
         .filter(col("f") =!= col("c")).count()
       assert(diff == 0, s"table $t")
     }
+  }
+
+  test("LshBits rejects non-float arrays and matches composable on malformed lengths") {
+    import graft.operators.Similarity
+    // array<double> input must be an analysis error, not silent garbage
+    val doubles = spark.sql("SELECT array(CAST(1.0 AS DOUBLE)) AS v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(Similarity.lshBucket(col("v"), planes = 4, dim = 64)).collect()
+    }
+    // short / long / empty vectors: zip_with null-pads → every bit 0 in the
+    // composable form; the fused expression must agree, not partial-dot
+    val malformed = spark.sql(
+      """SELECT v FROM VALUES
+         (array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT))),
+         (CAST(array() AS ARRAY<FLOAT>)) AS t(v)""")
+    val diff = malformed.select(
+        Similarity.lshBucket(col("v"), planes = 4, dim = 64).as("f"),
+        Similarity.lshBucketComposable(col("v"), planes = 4, dim = 64).as("c"))
+      .filter(col("f") =!= col("c")).count()
+    assert(diff == 0)
   }
 }

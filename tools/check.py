@@ -63,6 +63,15 @@ def main(out_dir, sf_dir):
         ).fetchall() if "[" in d[1] or "STRUCT" in d[1] or "MAP" in d[1]]
         if complex_cols:
             problems.append(f"array/struct result cols {complex_cols} — driver harness crash RISK")
+        # DuckDB sum(BIGINT) yields HUGEINT, which pandas converts to float64
+        # while Spark's sum(long) stays int64 — hash-mismatch in the driver
+        # even though fetchall() values compare equal here
+        huge_cols = [d[0] for d in con.execute(f"DESCRIBE {sql}").fetchall()
+                     if "HUGEINT" in d[1]]
+        if huge_cols:
+            problems.append(
+                f"oracle HUGEINT cols {huge_cols} (pandas→float64) — "
+                "CAST to BIGINT in the oracle SQL; driver hash RISK")
         if sorted(got_cols) != sorted(exp_cols):
             problems.append(f"cols got={sorted(got_cols)} exp={sorted(exp_cols)}")
         if len(got) != len(exp):
