@@ -348,6 +348,97 @@ object Dedup {
     labels.select(col("id"), col("cl").as("cluster"))
   }
 
+  /** Punctuation/case/whitespace normalization for near-exact dedup: web
+    * corpora carry trivially-decorated duplicates (trailing punctuation,
+    * case drift, doubled spaces) that byte-exact dedup misses. Lowercase,
+    * collapse every non-alphanumeric run to one space, trim. Pure codegen'd
+    * expression — normalization happens in the scan stage, before the
+    * dedup shuffle. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Exact dedup over normalized text: representative (min id) per
+    * normalization class. Same one-narrow-shuffle shape as [[exact]]
+    * (64-bit hash + id only ride the shuffle). */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(xxhash64(normalize(col(textCol))).as("_h"), col(idCol))
+      .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Eval-set decontamination (the GPT-3/PaLM appendix-C recipe): flag
+    * training documents sharing at least `minHits` distinct word n-grams
+    * with any benchmark document, so they can be dropped before training
+    * rather than inflating eval scores.
+    *
+    * Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    * (eval sets are megabytes against terabytes) — distinct it and BROADCAST
+    * it; the corpus side is a linear shingle explode + broadcast hash join +
+    * map-side-combinable per-doc count. No corpus-side shuffle carries text;
+    * the only wide exchange is the (id, hits) aggregation of matched rows,
+    * which is bounded by the contamination volume, not the corpus.
+    *
+    * Returns (id, hits) for contaminated documents — `hits` = number of
+    * distinct n-grams of the document that appear anywhere in the benchmark
+    * (shingles() emits per-doc distinct shingles, so multiplicity within a
+    * document does not inflate the count). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 5, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, "decontaminate needs minHits >= 1")
+    val bench = benchmark
+      .select(explode(shingles(col(textCol), n)).as("sh")).distinct()
+    corpus
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** Non-overlapping `span`-token chunks of a document, in order (the last
+    * chunk may be short). The C4 dedup granularity adapted to token spans —
+    * this corpus has no sentence boundaries. */
+  def spans(text: Column, span: Int): Column = {
+    require(span >= 1, "spans needs span >= 1")
+    val toks = tokens(text)
+    // guard: sequence(1, stop) with stop < 1 would generate a DESCENDING
+    // sequence; empty token arrays produce zero spans
+    when(size(toks) >= 1,
+      transform(sequence(lit(1), ceil(size(toks) / lit(span.toDouble)).cast("int")),
+        i => array_join(slice(toks, (i - lit(1)) * span + 1, lit(span)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-level span dedup (C4-style, at token-span granularity): every
+    * span keeps only its globally FIRST occurrence — smallest (id, pos) —
+    * and each document is reassembled from its surviving spans in original
+    * order. Documents whose every span is duplicated elsewhere vanish
+    * (fully-duplicated docs are exactly what this removes); partially
+    * duplicated docs survive with the remaining text.
+    *
+    * Scale shape: explode to (id, pos, span) once; first-occurrence keys
+    * are computed on a NARROW projection — (xxhash64(span), id, pos) — so
+    * the global groupBy that finds each span's minimal occurrence never
+    * carries text. Only the keep-join (semi on (id, pos)) and the per-doc
+    * reassembly groupBy move span text, both bounded by the surviving
+    * volume. Span identity is 64-bit-hash equality, the standard
+    * at-scale trade (collisions vanishingly rare, and a collision only
+    * drops one extra span). */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String,
+                 span: Int = 10): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      posexplode(spans(col(textCol), span)).as(Seq("pos", "sp")))
+    val firsts = ex
+      .select(xxhash64(col("sp")).as("h"), col("id"), col("pos"))
+      .groupBy("h").agg(min(struct(col("id"), col("pos"))).as("f"))
+      .select(col("f.id").as("id"), col("f.pos").as("pos"))
+    ex.join(firsts, Seq("id", "pos"), "left_semi")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("sp")))),
+          x => x.getField("sp")), " ").as(textCol))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Representative-per-cluster dedup: drops every row whose id belongs to
     * a near-dup cluster but is not its smallest member; rows with no pair
     * (singletons) survive untouched. The last stage of a real dedup

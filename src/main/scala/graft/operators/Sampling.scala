@@ -56,6 +56,49 @@ object Sampling {
     hashBucket(key, resolution) < floor(f * resolution + 0.5).cast("int")
   }
 
+  /** Deterministic mixture resampling by stratum weight — the data-mixing
+    * knob of a pretraining run ("2.5 epochs of wiki, 0.4 of common-crawl"):
+    * each row is emitted floor(w) times plus one extra copy iff its hash
+    * bucket falls below frac(w)·resolution, so the expected multiplicity is
+    * exactly w, deterministically (same rows get the extra copy on every
+    * run/retry). Weights below 1 downsample (floor(w)=0 → the row survives
+    * only via the fractional copy); missing strata take `default`.
+    *
+    * Scale shape: a per-row codegen'd sequence-explode — no join, no
+    * shuffle, output size = Σ w(stratum)·|stratum|. The `copy` ordinal is
+    * kept so downstream shuffles can decorrelate repeated copies. */
+  def mixWeighted(df: DataFrame, strata: Column, key: Column,
+                  weights: Map[String, Double], default: Double = 1.0,
+                  resolution: Int = 10000): DataFrame = {
+    require(weights.values.forall(_ >= 0) && default >= 0,
+      "mixWeighted needs non-negative weights")
+    val w = coalesce(element_at(typedLit(weights), strata), lit(default))
+    // same floor(x+0.5) rounding as stratifiedKeep: double→int casts
+    // truncate in Spark but round elsewhere
+    val extra = when(
+      hashBucket(key, resolution) <
+        floor((w - floor(w)) * resolution + 0.5).cast("int"), 1).otherwise(0)
+    val copies = (floor(w).cast("int") + extra).cast("int")
+    // sequence(0, stop) with stop < 0 would DESCEND — emit no copies instead
+    df.withColumn("copy",
+      explode(when(copies >= 1, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Deterministic shuffle key: md5(seed:key). Ordering a corpus by this
+    * key is a reproducible global shuffle — on a cluster it compiles to a
+    * range-partitioned sort (sampled range exchange + per-partition sort),
+    * the scalable form of "shuffle the training data", and unlike
+    * rand()-ordering it is stable under retries and re-runs. */
+  def shuffleKey(key: Column, seed: String): Column =
+    md5(concat_ws(":", lit(seed), coalesce(key.cast("string"), lit(""))))
+
+  /** Corpus shuffled by [[shuffleKey]]; the key is kept as `shuffle_key` so
+    * consumers (and the correctness oracle) can verify the order. */
+  def shuffled(df: DataFrame, key: Column, seed: String): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(key, seed))
+      .orderBy(col("shuffle_key"))
+
   /** Token-budget sequence packing: rows (in natural order) are assigned to
     * context-window bins of `budget` tokens at their exclusive prefix token
     * offset — bin = floor(prefix / budget), the chunk-at-offset packing used

@@ -808,6 +808,124 @@ object PipelineQueries {
                 AND topbi < 0.09 AND duptri < 0.25) AS keep
             FROM m ORDER BY doc_id"""))
 
+  /** Eval-set decontamination: flag corpus docs sharing ≥2 distinct word
+    * 3-grams with a benchmark slice (docs with id % 50 = 0) — the GPT-3/
+    * PaLM recipe with the benchmark n-gram set broadcast. */
+  val q_decontaminate = Q(
+    "q_decontaminate",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val corp = d.filter(col("doc_id") % 50 =!= 0)
+      GTable(Dedup.decontaminate(corp, bench, "text", "doc_id",
+          n = 3, minHits = 2))
+        .order(GTable.orderKeys(Seq("id")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            sh AS (SELECT doc_id,
+              unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+                list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END)) AS s
+              FROM t),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+            corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+            SELECT corp.doc_id AS id, count(*) AS hits
+            FROM corp JOIN bench USING (s)
+            GROUP BY 1 HAVING count(*) >= 2 ORDER BY id"""))
+
+  /** Corpus-level span dedup (C4-style at 10-token-span granularity):
+    * every span keeps only its globally first occurrence (min (id, pos));
+    * docs are reassembled from surviving spans. */
+  val q_dedup_spans = Q(
+    "q_dedup_spans",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Dedup.dedupSpans(d, "text", "doc_id", span = 10))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            sp AS (SELECT doc_id, CAST(g AS BIGINT) AS pos,
+                array_to_string(toks[CAST(g*10+1 AS BIGINT):CAST(g*10+10 AS BIGINT)], ' ') AS s
+              FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(g)
+              WHERE len(toks) >= 1),
+            firsts AS (SELECT s, min({'id': doc_id, 'pos': pos}) AS f
+              FROM sp GROUP BY s),
+            kept AS (SELECT sp.doc_id, sp.pos, sp.s FROM sp JOIN firsts f
+              ON sp.s = f.s AND sp.doc_id = f.f.id AND sp.pos = f.f.pos)
+            SELECT doc_id, array_to_string(list(s ORDER BY pos), ' ') AS text
+            FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Normalization-class dedup: the corpus unioned with decorated copies
+    * (case/punctuation/whitespace drift, ids offset by 100000) — normalized
+    * exact dedup must merge every decorated copy back onto its original
+    * (byte-exact dedup would keep all of them). */
+  val q_dedup_normalized = Q(
+    "q_dedup_normalized",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val dec = d.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(upper(col("text")), lit("!!")))
+          .when(col("doc_id") % 3 === 1, concat(lit("  "), col("text"), lit("  ")))
+          .otherwise(concat(col("text"), lit(" .. "))).as("text"))
+      val u = d.select("doc_id", "text").union(dec)
+      GTable(Dedup.exactNormalized(u, "text", "doc_id"))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                CASE WHEN doc_id % 3 = 0 THEN upper(text) || '!!'
+                     WHEN doc_id % 3 = 1 THEN '  ' || text || '  '
+                     ELSE text || ' .. ' END AS text
+              FROM documents)
+            SELECT min(doc_id) AS doc_id FROM d
+            GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+            ORDER BY doc_id"""))
+
+  /** Deterministic mixture resampling: en upsampled 2.5x, zh downsampled
+    * to 0.3x (floor(w) copies + one md5-bucket fractional copy — expected
+    * multiplicity exactly w, stable under retries/repartitioning). */
+  val q_mix_weighted = Q(
+    "q_mix_weighted",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Sampling.mixWeighted(d, col("lang"), col("doc_id"),
+          Map("en" -> 2.5, "zh" -> 0.3))
+          .select("doc_id", "lang", "copy"))
+        .order(GTable.orderKeys(Seq("doc_id", "copy")))
+        .result
+    },
+    Some(s"""WITH w AS (SELECT *,
+              CASE lang WHEN 'en' THEN 2.5 WHEN 'zh' THEN 0.3 ELSE 1.0 END AS wt,
+              ${hashBucketSql("doc_id", 10000)} AS bk FROM documents),
+            c AS (SELECT doc_id, lang, CAST(floor(wt) AS INT) +
+                (CASE WHEN bk < CAST(floor((wt - floor(wt)) * 10000 + 0.5) AS INT)
+                  THEN 1 ELSE 0 END) AS copies FROM w)
+            SELECT doc_id, lang, CAST(u.g AS INT) AS copy
+            FROM c, UNNEST(range(0, CAST(copies AS BIGINT))) AS u(g)
+            ORDER BY doc_id, copy"""))
+
+  /** Deterministic corpus shuffle: total order by md5(seed:id) — compiles
+    * to a range-partitioned sort (the scalable "shuffle the training data"),
+    * stable under retries unlike a rand() order. */
+  val q_shuffle_det = Q(
+    "q_shuffle_det",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Sampling.shuffled(d, col("doc_id"), "42")
+        .select("doc_id", "shuffle_key")
+    },
+    Some("""SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents ORDER BY shuffle_key"""))
+
   /** Intra-document repetition scrub: collapse immediate token repeats. */
   val q_dedup_tokens = Q(
     "q_dedup_tokens",
@@ -832,5 +950,6 @@ object PipelineQueries {
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
     q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,
     q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,
-    q_dedup_tokens)
+    q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,
+    q_mix_weighted, q_shuffle_det)
 }

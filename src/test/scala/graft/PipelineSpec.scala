@@ -165,6 +165,51 @@ class PipelineSpec extends SparkSpec {
     assert(d == distinctTexts && d <= n)
   }
 
+  test("decontaminate flags exactly the docs overlapping the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // identical → all 3 shingles hit
+      (2L, "x alpha beta gamma y"),                // one shared 3-gram
+      (3L, "zeta eta theta iota kappa")            // disjoint
+    ).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, bench, "text", "doc_id",
+        n = 3, minHits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(1L -> 3L, 2L -> 1L))
+    // raising minHits above doc 2's single overlap drops it
+    val strict = Dedup.decontaminate(corpus, bench, "text", "doc_id",
+        n = 3, minHits = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+  }
+
+  test("dedupSpans keeps first occurrence and reassembles in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),        // spans: "a b c", "d e f"
+      (2L, "a b c x y z"),        // first span duplicated → text "x y z"
+      (3L, "d e f a b c")         // both spans duplicated → doc vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(d, "text", "doc_id", span = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "a b c d e f", 2L -> "x y z"))
+  }
+
+  test("exactNormalized merges case/punctuation/whitespace variants") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, world!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD.."),
+      (4L, "different text")
+    ).toDF("doc_id", "text")
+    val reps = Dedup.exactNormalized(d, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reps == Set(1L, 4L))
+  }
+
   test("langId returns a configured language and quality is in [0,1]") {
     val r = docs.select(TextAnalysis.langId(col("text")).as("l"),
       TextAnalysis.qualityMetrics(col("text")).toMap.apply("quality").as("q")).collect()

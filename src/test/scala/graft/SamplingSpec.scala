@@ -91,6 +91,47 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() == 2)
   }
 
+  test("mixWeighted multiplicity ≈ weight, deterministic under repartitioning") {
+    val weights = Map("en" -> 2.5, "zh" -> 0.3)
+    val mixed = Sampling.mixWeighted(docs, col("lang"), col("doc_id"), weights)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixedByLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, base) <- byLang) {
+      val w = weights.getOrElse(lang, 1.0)
+      val got = mixedByLang.getOrElse(lang, 0L).toDouble
+      // hash-bucket fractional copies: expected w·base, generous slack
+      assert(math.abs(got - w * base) <= math.max(0.25 * w * base, 8.0),
+        s"$lang: expected ≈${w * base}, got $got")
+    }
+    // per-row copy counts must not depend on partitioning
+    val a = mixed.groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Sampling.mixWeighted(docs.repartition(7), col("lang"),
+        col("doc_id"), weights)
+      .groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    // weight 0 drops the stratum entirely
+    val none = Sampling.mixWeighted(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.0), default = 0.0)
+    assert(none.count() == 0)
+  }
+
+  test("shuffled is a deterministic permutation ordered by the md5 key") {
+    val s1 = Sampling.shuffled(docs, col("doc_id"), "42")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.shuffled(docs.repartition(7), col("doc_id"), "42")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "same seed must give the same order on any partitioning")
+    assert(s1.sorted == docs.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted,
+      "shuffle must be a permutation")
+    val s3 = Sampling.shuffled(docs, col("doc_id"), "43")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s1 != s3, "a different seed must give a different order")
+  }
+
   test("int8 quantization bounds and reconstruction error") {
     val q = embs.select(col("vec_id"), col("embedding"),
       Similarity.quantizeInt8(col("embedding")).as("z"))
