@@ -24,6 +24,11 @@ import GVal._
   * intersect, difference, cast, fillNull, dropNull, unpack, first, take,
   * unnest, runs (distributed), window (full block), sql root, optional,
   * toSql, plan, _service{sdl}.
+  *
+  * Pipeline extension fields (round 4; engine extension beyond the
+  * reference): dedup (exact/normalized), decontaminate (benchmark n-gram
+  * overlap), split (deterministic md5 shares), sample (stratified keep),
+  * mix (weighted mixture resampling), shuffle (md5-keyed range sort).
   */
 final class GraphQLService(spark: SparkSession, sfDir: String,
                            names: Seq[String] = Tables.names,
@@ -380,6 +385,85 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       }
       resolveTable(out, f, None)
     case "window" => resolveWindow(t, f)
+
+    // ─── training-data pipeline extension fields (engine extension; the
+    //     reference has no pipeline surface — COVERAGE.md "beyond the
+    //     reference"). Each composes like any other table field. ───
+    case "dedup" =>
+      // exact (or normalization-class) text dedup: the table filtered to
+      // one representative (min id) per text class — semi-join against the
+      // narrow representative frame, text never rides a shuffle twice
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("dedup needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("dedup needs id: <key column>"))
+      val normalize = f.arg("normalize").collect { case GBool(b) => b }.getOrElse(false)
+      val reps = if (normalize) graft.operators.Dedup.exactNormalized(t.result, on, id)
+                 else graft.operators.Dedup.exact(t.result, on, id)
+      resolveTable(GTable(t.df.join(reps, Seq(id), "left_semi"),
+        t.sortedBy, denseRid = false), f, None)
+    case "decontaminate" =>
+      // drop documents sharing >= minHits distinct n-grams with the named
+      // benchmark root (optionally pre-filtered by benchmarkWhere:, the
+      // same expression tree filter(where:) takes)
+      val benchName = strArg(f, "benchmark")
+        .getOrElse(throw new IllegalArgumentException("decontaminate needs benchmark: <table>"))
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("decontaminate needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("decontaminate needs id: <key column>"))
+      val benchRoot = roots.getOrElse(benchName,
+        throw new IllegalArgumentException(s"unknown table '$benchName'"))().result
+      val bench = f.arg("benchmarkWhere")
+        .map(w => benchRoot.filter(Exprs.compile(w))).getOrElse(benchRoot)
+      val bad = graft.operators.Dedup.decontaminate(t.result, bench, on, id,
+          intArg(f, "n").getOrElse(5), intArg(f, "minHits").getOrElse(1))
+        .select(col("id").as(id))
+      resolveTable(GTable(t.df.join(bad, Seq(id), "left_anti"),
+        t.sortedBy, denseRid = false), f, None)
+    case "split" =>
+      // deterministic named split column from integer shares
+      val key = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("split needs on: <key column>"))
+      val alias = strArg(f, "alias").getOrElse("split")
+      val shares = f.arg("shares").collect { case GObj(pairs) =>
+        pairs.map {
+          case (k, GInt(w)) => k -> w.toInt
+          case (k, other) => throw new IllegalArgumentException(
+            s"split share '$k' must be an integer, got $other")
+        }
+      }.getOrElse(throw new IllegalArgumentException("split needs shares: {name: weight, ...}"))
+      resolveTable(t.project(alias -> graft.operators.Sampling.split(col(key), shares)),
+        f, None)
+    case "sample" =>
+      // per-stratum deterministic downsampling (codegen'd predicate)
+      val key = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("sample needs on: <key column>"))
+      val strata = strArg(f, "strata")
+        .getOrElse(throw new IllegalArgumentException("sample needs strata: <column>"))
+      resolveTable(t.filter(graft.operators.Sampling.stratifiedKeep(
+        col(strata), col(key), fractionMap(f, "fractions"),
+        doubleArg(f, "default").getOrElse(1.0))), f, None)
+    case "mix" =>
+      // deterministic mixture resampling; row multiplicity duplicates ids,
+      // so the natural row id is dropped (position ops invalid downstream)
+      val key = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("mix needs on: <key column>"))
+      val strata = strArg(f, "strata")
+        .getOrElse(throw new IllegalArgumentException("mix needs strata: <column>"))
+      resolveTable(GTable(graft.operators.Sampling.mixWeighted(t.result,
+        col(strata), col(key), fractionMap(f, "weights"),
+        doubleArg(f, "default").getOrElse(1.0))), f, None)
+    case "shuffle" =>
+      // deterministic md5-keyed corpus shuffle (range-partitioned sort);
+      // the key is served as shuffle_key
+      val key = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("shuffle needs on: <key column>"))
+      val seed = strArg(f, "seed").getOrElse("0")
+      val out = graft.operators.Sampling.shuffled(t.df, col(key), seed)
+      resolveTable(GTable(out, sortedBy = Seq(col("shuffle_key")),
+        denseRid = false), f, None)
+
     case "optional" =>
       // nullable self: stops error propagation for partial results
       // (reference interface.py:138-141)
@@ -1005,6 +1089,20 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
   // ─── arg helpers ───
 
   private def litOf(v: GVal): Column = lit(Exprs.scalaOf(v))
+  private def strArg(f: GField, name: String): Option[String] =
+    f.arg(name).collect { case GStr(s) => s }
+  private def doubleArg(f: GField, name: String): Option[Double] =
+    f.arg(name).collect { case GFloat(v) => v; case GInt(v) => v.toDouble }
+  /** {stratum: number, ...} argument → Map[String, Double]. */
+  private def fractionMap(f: GField, name: String): Map[String, Double] =
+    f.arg(name).collect { case GObj(pairs) =>
+      pairs.map {
+        case (k, GFloat(d)) => k -> d
+        case (k, GInt(i)) => k -> i.toDouble
+        case (k, other) => throw new IllegalArgumentException(
+          s"$name entry '$k' must be a number, got $other")
+      }.toMap
+    }.getOrElse(throw new IllegalArgumentException(s"needs $name: {stratum: number, ...}"))
   private def intArg(f: GField, name: String): Option[Int] =
     f.arg(name).collect { case GInt(v) => v.toInt }
   private def longArg(f: GField, name: String): Option[Long] =

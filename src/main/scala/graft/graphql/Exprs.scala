@@ -70,6 +70,7 @@ object Exprs {
         case "sub" => binary(arg, _ - _)
         case "mul" => binary(arg, _ * _)
         case "div" | "truediv" => binary(arg, _ / _)
+        case "mod" => binary(arg, _ % _)
         case "eq" => binary(arg, _ === _)
         case "ne" => binary(arg, _ =!= _)
         case "lt" => binary(arg, _ < _)
@@ -459,6 +460,7 @@ object Exprs {
         case "sub" => bin("-")
         case "mul" => bin("*")
         case "div" | "truediv" => bin("/")
+        case "mod" => bin("%")
         case "eq" => bin("=")
         case "ne" => bin("<>")
         case "lt" => bin("<")

@@ -543,11 +543,96 @@ object GqlQueries {
             FROM t, unnest(generate_series(1, len(ps))) AS g(i)
             ORDER BY c_custkey, idx"""))
 
+  /** Pipeline extension surface through the service: exact dedup as a
+    * composable table field (semi-join to min-id representatives). */
+  val q_gql_dedup = Q(
+    "q_gql_dedup",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           d: dedup(on: "text", id: "doc_id") {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } } } } } }""",
+      Seq("t", "d", "o", "c"),
+      "doc_id BIGINT"),
+    Some("""SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ORDER BY doc_id"""))
+
+  /** Eval-set decontamination through the service: corpus = id % 50 != 0
+    * (via the new mod expression op), benchmark = the same root pre-filtered
+    * with benchmarkWhere:; contaminated docs (≥2 shared 3-grams) dropped. */
+  val q_gql_decontaminate = Q(
+    "q_gql_decontaminate",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: filter(where: {ne: [{mod: [{name: "doc_id"}, {value: 50}]},
+                                  {value: 0}]}) {
+             d: decontaminate(benchmark: "documents",
+                   benchmarkWhere: {eq: [{mod: [{name: "doc_id"}, {value: 50}]},
+                                         {value: 0}]},
+                   on: "text", id: "doc_id", n: 3, minHits: 2) {
+               o: order(by: ["doc_id"]) {
+                 c: columns { doc_id { values } } } } } } }""",
+      Seq("t", "f", "d", "o", "c"),
+      "doc_id BIGINT"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+            sh AS (SELECT doc_id,
+              unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+                list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END)) AS s
+              FROM t),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+            corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+            bad AS (SELECT corp.doc_id FROM corp JOIN bench USING (s)
+              GROUP BY 1 HAVING count(*) >= 2)
+            SELECT doc_id FROM documents
+            WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id"""))
+
+  /** Deterministic split column through the service (md5 hash buckets). */
+  val q_gql_split = Q(
+    "q_gql_split",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           s: split(on: "doc_id", shares: {train: 8, val: 1, test: 1}) {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } lang { values }
+                            split { values } } } } } }""",
+      Seq("t", "s", "o", "c"),
+      "doc_id BIGINT, lang STRING, split STRING"),
+    PipelineQueries.q_split_hash.oracle)
+
+  /** Deterministic mixture resampling through the service. */
+  val q_gql_mix = Q(
+    "q_gql_mix",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           m: mix(on: "doc_id", strata: "lang", weights: {en: 2.5, zh: 0.3}) {
+             o: order(by: ["doc_id", "copy"]) {
+               c: columns { doc_id { values } lang { values }
+                            copy { values } } } } } }""",
+      Seq("t", "m", "o", "c"),
+      "doc_id BIGINT, lang STRING, copy INT"),
+    PipelineQueries.q_mix_weighted.oracle)
+
+  /** Deterministic md5-keyed corpus shuffle through the service. */
+  val q_gql_shuffle = Q(
+    "q_gql_shuffle",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           s: shuffle(on: "doc_id", seed: "42") {
+             c: columns { doc_id { values } shuffle_key { values } } } } }""",
+      Seq("t", "s", "c"),
+      "doc_id BIGINT, shuffle_key STRING"),
+    PipelineQueries.q_shuffle_det.oracle)
+
   def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
     q_gql_ntile_lead, q_gql_project, q_gql_cast, q_gql_fillnull,
     q_gql_dropnull, q_gql_union, q_gql_intersect, q_gql_crossjoin,
     q_gql_takefrom, q_gql_sql, q_gql_cumsum, q_gql_vars_frag,
-    q_gql_order_slice)
+    q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
+    q_gql_mix, q_gql_shuffle)
 }

@@ -531,6 +531,31 @@ class GraphQLSpec extends SparkSpec {
     assert(filter.sels.map(_.name) == Seq("count"))
   }
 
+  test("pipeline fields compose: split feeds sample; dedup preserves count; mix drops positions") {
+    // split + dedup compose with core fields (documents has no exact dupes,
+    // so dedup is count-preserving on this corpus)
+    val r = service.execute(
+      """{ documents { count
+           d: dedup(on: "text", id: "doc_id") { count }
+           s: split(on: "doc_id", shares: {train: 8, val: 1, test: 1}) {
+             g: group(by: ["split"], counts: "n") {
+               columns { split { values } n { values } } } } } }""")
+    val n = """"count":(\d+)""".r.findAllMatchIn(r).map(_.group(1).toLong).toSeq
+    assert(n.length == 2 && n.head == n(1), s"dedup changed the count: $r")
+    assert(r.contains(""""split":["test","train","val"]""") ||
+      r.contains("\"train\""), r.take(300))
+    // sample keeps a subset
+    val s = service.execute(
+      """{ documents { count
+           k: sample(on: "doc_id", strata: "lang", fractions: {en: 0.5}) { count } } }""")
+    val counts = """"count":(\d+)""".r.findAllMatchIn(s).map(_.group(1).toLong).toSeq
+    assert(counts(1) < counts.head && counts(1) > 0, s)
+    // mix errors cleanly when args are missing
+    val err = intercept[IllegalArgumentException](
+      service.execute("""{ documents { mix(strata: "lang") { count } } }"""))
+    assert(err.getMessage.contains("mix needs on:"))
+  }
+
   test("fragment-spread cycles are rejected, not a stack overflow") {
     val self = intercept[graphql.ParseError](Parser.parse(
       """{ nation { ...A } } fragment A on Nation { ...A }""", Map.empty))
