@@ -99,6 +99,25 @@ object Sampling {
     df.withColumn("shuffle_key", shuffleKey(key, seed))
       .orderBy(col("shuffle_key"))
 
+  /** Deterministic fixed-size sample per stratum ("reservoir of k"): the k
+    * rows of each stratum with the smallest md5(seed:key) — exact k (not
+    * the expected-value k of [[stratifiedKeep]]), stable under
+    * repartitioning/retries, and reproducible in any engine with md5.
+    *
+    * Scale shape: strata are usually FEW (languages, sources), so a plain
+    * `row_number over (partition by stratum)` would ship every stratum to
+    * one task — this uses [[GTable.rankings]] instead (range-partitioned
+    * per-key ranks + driver prefix merge), which keeps all shuffle
+    * partitions busy regardless of stratum cardinality. */
+  def reservoirK(t: GTable, strata: Seq[String], key: Column, k: Int,
+                 seed: String = "0"): DataFrame = {
+    require(k > 0, "reservoirK needs k > 0")
+    t.project("_gq_rk" -> shuffleKey(key, seed))
+      .rankings(strata, Seq(col("_gq_rk")), rowNumber = Some("_gq_rn"))
+      .filter(col("_gq_rn") < k) // rankings outputs are 0-based
+      .df.drop("_gq_rk", "_gq_rn")
+  }
+
   /** Token-budget sequence packing: rows (in natural order) are assigned to
     * context-window bins of `budget` tokens at their exclusive prefix token
     * offset — bin = floor(prefix / budget), the chunk-at-offset packing used

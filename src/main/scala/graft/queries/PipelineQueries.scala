@@ -926,6 +926,25 @@ object PipelineQueries {
     Some("""SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents ORDER BY shuffle_key"""))
 
+  /** Deterministic per-stratum reservoir: exactly 20 docs per language,
+    * smallest md5(seed:id) — via the distributed rankings path (no
+    * single-task-per-stratum window). */
+  val q_reservoir = Q(
+    "q_reservoir",
+    (s, dir) => {
+      val d = GTable(Tables.load(s, dir, "documents"))
+      GTable(Sampling.reservoirK(d, Seq("lang"), col("doc_id"), k = 20,
+          seed = "7"))
+        .select("doc_id", "lang")
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH r AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY md5('7:' || CAST(doc_id AS VARCHAR))) AS rn
+              FROM documents)
+            SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id"""))
+
   /** Intra-document repetition scrub: collapse immediate token repeats. */
   val q_dedup_tokens = Q(
     "q_dedup_tokens",
@@ -951,5 +970,5 @@ object PipelineQueries {
     q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,
     q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,
-    q_mix_weighted, q_shuffle_det)
+    q_mix_weighted, q_shuffle_det, q_reservoir)
 }

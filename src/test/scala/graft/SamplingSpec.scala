@@ -132,6 +132,22 @@ class SamplingSpec extends SparkSpec {
     assert(s1 != s3, "a different seed must give a different order")
   }
 
+  test("reservoirK: exactly min(k, |stratum|) rows per stratum, deterministic") {
+    val k = 7
+    val r = Sampling.reservoirK(GTable(docs), Seq("lang"), col("doc_id"), k, "1")
+    val counts = r.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    for ((lang, n) <- base)
+      assert(counts(lang) == math.min(k.toLong, n), s"$lang: ${counts.get(lang)}")
+    val a = r.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.reservoirK(GTable(docs.repartition(5)), Seq("lang"),
+        col("doc_id"), k, "1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "reservoir must not depend on partitioning")
+  }
+
   test("int8 quantization bounds and reconstruction error") {
     val q = embs.select(col("vec_id"), col("embedding"),
       Similarity.quantizeInt8(col("embedding")).as("z"))
