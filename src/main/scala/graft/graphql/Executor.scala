@@ -397,11 +397,19 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         .getOrElse(throw new IllegalArgumentException("dedup needs on: <text column>"))
       val id = strArg(f, "id")
         .getOrElse(throw new IllegalArgumentException("dedup needs id: <key column>"))
-      val normalize = f.arg("normalize").collect { case GBool(b) => b }.getOrElse(false)
+      val normalize = f.arg("normalize").map {
+        case GBool(b) => b
+        case other => throw new IllegalArgumentException(
+          s"dedup normalize: must be a boolean, got $other")
+      }.getOrElse(false)
       val reps = if (normalize) graft.operators.Dedup.exactNormalized(t.result, on, id)
                  else graft.operators.Dedup.exact(t.result, on, id)
+      // sortedBy dropped: a semi-join against the (non-broadcastable at
+      // corpus scale) representative frame may execute as a sort-merge join
+      // and re-sort by the join key — claiming the old order would let
+      // column serving skip the re-sort and emit join-key order silently
       resolveTable(GTable(t.df.join(reps, Seq(id), "left_semi"),
-        t.sortedBy, denseRid = false), f, None)
+        denseRid = false), f, None)
     case "decontaminate" =>
       // drop documents sharing >= minHits distinct n-grams with the named
       // benchmark root (optionally pre-filtered by benchmarkWhere:, the
@@ -419,8 +427,9 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val bad = graft.operators.Dedup.decontaminate(t.result, bench, on, id,
           intArg(f, "n").getOrElse(5), intArg(f, "minHits").getOrElse(1))
         .select(col("id").as(id))
+      // sortedBy dropped for the same sort-merge-join reason as dedup
       resolveTable(GTable(t.df.join(bad, Seq(id), "left_anti"),
-        t.sortedBy, denseRid = false), f, None)
+        denseRid = false), f, None)
     case "split" =>
       // deterministic named split column from integer shares
       val key = strArg(f, "on")
@@ -459,7 +468,14 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       // the key is served as shuffle_key
       val key = strArg(f, "on")
         .getOrElse(throw new IllegalArgumentException("shuffle needs on: <key column>"))
-      val seed = strArg(f, "seed").getOrElse("0")
+      // int literals coerce to their decimal string — seed: 42 and
+      // seed: "42" must not silently produce different shuffles
+      val seed = f.arg("seed").map {
+        case GStr(s) => s
+        case GInt(i) => i.toString
+        case other => throw new IllegalArgumentException(
+          s"shuffle seed: must be a string or int, got $other")
+      }.getOrElse("0")
       val out = graft.operators.Sampling.shuffled(t.df, col(key), seed)
       resolveTable(GTable(out, sortedBy = Seq(col("shuffle_key")),
         denseRid = false), f, None)

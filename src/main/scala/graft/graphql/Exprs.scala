@@ -70,6 +70,8 @@ object Exprs {
         case "sub" => binary(arg, _ - _)
         case "mul" => binary(arg, _ * _)
         case "div" | "truediv" => binary(arg, _ / _)
+        // sign-of-dividend (Spark/Java %), matching the reference's DuckDB
+        // backend ((-3) % 2 = -1 in both) — NOT Python's sign-of-divisor
         case "mod" => binary(arg, _ % _)
         case "eq" => binary(arg, _ === _)
         case "ne" => binary(arg, _ =!= _)

@@ -351,11 +351,13 @@ object Dedup {
   /** Punctuation/case/whitespace normalization for near-exact dedup: web
     * corpora carry trivially-decorated duplicates (trailing punctuation,
     * case drift, doubled spaces) that byte-exact dedup misses. Lowercase,
-    * collapse every non-alphanumeric run to one space, trim. Pure codegen'd
-    * expression — normalization happens in the scan stage, before the
-    * dedup shuffle. */
+    * collapse every non-letter/digit run to one space, trim. Unicode
+    * classes, not [a-z0-9] — an ASCII-only class would map every CJK or
+    * Cyrillic document to the empty string and silently merge a whole
+    * non-Latin sub-corpus into one dedup class. Pure codegen'd expression —
+    * normalization happens in the scan stage, before the dedup shuffle. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
 
   /** Exact dedup over normalized text: representative (min id) per
     * normalization class. Same one-narrow-shuffle shape as [[exact]]
@@ -396,10 +398,12 @@ object Dedup {
 
   /** Non-overlapping `span`-token chunks of a document, in order (the last
     * chunk may be short). The C4 dedup granularity adapted to token spans —
-    * this corpus has no sentence boundaries. */
+    * this corpus has no sentence boundaries. Original case is PRESERVED
+    * (duplicate detection lowercases separately): the survivors' text must
+    * not come back rewritten. */
   def spans(text: Column, span: Int): Column = {
     require(span >= 1, "spans needs span >= 1")
-    val toks = tokens(text)
+    val toks = split(text, "\\s+")
     // guard: sequence(1, stop) with stop < 1 would generate a DESCENDING
     // sequence; empty token arrays produce zero spans
     when(size(toks) >= 1,
@@ -420,15 +424,17 @@ object Dedup {
     * the global groupBy that finds each span's minimal occurrence never
     * carries text. Only the keep-join (semi on (id, pos)) and the per-doc
     * reassembly groupBy move span text, both bounded by the surviving
-    * volume. Span identity is 64-bit-hash equality, the standard
-    * at-scale trade (collisions vanishingly rare, and a collision only
-    * drops one extra span). */
+    * volume. Span identity is case-insensitive 64-bit-hash equality, the
+    * standard at-scale trade (collisions vanishingly rare, and a collision
+    * only drops one extra span). Surviving text keeps its original case;
+    * inter-token whitespace is normalized to single spaces (inherent to
+    * token-granularity reassembly). */
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
                  span: Int = 10): DataFrame = {
     val ex = df.select(col(idCol).as("id"),
       posexplode(spans(col(textCol), span)).as(Seq("pos", "sp")))
     val firsts = ex
-      .select(xxhash64(col("sp")).as("h"), col("id"), col("pos"))
+      .select(xxhash64(lower(col("sp"))).as("h"), col("id"), col("pos"))
       .groupBy("h").agg(min(struct(col("id"), col("pos"))).as("f"))
       .select(col("f.id").as("id"), col("f.pos").as("pos"))
     ex.join(firsts, Seq("id", "pos"), "left_semi")

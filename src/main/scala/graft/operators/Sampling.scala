@@ -72,6 +72,8 @@ object Sampling {
                   resolution: Int = 10000): DataFrame = {
     require(weights.values.forall(_ >= 0) && default >= 0,
       "mixWeighted needs non-negative weights")
+    require(!df.columns.contains("copy"),
+      "mixWeighted emits a 'copy' ordinal; the input already has that column")
     val w = coalesce(element_at(typedLit(weights), strata), lit(default))
     // same floor(x+0.5) rounding as stratifiedKeep: double→int casts
     // truncate in Spark but round elsewhere
@@ -95,9 +97,12 @@ object Sampling {
 
   /** Corpus shuffled by [[shuffleKey]]; the key is kept as `shuffle_key` so
     * consumers (and the correctness oracle) can verify the order. */
-  def shuffled(df: DataFrame, key: Column, seed: String): DataFrame =
+  def shuffled(df: DataFrame, key: Column, seed: String): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "shuffled emits a 'shuffle_key' column; the input already has one")
     df.withColumn("shuffle_key", shuffleKey(key, seed))
       .orderBy(col("shuffle_key"))
+  }
 
   /** Deterministic fixed-size sample per stratum ("reservoir of k"): the k
     * rows of each stratum with the smallest md5(seed:key) — exact k (not

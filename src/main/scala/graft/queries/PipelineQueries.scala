@@ -847,16 +847,16 @@ object PipelineQueries {
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
               FROM documents),
             sp AS (SELECT doc_id, CAST(g AS BIGINT) AS pos,
                 array_to_string(toks[CAST(g*10+1 AS BIGINT):CAST(g*10+10 AS BIGINT)], ' ') AS s
               FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(g)
               WHERE len(toks) >= 1),
-            firsts AS (SELECT s, min({'id': doc_id, 'pos': pos}) AS f
-              FROM sp GROUP BY s),
+            firsts AS (SELECT lower(s) AS ls, min({'id': doc_id, 'pos': pos}) AS f
+              FROM sp GROUP BY lower(s)),
             kept AS (SELECT sp.doc_id, sp.pos, sp.s FROM sp JOIN firsts f
-              ON sp.s = f.s AND sp.doc_id = f.f.id AND sp.pos = f.f.pos)
+              ON lower(sp.s) = f.ls AND sp.doc_id = f.f.id AND sp.pos = f.f.pos)
             SELECT doc_id, array_to_string(list(s ORDER BY pos), ' ') AS text
             FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
@@ -887,7 +887,7 @@ object PipelineQueries {
                      ELSE text || ' .. ' END AS text
               FROM documents)
             SELECT min(doc_id) AS doc_id FROM d
-            GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+            GROUP BY trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))
             ORDER BY doc_id"""))
 
   /** Deterministic mixture resampling: en upsampled 2.5x, zh downsampled

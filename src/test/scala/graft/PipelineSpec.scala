@@ -185,16 +185,17 @@ class PipelineSpec extends SparkSpec {
     assert(strict == Set(1L))
   }
 
-  test("dedupSpans keeps first occurrence and reassembles in order") {
+  test("dedupSpans keeps first occurrence, preserves case, reassembles in order") {
     import spark.implicits._
     val d = Seq(
       (1L, "a b c d e f"),        // spans: "a b c", "d e f"
-      (2L, "a b c x y z"),        // first span duplicated → text "x y z"
-      (3L, "d e f a b c")         // both spans duplicated → doc vanishes
+      (2L, "A B C x y z"),        // first span dups "a b c" (case-insensitive)
+      (3L, "d e f a b c"),        // both spans duplicated → doc vanishes
+      (4L, "Q W E")               // unique — must survive with ORIGINAL case
     ).toDF("doc_id", "text")
     val out = Dedup.dedupSpans(d, "text", "doc_id", span = 3)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
-    assert(out == Map(1L -> "a b c d e f", 2L -> "x y z"))
+    assert(out == Map(1L -> "a b c d e f", 2L -> "x y z", 4L -> "Q W E"))
   }
 
   test("exactNormalized merges case/punctuation/whitespace variants") {
@@ -208,6 +209,16 @@ class PipelineSpec extends SparkSpec {
     val reps = Dedup.exactNormalized(d, "text", "doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(reps == Set(1L, 4L))
+    // non-Latin scripts are letters, not noise: distinct CJK/Cyrillic docs
+    // must NOT merge into one empty-string class (ASCII-only [a-z0-9]
+    // normalization would delete all but one of them)
+    val multi = Seq(
+      (1L, "你好 世界"), (2L, "再见 世界"), (3L, "Привет, мир!"),
+      (4L, "привет  мир")
+    ).toDF("doc_id", "text")
+    val multiReps = Dedup.exactNormalized(multi, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(multiReps == Set(1L, 2L, 3L), s"got $multiReps")
   }
 
   test("langId returns a configured language and quality is in [0,1]") {
