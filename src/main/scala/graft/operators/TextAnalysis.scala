@@ -198,6 +198,38 @@ object TextAnalysis {
     * per-doc mean of ln p(token). At 100 TB the vocab frame is the only
     * broadcast state and the doc-level mean is a map-side-combinable
     * aggregation — no row-scale shuffle beyond the token join. */
+  /** Per-document top-k terms by tf-idf — the keyword-extraction pass of a
+    * corpus-analytics pipeline. tf-idf = (tf / docLen) · ln(N / df); ties in
+    * the (4-decimal-rounded) score break on the term so the top-k set is
+    * deterministic cross-engine (ranking on the raw double would let a
+    * last-ulp ln() difference flip near-equal ranks between engines).
+    *
+    * Scale shape: two map-side-combinable aggregations over the token
+    * stream (per-(doc, term) tf; per-term df), the corpus doc count rides a
+    * broadcast 1-row frame, and the top-k window partitions by DOCUMENT —
+    * parallelism grows with the corpus, no low-cardinality window ceiling.
+    * Output: (id, term, tf, df_t, tfidf), k rows per doc. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "tfidfTopTerms needs k > 0")
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val len = tf.groupBy("id").agg(sum("tf").as("_gq_len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = df.select(countDistinct(col(idCol)).as("_gq_n"))
+    val scored = tf.join(len, "id").join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        (col("tf") / col("_gq_len")) *
+          log(col("_gq_n").cast("double") / col("df_t")), 4))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("_gq_rn", row_number().over(w))
+      .filter(col("_gq_rn") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df_t"), col("tfidf"))
+  }
+
   def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol).as(idCol),

@@ -945,6 +945,31 @@ object PipelineQueries {
               FROM documents)
             SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id"""))
 
+  /** Keyword extraction: top-5 terms per doc by tf-idf, tie-broken on the
+    * rounded score then the term (cross-engine deterministic). */
+  val q_tfidf_topk = Q(
+    "q_tfidf_topk",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(TextAnalysis.tfidfTopTerms(d, "text", "doc_id", k = 5))
+        .order(GTable.orderKeys(Seq("doc_id", "term")))
+        .result
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+              unnest(string_split(lower(text), ' ')) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            len AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+            dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+                round((tf.tf / CAST(len.len AS DOUBLE)) *
+                  ln(CAST(n.n_docs AS DOUBLE) / df_t), 4) AS tfidf
+              FROM tf JOIN len USING (doc_id) JOIN dfreq USING (term), n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rn FROM s)
+            SELECT doc_id, term, tf, df_t, tfidf FROM r WHERE rn <= 5
+            ORDER BY doc_id, term"""))
+
   /** Intra-document repetition scrub: collapse immediate token repeats. */
   val q_dedup_tokens = Q(
     "q_dedup_tokens",
@@ -970,5 +995,5 @@ object PipelineQueries {
     q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,
     q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,
-    q_mix_weighted, q_shuffle_det, q_reservoir)
+    q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk)
 }

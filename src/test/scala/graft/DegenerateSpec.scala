@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.{GTable, Tables}
-import graft.operators.{Dedup, Sampling, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Degenerate-input hardening: every operator must behave on an EMPTY
   * table (the take(Seq()) crash was exactly this class of bug — paths that
@@ -79,5 +79,21 @@ class DegenerateSpec extends SparkSpec {
       planes = 4, dim = 64).count() == 0)
     assert(Similarity.ivfTopK(ee, q, "vec_id", "embedding", 5,
       nlist = 4, nprobe = 2).count() == 0)
+  }
+
+  test("round-4 pipeline operators on empty frames") {
+    val docs = Tables.load(spark, sf, "documents")
+    val ed = docs.filter(lit(false))
+    assert(Dedup.exactNormalized(ed, "text", "doc_id").count() == 0)
+    assert(Dedup.dedupSpans(ed, "text", "doc_id").count() == 0)
+    // empty corpus is clean; empty benchmark contaminates nothing
+    assert(Dedup.decontaminate(ed, docs, "text", "doc_id").count() == 0)
+    assert(Dedup.decontaminate(docs, ed, "text", "doc_id").count() == 0)
+    assert(Sampling.mixWeighted(ed, col("lang"), col("doc_id"),
+      Map("en" -> 2.5)).count() == 0)
+    assert(Sampling.shuffled(ed, col("doc_id"), "1").count() == 0)
+    assert(Sampling.reservoirK(GTable(ed), Seq("lang"), col("doc_id"), 3)
+      .count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(ed, "text", "doc_id", 5).count() == 0)
   }
 }
