@@ -28,7 +28,8 @@ import GVal._
   * Pipeline extension fields (round 4; engine extension beyond the
   * reference): dedup (exact/normalized), decontaminate (benchmark n-gram
   * overlap), split (deterministic md5 shares), sample (stratified keep),
-  * mix (weighted mixture resampling), shuffle (md5-keyed range sort).
+  * mix (weighted mixture resampling), shuffle (md5-keyed range sort),
+  * reservoir (per-stratum fixed-size sample), tfidf (keyword extraction).
   */
 final class GraphQLService(spark: SparkSession, sfDir: String,
                            names: Seq[String] = Tables.names,
@@ -463,6 +464,34 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       resolveTable(GTable(graft.operators.Sampling.mixWeighted(t.result,
         col(strata), col(key), fractionMap(f, "weights"),
         doubleArg(f, "default").getOrElse(1.0))), f, None)
+    case "reservoir" =>
+      // deterministic per-stratum fixed-size sample (distributed rankings
+      // path; no single-task-per-stratum window)
+      val key = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("reservoir needs on: <key column>"))
+      val strata = strListArg(f, "strata")
+      if (strata.isEmpty)
+        throw new IllegalArgumentException("reservoir needs strata: [columns]")
+      val k = intArg(f, "k")
+        .getOrElse(throw new IllegalArgumentException("reservoir needs k:"))
+      val seed = f.arg("seed").map {
+        case GStr(s) => s
+        case GInt(i) => i.toString
+        case other => throw new IllegalArgumentException(
+          s"reservoir seed: must be a string or int, got $other")
+      }.getOrElse("0")
+      resolveTable(GTable(graft.operators.Sampling.reservoirK(
+        GTable(t.result), strata, col(key), k, seed), denseRid = false), f, None)
+    case "tfidf" =>
+      // per-document top-k terms by tf-idf (keyword extraction)
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("tfidf needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("tfidf needs id: <key column>"))
+      val k = intArg(f, "k")
+        .getOrElse(throw new IllegalArgumentException("tfidf needs k:"))
+      resolveTable(GTable(graft.operators.TextAnalysis.tfidfTopTerms(
+        t.result, on, id, k)), f, None)
     case "shuffle" =>
       // deterministic md5-keyed corpus shuffle (range-partitioned sort);
       // the key is served as shuffle_key

@@ -627,6 +627,31 @@ object GqlQueries {
       "doc_id BIGINT, shuffle_key STRING"),
     PipelineQueries.q_shuffle_det.oracle)
 
+  /** Per-stratum reservoir through the service. */
+  val q_gql_reservoir = Q(
+    "q_gql_reservoir",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           r: reservoir(on: "doc_id", strata: ["lang"], k: 20, seed: "7") {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } lang { values } } } } } }""",
+      Seq("t", "r", "o", "c"),
+      "doc_id BIGINT, lang STRING"),
+    PipelineQueries.q_reservoir.oracle)
+
+  /** tf-idf keyword extraction through the service. */
+  val q_gql_tfidf = Q(
+    "q_gql_tfidf",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: tfidf(on: "text", id: "doc_id", k: 5) {
+             o: order(by: ["doc_id", "term"]) {
+               c: columns { doc_id { values } term { values } tf { values }
+                            df_t { values } tfidf { values } } } } } }""",
+      Seq("t", "f", "o", "c"),
+      "doc_id BIGINT, term STRING, tf BIGINT, df_t BIGINT, tfidf DOUBLE"),
+    PipelineQueries.q_tfidf_topk.oracle)
+
   def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
@@ -634,5 +659,5 @@ object GqlQueries {
     q_gql_dropnull, q_gql_union, q_gql_intersect, q_gql_crossjoin,
     q_gql_takefrom, q_gql_sql, q_gql_cumsum, q_gql_vars_frag,
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
-    q_gql_mix, q_gql_shuffle)
+    q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf)
 }
