@@ -464,6 +464,17 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       resolveTable(GTable(graft.operators.Sampling.mixWeighted(t.result,
         col(strata), col(key), fractionMap(f, "weights"),
         doubleArg(f, "default").getOrElse(1.0))), f, None)
+    case "dedupSpans" =>
+      // C4-style span-level dedup: rewrites the text column to the
+      // surviving spans (schema: id + text), so downstream fields see the
+      // scrubbed corpus
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("dedupSpans needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("dedupSpans needs id: <key column>"))
+      val span = intArg(f, "span").getOrElse(10)
+      resolveTable(GTable(graft.operators.Dedup.dedupSpans(
+        t.result, on, id, span)), f, None)
     case "reservoir" =>
       // deterministic per-stratum fixed-size sample (distributed rankings
       // path; no single-task-per-stratum window)

@@ -627,6 +627,18 @@ object GqlQueries {
       "doc_id BIGINT, shuffle_key STRING"),
     PipelineQueries.q_shuffle_det.oracle)
 
+  /** Span-level corpus dedup through the service. */
+  val q_gql_dedup_spans = Q(
+    "q_gql_dedup_spans",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           d: dedupSpans(on: "text", id: "doc_id", span: 10) {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } text { values } } } } } }""",
+      Seq("t", "d", "o", "c"),
+      "doc_id BIGINT, text STRING"),
+    PipelineQueries.q_dedup_spans.oracle)
+
   /** Per-stratum reservoir through the service. */
   val q_gql_reservoir = Q(
     "q_gql_reservoir",
@@ -659,5 +671,6 @@ object GqlQueries {
     q_gql_dropnull, q_gql_union, q_gql_intersect, q_gql_crossjoin,
     q_gql_takefrom, q_gql_sql, q_gql_cumsum, q_gql_vars_frag,
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
-    q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf)
+    q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
+    q_gql_dedup_spans)
 }

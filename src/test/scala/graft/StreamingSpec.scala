@@ -48,6 +48,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("streaming normalized dedup: dropDuplicates on the normalize key matches batch classes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // decorated duplicates arriving as a stream: normalization-class dedup
+    // is just dropDuplicates on the codegen'd normalize() key — the same
+    // expression the batch operator hashes, so stream == batch semantics
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData((1L, "Hello, world!"), (2L, "hello   world"),
+      (3L, "different text"), (4L, "HELLO WORLD.."))
+    val sdf = mem.toDF.toDF("doc_id", "text")
+      .withColumn("_k", graft.operators.Dedup.normalize(col("text")))
+      .dropDuplicates("_k")
+    val q = sdf.writeStream.outputMode("append")
+      .format("memory").queryName("normdedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // one row per normalization class — the same class count the batch
+    // operator produces on identical data
+    val batchClasses = graft.operators.Dedup.exactNormalized(
+      Seq((1L, "Hello, world!"), (2L, "hello   world"),
+        (3L, "different text"), (4L, "HELLO WORLD.."))
+        .toDF("doc_id", "text"), "text", "doc_id").count()
+    assert(spark.table("normdedup").count() == batchClasses)
+  }
+
   test("flatMapGroupsWithState keeps running per-user stats across batches") {
     val spark2 = spark
     import spark2.implicits._
