@@ -485,12 +485,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         throw new IllegalArgumentException("reservoir needs strata: [columns]")
       val k = intArg(f, "k")
         .getOrElse(throw new IllegalArgumentException("reservoir needs k:"))
-      val seed = f.arg("seed").map {
-        case GStr(s) => s
-        case GInt(i) => i.toString
-        case other => throw new IllegalArgumentException(
-          s"reservoir seed: must be a string or int, got $other")
-      }.getOrElse("0")
+      val seed = seedArg(f)
       resolveTable(GTable(graft.operators.Sampling.reservoirK(
         GTable(t.result), strata, col(key), k, seed), denseRid = false), f, None)
     case "tfidf" =>
@@ -508,15 +503,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       // the key is served as shuffle_key
       val key = strArg(f, "on")
         .getOrElse(throw new IllegalArgumentException("shuffle needs on: <key column>"))
-      // int literals coerce to their decimal string — seed: 42 and
-      // seed: "42" must not silently produce different shuffles
-      val seed = f.arg("seed").map {
-        case GStr(s) => s
-        case GInt(i) => i.toString
-        case other => throw new IllegalArgumentException(
-          s"shuffle seed: must be a string or int, got $other")
-      }.getOrElse("0")
-      val out = graft.operators.Sampling.shuffled(t.df, col(key), seed)
+      val out = graft.operators.Sampling.shuffled(t.df, col(key), seedArg(f))
       resolveTable(GTable(out, sortedBy = Seq(col("shuffle_key")),
         denseRid = false), f, None)
 
@@ -1147,6 +1134,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
   private def litOf(v: GVal): Column = lit(Exprs.scalaOf(v))
   private def strArg(f: GField, name: String): Option[String] =
     f.arg(name).collect { case GStr(s) => s }
+  /** seed: argument, default "0". Int literals coerce to their decimal
+    * string — seed: 42 and seed: "42" must not silently produce different
+    * samples/shuffles. */
+  private def seedArg(f: GField): String =
+    f.arg("seed").map {
+      case GStr(s) => s
+      case GInt(i) => i.toString
+      case other => throw new IllegalArgumentException(
+        s"${f.name} seed: must be a string or int, got $other")
+    }.getOrElse("0")
   private def doubleArg(f: GField, name: String): Option[Double] =
     f.arg(name).collect { case GFloat(v) => v; case GInt(v) => v.toDouble }
   /** {stratum: number, ...} argument → Map[String, Double]. */
