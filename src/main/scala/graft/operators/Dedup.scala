@@ -367,6 +367,27 @@ object Dedup {
       .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Incremental exact dedup — the production ingestion pattern: keep the
+    * rows of a NEW batch whose text is unseen in the existing corpus, and
+    * deduplicate within the batch itself (min id per class). Runs without
+    * touching corpus text twice: both sides reduce to 64-bit hash frames,
+    * the batch side anti-joins the corpus hash set, then dedups batch-
+    * internally. With `normalized`, both sides compare by normalization
+    * class. At 100 TB the corpus hash frame is the thing a pipeline
+    * materializes once (or replaces with a Bloom filter for an approximate
+    * first pass); this exact form is one narrow anti-join shuffle. */
+  def exactIncremental(batch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String,
+                       normalized: Boolean = false): DataFrame = {
+    def key(c: Column): Column =
+      xxhash64(if (normalized) normalize(c) else c)
+    val seen = corpus.select(key(col(textCol)).as("_h")).distinct()
+    batch.select(key(col(textCol)).as("_h"), col(idCol))
+      .join(seen, Seq("_h"), "left_anti")
+      .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+  }
+
   /** Eval-set decontamination (the GPT-3/PaLM appendix-C recipe): flag
     * training documents sharing at least `minHits` distinct word n-grams
     * with any benchmark document, so they can be dropped before training

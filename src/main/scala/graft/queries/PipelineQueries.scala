@@ -945,6 +945,30 @@ object PipelineQueries {
               FROM documents)
             SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id"""))
 
+  /** Incremental dedup: a new batch (docs ≥ 400, plus 50 known copies of
+    * corpus texts under shifted ids) against the existing corpus
+    * (docs < 400) — the copies must be dropped as already-seen, the
+    * genuinely new docs kept and batch-deduped. */
+  val q_dedup_incremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 400)
+      val batch = d.filter(col("doc_id") >= 400).select("doc_id", "text")
+        .union(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      GTable(Dedup.exactIncremental(batch, corpus, "text", "doc_id"))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+            batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+              UNION ALL
+              SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50)
+            SELECT min(doc_id) AS doc_id FROM batch
+            WHERE text NOT IN (SELECT text FROM corpus)
+            GROUP BY text ORDER BY doc_id"""))
+
   /** Keyword extraction: top-5 terms per doc by tf-idf, tie-broken on the
     * rounded score then the term (cross-engine deterministic). */
   val q_tfidf_topk = Q(
@@ -995,5 +1019,6 @@ object PipelineQueries {
     q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,
     q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,
-    q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk)
+    q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
+    q_dedup_incremental)
 }

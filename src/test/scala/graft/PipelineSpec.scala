@@ -221,6 +221,24 @@ class PipelineSpec extends SparkSpec {
     assert(multiReps == Set(1L, 2L, 3L), s"got $multiReps")
   }
 
+  test("exactIncremental drops corpus-seen texts and dedups within the batch") {
+    import spark.implicits._
+    val corpus = Seq((1L, "old text a"), (2L, "old text b")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "old text a"),      // seen in corpus → dropped
+      (11L, "brand new"),       // new → kept
+      (12L, "brand new"),       // batch-internal dup → merged onto 11
+      (13L, "Old Text B!!")     // normalization-class dup of corpus
+    ).toDF("doc_id", "text")
+    val exact = Dedup.exactIncremental(batch, corpus, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(11L, 13L)) // byte-exact: decorated copy survives
+    val norm = Dedup.exactIncremental(batch, corpus, "text", "doc_id",
+        normalized = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(norm == Set(11L)) // normalization-class: decorated copy dropped
+  }
+
   test("langId returns a configured language and quality is in [0,1]") {
     val r = docs.select(TextAnalysis.langId(col("text")).as("l"),
       TextAnalysis.qualityMetrics(col("text")).toMap.apply("quality").as("q")).collect()
