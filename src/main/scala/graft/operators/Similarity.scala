@@ -232,6 +232,19 @@ object Similarity {
     * quantizes to zeros. 4× embedding-storage compression is a standard
     * pretraining-corpus optimization; pure per-row expression, codegen'd,
     * no shuffle. */
+  /** L2 (unit-norm) vector normalization — the standard pre-ANN step that
+    * turns dot products into cosine similarity. Zero vectors pass through
+    * unchanged (division by zero would yield NaN components). Per-row
+    * codegen'd fold + transform; output is array<double> (the float
+    * components convert exactly, division is IEEE-correctly-rounded, so
+    * SQL oracles reproduce it bit-for-bit). */
+  def l2Normalize(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm > 0.0, transform(vec, x => x.cast("double") / norm))
+      .otherwise(transform(vec, x => x.cast("double")))
+  }
+
   def quantizeInt8(vec: Column): Column =
     graft.expressions.QuantizeFunctions.quantize(
       org.apache.spark.sql.SparkSession.active, vec)

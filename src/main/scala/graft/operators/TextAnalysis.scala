@@ -198,6 +198,44 @@ object TextAnalysis {
     * per-doc mean of ln p(token). At 100 TB the vocab frame is the only
     * broadcast state and the doc-level mean is a map-side-combinable
     * aggregation — no row-scale shuffle beyond the token join. */
+  /** PII scrubbing: mask emails, IPv4 addresses, and +-prefixed phone
+    * numbers with typed placeholders — the redaction pass a training-data
+    * pipeline runs before anything else sees the text. Pure chained
+    * regexp_replace (codegen'd, scan-stage); the patterns are RE2-safe
+    * (no backreferences/lookarounds) so correctness oracles can run the
+    * SAME regexes. Order matters: emails first (they contain dots and
+    * digits an IP/phone pattern could partially claim). Conservative by
+    * design — a precision-first mask set; recall-heavy PII systems layer
+    * NER on top. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+\\d{7,15}\\b", "<PHONE>")
+  }
+
+  /** Fixed-size overlapping token chunks — the RAG/pretraining chunking
+    * pass: chunk i covers tokens [i·stride, i·stride + size) with
+    * stride = size − overlap; the last chunk may be short; a doc of
+    * ≤ size tokens is one chunk. Original case preserved. Pure per-row
+    * array expression — chunking happens at scan speed, the explode to
+    * (doc, chunk_idx, chunk) rows is the consumer's choice. */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "chunks needs size > overlap >= 0")
+    val stride = size - overlap
+    val toks = split(text, "\\s+")
+    val n = when(org.apache.spark.sql.functions.size(toks) <= size, lit(1))
+      .otherwise(ceil(
+        (org.apache.spark.sql.functions.size(toks) - lit(size)) /
+          lit(stride.toDouble)).cast("int") + 1)
+    when(org.apache.spark.sql.functions.size(toks) >= 1,
+      transform(sequence(lit(0), n - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(size)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Per-document top-k terms by tf-idf — the keyword-extraction pass of a
     * corpus-analytics pipeline. tf-idf = (tf / docLen) · ln(N / df); ties in
     * the (4-decimal-rounded) score break on the term so the top-k set is

@@ -994,6 +994,90 @@ object PipelineQueries {
             SELECT doc_id, term, tf, df_t, tfidf FROM r WHERE rn <= 5
             ORDER BY doc_id, term"""))
 
+  /** PII scrub: deterministic synthetic PII (email, IPv4, phone) appended
+    * per doc, then masked — both engines run the SAME RE2-safe regexes. */
+  val q_pii_scrub = Q(
+    "q_pii_scrub",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val decorated = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+        (col("doc_id") % 256), lit(".7 tel +1415555"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      GTable(d.select(col("doc_id"),
+          TextAnalysis.scrubPii(decorated).as("clean")))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH d AS (SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.7 tel +1415555'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+              FROM documents)
+            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+              '\+\d{7,15}\b', '<PHONE>', 'g') AS clean
+            FROM d ORDER BY doc_id"""))
+
+  /** RAG-style chunking: 64-token chunks with 16-token overlap (stride 48),
+    * exploded to (doc, chunk_idx, chunk). */
+  val q_chunks = Q(
+    "q_chunks",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(d.select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), size = 64, overlap = 16))
+            .as(Seq("chunk_idx", "chunk"))))
+        .order(GTable.orderKeys(Seq("doc_id", "chunk_idx")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            n AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE CAST(ceil((len(toks) - 64) / 48.0) AS INT) + 1 END AS nc
+              FROM t WHERE len(toks) >= 1)
+            SELECT doc_id, CAST(u.g AS INT) AS chunk_idx,
+              array_to_string(
+                toks[CAST(u.g*48+1 AS BIGINT):CAST(u.g*48+64 AS BIGINT)], ' ') AS chunk
+            FROM n, UNNEST(range(0, CAST(nc AS BIGINT))) AS u(g)
+            ORDER BY doc_id, chunk_idx"""))
+
+  /** L2 normalization of the embedding column (unit vectors for cosine-
+    * as-dot): float components convert exactly, the norm fold and division
+    * are IEEE-correctly-rounded, so the SQL oracle is bit-exact. Array
+    * cells are unhashable in the gate comparator (q_embed_quant
+    * precedent), so scalar projections pin the same values: first/last
+    * unit components and the sequential component sum. */
+  val q_l2_normalize = Q(
+    "q_l2_normalize",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val unit = Similarity.l2Normalize(col("embedding"))
+      GTable(e.select(col("vec_id"),
+          element_at(unit, 1).as("u_first"),
+          element_at(unit, -1).as("u_last"),
+          aggregate(unit, lit(0.0), (a, x) => a + x).as("u_sum")))
+        .order(GTable.orderKeys(Seq("vec_id")))
+        .result
+    },
+    Some("""WITH n AS (SELECT vec_id, embedding,
+              sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, b) -> a + b)) AS nm
+              FROM embeddings),
+            u AS (SELECT vec_id,
+              CASE WHEN nm > 0
+                THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nm)
+                ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS unit
+              FROM n)
+            SELECT vec_id, unit[1] AS u_first, unit[-1] AS u_last,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), unit),
+                (a, b) -> a + b) AS u_sum
+            FROM u ORDER BY vec_id"""))
+
   /** Intra-document repetition scrub: collapse immediate token repeats. */
   val q_dedup_tokens = Q(
     "q_dedup_tokens",
@@ -1020,5 +1104,5 @@ object PipelineQueries {
     q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
-    q_dedup_incremental)
+    q_dedup_incremental, q_pii_scrub, q_chunks, q_l2_normalize)
 }

@@ -239,6 +239,54 @@ class PipelineSpec extends SparkSpec {
     assert(norm == Set(11L)) // normalization-class: decorated copy dropped
   }
 
+  test("scrubPii masks emails, IPv4s, and phones; clean text is untouched") {
+    import spark.implicits._
+    val d = Seq(
+      "reach me at jane.doe+spam@sub.example.org thanks",
+      "server 192.168.1.254 and backup 10.0.0.1",
+      "call +14155550123 now",
+      "no pii here at all",
+      "mixed: a@b.io on 1.2.3.4 via +4915123456789"
+    ).toDF("text")
+    val out = d.select(TextAnalysis.scrubPii(col("text")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "reach me at <EMAIL> thanks")
+    assert(out(1) == "server <IP> and backup <IP>")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "no pii here at all")
+    assert(out(4) == "mixed: <EMAIL> on <IP> via <PHONE>")
+  }
+
+  test("chunks: overlap property, full coverage, short doc = one chunk") {
+    import spark.implicits._
+    val text = (1 to 25).map(i => s"t$i").mkString(" ")
+    val d = Seq(text, "short doc").toDF("text")
+    val rows = d.select(col("text"),
+        TextAnalysis.chunks(col("text"), size = 10, overlap = 3).as("ch"))
+      .collect()
+    val ch = rows(0).getSeq[String](1).map(_.split(" ").toSeq)
+    // stride 7: chunks start at 0, 7, 14, 21 → 4 chunks, last is short
+    assert(ch.length == 4 && ch.take(3).forall(_.length == 10) && ch(3).length == 4)
+    // consecutive chunks share exactly `overlap` tokens
+    for (i <- 0 until ch.length - 1)
+      assert(ch(i).takeRight(3) == ch(i + 1).take(3), s"chunk $i overlap")
+    // stride-prefixes + last chunk reassemble the doc exactly
+    assert((ch.init.map(_.take(7)).flatten ++ ch.last).mkString(" ") == text)
+    assert(rows(1).getSeq[String](1) == Seq("short doc"))
+  }
+
+  test("l2Normalize yields unit vectors; zero vectors pass through") {
+    val unit = embs.select(Similarity.l2Normalize(col("embedding")).as("u"))
+      .select(sqrt(aggregate(col("u"), lit(0.0), (a, x) => a + x * x)).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(unit.forall(n => math.abs(n - 1.0) < 1e-9 || n == 0.0))
+    import spark.implicits._
+    val zero = Seq(Array(0f, 0f, 0f)).toDF("v")
+      .select(Similarity.l2Normalize(col("v")).as("u"))
+      .collect().head.getSeq[Double](0)
+    assert(zero == Seq(0.0, 0.0, 0.0))
+  }
+
   test("langId returns a configured language and quality is in [0,1]") {
     val r = docs.select(TextAnalysis.langId(col("text")).as("l"),
       TextAnalysis.qualityMetrics(col("text")).toMap.apply("quality").as("q")).collect()
