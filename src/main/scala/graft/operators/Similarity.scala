@@ -224,6 +224,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("_rn").as("rank"))
   }
 
+  /** L2 norm of a float vector (sequential fold, IEEE-exact). */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** L2 (unit-norm) vector normalization — the standard pre-ANN step that
+    * turns dot products into cosine similarity. Zero vectors pass through
+    * unchanged (division by zero would yield NaN components). Output is
+    * array<double>: the float components convert exactly and division is
+    * IEEE-correctly-rounded, so SQL oracles reproduce it bit-for-bit.
+    *
+    * DataFrame-level so the norm is materialized as its own column and the
+    * fold runs ONCE per row — a single-Column form would re-evaluate the
+    * norm aggregate inside every element lambda (no CSE across interpreted
+    * HOFs → O(dim²) per row, the same pitfall [[quantizeInt8Composable]]
+    * documents; Catalyst's CollapseProject keeps the split projections
+    * apart because the norm is referenced many times). */
+  def l2Normalized(df: DataFrame, vecCol: String, as: String): DataFrame =
+    df.withColumn("_gq_l2n", l2Norm(col(vecCol)))
+      .withColumn(as,
+        when(col("_gq_l2n") > 0.0,
+          transform(col(vecCol), x => x.cast("double") / col("_gq_l2n")))
+        .otherwise(transform(col(vecCol), x => x.cast("double"))))
+      .drop("_gq_l2n")
+
   /** Symmetric int8 quantization of a float vector: scale = max |x|,
     * q_i = clamp(floor(x_i/scale·127 + 0.5), -127, 127). floor(x+0.5) rather
     * than round() — Spark rounds half-up and other engines half-even, so the
@@ -232,19 +257,6 @@ object Similarity {
     * quantizes to zeros. 4× embedding-storage compression is a standard
     * pretraining-corpus optimization; pure per-row expression, codegen'd,
     * no shuffle. */
-  /** L2 (unit-norm) vector normalization — the standard pre-ANN step that
-    * turns dot products into cosine similarity. Zero vectors pass through
-    * unchanged (division by zero would yield NaN components). Per-row
-    * codegen'd fold + transform; output is array<double> (the float
-    * components convert exactly, division is IEEE-correctly-rounded, so
-    * SQL oracles reproduce it bit-for-bit). */
-  def l2Normalize(vec: Column): Column = {
-    val norm = sqrt(aggregate(vec, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    when(norm > 0.0, transform(vec, x => x.cast("double") / norm))
-      .otherwise(transform(vec, x => x.cast("double")))
-  }
-
   def quantizeInt8(vec: Column): Column =
     graft.expressions.QuantizeFunctions.quantize(
       org.apache.spark.sql.SparkSession.active, vec)

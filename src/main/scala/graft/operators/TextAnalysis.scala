@@ -215,26 +215,42 @@ object TextAnalysis {
     regexp_replace(ip, "\\+\\d{7,15}\\b", "<PHONE>")
   }
 
-  /** Fixed-size overlapping token chunks — the RAG/pretraining chunking
-    * pass: chunk i covers tokens [i·stride, i·stride + size) with
-    * stride = size − overlap; the last chunk may be short; a doc of
-    * ≤ size tokens is one chunk. Original case preserved. Pure per-row
-    * array expression — chunking happens at scan speed, the explode to
-    * (doc, chunk_idx, chunk) rows is the consumer's choice. */
-  def chunks(text: Column, size: Int, overlap: Int): Column = {
-    require(size > 0 && overlap >= 0 && overlap < size,
-      "chunks needs size > overlap >= 0")
-    val stride = size - overlap
-    val toks = split(text, "\\s+")
-    val n = when(org.apache.spark.sql.functions.size(toks) <= size, lit(1))
+  /** Fixed-size overlapping token chunks over a PRE-TOKENIZED array
+    * column — chunk i covers tokens [i·stride, i·stride + chunkSize) with
+    * stride = chunkSize − overlap; the last chunk may be short; ≤ chunkSize
+    * tokens is one chunk. Taking the token array (not the text) matters
+    * for cost: referencing a split() expression inside the per-chunk
+    * lambda would re-tokenize the whole document once per chunk (no CSE
+    * across interpreted HOFs) — callers bind the array to a real column
+    * first ([[chunked]] does). */
+  def chunksOf(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "chunks needs chunkSize > overlap >= 0")
+    val stride = chunkSize - overlap
+    val n = when(size(toks) <= chunkSize, lit(1))
       .otherwise(ceil(
-        (org.apache.spark.sql.functions.size(toks) - lit(size)) /
-          lit(stride.toDouble)).cast("int") + 1)
-    when(org.apache.spark.sql.functions.size(toks) >= 1,
+        (size(toks) - lit(chunkSize)) / lit(stride.toDouble)).cast("int") + 1)
+    when(size(toks) >= 1,
       transform(sequence(lit(0), n - 1),
-        i => array_join(slice(toks, i * stride + 1, lit(size)), " ")))
+        i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ")))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** RAG/pretraining chunking pass: (id, chunk_idx, chunk) rows, original
+    * case preserved. The token array is projected as its own column before
+    * the chunk expression so the document is tokenized ONCE per row
+    * (Catalyst's CollapseProject keeps the projections apart — the array
+    * is referenced by several sub-expressions). Empty and whitespace-only
+    * documents yield zero chunks (split of "" returns [""], so a bare
+    * size >= 1 guard would emit an empty chunk per blank doc). */
+  def chunked(df: org.apache.spark.sql.DataFrame, textCol: String,
+              idCol: String, chunkSize: Int, overlap: Int):
+      org.apache.spark.sql.DataFrame =
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(col(textCol), "\\s+").as("_gq_toks"))
+      .select(col(idCol),
+        posexplode(chunksOf(col("_gq_toks"), chunkSize, overlap))
+          .as(Seq("chunk_idx", "chunk")))
 
   /** Per-document top-k terms by tf-idf — the keyword-extraction pass of a
     * corpus-analytics pipeline. tf-idf = (tf / docLen) · ln(N / df); ties in

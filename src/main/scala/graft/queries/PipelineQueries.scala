@@ -1022,23 +1022,24 @@ object PipelineQueries {
             FROM d ORDER BY doc_id"""))
 
   /** RAG-style chunking: 64-token chunks with 16-token overlap (stride 48),
-    * exploded to (doc, chunk_idx, chunk). */
+    * exploded to (doc, chunk_idx, chunk). The oracle tokenizes with the
+    * SAME \s+ regex as the engine (regexp_split_to_array), so parity is
+    * genuine rather than dependent on single-space corpus text. */
   val q_chunks = Q(
     "q_chunks",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      GTable(d.select(col("doc_id"),
-          posexplode(TextAnalysis.chunks(col("text"), size = 64, overlap = 16))
-            .as(Seq("chunk_idx", "chunk"))))
+      GTable(TextAnalysis.chunked(d, "text", "doc_id",
+          chunkSize = 64, overlap = 16))
         .order(GTable.orderKeys(Seq("doc_id", "chunk_idx")))
         .result
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents),
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0),
             n AS (SELECT doc_id, toks,
                 CASE WHEN len(toks) <= 64 THEN 1
                   ELSE CAST(ceil((len(toks) - 64) / 48.0) AS INT) + 1 END AS nc
-              FROM t WHERE len(toks) >= 1)
+              FROM t)
             SELECT doc_id, CAST(u.g AS INT) AS chunk_idx,
               array_to_string(
                 toks[CAST(u.g*48+1 AS BIGINT):CAST(u.g*48+64 AS BIGINT)], ' ') AS chunk
@@ -1055,11 +1056,11 @@ object PipelineQueries {
     "q_l2_normalize",
     (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val unit = Similarity.l2Normalize(col("embedding"))
-      GTable(e.select(col("vec_id"),
-          element_at(unit, 1).as("u_first"),
-          element_at(unit, -1).as("u_last"),
-          aggregate(unit, lit(0.0), (a, x) => a + x).as("u_sum")))
+      GTable(Similarity.l2Normalized(e, "embedding", "unit")
+          .select(col("vec_id"),
+            element_at(col("unit"), 1).as("u_first"),
+            element_at(col("unit"), -1).as("u_last"),
+            aggregate(col("unit"), lit(0.0), (a, x) => a + x).as("u_sum")))
         .order(GTable.orderKeys(Seq("vec_id")))
         .result
     },

@@ -257,14 +257,15 @@ class PipelineSpec extends SparkSpec {
     assert(out(4) == "mixed: <EMAIL> on <IP> via <PHONE>")
   }
 
-  test("chunks: overlap property, full coverage, short doc = one chunk") {
+  test("chunked: overlap property, full coverage, short doc, blank doc") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"t$i").mkString(" ")
-    val d = Seq(text, "short doc").toDF("text")
-    val rows = d.select(col("text"),
-        TextAnalysis.chunks(col("text"), size = 10, overlap = 3).as("ch"))
-      .collect()
-    val ch = rows(0).getSeq[String](1).map(_.split(" ").toSeq)
+    val d = Seq((1L, text), (2L, "short doc"), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunked(d, "text", "doc_id",
+        chunkSize = 10, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val ch = out.filter(_._1 == 1L).sortBy(_._2).map(_._3.split(" ").toSeq)
     // stride 7: chunks start at 0, 7, 14, 21 → 4 chunks, last is short
     assert(ch.length == 4 && ch.take(3).forall(_.length == 10) && ch(3).length == 4)
     // consecutive chunks share exactly `overlap` tokens
@@ -272,18 +273,20 @@ class PipelineSpec extends SparkSpec {
       assert(ch(i).takeRight(3) == ch(i + 1).take(3), s"chunk $i overlap")
     // stride-prefixes + last chunk reassemble the doc exactly
     assert((ch.init.map(_.take(7)).flatten ++ ch.last).mkString(" ") == text)
-    assert(rows(1).getSeq[String](1) == Seq("short doc"))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("short doc"))
+    // empty and whitespace-only docs yield ZERO chunks, not an empty chunk
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
   }
 
-  test("l2Normalize yields unit vectors; zero vectors pass through") {
-    val unit = embs.select(Similarity.l2Normalize(col("embedding")).as("u"))
+  test("l2Normalized yields unit vectors; zero vectors pass through") {
+    val unit = Similarity.l2Normalized(embs, "embedding", "u")
       .select(sqrt(aggregate(col("u"), lit(0.0), (a, x) => a + x * x)).as("n"))
       .collect().map(_.getDouble(0))
     assert(unit.forall(n => math.abs(n - 1.0) < 1e-9 || n == 0.0))
     import spark.implicits._
-    val zero = Seq(Array(0f, 0f, 0f)).toDF("v")
-      .select(Similarity.l2Normalize(col("v")).as("u"))
-      .collect().head.getSeq[Double](0)
+    val zero = Similarity.l2Normalized(
+        Seq(Tuple1(Array(0f, 0f, 0f))).toDF("v"), "v", "u")
+      .select("u").collect().head.getSeq[Double](0)
     assert(zero == Seq(0.0, 0.0, 0.0))
   }
 
