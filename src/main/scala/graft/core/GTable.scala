@@ -699,6 +699,53 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     GTable(result, denseRid = false)
   }
 
+  /** Estimated input rows from the optimized plan: CBO row count when
+    * available, else sizeInBytes over the schema's default row width (a
+    * width OVER-estimate, so the row estimate errs low — conservative for
+    * callers that flip strategies above a row threshold). Plan-only; never
+    * runs a job. */
+  def estimatedRows: Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse(
+      (stats.sizeInBytes / BigInt(math.max(1, df.schema.defaultSize))).toLong)
+  }
+
+  /** Ranking block with AUTOMATIC strategy choice. A plain
+    * `PARTITION BY keys` window collapses to #distinct-keys tasks — at
+    * cluster scale a 3-key ranking runs on 3 cores no matter how many
+    * executors exist — while [[rankings]] range-partitions and merges
+    * boundary stats, paying fixed cost for parallelism that only wins on
+    * big inputs (measured single-node crossover ≈ ×16 sf0.1 ≈ 10M rows —
+    * BASELINE.md). This entry point picks per-plan: [[rankings]] when the
+    * estimated row count reaches `spark.graft.rankings.flipRows` (default
+    * 10M), the plain window otherwise, so callers need not know both.
+    */
+  def rankingsAuto(partKeys: Seq[String], orderCols: Seq[Column],
+                   desc: Seq[Boolean] = Nil,
+                   rowNumber: Option[String] = None, rank: Option[String] = None,
+                   denseRank: Option[String] = None,
+                   percentRank: Option[String] = None,
+                   ntile: Option[(Int, String)] = None): GTable = {
+    val flipRows = df.sparkSession.conf
+      .getOption("spark.graft.rankings.flipRows").map(_.toLong)
+      .getOrElse(10000000L)
+    if (estimatedRows >= flipRows)
+      rankings(partKeys, orderCols, desc, rowNumber, rank, denseRank,
+        percentRank, ntile)
+    else {
+      val sortCols = orderCols.zipWithIndex.map { case (c, i) =>
+        if (desc.lift(i).getOrElse(false)) c.desc else c.asc }
+      val w = graft.functions.GWindows.spec(partKeys.map(col), sortCols)
+      var out = this
+      rowNumber.foreach(a => out = out.project(a -> graft.functions.GWindows.rowNumber0(w)))
+      rank.foreach(a => out = out.project(a -> graft.functions.GWindows.rank0(w)))
+      denseRank.foreach(a => out = out.project(a -> graft.functions.GWindows.denseRank0(w)))
+      percentRank.foreach(a => out = out.project(a -> graft.functions.GWindows.percentRank(w)))
+      ntile.foreach { case (n, a) => out = out.project(a -> graft.functions.GWindows.ntile0(n, w)) }
+      out
+    }
+  }
+
   def runs(by: Seq[String],
            split: Seq[org.apache.spark.sql.expressions.WindowSpec => Column] = Nil,
            aggs: Seq[Column] = Nil, counts: Option[String] = None): GTable = {

@@ -403,14 +403,20 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case other => throw new IllegalArgumentException(
           s"dedup normalize: must be a boolean, got $other")
       }.getOrElse(false)
-      val reps = if (normalize) graft.operators.Dedup.exactNormalized(t.result, on, id)
-                 else graft.operators.Dedup.exact(t.result, on, id)
+      // join on (text-class hash, id), not id alone: with duplicate ids a
+      // row must be the representative of its OWN text class to survive —
+      // an id-only semi-join would also keep rows that merely share an id
+      // with some other class's representative
+      val reps = graft.operators.Dedup.exactReps(t.result, on, id, normalize)
+      val keyed = t.df.withColumn("_gq_h",
+        graft.operators.Dedup.classKey(col(on), normalize))
       // sortedBy dropped: a semi-join against the (non-broadcastable at
       // corpus scale) representative frame may execute as a sort-merge join
       // and re-sort by the join key — claiming the old order would let
       // column serving skip the re-sort and emit join-key order silently
-      resolveTable(GTable(t.df.join(reps, Seq(id), "left_semi"),
-        denseRid = false), f, None)
+      resolveTable(GTable(keyed.join(
+          reps.withColumnRenamed("_h", "_gq_h"), Seq("_gq_h", id), "left_semi")
+        .drop("_gq_h"), denseRid = false), f, None)
     case "decontaminate" =>
       // drop documents sharing >= minHits distinct n-grams with the named
       // benchmark root (optionally pre-filtered by benchmarkWhere:, the
@@ -884,6 +890,49 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     val over = strListArg(f, "over").map(col)
     val byKeys = strListArg(f, "by")
     val w = GWindows.spec(over, GTable.orderKeys(byKeys))
+
+    // Pure ranking blocks dispatch through rankingsAuto: a plain
+    // PARTITION BY window caps parallelism at #distinct-keys tasks, so
+    // above the measured crossover (spark.graft.rankings.flipRows) the
+    // range-partitioned distributed rankings serve instead — the caller's
+    // query is identical either way.
+    val rankOps = Set("rowNumber", "rank", "denseRank", "percentRank", "ntile")
+    val opArgs = f.args.filter { case (k, _) => k != "over" && k != "by" }
+    val pureRanking = over.nonEmpty && byKeys.nonEmpty && opArgs.nonEmpty &&
+      opArgs.forall { case (k, _) => rankOps(k) }
+    if (pureRanking) {
+      def alias(v: GVal, dflt: String): String = v match {
+        case GStr(a) => a
+        case o: GObj => o.v.collectFirst {
+          case (k, GStr(a)) if k.equalsIgnoreCase("alias") => a }.getOrElse(dflt)
+        case _ => dflt
+      }
+      var rn, rk, dr, pr: Option[String] = None
+      var nt: Option[(Int, String)] = None
+      opArgs.foreach {
+        case ("rowNumber", v) => rn = Some(alias(v, "rowNumber"))
+        case ("rank", v) => rk = Some(alias(v, "rank"))
+        case ("denseRank", v) => dr = Some(alias(v, "denseRank"))
+        case ("percentRank", v) => pr = Some(alias(v, "percentRank"))
+        case ("ntile", v) =>
+          val (n, a) = v match {
+            case GInt(n0) => (n0.toInt, "ntile")
+            case o: GObj =>
+              val n0 = o.v.collectFirst {
+                case (k, GInt(i)) if k.equalsIgnoreCase("n") => i.toInt }
+                .getOrElse(throw new IllegalArgumentException("ntile needs n"))
+              (n0, alias(o, "ntile"))
+            case _ => throw new IllegalArgumentException("ntile expects int or {n, alias}")
+          }
+          nt = Some((n, a))
+        case _ => ()
+      }
+      val ordCols = byKeys.map(k => col(k.stripPrefix("-")))
+      val descs = byKeys.map(_.startsWith("-"))
+      return resolveTable(t.rankingsAuto(strListArg(f, "over"), ordCols, descs,
+        rowNumber = rn, rank = rk, denseRank = dr, percentRank = pr,
+        ntile = nt), f, None)
+    }
     var out = t
     def specList(v: GVal): Seq[GObj] = v match {
       case GList(items) => items.collect { case o: GObj => o }
@@ -1162,8 +1211,13 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     f.arg(name).collect { case GInt(v) => v }
   private def strListArg(f: GField, name: String): Seq[String] =
     f.arg(name).toSeq.flatMap {
-      case GList(items) => items.collect { case GStr(s) => s }
+      case GList(items) => items.map {
+        case GStr(s) => s
+        case other => throw new IllegalArgumentException(
+          s"$name entries must be strings, got $other")
+      }
       case GStr(s) => Seq(s)
-      case _ => Nil
+      case other => throw new IllegalArgumentException(
+        s"$name must be a string or list of strings, got $other")
     }
 }

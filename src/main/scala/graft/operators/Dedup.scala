@@ -46,7 +46,7 @@ object Dedup {
     * Shingle-explode → self-join on shingle → common counts → |A∪B| via
     * per-doc sizes. Pairs restricted to id1 < id2.
     *
-    * `maxDf` > 0 drops shingles occurring in more than that many documents
+    * `maxDf` drops shingles occurring in more than that many documents
     * before the self-join — a shingle with document frequency F contributes
     * F² join rows, so common n-grams (stopword trigrams) make the join
     * quadratic at scale; capping df is what production near-dup pipelines
@@ -54,9 +54,18 @@ object Dedup {
     * Jaccard over the kept shingle sets. The hot-shingle list is tiny by
     * construction (few shingles exceed the cap) — broadcast anti-join, no
     * extra shuffle of the shingle stream.
+    *
+    * The cap is ON BY DEFAULT (df ≤ 1000): this operator is the exact
+    * verification tier, and an uncapped call on a large corpus is the F²
+    * blowup — callers who truly want the unbounded all-pairs oracle must
+    * say so with `maxDf = 0`. At the default cap the worst single shingle
+    * contributes 10⁶ candidate rows — bounded regardless of corpus size.
     */
+  val DefaultMaxDf = 1000
+
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                   n: Int, threshold: Double, maxDf: Int = 0): DataFrame = {
+                   n: Int, threshold: Double,
+                   maxDf: Int = DefaultMaxDf): DataFrame = {
     val shAll = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
     val sh = if (maxDf > 0) {
       val hot = shAll.groupBy("sh").agg(count(lit(1)).as("_df"))
@@ -367,6 +376,24 @@ object Dedup {
       .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Text-class key used by [[exact]]/[[exactNormalized]], exposed so
+    * callers can join representatives back on (key, id) rather than id
+    * alone. */
+  def classKey(text: Column, normalized: Boolean): Column =
+    xxhash64(if (normalized) normalize(text) else text)
+
+  /** Representative (_h, id) frame — the (text-class hash, min id) pair per
+    * class. Unlike [[exact]] this keeps the hash, so a caller whose id
+    * column may NOT be unique can semi-join on BOTH columns: with duplicate
+    * ids, a row survives only if it is the representative of its OWN text
+    * class, not merely shares an id with some class's representative.
+    * (Byte-identical duplicate rows — same id AND same text — still all
+    * survive; only a full row-level distinct could collapse those.) */
+  def exactReps(df: DataFrame, textCol: String, idCol: String,
+                normalized: Boolean = false): DataFrame =
+    df.select(classKey(col(textCol), normalized).as("_h"), col(idCol))
+      .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+
   /** Incremental exact dedup — the production ingestion pattern: keep the
     * rows of a NEW batch whose text is unseen in the existing corpus, and
     * deduplicate within the batch itself (min id per class). Runs without
@@ -425,9 +452,12 @@ object Dedup {
   def spans(text: Column, span: Int): Column = {
     require(span >= 1, "spans needs span >= 1")
     val toks = split(text, "\\s+")
-    // guard: sequence(1, stop) with stop < 1 would generate a DESCENDING
-    // sequence; empty token arrays produce zero spans
-    when(size(toks) >= 1,
+    // guard: split("", "\s+") yields [""], not an empty array, so blank or
+    // whitespace-only docs would otherwise emit one EMPTY span and every
+    // blank doc would dedup into the first one; also sequence(1, stop) with
+    // stop < 1 would generate a DESCENDING sequence. Blank docs → zero
+    // spans (same contract as chunked()).
+    when(length(trim(text)) > 0,
       transform(sequence(lit(1), ceil(size(toks) / lit(span.toDouble)).cast("int")),
         i => array_join(slice(toks, (i - lit(1)) * span + 1, lit(span)), " ")))
       .otherwise(array().cast("array<string>"))

@@ -281,9 +281,22 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: exact all-pairs cosine ≥ threshold.
-    * Quadratic — the exact oracle/baseline; LSH variant is the scale path. */
+    * Quadratic — the exact oracle/baseline; [[lshCosinePairs]] is the scale
+    * path. Because nothing in the plan itself bounds the O(n²) theta-join,
+    * the operator GATES itself: it refuses inputs above `maxRows` (counting
+    * the input is a cheap narrow scan next to the join it prevents). The
+    * default allows ~10⁸ comparisons — minutes of work, not a runaway. A
+    * caller who genuinely wants a bigger exact baseline must raise the
+    * ceiling explicitly; maxRows = 0 disables the gate. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double, maxRows: Long = 20000L): DataFrame = {
+    if (maxRows > 0) {
+      val n = df.count()
+      require(n <= maxRows,
+        s"cosinePairs is exact all-pairs (O(n²)): input has $n rows > " +
+        s"maxRows=$maxRows. Use lshCosinePairs for corpus-scale near-dup, " +
+        s"or pass maxRows explicitly to run the exact baseline anyway.")
+    }
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

@@ -574,7 +574,7 @@ object GqlQueries {
                  c: columns { doc_id { values } } } } } } }""",
       Seq("t", "f", "d", "o", "c"),
       "doc_id BIGINT"),
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
               FROM documents),
             sh AS (SELECT doc_id,
               unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN

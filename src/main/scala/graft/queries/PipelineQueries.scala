@@ -64,26 +64,9 @@ object PipelineQueries {
         .order(GTable.orderKeys(Seq("id1", "id2")))
         .result
     },
-    Some("""WITH toks AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-            sh AS (
-              SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
-                list_transform(range(1, len(t) - 1),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                ELSE [] END)) AS s
-              FROM toks),
-            sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
-            common AS (
-              SELECT a.doc_id id1, b.doc_id id2, count(*) c
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT id1, id2,
-              round(c / (s1.sz + s2.sz - c), 9) AS jaccard
-            FROM common
-            JOIN sizes s1 ON id1 = s1.doc_id
-            JOIN sizes s2 ON id2 = s2.doc_id
-            WHERE c / (s1.sz + s2.sz - c) >= 0.55
-            ORDER BY id1, id2"""))
+    Some(s"""WITH ${jaccardPairsSql(0.55)}
+            SELECT id1, id2, round(jaccard, 9) AS jaccard
+            FROM pairs ORDER BY id1, id2"""))
 
   /** MinHash+LSH near-dup candidates (64 hashes, 16 bands) — rows-only:
     * xxhash64 seeds are not reproducible in the oracle; recall is asserted
@@ -114,7 +97,7 @@ object PipelineQueries {
         .result
     },
     Some("""WITH toks AS (
-              SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM documents),
+              SELECT doc_id AS id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
             sh AS (
               SELECT id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
                 list_transform(range(1, len(t) - 1),
@@ -159,7 +142,7 @@ object PipelineQueries {
         .result
     },
     Some("""WITH toks AS (
-              SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS t
+              SELECT doc_id AS id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
               FROM documents),
             hv AS (SELECT id,
                 list_reduce(list_transform(range(1, 16), i ->
@@ -376,7 +359,7 @@ object PipelineQueries {
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
             r AS (SELECT doc_id,
               len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS en,
               len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un','es','se','no'], x))) / greatest(len(toks), 1) AS es,
@@ -400,7 +383,7 @@ object PipelineQueries {
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
-    Some("""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+    Some("""WITH t AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
             m AS (SELECT doc_id,
               CAST(length(text) AS INTEGER) AS n_chars,
               CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -429,7 +412,7 @@ object PipelineQueries {
         .result
     },
     Some("""SELECT doc_id,
-              CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS ws_tokens,
+              CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INTEGER) AS ws_tokens,
               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens
             FROM documents ORDER BY doc_id"""))
 
@@ -494,7 +477,7 @@ object PipelineQueries {
         .result
     },
     Some("""WITH t AS (SELECT doc_id,
-              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok,
+              CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS tok,
               row_number() OVER () - 1 AS rid
             FROM documents),
           c AS (SELECT *, sum(tok) OVER (ORDER BY rid
@@ -518,7 +501,7 @@ object PipelineQueries {
         .limit(100)
     },
     Some("""SELECT t AS token, count(*) AS cnt
-            FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t
                   FROM documents)
             GROUP BY t ORDER BY cnt DESC, token LIMIT 100"""))
 
@@ -569,7 +552,7 @@ object PipelineQueries {
         .result
     },
     Some("""WITH toks AS (SELECT doc_id,
-              unnest(string_split(lower(text), ' ')) AS t FROM documents),
+              unnest(regexp_split_to_array(lower(text), '\s+')) AS t FROM documents),
             vocab AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
             tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM vocab)
             SELECT doc_id, round(avg(ln(CAST(c AS DOUBLE) / s)), 4) AS logprob
@@ -597,14 +580,14 @@ object PipelineQueries {
         .result
     },
     Some(s"""WITH q AS (SELECT * FROM documents
-            WHERE len(string_split(lower(text), ' ')) >= 30),
+            WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 30),
           rep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
           ded AS (SELECT q.* FROM q JOIN rep USING (doc_id)),
           b AS (SELECT *, ${hashBucketSql("doc_id", 10)} AS bk FROM ded),
           spl AS (SELECT *, CASE WHEN bk < 8 THEN 'train'
               WHEN bk < 9 THEN 'val' ELSE 'test' END AS split FROM b)
           SELECT split, lang, count(*) AS n_docs,
-            CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+            CAST(sum(len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS tokens
           FROM spl GROUP BY split, lang ORDER BY split, lang"""))
 
   /** Rolling-hash document fingerprint + duplicate-fingerprint count. */
@@ -617,7 +600,7 @@ object PipelineQueries {
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
             k AS (SELECT doc_id,
               list_transform(toks, tok ->
                 list_reduce(list_prepend(CAST(7 AS BIGINT),
@@ -631,24 +614,31 @@ object PipelineQueries {
             FROM k ORDER BY doc_id"""))
 
   /** Shared oracle CTE block: exact word-3-gram Jaccard pairs at the given
-    * threshold (mirror of Dedup.jaccardPairs; same text as q_dedup_jaccard's
-    * oracle), ending in a `pairs(id1, id2)` relation. */
-  private def jaccardPairsSql(threshold: Double): String =
+    * threshold (mirror of Dedup.jaccardPairs INCLUDING its default
+    * hot-shingle df cap; same text as q_dedup_jaccard's oracle), ending in
+    * a `pairs(id1, id2, jaccard)` relation. Doc sizes are computed after
+    * the cap, exactly as the engine does. */
+  private def jaccardPairsSql(
+      threshold: Double,
+      maxDf: Int = graft.operators.Dedup.DefaultMaxDf): String =
     s"""toks AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-       |sh AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+       |sh0 AS (
        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
        |    list_transform(range(1, len(t) - 1),
        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
        |    ELSE [] END)) AS s
        |  FROM toks),
+       |sdf AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN sdf USING (s)
+       |  WHERE $maxDf <= 0 OR sdf.df <= $maxDf),
        |sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id id1, b.doc_id id2, count(*) c
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |pairs AS (
-       |  SELECT id1, id2 FROM common
+       |  SELECT id1, id2, c / (s1.sz + s2.sz - c) AS jaccard FROM common
        |  JOIN sizes s1 ON id1 = s1.doc_id
        |  JOIN sizes s2 ON id2 = s2.doc_id
        |  WHERE c / (s1.sz + s2.sz - c) >= $threshold)""".stripMargin
@@ -722,7 +712,7 @@ object PipelineQueries {
         .result
     },
     Some(s"""WITH t AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
             g AS (SELECT doc_id, toks,
               CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
                 i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bi,
@@ -773,7 +763,7 @@ object PipelineQueries {
         .result
     },
     Some(s"""WITH t AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
             g AS (SELECT doc_id, toks,
               CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
                 i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bi,
@@ -822,7 +812,7 @@ object PipelineQueries {
         .order(GTable.orderKeys(Seq("id")))
         .result
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
               FROM documents),
             sh AS (SELECT doc_id,
               unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
@@ -847,12 +837,11 @@ object PipelineQueries {
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents),
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0),
             sp AS (SELECT doc_id, CAST(g AS BIGINT) AS pos,
                 array_to_string(toks[CAST(g*10+1 AS BIGINT):CAST(g*10+10 AS BIGINT)], ' ') AS s
-              FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(g)
-              WHERE len(toks) >= 1),
+              FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(g)),
             firsts AS (SELECT lower(s) AS ls, min({'id': doc_id, 'pos': pos}) AS f
               FROM sp GROUP BY lower(s)),
             kept AS (SELECT sp.doc_id, sp.pos, sp.s FROM sp JOIN firsts f
@@ -965,8 +954,8 @@ object PipelineQueries {
             batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
               UNION ALL
               SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50)
-            SELECT min(doc_id) AS doc_id FROM batch
-            WHERE text NOT IN (SELECT text FROM corpus)
+            SELECT min(doc_id) AS doc_id FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
             GROUP BY text ORDER BY doc_id"""))
 
   /** Keyword extraction: top-5 terms per doc by tf-idf, tie-broken on the
@@ -980,7 +969,7 @@ object PipelineQueries {
         .result
     },
     Some("""WITH toks AS (SELECT doc_id,
-              unnest(string_split(lower(text), ' ')) AS term FROM documents),
+              unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
             len AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
             dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
@@ -1090,7 +1079,7 @@ object PipelineQueries {
         .result
     },
     Some("""WITH t AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)
             SELECT doc_id,
               array_to_string(list_filter(toks,
                 (x, i) -> i = 1 OR x != toks[i - 1]), ' ') AS collapsed
