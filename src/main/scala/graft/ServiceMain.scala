@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.graphql.{GraphQLHttpServer, GraphQLService, Json}
+import graft.graphql.GVal._
+
+/** Deployable GraphQL service entry point — the counterpart of the
+  * reference's example service (reference service.py:19-35): point the
+  * engine at a dataset with environment variables, no Scala required.
+  *
+  *   - `PARQUET_PATH` (required): parquet file or hive-partitioned
+  *     directory to serve.
+  *   - `NAME` (optional): root field name; defaults to the path's basename
+  *     (minus a `.parquet` suffix), as the reference defaults to
+  *     `PARQUET_PATH.name`.
+  *   - `COLUMNS` (optional, JSON): boot-time projection — either a list of
+  *     column names (`["a","b"]`) or an alias map (`{"alias": "column"}`),
+  *     matching service.py:26-31. Applied as a Catalyst select, so pruning
+  *     reaches the scan.
+  *   - `PORT` (optional): HTTP port, default 8080. (The reference delegates
+  *     this to uvicorn; here the transport is in-process.)
+  *   - `GRAFT_CPUS` (optional): local parallelism, default all cores —
+  *     irrelevant when submitted to a real cluster via spark-submit, where
+  *     the master comes from the submit context.
+  *
+  * Serves `POST /graphql` until terminated.
+  */
+object ServiceMain {
+  /** COLUMNS json → (alias, source) pairs; list form aliases to itself. */
+  def parseColumns(json: String): Seq[(String, String)] = Json.parse(json) match {
+    case GList(items) => items.map {
+      case GStr(s) => s -> s
+      case other => throw new IllegalArgumentException(
+        s"COLUMNS list entries must be strings, got $other")
+    }
+    case GObj(fields) => fields.map {
+      case (alias, GStr(src)) => alias -> src
+      case (alias, other) => throw new IllegalArgumentException(
+        s"COLUMNS['$alias'] must be a column name string, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"COLUMNS must be a JSON list or object, got $other")
+  }
+
+  def rootName(path: String): String = {
+    val base = path.stripSuffix("/").split('/').last.stripSuffix(".parquet")
+    // GraphQL field names can't contain dots/dashes; normalize like the
+    // reference normalizes nothing (it errors later) — be forgiving here
+    base.replaceAll("[^_A-Za-z0-9]", "_") match {
+      case n if n.headOption.exists(c => c.isDigit) => "_" + n
+      case n => n
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val path = sys.env.getOrElse("PARQUET_PATH",
+      throw new IllegalArgumentException("PARQUET_PATH is required"))
+    val name = sys.env.get("NAME").filter(_.nonEmpty).getOrElse(rootName(path))
+    val columns = sys.env.get("COLUMNS").filter(_.nonEmpty).map(parseColumns)
+    val port = sys.env.get("PORT").filter(_.nonEmpty).map(_.toInt).getOrElse(8080)
+    val cpus = sys.env.getOrElse("GRAFT_CPUS", "*")
+
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
+      .appName("graft-service")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    val service = new GraphQLService(spark, sfDir = "", names = Nil,
+      extraRoots = Map(name -> path),
+      rootProjections = columns.map(c => Map(name -> c)).getOrElse(Map.empty))
+    val server = new GraphQLHttpServer(service, port).start()
+    // scalastyle:off println — operator-facing startup banner
+    println(s"graft GraphQL service: root '$name' over $path " +
+      s"at http://localhost:${server.boundPort}/graphql")
+    sys.addShutdownHook(server.stop())
+    Thread.currentThread.join() // serve until killed
+  }
+}

@@ -34,23 +34,36 @@ import GVal._
 final class GraphQLService(spark: SparkSession, sfDir: String,
                            names: Seq[String] = Tables.names,
                            keys: Map[String, Seq[String]] = Map.empty,
-                           extraRoots: Map[String, String] = Map.empty) {
+                           extraRoots: Map[String, String] = Map.empty,
+                           rootProjections: Map[String, Seq[(String, String)]] = Map.empty) {
 
   /** Per-table roots; natural order attached so slice/row work. Memoized —
     * the row-id attach runs a (metadata-only) per-file count job once per
     * table, not once per request. `extraRoots` maps additional root names to
     * parquet paths — e.g. hive-partitioned directories (the reference's
     * FileSystemDataset root; partition pruning and the schema.partitioning
-    * leaf come from the scan). */
+    * leaf come from the scan). `rootProjections` applies a boot-time
+    * (alias, source-column) select per root — the reference's COLUMNS
+    * startup projection (service.py:26-31): the served schema shows only
+    * the aliases, and pruning still reaches the scan because the
+    * projection is a plain Catalyst select. */
+  private def projected(n: String, t: GTable): GTable =
+    rootProjections.get(n).fold(t) { cols =>
+      t.project(cols.map { case (alias, src) => alias -> col(src) }: _*)
+        .select(cols.map(_._1): _*)
+    }
   private val rootCache = scala.collection.concurrent.TrieMap.empty[String, GTable]
   private val roots: Map[String, () => GTable] =
     names.map(n => n -> (() =>
-      rootCache.getOrElseUpdate(n, GTable(Tables.loadOrdered(spark, sfDir, n))))).toMap ++
+      rootCache.getOrElseUpdate(n,
+        projected(n, GTable(Tables.loadOrdered(spark, sfDir, n)))))).toMap ++
     extraRoots.map { case (n, path) => n -> (() =>
-      rootCache.getOrElseUpdate(n, GTable(Natural.withRowId(spark, path)))) }
+      rootCache.getOrElseUpdate(n,
+        projected(n, GTable(Natural.withRowId(spark, path))))) }
 
   private lazy val viewsRegistered: Unit =
-    names.foreach(n => roots(n)().result.createOrReplaceTempView(n))
+    (names ++ extraRoots.keys).foreach(n =>
+      roots(n)().result.createOrReplaceTempView(n))
 
   def execute(query: String): String = execute(query, Map.empty[String, GVal])
 
@@ -117,8 +130,14 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
   }
 
   /** SDL reflection (reference `_service { sdl }`); tables with configured
-    * federation keys carry `@key(fields: ...)` directives. */
-  def sdl: String = SchemaGen.sdl(spark, sfDir, names, keys)
+    * federation keys carry `@key(fields: ...)` directives. Built from the
+    * ACTUAL served roots (including extra roots and boot-time projections),
+    * with the internal natural-order row id hidden. */
+  def sdl: String = SchemaGen.sdlOf(
+    (names ++ extraRoots.keys).map { n =>
+      n -> org.apache.spark.sql.types.StructType(
+        roots(n)().df.schema.filterNot(_.name == Natural.rid))
+    }, keys)
 
   // ─── resolvers ───
 

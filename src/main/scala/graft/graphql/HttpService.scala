@@ -1,0 +1,131 @@
+package graft.graphql
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import GVal._
+
+/** HTTP transport for [[GraphQLService]] — the counterpart of the
+  * reference's deployed ASGI GraphQL app (reference middleware.py:41-65,
+  * service.py:19-35). Zero dependencies: the JDK's built-in
+  * `com.sun.net.httpserver` (a production-supported `jdk.httpserver`
+  * module API) carries the endpoint; request/response JSON uses the
+  * in-repo [[Json]] codec.
+  *
+  * Surface (GraphQL-over-HTTP):
+  *   - `POST /graphql` with `{"query", "variables"?, "operationName"?}`
+  *     → `{"data": ..., "extensions": {"timing_ms": ...}}`, or
+  *     `{"errors":[{"message": ...}]}` (HTTP 200 — request-level errors
+  *     such as unreadable JSON or a missing query return 400, matching
+  *     the graphql-over-http spec's distinction).
+  *   - `GET /graphql?query=...&variables=...` — same execution for
+  *     URL-encoded reads.
+  *   - `GET /graphql` without a query → the schema SDL as text (the
+  *     reference serves GraphiQL here; a browser IDE is out of scope but
+  *     the SDL gives the same "what can I query" answer).
+  *
+  * Scale: the handler pool bounds concurrent queries (`threads`); each
+  * request builds one lazy Catalyst plan and only leaf scalars
+  * materialize, so concurrent requests contend on Spark's scheduler, not
+  * on this layer. Driver-side state is the memoized root cache inside
+  * [[GraphQLService]] (thread-safe TrieMap).
+  */
+final class GraphQLHttpServer(service: GraphQLService,
+                              port: Int = 0, threads: Int = 8) {
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val pool = Executors.newFixedThreadPool(threads)
+  server.setExecutor(pool)
+  server.createContext("/graphql", (ex: HttpExchange) => handle(ex))
+
+  /** The bound port (useful with `port = 0` — ephemeral). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): GraphQLHttpServer = { server.start(); this }
+
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      ex.getRequestMethod match {
+        case "POST" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          runQuery(ex, body)
+        case "GET" =>
+          val params = queryParams(Option(ex.getRequestURI.getRawQuery))
+          params.get("query") match {
+            case Some(q) =>
+              val vars = params.get("variables").map(v => s""","variables":$v""").getOrElse("")
+              runQuery(ex, s"""{"query":${Json.quote(q)}$vars}""")
+            case None => respond(ex, 200, "text/plain; charset=utf-8", service.sdl)
+          }
+        case other =>
+          respond(ex, 405, "application/json",
+            errors(s"method $other not allowed; use POST"))
+      }
+    } catch {
+      // last-resort guard: a handler that throws would otherwise close the
+      // socket with no response at all
+      case e: Exception =>
+        try respond(ex, 500, "application/json", errors(msg(e))) catch { case _: Exception => () }
+    } finally ex.close()
+  }
+
+  private def runQuery(ex: HttpExchange, body: String): Unit = {
+    val parsed =
+      try Right(Json.parse(body))
+      catch { case e: IllegalArgumentException => Left(msg(e)) }
+    parsed match {
+      case Left(err) =>
+        respond(ex, 400, "application/json", errors(s"malformed request body: $err"))
+      case Right(GObj(fields)) =>
+        val get = fields.toMap
+        get.get("query") match {
+          case Some(GStr(q)) =>
+            val vars = get.get("variables") match {
+              case Some(GObj(vs)) => vs.toMap
+              case Some(GNull) | None => Map.empty[String, GVal]
+              case Some(other) =>
+                respond(ex, 400, "application/json",
+                  errors(s"variables must be an object, got $other"))
+                return
+            }
+            // execution-level failures are part of the 200 response
+            // envelope, per the GraphQL-over-HTTP spec
+            try respond(ex, 200, "application/json", service.execute(q, vars))
+            catch { case e: Exception => respond(ex, 200, "application/json", errors(msg(e))) }
+          case _ =>
+            respond(ex, 400, "application/json", errors("request needs a string 'query'"))
+        }
+      case Right(_) =>
+        respond(ex, 400, "application/json", errors("request body must be a JSON object"))
+    }
+  }
+
+  private def msg(e: Exception): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+
+  private def errors(message: String): String =
+    Json.obj(Seq("errors" ->
+      s"[${Json.obj(Seq("message" -> Json.quote(message)))}]"))
+
+  private def queryParams(raw: Option[String]): Map[String, String] =
+    raw.toSeq.flatMap(_.split('&')).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8))
+        case Array(k) if k.nonEmpty => Some(URLDecoder.decode(k, UTF_8) -> "")
+        case _ => None
+      }
+    }.toMap
+
+  private def respond(ex: HttpExchange, status: Int, contentType: String,
+                      body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

@@ -87,4 +87,132 @@ object Json {
   /** Ordered object writer (selection order is significant in GraphQL). */
   def obj(fields: Seq[(String, String)]): String =
     fields.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
+
+  /** Strict JSON reader → [[GVal]] (the variable/argument value AST the
+    * executor already consumes) — for HTTP request bodies
+    * `{"query": ..., "variables": ..., "operationName": ...}`. Integral
+    * numbers → GInt, others → GFloat; objects preserve key order (GObj is
+    * ordered). Throws IllegalArgumentException with position on malformed
+    * input. */
+  def parse(text: String): GVal = {
+    val p = new JsonReader(text)
+    val v = p.value()
+    p.skipWs()
+    if (!p.atEnd) p.fail("trailing content")
+    v
+  }
+
+  private final class JsonReader(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"JSON error at offset $i: $msg")
+    def skipWs(): Unit =
+      while (i < s.length && (s(i) == ' ' || s(i) == '\t' || s(i) == '\n' || s(i) == '\r')) i += 1
+    private def expect(c: Char): Unit = {
+      if (atEnd || s(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def value(): GVal = {
+      skipWs()
+      if (atEnd) fail("unexpected end of input")
+      s(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => GVal.GStr(string())
+        case 't' => lit("true", GVal.GBool(true))
+        case 'f' => lit("false", GVal.GBool(false))
+        case 'n' => lit("null", GVal.GNull)
+        case c if c == '-' || (c >= '0' && c <= '9') => number()
+        case c => fail(s"unexpected character '$c'")
+      }
+    }
+    private def lit(word: String, v: GVal): GVal = {
+      if (!s.startsWith(word, i)) fail(s"expected '$word'")
+      i += word.length; v
+    }
+    private def obj(): GVal = {
+      expect('{'); skipWs()
+      val fields = Seq.newBuilder[(String, GVal)]
+      if (!atEnd && s(i) == '}') { i += 1; return GVal.GObj(fields.result()) }
+      while (true) {
+        skipWs()
+        val k = string()
+        skipWs(); expect(':')
+        fields += (k -> value())
+        skipWs()
+        if (atEnd) fail("unterminated object")
+        s(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; return GVal.GObj(fields.result())
+          case c => fail(s"expected ',' or '}', got '$c'")
+        }
+      }
+      GVal.GObj(fields.result()) // unreachable
+    }
+    private def arr(): GVal = {
+      expect('['); skipWs()
+      val items = Seq.newBuilder[GVal]
+      if (!atEnd && s(i) == ']') { i += 1; return GVal.GList(items.result()) }
+      while (true) {
+        items += value()
+        skipWs()
+        if (atEnd) fail("unterminated array")
+        s(i) match {
+          case ',' => i += 1
+          case ']' => i += 1; return GVal.GList(items.result())
+          case c => fail(s"expected ',' or ']', got '$c'")
+        }
+      }
+      GVal.GList(items.result()) // unreachable
+    }
+    private def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (!atEnd && s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          if (atEnd) fail("unterminated escape")
+          s(i) match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/' => sb.append('/')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'u' =>
+              if (i + 4 >= s.length) fail("truncated \\u escape")
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case c => fail(s"bad escape '\\$c'")
+          }
+          i += 1
+        } else { sb.append(s(i)); i += 1 }
+      }
+      expect('"')
+      sb.toString
+    }
+    private def number(): GVal = {
+      val start = i
+      if (!atEnd && s(i) == '-') i += 1
+      while (!atEnd && s(i) >= '0' && s(i) <= '9') i += 1
+      var isFloat = false
+      if (!atEnd && s(i) == '.') {
+        isFloat = true; i += 1
+        while (!atEnd && s(i) >= '0' && s(i) <= '9') i += 1
+      }
+      if (!atEnd && (s(i) == 'e' || s(i) == 'E')) {
+        isFloat = true; i += 1
+        if (!atEnd && (s(i) == '+' || s(i) == '-')) i += 1
+        while (!atEnd && s(i) >= '0' && s(i) <= '9') i += 1
+      }
+      val tok = s.substring(start, i)
+      if (tok.isEmpty || tok == "-") fail("malformed number")
+      if (isFloat) GVal.GFloat(tok.toDouble)
+      else try GVal.GInt(tok.toLong)
+      catch { case _: NumberFormatException => GVal.GFloat(tok.toDouble) }
+    }
+  }
 }

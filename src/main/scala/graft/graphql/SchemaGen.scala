@@ -44,16 +44,22 @@ object SchemaGen {
     }
 
   def sdl(spark: SparkSession, sfDir: String, names: Seq[String],
-          keys: Map[String, Seq[String]] = Map.empty): String = {
+          keys: Map[String, Seq[String]] = Map.empty): String =
+    sdlOf(names.map(n => n -> Tables.load(spark, sfDir, n).schema), keys)
+
+  /** SDL from explicit (root name, schema) pairs — lets a service expose
+    * extra roots (custom parquet paths) and boot-time projections in its
+    * reflected schema, not just the star-schema tables. */
+  def sdlOf(tables: Seq[(String, org.apache.spark.sql.types.StructType)],
+            keys: Map[String, Seq[String]] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append("type Query {\n")
-    names.foreach(n => sb.append(s"  $n: ${typeName(n)}\n"))
+    tables.foreach { case (n, _) => sb.append(s"  $n: ${typeName(n)}\n") }
     sb.append("  sql(query: String!): Table\n")
     sb.append("  _entities(representations: [_Any!]!): [_Entity]!\n")
     sb.append("  _service: _Service!\n")
     sb.append("}\n")
-    names.foreach { n =>
-      val schema = Tables.load(spark, sfDir, n).schema
+    tables.foreach { case (n, schema) =>
       // federation @key directive per configured table (reference
       // middleware.py:138-141 strawberry.federation.type(keys=...))
       val keyDir = keys.get(n).filter(_.nonEmpty)

@@ -1,0 +1,130 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.graphql.{GraphQLHttpServer, GraphQLService, Json}
+import graft.graphql.GVal._
+
+/** HTTP transport: the reference is a deployed ASGI GraphQL app
+  * (middleware.py:41-65); this spec drives the JDK-HttpServer counterpart
+  * end-to-end over real sockets — POST + GET execution, variables,
+  * request- vs execution-level errors, SDL, concurrency, and the
+  * ServiceMain env helpers. */
+class HttpServiceSpec extends SparkSpec {
+
+  private lazy val server =
+    new GraphQLHttpServer(new GraphQLService(spark, sf), port = 0).start()
+  private lazy val base = s"http://localhost:${server.boundPort}/graphql"
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(base))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(pathAndQuery: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(pathAndQuery)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /graphql executes a query") {
+    val r = post("""{"query": "{ nation { count } }"}""")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get.startsWith("application/json"))
+    assert(r.body().contains(""""count":25"""))
+    assert(r.body().contains(""""timing_ms""""))
+  }
+
+  test("POST with variables") {
+    val r = post(
+      """{"query": "query($k: Int) { nation { filter(n_regionkey: {eq: $k}) { count } } }",
+         "variables": {"k": 0}}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""count":5"""))
+  }
+
+  test("GET with url-encoded query executes; bare GET serves SDL") {
+    val r = get(base + "?query=%7B%20nation%20%7B%20count%20%7D%20%7D")
+    assert(r.statusCode() == 200 && r.body().contains(""""count":25"""))
+    val sdl = get(base)
+    assert(sdl.statusCode() == 200)
+    assert(sdl.body().contains("type Query") && sdl.body().contains("nation: Nation"))
+  }
+
+  test("request-level errors are 400; execution errors are 200 envelopes") {
+    assert(post("""not json""").statusCode() == 400)
+    assert(post("""{"variables": {}}""").statusCode() == 400)
+    assert(post("""{"query": "{ nation { count } }", "variables": 3}""").statusCode() == 400)
+    val exec = post("""{"query": "{ no_such_table { count } }"}""")
+    assert(exec.statusCode() == 200)
+    assert(exec.body().contains(""""errors"""") &&
+      exec.body().contains("unknown table"))
+    val r405 = client.send(
+      HttpRequest.newBuilder(URI.create(base)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r405.statusCode() == 405)
+  }
+
+  test("concurrent requests serve correct independent results") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val keys = 0 until 4
+    val results = Await.result(Future.sequence(keys.map(k => Future {
+      post(s"""{"query": "{ region { filter(r_regionkey: {eq: $k}) {
+                 columns { r_regionkey { values } } } } }"}""".replace("\n", " "))
+    })), 60.seconds)
+    keys.zip(results).foreach { case (k, r) =>
+      assert(r.statusCode() == 200 && r.body().contains(s""""values":[$k]"""), s"key $k")
+    }
+  }
+
+  test("Json.parse round-trips the value grammar") {
+    assert(Json.parse("""{"a": [1, 2.5, "x\nя", true, null], "b": {"c": -7}}""") ==
+      GObj(Seq(
+        "a" -> GList(Seq(GInt(1), GFloat(2.5), GStr("x\nя"), GBool(true), GNull)),
+        "b" -> GObj(Seq("c" -> GInt(-7))))))
+    assert(Json.parse("9223372036854775807") == GInt(Long.MaxValue))
+    assert(Json.parse("1e3") == GFloat(1000.0))
+    intercept[IllegalArgumentException](Json.parse("""{"a": }"""))
+    intercept[IllegalArgumentException](Json.parse("""[1,]"""))
+    intercept[IllegalArgumentException](Json.parse("""{} trailing"""))
+  }
+
+  test("ServiceMain env helpers: COLUMNS forms and root naming") {
+    assert(ServiceMain.parseColumns("""["a", "b"]""") == Seq("a" -> "a", "b" -> "b"))
+    assert(ServiceMain.parseColumns("""{"alias": "src"}""") == Seq("alias" -> "src"))
+    intercept[IllegalArgumentException](ServiceMain.parseColumns(""""nope""""))
+    assert(ServiceMain.rootName("/data/lineitem.parquet") == "lineitem")
+    assert(ServiceMain.rootName("/data/my-set.parquet") == "my_set")
+    assert(ServiceMain.rootName("/data/2024") == "_2024")
+  }
+
+  test("extra root with boot-time projection: served schema and data use aliases") {
+    val svc = new GraphQLService(spark, sf, names = Nil,
+      extraRoots = Map("zips" -> s"$sf/nation.parquet"),
+      rootProjections = Map("zips" -> Seq("key" -> "n_nationkey", "name" -> "n_name")))
+    val srv = new GraphQLHttpServer(svc, port = 0).start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val r = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}/graphql"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query": "{ zips { count schema { names }
+                 order(by: [\"key\"], limit: 1) { columns { name { values } } } } }"""
+              .replace("\n", " ") + "\"}", UTF_8)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(r.body().contains(""""count":25"""))
+      assert(r.body().contains(""""names":["key","name"]"""))
+      // SDL reflects the projected schema under the extra root
+      assert(svc.sdl.contains("zips: Zips"))
+      assert(svc.sdl.contains("key: Int") || svc.sdl.contains("key: BigInt"))
+      assert(!svc.sdl.contains("n_nationkey"))
+    } finally srv.stop()
+  }
+}
