@@ -117,7 +117,12 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         val root = roots.getOrElse(f.name,
           throw new IllegalArgumentException(s"unknown table '${f.name}'"))
         val t0 = System.nanoTime()
-        val r = f.outName -> resolveTable(root(), f, Some(s"SELECT * FROM ${f.name}"))
+        // file-narrowing fast path only for unprojected hive roots: a
+        // boot-time projection changes the served schema, which the raw
+        // fragment read would bypass
+        val r = f.outName -> resolveTable(root(), f,
+          Some(s"SELECT * FROM ${f.name}"),
+          extraRoots.get(f.name).filterNot(_ => rootProjections.contains(f.name)))
         timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
         r
       }
@@ -142,17 +147,36 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
   // ─── resolvers ───
 
   private def resolveTable(t: GTable, field: GField,
-                           sql: Option[String]): String = {
+                           sql: Option[String],
+                           rootPath: Option[String] = None): String = {
     // §4 persist policy: >1 materializing sibling → persist the shared plan
     val consumers = field.sels.count(f =>
       !Set("type", "schema", "toSql").contains(f.name))
     val persisted = consumers > 1
     if (persisted) t.df.persist()
-    try Json.obj(field.sels.map(f => f.outName -> resolveField(t, f, sql)))
+    try Json.obj(field.sels.map(f => f.outName -> resolveField(t, f, sql, rootPath)))
     finally if (persisted) { t.df.unpersist(); () }
   }
 
-  private def resolveField(t: GTable, f: GField, sql: Option[String]): String = f.name match {
+  /** Partitioned-dataset file narrowing for order/first directly on a hive
+    * root (reference interface.py:260-262/287-291 + core.py:81-99): when
+    * the sort keys start with partition keys, select the minimal fragment
+    * set from footer metadata and read only those files. The exact
+    * operator still runs after the narrowing (the selection is a proven
+    * superset — see ParquetMeta.orderedFiles/firstFiles), so results are
+    * identical; only the planned file set shrinks. */
+  private def narrowedRoot(rootPath: Option[String], by: Seq[String],
+                           over: Seq[String])(
+                           files: (String, Seq[String]) => Seq[String]): Option[GTable] =
+    rootPath.filter(_ => over.isEmpty && by.nonEmpty).flatMap { p =>
+      val keys = graft.sources.ParquetMeta.keyPrefix(spark, p, by)
+      if (keys.isEmpty) None
+      else Some(GTable(graft.sources.ParquetMeta.readFiles(spark, p, files(p, keys)),
+        denseRid = false))
+    }
+
+  private def resolveField(t: GTable, f: GField, sql: Option[String],
+                           rootPath: Option[String] = None): String = f.name match {
     case "count" => t.count().toString
     case "any" => t.any(intArg(f, "limit").getOrElse(1)).toString
     case "type" => Json.quote("ParquetSource")
@@ -176,8 +200,13 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     case "order" =>
       val by = strListArg(f, "by")
       val lim = intArg(f, "limit")
+      val over = strListArg(f, "over")
       val bySql = by.map(k => if (k.startsWith("-")) s"${k.drop(1)} DESC" else s"$k ASC")
-      resolveTable(t.order(GTable.orderKeys(by), lim, strListArg(f, "over")), f,
+      val base = (if (lim.isDefined)
+        narrowedRoot(rootPath, by, over)((p, keys) =>
+          graft.sources.ParquetMeta.orderedFiles(spark, p, keys, lim.map(_.toLong)))
+        else None).getOrElse(t)
+      resolveTable(base.order(GTable.orderKeys(by), lim, over), f,
         sql.map(q => s"SELECT * FROM ($q) ORDER BY ${bySql.mkString(", ")}" +
           lim.fold("")(k => s" LIMIT $k")))
     case "group" => resolveGroup(t, f, sql)
@@ -330,10 +359,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       resolveTable(t.asofJoin(right(), on, rOn,
         strListArg(f, "keys"), strListArg(f, "rkeys"), tolerance = tol), f, None)
     case "first" =>
-      resolveTable(t.firstRank(strListArg(f, "by"),
-        intArg(f, "rank").getOrElse(1),
-        f.arg("dense").collect { case GBool(b) => b }.getOrElse(false),
-        strListArg(f, "over")), f, None)
+      val by = strListArg(f, "by")
+      val rank = intArg(f, "rank").getOrElse(1)
+      val dense = f.arg("dense").collect { case GBool(b) => b }.getOrElse(false)
+      val over = strListArg(f, "over")
+      // narrowing by the key PREFIX is a superset of the full-key rank
+      // filter: prefix groups are coarser, so prefix-rank ≤ full-rank
+      val base = narrowedRoot(rootPath, by, over)((p, keys) =>
+        graft.sources.ParquetMeta.firstFiles(spark, p, keys, rank.toLong, dense))
+        .getOrElse(t)
+      resolveTable(base.firstRank(by, rank, dense, over), f, None)
     case "take" =>
       val idx = f.arg("indices").toSeq.flatMap {
         case GList(items) => items.collect { case GInt(i) => i }

@@ -21,16 +21,20 @@ object GqlBridge {
   private val services =
     scala.collection.concurrent.TrieMap.empty[String, GraphQLService]
 
-  /** One memoized service per sf dir — root row-id attach runs once. */
-  def service(spark: SparkSession, dir: String): GraphQLService =
-    services.getOrElseUpdate(dir, new GraphQLService(spark, dir))
+  /** One memoized service per (sf dir, extra roots) — root row-id attach
+    * runs once. `extra` adds hive-root tables (name → path). */
+  def service(spark: SparkSession, dir: String,
+              extra: Map[String, String] = Map.empty): GraphQLService =
+    services.getOrElseUpdate(dir + extra.toSeq.sorted.mkString("|"),
+      new GraphQLService(spark, dir, extraRoots = extra))
 
   /** Execute `query`, walk `path` (response outNames from `data` to the
     * columns object), and build a DataFrame with schema `ddl`. */
   def frame(spark: SparkSession, dir: String, query: String,
             path: Seq[String], ddl: String,
-            variables: Map[String, graft.graphql.GVal] = Map.empty): DataFrame = {
-    val resp = service(spark, dir).execute(query, variables)
+            variables: Map[String, graft.graphql.GVal] = Map.empty,
+            extra: Map[String, String] = Map.empty): DataFrame = {
+    val resp = service(spark, dir, extra).execute(query, variables)
     val root = mapper.readTree(resp)
     val err = Option(root.get("errors"))
     require(err.isEmpty, s"GraphQL errors: $err")

@@ -65,5 +65,87 @@ object HiveQueries {
     },
     Some("SELECT count(*) AS n FROM lineitem"))
 
-  def all: Seq[Q] = Seq(q_hive_group_meta, q_hive_prune, q_hive_count_meta)
+  /** Partition-ordered top-k with metadata file selection (reference
+    * core.py:81-88 Parquet.order + interface.py:260-262): only the minimal
+    * footer-count prefix of fragments is read, then the exact order+limit
+    * runs on that subset. Output is the sort-key columns only, so ANY
+    * valid top-k selection hashes identically (ties all carry equal key
+    * values) — the file narrowing is also asserted plan-level in
+    * PartitionSpec. */
+  val q_hive_order_topk = Q(
+    "q_hive_order_topk",
+    (s, dir) => {
+      ensureHive(s, dir)
+      val by = Seq("l_returnflag", "l_linestatus")
+      val files = ParquetMeta.orderedFiles(s, hiveDir, by, Some(100L))
+      GTable(ParquetMeta.readFiles(s, hiveDir, files))
+        .order(GTable.orderKeys(by), limit = Some(100))
+        .project("l_returnflag" -> col("l_returnflag").cast("string"),
+          "l_linestatus" -> col("l_linestatus").cast("string"))
+        .select("l_returnflag", "l_linestatus")
+        .result
+    },
+    Some("""SELECT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus LIMIT 100"""))
+
+  /** Rank-1 partitions via metadata file selection (reference core.py:90-99
+    * Parquet.first + interface.py:287-291): fragments of the minimal key
+    * tuple only, then the exact rank filter. */
+  val q_hive_first_meta = Q(
+    "q_hive_first_meta",
+    (s, dir) => {
+      ensureHive(s, dir)
+      val files = ParquetMeta.firstFiles(s, hiveDir, Seq("l_returnflag"), rank = 1)
+      GTable(ParquetMeta.readFiles(s, hiveDir, files))
+        .firstRank(Seq("l_returnflag"), 1, dense = false, Nil)
+        .project("l_returnflag" -> col("l_returnflag").cast("string"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .order(GTable.orderKeys(Seq("l_orderkey", "l_linenumber", "l_quantity")))
+        .result
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem WHERE l_returnflag = (SELECT min(l_returnflag) FROM lineitem)
+            ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** Dense rank-2 file selection: first two distinct partition tuples. */
+  val q_hive_first_dense = Q(
+    "q_hive_first_dense",
+    (s, dir) => {
+      ensureHive(s, dir)
+      val files = ParquetMeta.firstFiles(s, hiveDir, Seq("l_returnflag"),
+        rank = 2, dense = true)
+      GTable(ParquetMeta.readFiles(s, hiveDir, files))
+        .firstRank(Seq("l_returnflag"), 2, dense = true, Nil)
+        .project("l_returnflag" -> col("l_returnflag").cast("string"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .order(GTable.orderKeys(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")))
+        .result
+    },
+    Some("""WITH d AS (SELECT *, dense_rank() OVER (ORDER BY l_returnflag) AS dr
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM d WHERE dr <= 2
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""))
+
+  /** The SERVED fast path end-to-end: order(by: partition keys, limit:)
+    * on a hive extra root goes through the executor's file narrowing
+    * (Executor.narrowedRoot) before the exact sort — same oracle as
+    * q_hive_order_topk. */
+  val q_gql_hive_order = Q(
+    "q_gql_hive_order",
+    (s, dir) => {
+      ensureHive(s, dir)
+      GqlBridge.frame(s, dir,
+        """{ lihive { o: order(by: ["l_returnflag", "l_linestatus"], limit: 100) {
+             p: cast(columns: [{name: "l_returnflag", type: "STRING"},
+                               {name: "l_linestatus", type: "STRING"}]) {
+             c: columns { l_returnflag { values } l_linestatus { values } } } } } }""",
+        Seq("lihive", "o", "p", "c"),
+        "l_returnflag STRING, l_linestatus STRING",
+        extra = Map("lihive" -> hiveDir))
+    },
+    q_hive_order_topk.oracle)
+
+  def all: Seq[Q] = Seq(q_hive_group_meta, q_hive_prune, q_hive_count_meta,
+    q_hive_order_topk, q_hive_first_meta, q_hive_first_dense, q_gql_hive_order)
 }
