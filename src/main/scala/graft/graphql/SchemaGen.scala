@@ -35,11 +35,18 @@ object SchemaGen {
     * not fatal (reference scalars.py:96-99). */
   def typeFields(schema: StructType): Seq[(String, String)] =
     schema.fields.toSeq.flatMap { f =>
-      if (validName.matches(f.name) && !reserved.contains(f.name.toLowerCase))
-        Some(f.name -> scalarOf(f.dataType))
-      else {
-        System.err.println(s"[schema] skipping invalid field name '${f.name}'")
-        None
+      f.dataType match {
+        // map columns: warn-and-drop from the reflected schema, matching
+        // the reference (tests/test_core.py:39-41) — GraphQL has no map
+        // scalar and the reference skips them the same way
+        case _: MapType =>
+          System.err.println(s"[schema] skipping map-typed field '${f.name}'")
+          None
+        case _ if validName.matches(f.name) && !reserved.contains(f.name.toLowerCase) =>
+          Some(f.name -> scalarOf(f.dataType))
+        case _ =>
+          System.err.println(s"[schema] skipping invalid field name '${f.name}'")
+          None
       }
     }
 

@@ -571,4 +571,17 @@ class GraphQLSpec extends SparkSpec {
       Map.empty)
     assert(doc.sels.map(_.name) == Seq("nation", "region"))
   }
+
+  test("map columns are warned-and-dropped from the schema (reference parity)") {
+    // reference tests/test_core.py:39-41: map-typed fields are skipped
+    // with a warning, not fatal
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ok", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    assert(graphql.SchemaGen.typeFields(schema) == Seq("ok" -> "BigInt"))
+    // and the SDL built over such a table omits the map field
+    val sdl = graphql.SchemaGen.sdlOf(Seq("t" -> schema))
+    assert(sdl.contains("ok: BigInt") && !sdl.contains("m:"))
+  }
 }
