@@ -415,6 +415,35 @@ object Dedup {
       .select(idCol)
   }
 
+  /** Approximate first-pass incremental dedup: the corpus text-hash set is
+    * folded into a BLOOM FILTER and broadcast, so screening a new batch
+    * against a huge corpus needs no join at all — one broadcast of
+    * `-n·ln(fpp)/ln(2)²` bits (≈1.2 GB for 10⁹ docs at 1% fpp) and a
+    * linear map stage over the batch. This is the approximate pre-pass the
+    * exact [[exactIncremental]] scaladoc describes: run it first, then
+    * (optionally) the exact anti-join on the small survivor set.
+    *
+    * Guarantees: NO false negatives — a batch row whose text is in the
+    * corpus is always dropped; a ≤fpp fraction of genuinely-new rows is
+    * falsely dropped (the usual trade: losing 1% of new docs is cheap,
+    * letting known duplicates through is not). Spark's BloomFilter hashing
+    * is deterministic, so results are stable across retries/partitionings.
+    * Batch-internal dedup (min id per class) matches exactIncremental. */
+  def incrementalBloom(batch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String,
+                       expectedItems: Long, fpp: Double = 0.01,
+                       normalized: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val bf = corpus.select(classKey(col(textCol), normalized).as("_h"))
+      .stat.bloomFilter("_h", expectedItems, fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val unseen = udf((h: Long) => !bcast.value.mightContainLong(h))
+    batch.select(classKey(col(textCol), normalized).as("_h"), col(idCol))
+      .filter(unseen(col("_h")))
+      .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+  }
+
   /** Eval-set decontamination (the GPT-3/PaLM appendix-C recipe): flag
     * training documents sharing at least `minHits` distinct word n-grams
     * with any benchmark document, so they can be dropped before training

@@ -958,6 +958,27 @@ object PipelineQueries {
             WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
             GROUP BY text ORDER BY doc_id"""))
 
+  /** Bloom-filter first-pass incremental dedup, same corpus/batch split as
+    * q_dedup_incremental and the SAME exact oracle: at fpp = 1e-6 over a
+    * few hundred batch rows the expected false-positive count is ~1e-3 and
+    * Spark's BloomFilter hashing is deterministic, so the approximate pass
+    * provably agrees with the exact result on this data (verified by this
+    * very gate); the fpp trade itself is spec-tier (PipelineSpec). */
+  val q_dedup_incr_bloom = Q(
+    "q_dedup_incr_bloom",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 400)
+      val batch = d.filter(col("doc_id") >= 400).select("doc_id", "text")
+        .union(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      GTable(Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
+          expectedItems = 1000L, fpp = 1e-6))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    q_dedup_incremental.oracle)
+
   /** Keyword extraction: top-5 terms per doc by tf-idf, tie-broken on the
     * rounded score then the term (cross-engine deterministic). */
   val q_tfidf_topk = Q(
@@ -1094,5 +1115,6 @@ object PipelineQueries {
     q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
-    q_dedup_incremental, q_pii_scrub, q_chunks, q_l2_normalize)
+    q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
+    q_l2_normalize)
 }

@@ -239,6 +239,30 @@ class PipelineSpec extends SparkSpec {
     assert(norm == Set(11L)) // normalization-class: decorated copy dropped
   }
 
+  test("incrementalBloom: no false negatives; subset of the exact result") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300).select("doc_id", "text")
+      .union(corpus.limit(40).select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val exact = Dedup.exactIncremental(batch, corpus, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // even at a LOOSE fpp the bloom pass may only over-drop, never leak a
+    // corpus duplicate: survivors ⊆ exact survivors
+    val loose = Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
+        expectedItems = 500L, fpp = 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose.subsetOf(exact), s"bloom leaked: ${loose -- exact}")
+    // and it keeps the bulk of genuinely-new docs (fpp-bounded over-drop)
+    assert(loose.size >= (exact.size * 0.8).toInt,
+      s"over-dropped: ${loose.size} of ${exact.size}")
+    // at a tight fpp the approximate pass equals the exact result here
+    val tight = Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
+        expectedItems = 500L, fpp = 1e-6)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight == exact)
+  }
+
   test("scrubPii masks emails, IPv4s, and phones; clean text is untouched") {
     import spark.implicits._
     val d = Seq(
