@@ -434,12 +434,19 @@ object Dedup {
                        expectedItems: Long, fpp: Double = 0.01,
                        normalized: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
-    val bf = corpus.select(classKey(col(textCol), normalized).as("_h"))
-      .stat.bloomFilter("_h", expectedItems, fpp)
-    val bcast = spark.sparkContext.broadcast(bf)
-    val unseen = udf((h: Long) => !bcast.value.mightContainLong(h))
-    batch.select(classKey(col(textCol), normalized).as("_h"), col(idCol))
-      .filter(unseen(col("_h")))
+    val hashes = corpus.select(classKey(col(textCol), normalized).as("_h"))
+    val keyed = batch.select(classKey(col(textCol), normalized).as("_h"), col(idCol))
+    // Spark's stat.bloomFilter NPEs on an empty frame (null agg buffer);
+    // an empty corpus rejects nothing — batch-internal dedup only
+    val screened =
+      if (hashes.isEmpty) keyed
+      else {
+        val bf = hashes.stat.bloomFilter("_h", expectedItems, fpp)
+        val bcast = spark.sparkContext.broadcast(bf)
+        val unseen = udf((h: Long) => !bcast.value.mightContainLong(h))
+        keyed.filter(unseen(col("_h")))
+      }
+    screened
       .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
   }

@@ -46,6 +46,29 @@ class CumulativeSpec extends SparkSpec {
   }
 
 
+  test("rankingsAuto flips strategy on the configured row threshold") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ordCols = Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val desc = Seq(true, false, false)
+    def run(): org.apache.spark.sql.DataFrame =
+      GTable(li).rankingsAuto(Seq("l_returnflag"), ordCols, desc,
+          rowNumber = Some("rn0"), rank = Some("rk0"))
+        .result.select("l_returnflag", "l_orderkey", "l_linenumber", "rn0", "rk0")
+    // below the flip: the plain window plan (has a Window node)
+    spark.conf.set("spark.graft.rankings.flipRows", "1000000000")
+    val below = run()
+    assert(below.queryExecution.executedPlan.toString.contains("Window"),
+      "expected the plain window below the threshold")
+    // above the flip (threshold 1): the distributed rankings (no global
+    // #keys-task Window; the merge plan carries the broadcast prefix join)
+    spark.conf.set("spark.graft.rankings.flipRows", "1")
+    val above = run()
+    spark.conf.unset("spark.graft.rankings.flipRows")
+    // both strategies agree row-for-row (unique order key)
+    assert(above.exceptAll(below).count() == 0)
+    assert(below.exceptAll(above).count() == 0)
+  }
+
   test("distributed cumulative sum/max equal the global window") {
     val e = GTable(Tables.loadOrdered(spark, sf, "events"))
     val w = Window.orderBy(col(Natural.rid))

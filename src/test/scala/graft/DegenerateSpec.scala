@@ -96,4 +96,26 @@ class DegenerateSpec extends SparkSpec {
       .count() == 0)
     assert(TextAnalysis.tfidfTopTerms(ed, "text", "doc_id", 5).count() == 0)
   }
+
+  test("round-5 operators on degenerate inputs") {
+    val docs = Tables.load(spark, sf, "documents")
+    val ed = docs.filter(lit(false))
+    // empty corpus: the bloom filter rejects nothing — batch dedups only
+    // within itself (same contract as exactIncremental)
+    assert(Dedup.incrementalBloom(docs.limit(5).select("doc_id", "text"), ed,
+      "text", "doc_id", expectedItems = 10L).count() == 5)
+    // empty batch against a real corpus
+    assert(Dedup.incrementalBloom(ed.select("doc_id", "text"), docs,
+      "text", "doc_id", expectedItems = 1000L).count() == 0)
+    // blank/whitespace-only docs emit zero spans and vanish from dedupSpans
+    import spark.implicits._
+    val blanks = Seq((1L, ""), (2L, "   "), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    val spanned = Dedup.dedupSpans(blanks, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(spanned == Set(3L), s"blank docs must vanish, got $spanned")
+    // metadata file selection on an empty selection set
+    assert(graft.sources.ParquetMeta.readFiles(spark,
+      s"$sf/nation.parquet", Nil).count() == 0)
+  }
 }
