@@ -104,9 +104,18 @@ object Json {
 
   private final class JsonReader(s: String) {
     private var i = 0
+    private var depth = 0
     def atEnd: Boolean = i >= s.length
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"JSON error at offset $i: $msg")
+    // depth cap: untrusted HTTP bodies must exhaust the parser's patience,
+    // not the JVM stack (StackOverflowError is not an Exception and would
+    // escape the transport's error envelope)
+    private def push(): Unit = {
+      depth += 1
+      if (depth > 256) fail("nesting too deep (max 256)")
+    }
+    private def pop(): Unit = depth -= 1
     def skipWs(): Unit =
       while (i < s.length && (s(i) == ' ' || s(i) == '\t' || s(i) == '\n' || s(i) == '\r')) i += 1
     private def expect(c: Char): Unit = {
@@ -132,9 +141,10 @@ object Json {
       i += word.length; v
     }
     private def obj(): GVal = {
+      push()
       expect('{'); skipWs()
       val fields = Seq.newBuilder[(String, GVal)]
-      if (!atEnd && s(i) == '}') { i += 1; return GVal.GObj(fields.result()) }
+      if (!atEnd && s(i) == '}') { i += 1; pop(); return GVal.GObj(fields.result()) }
       while (true) {
         skipWs()
         val k = string()
@@ -144,23 +154,24 @@ object Json {
         if (atEnd) fail("unterminated object")
         s(i) match {
           case ',' => i += 1
-          case '}' => i += 1; return GVal.GObj(fields.result())
+          case '}' => i += 1; pop(); return GVal.GObj(fields.result())
           case c => fail(s"expected ',' or '}', got '$c'")
         }
       }
       GVal.GObj(fields.result()) // unreachable
     }
     private def arr(): GVal = {
+      push()
       expect('['); skipWs()
       val items = Seq.newBuilder[GVal]
-      if (!atEnd && s(i) == ']') { i += 1; return GVal.GList(items.result()) }
+      if (!atEnd && s(i) == ']') { i += 1; pop(); return GVal.GList(items.result()) }
       while (true) {
         items += value()
         skipWs()
         if (atEnd) fail("unterminated array")
         s(i) match {
           case ',' => i += 1
-          case ']' => i += 1; return GVal.GList(items.result())
+          case ']' => i += 1; pop(); return GVal.GList(items.result())
           case c => fail(s"expected ',' or ']', got '$c'")
         }
       }

@@ -93,6 +93,10 @@ class HttpServiceSpec extends SparkSpec {
     intercept[IllegalArgumentException](Json.parse("""{"a": }"""))
     intercept[IllegalArgumentException](Json.parse("""[1,]"""))
     intercept[IllegalArgumentException](Json.parse("""{} trailing"""))
+    // hostile nesting fails cleanly instead of overflowing the stack
+    val deep = "[" * 5000 + "]" * 5000
+    val e = intercept[IllegalArgumentException](Json.parse(deep))
+    assert(e.getMessage.contains("nesting too deep"))
   }
 
   test("ServiceMain env helpers: COLUMNS forms and root naming") {
