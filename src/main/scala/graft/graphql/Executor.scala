@@ -67,8 +67,12 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
 
   def execute(query: String): String = execute(query, Map.empty[String, GVal])
 
-  def execute(query: String, variables: Map[String, GVal]): String = {
-    val doc = Parser.parse(query, variables)
+  def execute(query: String, variables: Map[String, GVal]): String =
+    execute(query, variables, None)
+
+  def execute(query: String, variables: Map[String, GVal],
+              operationName: Option[String]): String = {
+    val doc = Parser.parse(query, variables, operationName)
     val timings = Seq.newBuilder[(String, String)]
     val out = doc.sels.map { f =>
       if (f.name == "_service") {

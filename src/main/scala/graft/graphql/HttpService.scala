@@ -92,9 +92,10 @@ final class GraphQLHttpServer(service: GraphQLService,
                   errors(s"variables must be an object, got $other"))
                 return
             }
+            val opName = get.get("operationName").collect { case GStr(n) => n }
             // execution-level failures are part of the 200 response
             // envelope, per the GraphQL-over-HTTP spec
-            try respond(ex, 200, "application/json", service.execute(q, vars))
+            try respond(ex, 200, "application/json", service.execute(q, vars, opName))
             catch { case e: Exception => respond(ex, 200, "application/json", errors(msg(e))) }
           case _ =>
             respond(ex, 400, "application/json", errors("request needs a string 'query'"))

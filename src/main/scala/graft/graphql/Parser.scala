@@ -17,7 +17,14 @@ object Parser {
   def parse(text: String): GDocument = parse(text, Map.empty)
 
   def parse(text: String, variables: Map[String, GVal]): GDocument =
-    new Parser(text, variables).document()
+    parse(text, variables, None)
+
+  /** Multi-operation documents: `operationName` selects the operation to
+    * execute (GraphQL-over-HTTP contract); with several operations and no
+    * name the request is ambiguous and rejected, per the spec. */
+  def parse(text: String, variables: Map[String, GVal],
+            operationName: Option[String]): GDocument =
+    new Parser(text, variables).document(operationName)
 }
 
 private final class Parser(s: String, provided: Map[String, GVal]) {
@@ -55,25 +62,25 @@ private final class Parser(s: String, provided: Map[String, GVal]) {
     s.substring(start, i)
   }
 
-  def document(): GDocument = {
+  def document(operationName: Option[String] = None): GDocument = {
     ws()
-    var opSels: Option[Seq[GField]] = None
-    // definitions in any order: one operation + any number of fragments
+    // definitions in any order: operations + any number of fragments
+    val ops = Seq.newBuilder[(Option[String], Seq[GField])]
     while (!atEnd) {
       ws()
       if (atEnd) ()
       else if (peek == '{') {
-        if (opSels.nonEmpty) err("multiple operations")
-        opSels = Some(selectionSet())
+        vars = Map.empty
+        ops += (None -> selectionSet())
       } else if (isNameStart(peek)) {
         name() match {
           case "query" =>
             ws()
-            if (isNameStart(peek)) name() // operation name, ignored
+            val opName = if (isNameStart(peek)) Some(name()) else None
             ws()
+            vars = Map.empty // variable definitions are per-operation
             if (peek == '(') variableDefs()
-            if (opSels.nonEmpty) err("multiple operations")
-            opSels = Some(selectionSet())
+            ops += (opName -> selectionSet())
           case "fragment" =>
             val fname = name()
             val on = name()
@@ -85,7 +92,16 @@ private final class Parser(s: String, provided: Map[String, GVal]) {
       } else err(s"unexpected '$peek'")
       ws()
     }
-    val sels = opSels.getOrElse(err("no operation found"))
+    val parsed = ops.result()
+    if (parsed.isEmpty) err("no operation found")
+    val sels = operationName match {
+      case Some(n) => parsed.collectFirst { case (Some(`n`), s) => s }
+        .getOrElse(err(s"unknown operation '$n'"))
+      case None =>
+        if (parsed.length > 1)
+          err("operationName required for multi-operation documents")
+        parsed.head._2
+    }
     GDocument(sels.flatMap(resolveSpreads))
   }
 

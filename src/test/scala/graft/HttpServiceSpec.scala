@@ -99,6 +99,20 @@ class HttpServiceSpec extends SparkSpec {
     assert(e.getMessage.contains("nesting too deep"))
   }
 
+  test("operationName selects among multiple named operations") {
+    val doc = """query CountNation { nation { count } }
+                 query CountRegion { region { count } }"""
+    val body = (n: String) =>
+      s"""{"query": ${Json.quote(doc)}, "operationName": "$n"}"""
+    assert(post(body("CountNation")).body().contains(""""count":25"""))
+    assert(post(body("CountRegion")).body().contains(""""count":5"""))
+    // ambiguous without a name; unknown name is an error
+    val ambiguous = post(s"""{"query": ${Json.quote(doc)}}""")
+    assert(ambiguous.body().contains("operationName required"))
+    val unknown = post(body("Nope"))
+    assert(unknown.body().contains("unknown operation"))
+  }
+
   test("ServiceMain env helpers: COLUMNS forms and root naming") {
     assert(ServiceMain.parseColumns("""["a", "b"]""") == Seq("a" -> "a", "b" -> "b"))
     assert(ServiceMain.parseColumns("""{"alias": "src"}""") == Seq("alias" -> "src"))
