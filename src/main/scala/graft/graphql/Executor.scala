@@ -75,7 +75,11 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     val doc = Parser.parse(query, variables, operationName)
     val timings = Seq.newBuilder[(String, String)]
     val out = doc.sels.map { f =>
-      if (f.name == "_service") {
+      if (f.name == "__typename") {
+        // clients (Apollo) inject __typename for cache normalization —
+        // it must answer, never error
+        f.outName -> Json.quote("Query")
+      } else if (f.name == "_service") {
         // federation-style reflection (reference _service{sdl},
         // middleware.py:55-90)
         f.outName -> Json.obj(f.sels.map(s => s.outName -> (s.name match {
@@ -181,6 +185,10 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
 
   private def resolveField(t: GTable, f: GField, sql: Option[String],
                            rootPath: Option[String] = None): String = f.name match {
+    // Apollo-style clients inject __typename everywhere; answering the
+    // generic table type keeps them working (per-table names appear in the
+    // SDL; the operator fold preserves the table type in the reference too)
+    case "__typename" => Json.quote("Table")
     case "count" => t.count().toString
     case "any" => t.any(intArg(f, "limit").getOrElse(1)).toString
     case "type" => Json.quote("ParquetSource")

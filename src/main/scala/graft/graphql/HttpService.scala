@@ -58,7 +58,9 @@ final class GraphQLHttpServer(service: GraphQLService,
           params.get("query") match {
             case Some(q) =>
               val vars = params.get("variables").map(v => s""","variables":$v""").getOrElse("")
-              runQuery(ex, s"""{"query":${Json.quote(q)}$vars}""")
+              val op = params.get("operationName")
+                .map(n => s""","operationName":${Json.quote(n)}""").getOrElse("")
+              runQuery(ex, s"""{"query":${Json.quote(q)}$vars$op}""")
             case None => respond(ex, 200, "text/plain; charset=utf-8", service.sdl)
           }
         case other =>

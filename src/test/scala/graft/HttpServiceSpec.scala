@@ -99,6 +99,19 @@ class HttpServiceSpec extends SparkSpec {
     assert(e.getMessage.contains("nesting too deep"))
   }
 
+  test("__typename answers at root and table scope (Apollo clients inject it)") {
+    val r = post("""{"query": "{ __typename nation { __typename count } }"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""__typename":"Query""""))
+    assert(r.body().contains(""""__typename":"Table""""))
+    assert(r.body().contains(""""count":25"""))
+    // GET carries operationName too
+    val doc = java.net.URLEncoder.encode(
+      "query A { nation { count } } query B { region { count } }", "UTF-8")
+    val g = get(base + s"?query=$doc&operationName=B")
+    assert(g.body().contains(""""count":5"""), g.body())
+  }
+
   test("operationName selects among multiple named operations") {
     val doc = """query CountNation { nation { count } }
                  query CountRegion { region { count } }"""
