@@ -177,6 +177,39 @@ object GqlQueries {
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id"""))
 
+  /** Pure ranking block through the served rankingsAuto dispatch
+    * (Executor.resolveWindow → GTable.rankingsAuto): below the flip
+    * threshold this is the plain window, above it the distributed
+    * rankings — the query text is identical either way, which is the
+    * point. Same 0-based convention as q_window_rank. */
+  val q_gql_window_rank = Q(
+    "q_gql_window_rank",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           f: filter(l_orderkey: {lt: 2000}) {
+           w: window(over: ["l_returnflag"],
+                     by: ["-l_quantity", "l_orderkey", "l_linenumber"],
+                     rowNumber: "rn0", rank: "rk0", denseRank: "dr0",
+                     ntile: {n: 4, alias: "nt0"}, percentRank: "pr") {
+             o: order(by: ["l_returnflag", "rn0"]) {
+               c: columns { l_returnflag { values } l_orderkey { values }
+                            l_linenumber { values } rn0 { values }
+                            rk0 { values } dr0 { values } nt0 { values }
+                            pr { values } } } } } } }""",
+      Seq("t", "f", "w", "o", "c"),
+      "l_returnflag STRING, l_orderkey BIGINT, l_linenumber INT, " +
+        "rn0 INT, rk0 INT, dr0 INT, nt0 INT, pr DOUBLE"),
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+            CAST(row_number() OVER w - 1 AS INTEGER) AS rn0,
+            CAST(rank() OVER w - 1 AS INTEGER) AS rk0,
+            CAST(dense_rank() OVER w - 1 AS INTEGER) AS dr0,
+            CAST(ntile(4) OVER w - 1 AS INTEGER) AS nt0,
+            percent_rank() OVER w AS pr
+            FROM lineitem WHERE l_orderkey < 2000
+            WINDOW w AS (PARTITION BY l_returnflag
+              ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC)
+            ORDER BY l_returnflag, rn0"""))
+
   /** window: ntile, lead with default, pairwise difference (reference
     * inputs.py:500-506,514-519). */
   val q_gql_ntile_lead = Q(
@@ -667,6 +700,7 @@ object GqlQueries {
   def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
+    q_gql_window_rank,
     q_gql_ntile_lead, q_gql_project, q_gql_cast, q_gql_fillnull,
     q_gql_dropnull, q_gql_union, q_gql_intersect, q_gql_crossjoin,
     q_gql_takefrom, q_gql_sql, q_gql_cumsum, q_gql_vars_frag,
