@@ -25,11 +25,13 @@ import GVal._
   * unnest, runs (distributed), window (full block), sql root, optional,
   * toSql, plan, _service{sdl}.
   *
-  * Pipeline extension fields (round 4; engine extension beyond the
-  * reference): dedup (exact/normalized), decontaminate (benchmark n-gram
-  * overlap), split (deterministic md5 shares), sample (stratified keep),
-  * mix (weighted mixture resampling), shuffle (md5-keyed range sort),
-  * reservoir (per-stratum fixed-size sample), tfidf (keyword extraction).
+  * Pipeline extension fields (rounds 4-5; engine extension beyond the
+  * reference): dedup (exact/normalized), nearDedup (MinHash+LSH pairs →
+  * connected components → cluster representatives), decontaminate
+  * (benchmark n-gram overlap), split (deterministic md5 shares), sample
+  * (stratified keep), mix (weighted mixture resampling), shuffle
+  * (md5-keyed range sort), reservoir (per-stratum fixed-size sample),
+  * tfidf (keyword extraction).
   */
 final class GraphQLService(spark: SparkSession, sfDir: String,
                            names: Seq[String] = Tables.names,
@@ -560,6 +562,36 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val seed = seedArg(f)
       resolveTable(GTable(graft.operators.Sampling.reservoirK(
         GTable(t.result), strata, col(key), k, seed), denseRid = false), f, None)
+    case "nearDedup" =>
+      // MinHash+LSH near-duplicate removal end-to-end: banded candidate
+      // pairs → connected components → only each cluster's smallest id
+      // survives. hash: "md5" swaps the fused xxhash64 sketch for the
+      // md5-derived permutations so the WHOLE pipeline is reproducible in
+      // an external SQL oracle (q_gql_near_dedup); production uses the
+      // default fused sketch
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("nearDedup needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("nearDedup needs id: <key column>"))
+      val n = intArg(f, "n").getOrElse(3)
+      val k = intArg(f, "k").getOrElse(64)
+      val bands = intArg(f, "bands").getOrElse(16)
+      val threshold = f.arg("threshold").map {
+        case GFloat(d) => d
+        case GInt(i) => i.toDouble
+        case other => throw new IllegalArgumentException(
+          s"nearDedup threshold: must be a number, got $other")
+      }.getOrElse(0.5)
+      val pairs = strArg(f, "hash").getOrElse("xx") match {
+        case "md5" => graft.operators.Dedup.minhashPairsMd5(
+          t.result, on, id, n, k, bands, threshold)
+        case "xx" => graft.operators.Dedup.minhashPairs(
+          t.result, on, id, n, k, bands, threshold)
+        case other => throw new IllegalArgumentException(
+          s"nearDedup hash: must be \"xx\" or \"md5\", got \"$other\"")
+      }
+      resolveTable(GTable(graft.operators.Dedup.keepRepresentatives(
+        t.df, pairs, id), denseRid = false), f, None)
     case "tfidf" =>
       // per-document top-k terms by tf-idf (keyword extraction)
       val on = strArg(f, "on")

@@ -96,38 +96,78 @@ object PipelineQueries {
         .order(GTable.orderKeys(Seq("id1", "id2")))
         .result
     },
-    Some("""WITH toks AS (
-              SELECT doc_id AS id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
-            sh AS (
-              SELECT id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
-                list_transform(range(1, len(t) - 1),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                ELSE [] END)) AS s
-              FROM toks),
-            hv AS (SELECT id, seed,
-                list_reduce(list_transform(range(1, 16), i ->
-                  CAST(strpos('0123456789abcdef',
-                    substr(md5(CAST(seed AS VARCHAR) || ':' || s),
-                      CAST(i AS INT), 1)) - 1 AS BIGINT)),
-                  (a, b) -> a * 16 + b) AS h
-              FROM sh, (SELECT unnest(range(0, 32)) AS seed) seeds),
-            mins AS (SELECT id, seed, min(h) AS m FROM hv GROUP BY id, seed),
-            sig AS (SELECT id, list(m ORDER BY seed) AS sg FROM mins GROUP BY id),
-            banded AS (SELECT id, band,
-                array_to_string(sg[CAST(band * 4 + 1 AS INT) : CAST(band * 4 + 4 AS INT)],
-                  ',') AS bucket
-              FROM sig, (SELECT unnest(range(0, 8)) AS band) bands),
-            cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
-              FROM banded a JOIN banded b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-            est AS (SELECT id1, id2,
-                len(list_filter(list_transform(range(1, 33),
-                  i -> s1.sg[CAST(i AS INT)] = s2.sg[CAST(i AS INT)]), x -> x)) / 32.0
-                  AS est_jaccard
-              FROM cand JOIN sig s1 ON cand.id1 = s1.id
-                        JOIN sig s2 ON cand.id2 = s2.id)
-            SELECT id1, id2, est_jaccard FROM est
-            WHERE est_jaccard >= 0.5 ORDER BY id1, id2"""))
+    Some(s"""WITH ${minhashMd5PairsSql(k = 32, bands = 8, threshold = 0.5)}
+            SELECT id1, id2, est_jaccard FROM pairs ORDER BY id1, id2"""))
+
+  /** Shared oracle CTE block: the md5-permutation MinHash+LSH pipeline
+    * (mirror of Dedup.minhashPairsMd5 — seeded shingle hash mins →
+    * signature → banding → bucket join → equal-component verification),
+    * ending in `pairs(id1, id2, est_jaccard)`. */
+  private def minhashMd5PairsSql(k: Int, bands: Int, threshold: Double): String = {
+    val r = k / bands
+    s"""toks AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+       |    list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END)) AS s
+       |  FROM toks),
+       |hv AS (SELECT id, seed,
+       |    list_reduce(list_transform(range(1, 16), i ->
+       |      CAST(strpos('0123456789abcdef',
+       |        substr(md5(CAST(seed AS VARCHAR) || ':' || s),
+       |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b) AS h
+       |  FROM sh, (SELECT unnest(range(0, $k)) AS seed) seeds),
+       |mins AS (SELECT id, seed, min(h) AS m FROM hv GROUP BY id, seed),
+       |sig AS (SELECT id, list(m ORDER BY seed) AS sg FROM mins GROUP BY id),
+       |banded AS (SELECT id, band,
+       |    array_to_string(sg[CAST(band * $r + 1 AS INT) : CAST(band * $r + $r AS INT)],
+       |      ',') AS bucket
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS band) bands),
+       |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |est AS (SELECT id1, id2,
+       |    len(list_filter(list_transform(range(1, ${k + 1}),
+       |      i -> s1.sg[CAST(i AS INT)] = s2.sg[CAST(i AS INT)]), x -> x)) / $k.0
+       |      AS est_jaccard
+       |  FROM cand JOIN sig s1 ON cand.id1 = s1.id
+       |            JOIN sig s2 ON cand.id2 = s2.id),
+       |pairs AS (SELECT id1, id2, est_jaccard FROM est
+       |  WHERE est_jaccard >= $threshold)""".stripMargin
+  }
+
+  /** The SERVED near-dedup pipeline end-to-end (GraphQL nearDedup field
+    * with hash: "md5"): banded candidates → connected components → only
+    * each cluster's smallest id survives; the oracle re-derives the same
+    * fixed point as a recursive reachability closure over the md5 pairs. */
+  val q_gql_near_dedup = Q(
+    "q_gql_near_dedup",
+    (s, dir) => {
+      GqlBridge.frame(s, dir,
+        """{ t: documents {
+             d: nearDedup(on: "text", id: "doc_id", n: 3, k: 32, bands: 8,
+                          threshold: 0.5, hash: "md5") {
+               o: order(by: ["doc_id"]) {
+                 c: columns { doc_id { values } } } } } }""",
+        Seq("t", "d", "o", "c"),
+        "doc_id BIGINT")
+    },
+    Some(s"""WITH RECURSIVE ${minhashMd5PairsSql(k = 32, bands = 8, threshold = 0.5)},
+             edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                       UNION SELECT id2, id1 FROM pairs),
+             nodes AS (SELECT DISTINCT a AS id FROM edges),
+             reach(src, dst) AS (
+               SELECT id, id FROM nodes
+               UNION
+               SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             dupes AS (SELECT src AS id FROM reach
+               GROUP BY src HAVING src <> min(dst))
+             SELECT doc_id FROM documents d
+             WHERE NOT EXISTS (SELECT 1 FROM dupes WHERE dupes.id = d.doc_id)
+             ORDER BY doc_id"""))
 
   /** SimHash with md5-derived per-token bits: fingerprint bits, banding and
     * Hamming verification all recomputed by the oracle (bits kept as a list;
@@ -1107,7 +1147,7 @@ object PipelineQueries {
             FROM t ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
-    q_dedup_minhash_md5, q_dedup_simhash_md5,
+    q_dedup_minhash_md5, q_dedup_simhash_md5, q_gql_near_dedup,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
