@@ -27,8 +27,9 @@ import GVal._
   *
   * Pipeline extension fields (rounds 4-5; engine extension beyond the
   * reference): dedup (exact/normalized), nearDedup (MinHash+LSH pairs →
-  * connected components → cluster representatives), decontaminate
-  * (benchmark n-gram overlap), split (deterministic md5 shares), sample
+  * connected components → cluster representatives), dedupAgainst
+  * (incremental batch-vs-corpus dedup, exact anti-join or broadcast
+  * Bloom screen), decontaminate (benchmark n-gram overlap), split (deterministic md5 shares), sample
   * (stratified keep), mix (weighted mixture resampling), shuffle
   * (md5-keyed range sort), reservoir (per-stratum fixed-size sample),
   * tfidf (keyword extraction).
@@ -504,6 +505,56 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         .select(col("id").as(id))
       // sortedBy dropped for the same sort-merge-join reason as dedup
       resolveTable(GTable(t.df.join(bad, Seq(id), "left_anti"),
+        denseRid = false), f, None)
+    case "dedupAgainst" =>
+      // incremental ingestion dedup: keep rows of THIS table (the new
+      // batch) whose text class is unseen in the named corpus root, then
+      // dedup within the batch (min id per class). method: "exact" is the
+      // narrow hash anti-join; "bloom" broadcasts a Bloom filter of the
+      // corpus instead (expectedItems required) — join-free screening with
+      // no false negatives and <=fpp over-drop
+      val corpusName = strArg(f, "corpus")
+        .getOrElse(throw new IllegalArgumentException("dedupAgainst needs corpus: <table>"))
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("dedupAgainst needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("dedupAgainst needs id: <key column>"))
+      val normalize = f.arg("normalize").collect { case GBool(b) => b }.getOrElse(false)
+      val corpusRoot = roots.getOrElse(corpusName,
+        throw new IllegalArgumentException(s"unknown table '$corpusName'"))().result
+      val corpus = f.arg("corpusWhere")
+        .map(w => corpusRoot.filter(Exprs.compile(w))).getOrElse(corpusRoot)
+      val keyed = t.df.withColumn("_gq_h",
+        graft.operators.Dedup.classKey(col(on), normalize))
+      val unseen = strArg(f, "method").getOrElse("exact") match {
+        case "exact" =>
+          val seen = corpus.select(graft.operators.Dedup
+            .classKey(col(on), normalize).as("_gq_h")).distinct()
+          keyed.join(seen, Seq("_gq_h"), "left_anti")
+        case "bloom" =>
+          val items = longArg(f, "expectedItems").getOrElse(
+            throw new IllegalArgumentException("dedupAgainst method: \"bloom\" needs expectedItems:"))
+          val fpp = f.arg("fpp").collect {
+            case GFloat(d) => d
+            case GInt(i) => i.toDouble
+          }.getOrElse(0.01)
+          val hashes = corpus.select(graft.operators.Dedup
+            .classKey(col(on), normalize).as("_h"))
+          if (hashes.isEmpty) keyed
+          else {
+            val bf = hashes.stat.bloomFilter("_h", items, fpp)
+            val bcast = spark.sparkContext.broadcast(bf)
+            val unseenU = udf((h: Long) => !bcast.value.mightContainLong(h))
+            keyed.filter(unseenU(col("_gq_h")))
+          }
+        case other => throw new IllegalArgumentException(
+          s"""dedupAgainst method: must be "exact" or "bloom", got "$other"""")
+      }
+      // batch-internal dedup joins on (class hash, id) — duplicate-id safe
+      // like the dedup field
+      val reps = unseen.groupBy(col("_gq_h")).agg(min(col(id)).as(id))
+      resolveTable(GTable(
+        unseen.join(reps, Seq("_gq_h", id), "left_semi").drop("_gq_h"),
         denseRid = false), f, None)
     case "split" =>
       // deterministic named split column from integer shares

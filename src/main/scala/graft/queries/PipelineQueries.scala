@@ -139,6 +139,48 @@ object PipelineQueries {
        |  WHERE est_jaccard >= $threshold)""".stripMargin
   }
 
+  /** The SERVED incremental ingestion dedup (GraphQL dedupAgainst field):
+    * this table is the new batch, the named root (optionally corpusWhere-
+    * filtered) is the existing corpus; survivors are unseen-text
+    * representatives. Exact and bloom methods share one oracle — at fpp
+    * 1e-6 the deterministic Bloom screen provably agrees at gate scale
+    * (same argument as q_dedup_incr_bloom). */
+  private val dedupAgainstOracle =
+    Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+            batch AS (SELECT * FROM documents WHERE doc_id >= 400)
+            SELECT min(doc_id) AS doc_id FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+            GROUP BY text ORDER BY doc_id""")
+
+  val q_gql_dedup_against = Q(
+    "q_gql_dedup_against",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: filter(doc_id: {ge: 400}) {
+           d: dedupAgainst(corpus: "documents",
+                           corpusWhere: {lt: [{name: "doc_id"}, {value: 400}]},
+                           on: "text", id: "doc_id") {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } } } } } } }""",
+      Seq("t", "f", "d", "o", "c"),
+      "doc_id BIGINT"),
+    dedupAgainstOracle)
+
+  val q_gql_dedup_against_bloom = Q(
+    "q_gql_dedup_against_bloom",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: filter(doc_id: {ge: 400}) {
+           d: dedupAgainst(corpus: "documents", method: "bloom",
+                           expectedItems: 1000, fpp: 0.000001,
+                           corpusWhere: {lt: [{name: "doc_id"}, {value: 400}]},
+                           on: "text", id: "doc_id") {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } } } } } } }""",
+      Seq("t", "f", "d", "o", "c"),
+      "doc_id BIGINT"),
+    dedupAgainstOracle)
+
   /** The SERVED near-dedup pipeline end-to-end (GraphQL nearDedup field
     * with hash: "md5"): banded candidates → connected components → only
     * each cluster's smallest id survives; the oracle re-derives the same
@@ -1148,6 +1190,7 @@ object PipelineQueries {
 
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
     q_dedup_minhash_md5, q_dedup_simhash_md5, q_gql_near_dedup,
+    q_gql_dedup_against, q_gql_dedup_against_bloom,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
