@@ -729,7 +729,15 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     val flipRows = df.sparkSession.conf
       .getOption("spark.graft.rankings.flipRows").map(_.toLong)
       .getOrElse(10000000L)
-    if (estimatedRows >= flipRows)
+    // leaf nodes without stats (LogicalRDD after a localCheckpoint, some
+    // views) default sizeInBytes to spark.sql.defaultSizeInBytes =
+    // Long.MaxValue — "unknown", not "huge". Unknown size keeps the plain
+    // window: flipping to the high-intercept distributed plan on no
+    // evidence is the worse failure mode
+    val stats = df.queryExecution.optimizedPlan.stats
+    val unknownSize = stats.rowCount.isEmpty &&
+      stats.sizeInBytes >= df.sparkSession.sessionState.conf.defaultSizeInBytes
+    if (!unknownSize && estimatedRows >= flipRows)
       rankings(partKeys, orderCols, desc, rowNumber, rank, denseRank,
         percentRank, ntile)
     else {

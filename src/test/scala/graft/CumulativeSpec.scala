@@ -69,6 +69,27 @@ class CumulativeSpec extends SparkSpec {
     assert(below.exceptAll(above).count() == 0)
   }
 
+  test("rankingsAuto treats unknown plan size as small, not huge") {
+    // an RDD-backed frame has no stats: sizeInBytes defaults to
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) — that must read as
+    // "unknown" and keep the plain window even under a tiny flip threshold
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      .limit(100).collect()
+    val rdd = spark.sparkContext.parallelize(rows.toSeq)
+    val df = spark.createDataFrame(rdd,
+      Tables.load(spark, sf, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber").schema)
+    spark.conf.set("spark.graft.rankings.flipRows", "1")
+    try {
+      val out = GTable(df).rankingsAuto(Seq("l_returnflag"),
+        Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+        Seq(true, false, false), rowNumber = Some("rn0"))
+      assert(out.result.queryExecution.executedPlan.toString.contains("Window"),
+        "unknown-size input must keep the plain window")
+    } finally spark.conf.unset("spark.graft.rankings.flipRows")
+  }
+
   test("distributed cumulative sum/max equal the global window") {
     val e = GTable(Tables.loadOrdered(spark, sf, "events"))
     val w = Window.orderBy(col(Natural.rid))
