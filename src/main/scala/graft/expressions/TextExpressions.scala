@@ -102,12 +102,114 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused distinct word n-gram shingles — bit-identical to the composable
+  * form in [[graft.operators.Dedup.shinglesComposable]]: tokens =
+  * split(lower(text), \s+) with Spark's limit=-1 semantics (leading/trailing
+  * empty tokens KEPT), shingle i = tokens[i..i+n) joined with single spaces,
+  * array_distinct first-occurrence order; fewer than n tokens (or null
+  * text) → empty array, matching the when/otherwise guard.
+  *
+  * The composable form embeds the regex split inside a transform lambda;
+  * interpreted higher-order functions get no common-subexpression reuse, so
+  * the split re-ran once PER SHINGLE INDEX — O(tokens²) regex work per doc
+  * (~4 s of the sf0.1 decontaminate bench). This is one compiled pass. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def nullable: Boolean = false
+
+  private val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    Array.empty[Any])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return empty
+    val toks = v.asInstanceOf[UTF8String].toString.toLowerCase.split("\\s+", -1)
+    if (toks.length < n) return empty
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused non-overlapping token spans — bit-identical to the composable form
+  * in [[graft.operators.Dedup.spansComposable]]: tokens = split(text, \s+)
+  * with limit=-1 (original case preserved), chunk j = tokens[j·span ..
+  * (j+1)·span) joined with single spaces, ceil(len/span) chunks; blank
+  * guard replicates length(trim(text)) > 0 — Spark trim strips ONLY ASCII
+  * spaces, so the guard is "contains any non-space char" (a tab-only doc
+  * passes the guard and yields its quirky empty-token spans, as the
+  * composable form does). Null text → empty array (when/otherwise). */
+case class WordSpans(child: Expression, span: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_spans"
+  override def nullable: Boolean = false
+
+  private val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    Array.empty[Any])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return empty
+    val s = v.asInstanceOf[UTF8String].toString
+    var nonSpace = false
+    var c = 0
+    while (c < s.length && !nonSpace) { if (s.charAt(c) != ' ') nonSpace = true; c += 1 }
+    if (!nonSpace) return empty
+    val toks = s.split("\\s+", -1)
+    val nch = ((toks.length + span - 1) / span).max(1)
+    val out = new Array[Any](nch)
+    var j = 0
+    while (j < nch) {
+      val from = j * span
+      val until = math.min(from + span, toks.length)
+      val sb = new java.lang.StringBuilder(toks(from))
+      var i = from + 1
+      while (i < until) { sb.append(' ').append(toks(i)); i += 1 }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_fingerprint", exprs => RollingFingerprint(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_spans", exprs => WordSpans(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   def fingerprint(spark: SparkSession, text: Column): Column = {
@@ -118,5 +220,15 @@ object TextFunctions {
   def simhash(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("simhash64", text)
+  }
+
+  def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("word_shingles", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def wordSpans(spark: SparkSession, text: Column, span: Int): Column = {
+    register(spark)
+    call_function("word_spans", text, org.apache.spark.sql.functions.lit(span))
   }
 }

@@ -22,11 +22,25 @@ object Dedup {
   /** Word tokens, lowercased. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Distinct word n-gram shingles. Guarded: sequence(1, stop) with
-    * stop < 1 would generate a *descending* sequence in Spark.
-    * slice+array_join beat an element_at-based concat_ws by ~1.6x in the
-    * sf0.1 bench (Column-index element_at pays per-call bounds checks). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles — fused native expression
+    * ([[graft.expressions.WordShingles]]), one compiled pass per doc.
+    * The composable form below is the bit-parity witness; this is the
+    * production entry point. */
+  def shingles(spark: org.apache.spark.sql.SparkSession,
+               text: Column, n: Int): Column =
+    graft.expressions.TextFunctions.wordShingles(spark, text, n)
+
+  /** Composable (pure-Column) shingles — the semantic specification for
+    * [[graft.expressions.WordShingles]] and the DuckDB oracles, kept for the
+    * bit-parity spec. NOT for production paths: `toks` is embedded inside
+    * the transform lambda, and interpreted higher-order functions get no
+    * common-subexpression reuse, so the regex split re-runs once per
+    * shingle index — O(tokens²) regex work per document.
+    * Guarded: sequence(1, stop) with stop < 1 would generate a *descending*
+    * sequence in Spark. slice+array_join beat an element_at-based concat_ws
+    * by ~1.6x in the sf0.1 bench (Column-index element_at pays per-call
+    * bounds checks). */
+  def shinglesComposable(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       array_distinct(transform(
@@ -66,7 +80,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int, threshold: Double,
                    maxDf: Int = DefaultMaxDf): DataFrame = {
-    val shAll = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val shAll = df.select(col(idCol).as("id"),
+      explode(shingles(df.sparkSession, col(textCol), n)).as("sh"))
     val sh = if (maxDf > 0) {
       val hot = shAll.groupBy("sh").agg(count(lit(1)).as("_df"))
         .filter(col("_df") > maxDf).select("sh")
@@ -91,7 +106,7 @@ object Dedup {
     * consumer the shingle subexpression gets re-evaluated per hash (no CSE
     * across lambdas); minhashPairs uses the relational form instead. */
   def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = shingles(text, n)
+    val sh = shinglesComposable(text, n)
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(sh, s => xxhash64(s, i))))
   }
@@ -174,7 +189,8 @@ object Dedup {
       s"k ($k) must be a positive multiple of bands ($bands): a remainder " +
         "would silently exclude trailing signature components from banding")
     val r = k / bands
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(df.sparkSession, col(textCol), n)).as("sh"))
     val hv = sh.select(col("id"),
         explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
       .select(col("id"), col("seed"), md5Hash60(col("sh"), col("seed")).as("h"))
@@ -472,9 +488,11 @@ object Dedup {
                     n: Int = 5, minHits: Int = 1): DataFrame = {
     require(minHits >= 1, "decontaminate needs minHits >= 1")
     val bench = benchmark
-      .select(explode(shingles(col(textCol), n)).as("sh")).distinct()
+      .select(explode(shingles(benchmark.sparkSession, col(textCol), n)).as("sh"))
+      .distinct()
     corpus
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol).as("id"),
+        explode(shingles(corpus.sparkSession, col(textCol), n)).as("sh"))
       .join(broadcast(bench), Seq("sh"))
       .groupBy("id").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
@@ -485,14 +503,24 @@ object Dedup {
     * this corpus has no sentence boundaries. Original case is PRESERVED
     * (duplicate detection lowercases separately): the survivors' text must
     * not come back rewritten. */
-  def spans(text: Column, span: Int): Column = {
+  def spans(spark: org.apache.spark.sql.SparkSession,
+            text: Column, span: Int): Column = {
+    require(span >= 1, "spans needs span >= 1")
+    graft.expressions.TextFunctions.wordSpans(spark, text, span)
+  }
+
+  /** Composable (pure-Column) spans — the semantic specification for
+    * [[graft.expressions.WordSpans]], kept for the bit-parity spec. NOT for
+    * production paths (regex split re-runs per chunk index in the
+    * interpreted lambda — see [[shinglesComposable]]).
+    * Guard: split("", "\s+") yields [""], not an empty array, so blank or
+    * whitespace-only docs would otherwise emit one EMPTY span and every
+    * blank doc would dedup into the first one; also sequence(1, stop) with
+    * stop < 1 would generate a DESCENDING sequence. Blank docs → zero
+    * spans (same contract as chunked()). */
+  def spansComposable(text: Column, span: Int): Column = {
     require(span >= 1, "spans needs span >= 1")
     val toks = split(text, "\\s+")
-    // guard: split("", "\s+") yields [""], not an empty array, so blank or
-    // whitespace-only docs would otherwise emit one EMPTY span and every
-    // blank doc would dedup into the first one; also sequence(1, stop) with
-    // stop < 1 would generate a DESCENDING sequence. Blank docs → zero
-    // spans (same contract as chunked()).
     when(length(trim(text)) > 0,
       transform(sequence(lit(1), ceil(size(toks) / lit(span.toDouble)).cast("int")),
         i => array_join(slice(toks, (i - lit(1)) * span + 1, lit(span)), " ")))
@@ -519,7 +547,7 @@ object Dedup {
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
                  span: Int = 10): DataFrame = {
     val ex = df.select(col(idCol).as("id"),
-      posexplode(spans(col(textCol), span)).as(Seq("pos", "sp")))
+      posexplode(spans(df.sparkSession, col(textCol), span)).as(Seq("pos", "sp")))
     val firsts = ex
       .select(xxhash64(lower(col("sp"))).as("h"), col("id"), col("pos"))
       .groupBy("h").agg(min(struct(col("id"), col("pos"))).as("f"))

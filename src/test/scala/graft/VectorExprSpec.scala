@@ -35,6 +35,52 @@ class VectorExprSpec extends SparkSpec {
   }
 
 
+  test("WordShingles is bit-identical to the composable form") {
+    import graft.operators.Dedup
+    import graft.expressions.TextFunctions
+    val docs = Tables.load(spark, sf, "documents")
+    for (n <- Seq(1, 3, 5)) {
+      val both = docs.select(
+        TextFunctions.wordShingles(spark, col("text"), n).as("fused"),
+        Dedup.shinglesComposable(col("text"), n).as("composed"))
+      assert(both.filter(!(col("fused") <=> col("composed"))).count() == 0,
+        s"shingle mismatch at n=$n")
+    }
+    // edge cases: null, empty, whitespace-only/tab-only (split("", \s+) =
+    // [""]; trailing spaces keep empty tokens), fewer tokens than n,
+    // repeated shingles (distinct order), mixed case
+    import spark.implicits._
+    val edge = Seq(null, "", " ", "\t", "a", "a b", "a  b c ", " x y z",
+      "a b a b a b", "Hello WORLD hello world HELLO world").toDF("text")
+    val e = edge.select(
+      TextFunctions.wordShingles(spark, col("text"), 2).as("fused"),
+      Dedup.shinglesComposable(col("text"), 2).as("composed"))
+    assert(e.filter(!(col("fused") <=> col("composed"))).count() == 0)
+  }
+
+  test("WordSpans is bit-identical to the composable form") {
+    import graft.operators.Dedup
+    import graft.expressions.TextFunctions
+    val docs = Tables.load(spark, sf, "documents")
+    for (span <- Seq(1, 7, 10)) {
+      val both = docs.select(
+        TextFunctions.wordSpans(spark, col("text"), span).as("fused"),
+        Dedup.spansComposable(col("text"), span).as("composed"))
+      assert(both.filter(!(col("fused") <=> col("composed"))).count() == 0,
+        s"span mismatch at span=$span")
+    }
+    // the tab-only doc exercises the trim-strips-only-spaces quirk: it
+    // passes the blank guard and emits quirky empty-token spans — both
+    // forms must agree on that too
+    import spark.implicits._
+    val edge = Seq(null, "", " ", "\t", "\t\n", "a", " x ", "a  b c ",
+      "One two THREE four five six seven eight nine ten eleven").toDF("text")
+    val e = edge.select(
+      TextFunctions.wordSpans(spark, col("text"), 3).as("fused"),
+      Dedup.spansComposable(col("text"), 3).as("composed"))
+    assert(e.filter(!(col("fused") <=> col("composed"))).count() == 0)
+  }
+
   test("FloatVectorDot is bit-identical to the composable fold") {
     val e = Tables.load(spark, sf, "embeddings").limit(100)
     val both = e.select(
