@@ -20,7 +20,11 @@ object Bench {
     "q_quantile", "q_window_rank", "q_window_cumsum", "q_topk_per_group",
     "q_order_limit", "q_join_inner", "q_asof", "q_union_all",
     "q_dedup_exact", "q_dedup_minhash", "q_ann_topk", "q_stream_session",
-    "q_fingerprint")
+    "q_fingerprint",
+    // LLM-pipeline set (round 5): decontamination, span-level dedup,
+    // tf-idf keywords, stratified reservoir — tracked so regressions in
+    // the documents-table paths show up in BENCH_r{N}
+    "q_decontaminate", "q_dedup_spans", "q_tfidf_topk", "q_reservoir")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
