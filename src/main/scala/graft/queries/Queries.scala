@@ -20,6 +20,6 @@ object Queries {
     AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
     WindowQueries.all ++ SortQueries.all ++ JoinQueries.all ++ SetQueries.all ++
     ReshapeQueries.all ++ PipelineQueries.all ++ MultimodalQueries.all ++
-    StreamQueries.all ++ MiscQueries.all ++ HiveQueries.all ++ ExtraQueries.all ++
-    GqlQueries.all
+    StreamQueries.all ++ MiscQueries.all ++ HiveQueries.all ++ SinkQueries.all ++
+    ExtraQueries.all ++ GqlQueries.all
 }
