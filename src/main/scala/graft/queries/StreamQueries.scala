@@ -112,6 +112,47 @@ object StreamQueries {
              AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
             GROUP BY p.event_id ORDER BY p.event_id"""))
 
+  /** The SAME tumbling+watermark builder executed by the MICRO-BATCH engine
+    * (the other q_stream_* entries adjudicate the builders in batch mode;
+    * this one puts actual streaming execution under the gate): the events
+    * table is replayed through a MemoryStream in three interleaved chunks —
+    * each followed by processAllAvailable, so windows' state merges across
+    * micro-batches and chunk 3's out-of-order rows update windows opened in
+    * chunk 1 — into a complete-mode memory sink. The replay harness is
+    * driver-side BY DESIGN (it is the verification rig; production
+    * streaming reads files/Kafka via readStream — SourceFormatsSpec covers
+    * the file source). Oracle: identical to q_stream_tumbling. */
+  val q_stream_micro = Q(
+    "q_stream_micro",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val spark2 = s
+      import spark2.implicits._
+      val rows = Tables.load(s, dir, "events")
+        .select("ts", "event_type", "value")
+        .as[(java.sql.Timestamp, String, Double)].collect()
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)](s)
+      val sdf = StreamOps.tumbling(
+        StreamOps.watermarked(mem.toDF.toDF("ts", "event_type", "value"),
+          "ts", "10 minutes"),
+        "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"), round(sum("value"), 6).as("total")))
+      val q = sdf.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_micro").start()
+      try {
+        (0 until 3).foreach { c =>
+          mem.addData(rows.indices.collect {
+            case i if i % 3 == c => rows(i)
+          }.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      GTable(s.table("graft_stream_micro"))
+        .order(GTable.orderKeys(Seq("w_start", "event_type")))
+        .result
+    },
+    q_stream_tumbling.oracle)
+
   def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session, q_stream_join,
-    q_stream_dedup)
+    q_stream_dedup, q_stream_micro)
 }
