@@ -195,6 +195,33 @@ object AggQueries {
     },
     None)
 
+  /** Tolerance adjudication for the HLL sketch (round-5 VERDICT #7): the
+    * engine computes BOTH exact and approx distinct counts per group and
+    * emits `within` = |approx − exact| ≤ 5%·exact; the oracle recomputes
+    * the exact counts in DuckDB and asserts TRUE per group — so the gate
+    * hash-fails if Spark's sketch ever drifts past its documented bound
+    * (or the exact side diverges). Closes the only adjudication gap the
+    * raw rows-only q_approx_nunique leaves. */
+  val q_approx_nunique_tol = Q(
+    "q_approx_nunique_tol",
+    (s, dir) => {
+      val li = GTable(Tables.load(s, dir, "lineitem"))
+      val g = li.group(
+          by = Seq("l_returnflag"),
+          aggs = Seq(
+            GAggs.nunique(col("l_partkey")).as("parts"),
+            GAggs.nunique(col("l_partkey"), approx = true).as("approx")))
+        .result
+      GTable(g.select(col("l_returnflag"), col("parts"),
+          (abs(col("approx") - col("parts")) <= col("parts") * lit(0.05))
+            .as("within")))
+        .order(GTable.orderKeys(Seq("l_returnflag")))
+        .result
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,
+              TRUE AS within
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Continuous quantiles (reference `quantile`): interpolating percentile
     * over integral doubles — exact in both engines. */
   val q_quantile = Q(
@@ -384,7 +411,8 @@ object AggQueries {
             FROM t GROUP BY l_returnflag ORDER BY min(rid)"""))
 
   def all: Seq[Q] = Seq(q1_agg, q_agg_whole, q_group_counts, q_first_last,
-    q_argmax, q_collect, q_concat, q_nunique, q_approx_nunique, q_quantile,
+    q_argmax, q_collect, q_concat, q_nunique, q_approx_nunique,
+    q_approx_nunique_tol, q_quantile,
     q_quantile_str, q_std_var, q_moments, q_mode, q_filtered_agg, q_any_all,
     q_distinct_first, q_group_first_seen)
 }
