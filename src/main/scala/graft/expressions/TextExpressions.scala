@@ -198,6 +198,137 @@ case class WordSpans(child: Expression, span: Int)
     copy(child = newChild)
 }
 
+/** One-pass fused primitives behind every per-document text metric
+  * (language ID, quality, Gopher stats, repetition, token counts —
+  * reference shapes: Rae et al. 2021 Gopher rules; graphique has no text
+  * pipeline, this is the beyond-reference tier). Bit-identical to the
+  * composable forms in [[graft.operators.TextAnalysis]] (parity-spec'd):
+  * tokens = split(lower(text), \s+) with limit=-1 semantics, n_chars =
+  * CODEPOINT count of the original text (Spark length()), token lengths in
+  * codepoints, rlike = Java find(), n-gram stats over space-joined grams.
+  *
+  * Why fused: the composable metrics reference the token array many times
+  * inside one projection and inside transform lambdas; interpreted
+  * higher-order functions get no common-subexpression reuse, so the regex
+  * split re-ran per reference AND per n-gram index — the five text gate
+  * queries cost ~3 min of pure projection at sf0.1 (5k docs). One compiled
+  * pass per row; consumers project this struct ONCE and derive each metric
+  * with plain arithmetic on its fields. */
+case class TextStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = TextStats.schema
+  override def prettyName: String = "text_stats"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val orig = v.asInstanceOf[UTF8String].toString
+    val nChars = orig.codePointCount(0, orig.length)
+    val lower = orig.toLowerCase
+    val toks = lower.split("\\s+", -1)
+    val n = toks.length
+    var sumTokLen = 0L
+    var alphaWords = 0
+    var symbolWords = 0
+    var swEn = 0; var swEs = 0; var swDe = 0
+    val distinct = new java.util.HashSet[String]
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      sumTokLen += t.codePointCount(0, t.length)
+      if (TextStats.Alpha.matcher(t).find()) alphaWords += 1
+      if (!TextStats.Alnum.matcher(t).find()) symbolWords += 1
+      if (TextStats.SwEn.contains(t)) swEn += 1
+      if (TextStats.SwEs.contains(t)) swEs += 1
+      if (TextStats.SwDe.contains(t)) swDe += 1
+      distinct.add(t)
+      i += 1
+    }
+    var stopHits = 0
+    val swIt = TextStats.SwEn.iterator()
+    while (swIt.hasNext) if (distinct.contains(swIt.next())) stopHits += 1
+    // n-gram multiplicity stats over space-joined grams (wordNgrams shape:
+    // fewer than n tokens -> zero grams)
+    var topBigram = 0
+    val nBigrams = if (n >= 2) n - 1 else 0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Int]
+      var j = 0
+      while (j < n - 1) {
+        val g = toks(j) + " " + toks(j + 1)
+        val c = counts.merge(g, 1, (a, b) => a + b)
+        if (c > topBigram) topBigram = c
+        j += 1
+      }
+    }
+    var dupTrigrams = 0
+    val nTrigrams = if (n >= 3) n - 2 else 0
+    if (n >= 3) {
+      val counts = new java.util.HashMap[String, Int]
+      var j = 0
+      while (j < n - 2) {
+        counts.merge(toks(j) + " " + toks(j + 1) + " " + toks(j + 2), 1,
+          (a, b) => a + b)
+        j += 1
+      }
+      val it = counts.values().iterator()
+      while (it.hasNext) { val c = it.next(); if (c > 1) dupTrigrams += c }
+    }
+    var bpeIsh = 0
+    val m = TextStats.BpeIsh.matcher(lower)
+    while (m.find()) bpeIsh += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, n, distinct.size, swEn, swEs, swDe, stopHits,
+        sumTokLen, alphaWords, symbolWords, topBigram, nBigrams,
+        dupTrigrams, nTrigrams, bpeIsh))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextStats {
+  import org.apache.spark.sql.types._
+
+  /** Single source of truth for the stopword heuristics (TextAnalysis
+    * derives its Column-level sets from this). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "den", "von", "ist", "mit"))
+
+  private[expressions] val SwEn = new java.util.HashSet[String]
+  private[expressions] val SwEs = new java.util.HashSet[String]
+  private[expressions] val SwDe = new java.util.HashSet[String]
+  Stopwords("en").foreach(SwEn.add); Stopwords("es").foreach(SwEs.add)
+  Stopwords("de").foreach(SwDe.add)
+
+  private[expressions] val Alpha = java.util.regex.Pattern.compile("[a-z]")
+  private[expressions] val Alnum = java.util.regex.Pattern.compile("[a-z0-9]")
+  private[expressions] val BpeIsh =
+    java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9 ]")
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("sw_en", IntegerType, nullable = false),
+    StructField("sw_es", IntegerType, nullable = false),
+    StructField("sw_de", IntegerType, nullable = false),
+    StructField("stop_hits_en", IntegerType, nullable = false),
+    StructField("sum_tok_len", LongType, nullable = false),
+    StructField("alpha_words", IntegerType, nullable = false),
+    StructField("symbol_words", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("dup_trigrams", IntegerType, nullable = false),
+    StructField("n_trigrams", IntegerType, nullable = false),
+    StructField("bpe_ish", IntegerType, nullable = false)))
+}
+
 object TextFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -210,6 +341,8 @@ object TextFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_spans", exprs => WordSpans(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_stats", exprs => TextStats(exprs(0)), "scala_udf")
   }
 
   def fingerprint(spark: SparkSession, text: Column): Column = {
@@ -230,5 +363,10 @@ object TextFunctions {
   def wordSpans(spark: SparkSession, text: Column, span: Int): Column = {
     register(spark)
     call_function("word_spans", text, org.apache.spark.sql.functions.lit(span))
+  }
+
+  def textStats(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("text_stats", text)
   }
 }

@@ -10,15 +10,33 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
-    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "se", "no"),
-    "de" -> Seq("der", "die", "das", "und", "zu", "in", "den", "von", "ist", "mit"))
+  private val stopwords: Map[String, Seq[String]] =
+    graft.expressions.TextStats.Stopwords
 
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** One-pass fused metric primitives ([[graft.expressions.TextStats]]):
+    * every per-document metric below derives from this struct with plain
+    * field arithmetic. HOT PATHS MUST PROJECT THIS ONCE as a real column
+    * and use the `...From(st)` derivations — the text-taking convenience
+    * overloads re-evaluate the (compiled, but full-pass) stats expression
+    * per metric reference. */
+  def stats(text: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.expressions.TextFunctions.textStats(spark, text)
+  }
+
+  private def swRatioFrom(st: Column, lang: String): Column =
+    st.getField(s"sw_$lang").cast("double") /
+      greatest(st.getField("n_tokens"), lit(1))
+
   /** Fraction of tokens that are stopwords of `lang`. */
-  def stopwordRatio(text: Column, lang: String): Column = {
+  def stopwordRatio(text: Column, lang: String): Column =
+    swRatioFrom(stats(text), lang)
+
+  /** Composable witness for [[stopwordRatio]] (parity spec only: the token
+    * array is re-split per reference in interpreted evaluation). */
+  def stopwordRatioComposable(text: Column, lang: String): Column = {
     val sw = stopwords(lang)
     val toks = tokens(text)
     size(filter(toks, t => t.isInCollection(sw))).cast("double") /
@@ -28,10 +46,22 @@ object TextAnalysis {
   /** Heuristic language ID over the configured stopword sets: highest
     * ratio wins, ties broken by language code order (en > es > de by
     * >= comparisons). */
-  def langId(text: Column): Column = {
-    val en = stopwordRatio(text, "en")
-    val es = stopwordRatio(text, "es")
-    val de = stopwordRatio(text, "de")
+  def langIdFrom(st: Column): Column = {
+    val en = swRatioFrom(st, "en")
+    val es = swRatioFrom(st, "es")
+    val de = swRatioFrom(st, "de")
+    when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  def langId(text: Column): Column = langIdFrom(stats(text))
+
+  /** Composable witness for [[langId]]. */
+  def langIdComposable(text: Column): Column = {
+    val en = stopwordRatioComposable(text, "en")
+    val es = stopwordRatioComposable(text, "es")
+    val de = stopwordRatioComposable(text, "de")
     when(en >= es && en >= de, lit("en"))
       .when(es >= de, lit("es"))
       .otherwise(lit("de"))
@@ -39,13 +69,35 @@ object TextAnalysis {
 
   /** Quality metrics: char/token counts, mean token length, type-token
     * ratio, stopword ratio, and a composite [0,1] score. */
-  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+  def qualityMetricsFrom(st: Column): Seq[(String, Column)] = {
+    val nChars = st.getField("n_chars")
+    val nToks = st.getField("n_tokens")
+    val meanLen = nChars.cast("double") / greatest(nToks, lit(1))
+    val ttr = st.getField("n_distinct").cast("double") / greatest(nToks, lit(1))
+    val swr = swRatioFrom(st, "en")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "mean_tok_len" -> meanLen,
+      "type_token_ratio" -> ttr,
+      "stopword_ratio" -> swr,
+      "quality" -> least(greatest(
+        (ttr * 0.5) + (swr * 0.3) +
+          (when(nToks >= 50 && nToks <= 1000, 0.2).otherwise(0.0)),
+        lit(0.0)), lit(1.0)))
+  }
+
+  def qualityMetrics(text: Column): Seq[(String, Column)] =
+    qualityMetricsFrom(stats(text))
+
+  /** Composable witness for [[qualityMetrics]]. */
+  def qualityMetricsComposable(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nChars = length(text)
     val nToks = size(toks)
     val meanLen = nChars.cast("double") / greatest(nToks, lit(1))
     val ttr = size(array_distinct(toks)).cast("double") / greatest(nToks, lit(1))
-    val swr = stopwordRatio(text, "en")
+    val swr = stopwordRatioComposable(text, "en")
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nToks,
@@ -60,7 +112,15 @@ object TextAnalysis {
 
   /** Token counts: whitespace tokens and BPE-ish regex pieces
     * (letter runs / digit runs / single other chars). */
-  def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
+  def tokenCountsFrom(st: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> st.getField("n_tokens"),
+    "bpe_ish_tokens" -> st.getField("bpe_ish"))
+
+  def tokenCounts(text: Column): Seq[(String, Column)] =
+    tokenCountsFrom(stats(text))
+
+  /** Composable witness for [[tokenCounts]]. */
+  def tokenCountsComposable(text: Column): Seq[(String, Column)] = Seq(
     "ws_tokens" -> size(tokens(text)),
     "bpe_ish_tokens" -> size(call_function("regexp_extract_all",
       lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
@@ -123,7 +183,23 @@ object TextAnalysis {
     * fraction of word 3-gram occurrences that are duplicates (count > 1).
     * Pure per-row compute inside one projection — scales with executors,
     * no shuffle, no state. */
-  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+  def repetitionMetricsFrom(st: Column): Seq[(String, Column)] = {
+    val topBigramFrac = when(st.getField("n_bigrams") > 0,
+      st.getField("top_bigram").cast("double") / st.getField("n_bigrams"))
+      .otherwise(lit(0.0))
+    val dupTrigramFrac = when(st.getField("n_trigrams") > 0,
+      st.getField("dup_trigrams").cast("double") / st.getField("n_trigrams"))
+      .otherwise(lit(0.0))
+    Seq(
+      "top_bigram_frac" -> topBigramFrac,
+      "dup_trigram_frac" -> dupTrigramFrac)
+  }
+
+  def repetitionMetrics(text: Column): Seq[(String, Column)] =
+    repetitionMetricsFrom(stats(text))
+
+  /** Composable witness for [[repetitionMetrics]]. */
+  def repetitionMetricsComposable(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val bi = wordNgrams(toks, 2)
     val tri = wordNgrams(toks, 3)
@@ -143,7 +219,20 @@ object TextAnalysis {
     * count of distinct English stopwords present (a document with none is
     * usually boilerplate or non-English). All exact integer arithmetic until
     * the final division, so the oracle reproduces them bit-for-bit. */
-  def gopherMetrics(text: Column): Seq[(String, Column)] = {
+  def gopherMetricsFrom(st: Column): Seq[(String, Column)] = {
+    val n = greatest(st.getField("n_tokens"), lit(1))
+    Seq(
+      "mean_word_len" -> (st.getField("sum_tok_len").cast("double") / n),
+      "alpha_word_frac" -> (st.getField("alpha_words").cast("double") / n),
+      "symbol_word_ratio" -> (st.getField("symbol_words").cast("double") / n),
+      "stopword_hits" -> st.getField("stop_hits_en"))
+  }
+
+  def gopherMetrics(text: Column): Seq[(String, Column)] =
+    gopherMetricsFrom(stats(text))
+
+  /** Composable witness for [[gopherMetrics]]. */
+  def gopherMetricsComposable(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val n = greatest(size(toks), lit(1))
     val meanWordLen = aggregate(toks, lit(0L),
@@ -167,10 +256,25 @@ object TextAnalysis {
     * are tuned to this corpus's distribution so the filter is a real split
     * rather than pass-all. A pure boolean Column — usable as a batch filter,
     * a streaming filter, or a labeling projection. */
-  def gopherFilter(text: Column): Column = {
+  def gopherFilterFrom(st: Column): Column = {
+    val rep = repetitionMetricsFrom(st).toMap
+    val gm = gopherMetricsFrom(st).toMap
+    st.getField("n_tokens").between(40, 10000) &&
+      gm("mean_word_len").between(3.0, 10.0) &&
+      gm("alpha_word_frac") > 0.8 &&
+      gm("symbol_word_ratio") < 0.1 &&
+      gm("stopword_hits") >= 1 &&
+      rep("top_bigram_frac") < 0.09 &&
+      rep("dup_trigram_frac") < 0.25
+  }
+
+  def gopherFilter(text: Column): Column = gopherFilterFrom(stats(text))
+
+  /** Composable witness for [[gopherFilter]]. */
+  def gopherFilterComposable(text: Column): Column = {
     val toks = tokens(text)
-    val rep = repetitionMetrics(text).toMap
-    val gm = gopherMetrics(text).toMap
+    val rep = repetitionMetricsComposable(text).toMap
+    val gm = gopherMetricsComposable(text).toMap
     size(toks).between(40, 10000) &&
       gm("mean_word_len").between(3.0, 10.0) &&
       gm("alpha_word_frac") > 0.8 &&

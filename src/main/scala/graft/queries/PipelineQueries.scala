@@ -436,7 +436,8 @@ object PipelineQueries {
     "q_lang_id",
     (s, dir) => {
       val d = GTable(Tables.load(s, dir, "documents"))
-      d.project("pred_lang" -> TextAnalysis.langId(col("text")))
+      d.project("_st" -> TextAnalysis.stats(col("text")))
+        .project("pred_lang" -> TextAnalysis.langIdFrom(col("_st")))
         .select("doc_id", "pred_lang")
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
@@ -458,7 +459,8 @@ object PipelineQueries {
     "q_text_quality",
     (s, dir) => {
       val d = GTable(Tables.load(s, dir, "documents"))
-      val metrics = TextAnalysis.qualityMetrics(col("text"))
+        .project("_st" -> TextAnalysis.stats(col("text")))
+      val metrics = TextAnalysis.qualityMetricsFrom(col("_st"))
         .map { case (n, c) => n -> (if (n == "n_chars" || n == "n_tokens") c else round(c, 9)) }
       d.project(metrics: _*)
         .select("doc_id" +: metrics.map(_._1): _*)
@@ -487,7 +489,8 @@ object PipelineQueries {
     "q_token_count",
     (s, dir) => {
       val d = GTable(Tables.load(s, dir, "documents"))
-      val counts = TextAnalysis.tokenCounts(col("text"))
+        .project("_st" -> TextAnalysis.stats(col("text")))
+      val counts = TextAnalysis.tokenCountsFrom(col("_st"))
       d.project(counts: _*)
         .select("doc_id" +: counts.map(_._1): _*)
         .order(GTable.orderKeys(Seq("doc_id")))
@@ -783,9 +786,10 @@ object PipelineQueries {
     "q_text_repetition",
     (s, dir) => {
       val d = GTable(Tables.load(s, dir, "documents"))
+        .project("_st" -> TextAnalysis.stats(col("text")))
       val metrics =
-        (TextAnalysis.repetitionMetrics(col("text")) ++
-          TextAnalysis.gopherMetrics(col("text")))
+        (TextAnalysis.repetitionMetricsFrom(col("_st")) ++
+          TextAnalysis.gopherMetricsFrom(col("_st")))
           .map { case (n, c) =>
             n -> (if (n == "stopword_hits") c else round(c, 9)) }
       d.project(metrics: _*)
@@ -839,7 +843,8 @@ object PipelineQueries {
     "q_gopher_filter",
     (s, dir) => {
       val d = GTable(Tables.load(s, dir, "documents"))
-      d.project("keep" -> TextAnalysis.gopherFilter(col("text")))
+      d.project("_st" -> TextAnalysis.stats(col("text")))
+        .project("keep" -> TextAnalysis.gopherFilterFrom(col("_st")))
         .select("doc_id", "keep")
         .order(GTable.orderKeys(Seq("doc_id")))
         .result

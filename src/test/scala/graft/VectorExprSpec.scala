@@ -81,6 +81,42 @@ class VectorExprSpec extends SparkSpec {
     assert(e.filter(!(col("fused") <=> col("composed"))).count() == 0)
   }
 
+  test("TextStats-derived metrics are bit-identical to the composable forms") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val edge = Seq(null, "", " ", "\t", "a", "a  b c ", " the the the ",
+      "the of and to in is that it for a", "Hello WORLD hello world",
+      "el la de y que", "der die das und zu", "123 #$% abc123 ---",
+      "one two one two one two one two").toDF("text")
+    val docs = Tables.load(spark, sf, "documents").select("text")
+      .unionAll(edge)
+      .select(col("text"), TextAnalysis.stats(col("text")).as("_st"))
+    val pairs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
+      Seq(("lang", TextAnalysis.langIdFrom(col("_st")),
+          TextAnalysis.langIdComposable(col("text"))),
+        ("swr_es", TextAnalysis.stopwordRatioComposable(col("text"), "es"),
+          col("_st").getField("sw_es").cast("double") /
+            greatest(col("_st").getField("n_tokens"), lit(1))),
+        ("gopher", TextAnalysis.gopherFilterFrom(col("_st")),
+          TextAnalysis.gopherFilterComposable(col("text")))) ++
+      TextAnalysis.qualityMetricsFrom(col("_st"))
+        .zip(TextAnalysis.qualityMetricsComposable(col("text")))
+        .map { case ((n, f), (_, c)) => (n, f, c) } ++
+      TextAnalysis.tokenCountsFrom(col("_st"))
+        .zip(TextAnalysis.tokenCountsComposable(col("text")))
+        .map { case ((n, f), (_, c)) => (n, f, c) } ++
+      TextAnalysis.repetitionMetricsFrom(col("_st"))
+        .zip(TextAnalysis.repetitionMetricsComposable(col("text")))
+        .map { case ((n, f), (_, c)) => (n, f, c) } ++
+      TextAnalysis.gopherMetricsFrom(col("_st"))
+        .zip(TextAnalysis.gopherMetricsComposable(col("text")))
+        .map { case ((n, f), (_, c)) => (n, f, c) }
+    pairs.foreach { case (name, fused, composed) =>
+      val bad = docs.filter(!(fused <=> composed)).count()
+      assert(bad == 0, s"metric $name: $bad mismatching docs")
+    }
+  }
+
   test("FloatVectorDot is bit-identical to the composable fold") {
     val e = Tables.load(spark, sf, "embeddings").limit(100)
     val both = e.select(
