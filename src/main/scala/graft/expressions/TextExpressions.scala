@@ -290,6 +290,36 @@ case class TextStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused consecutive-token collapse — bit-identical to the composable form
+  * in [[graft.operators.TextAnalysis.dedupConsecutiveTokensComposable]]:
+  * tokens = split(lower(text), \s+) with limit=-1, keep token i iff i = 0
+  * or it differs from token i−1, join with single spaces. Null text → ""
+  * (concat_ws never returns null). The composable form's filter lambda
+  * re-evaluates the split per element via element_at. */
+case class CollapseRepeats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "collapse_repeats"
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return UTF8String.EMPTY_UTF8
+    val toks = v.asInstanceOf[UTF8String].toString.toLowerCase.split("\\s+", -1)
+    val sb = new java.lang.StringBuilder(toks(0))
+    var i = 1
+    while (i < toks.length) {
+      if (toks(i) != toks(i - 1)) sb.append(' ').append(toks(i))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStats {
   import org.apache.spark.sql.types._
 
@@ -343,6 +373,8 @@ object TextFunctions {
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_stats", exprs => TextStats(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collapse_repeats", exprs => CollapseRepeats(exprs(0)), "scala_udf")
   }
 
   def fingerprint(spark: SparkSession, text: Column): Column = {
@@ -368,5 +400,10 @@ object TextFunctions {
   def textStats(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("text_stats", text)
+  }
+
+  def collapseRepeats(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("collapse_repeats", text)
   }
 }

@@ -285,9 +285,16 @@ object TextAnalysis {
   }
 
   /** Collapse immediate token repeats ("fast fast fast table" → "fast
-    * table") — the cheapest intra-document repetition scrub, one codegen'd
-    * projection. */
+    * table") — the cheapest intra-document repetition scrub, one fused
+    * compiled pass ([[graft.expressions.CollapseRepeats]]). */
   def dedupConsecutiveTokens(text: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.expressions.TextFunctions.collapseRepeats(spark, text)
+  }
+
+  /** Composable witness for [[dedupConsecutiveTokens]] (parity spec only:
+    * element_at(toks, i) inside the filter lambda re-splits per element). */
+  def dedupConsecutiveTokensComposable(text: Column): Column = {
     val toks = tokens(text)
     concat_ws(" ", filter(toks,
       (t, i) => i === 0 || !(t <=> element_at(toks, i))))

@@ -117,6 +117,18 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("CollapseRepeats is bit-identical to the composable form") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val edge = Seq(null, "", " ", "a", "a a", "a a a b b a",
+      "Fast FAST fast table", " x x ", "a  a b").toDF("text")
+    val docs = Tables.load(spark, sf, "documents").select("text").unionAll(edge)
+    val both = docs.select(
+      TextAnalysis.dedupConsecutiveTokens(col("text")).as("fused"),
+      TextAnalysis.dedupConsecutiveTokensComposable(col("text")).as("composed"))
+    assert(both.filter(!(col("fused") <=> col("composed"))).count() == 0)
+  }
+
   test("FloatVectorDot is bit-identical to the composable fold") {
     val e = Tables.load(spark, sf, "embeddings").limit(100)
     val both = e.select(
