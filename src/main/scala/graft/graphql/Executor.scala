@@ -653,6 +653,34 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         .getOrElse(throw new IllegalArgumentException("tfidf needs k:"))
       resolveTable(GTable(graft.operators.TextAnalysis.tfidfTopTerms(
         t.result, on, id, k)), f, None)
+    case "textStats" =>
+      // per-document text metrics (language ID, quality, Gopher stats,
+      // repetition, token counts) — ONE fused text_stats pass per row
+      // projected as a real column, metrics derived by field arithmetic;
+      // metrics: selects which metric groups to append
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("textStats needs on: <text column>"))
+      val groups = strListArg(f, "metrics") match {
+        case Nil => Seq("quality")
+        case g => g
+      }
+      val known = Set("quality", "lang", "tokens", "gopher", "repetition")
+      groups.find(!known(_)).foreach(g => throw new IllegalArgumentException(
+        s"textStats metrics: unknown group \"$g\" (expected ${known.mkString("/")})"))
+      val ta = graft.operators.TextAnalysis
+      val st = col("_gq_textstats")
+      val metricCols: Seq[(String, Column)] = groups.flatMap {
+        case "quality" => ta.qualityMetricsFrom(st)
+        case "lang" => Seq("pred_lang" -> ta.langIdFrom(st))
+        case "tokens" => ta.tokenCountsFrom(st)
+        case "gopher" => ta.gopherMetricsFrom(st)
+        case "repetition" => ta.repetitionMetricsFrom(st)
+      }
+      val withSt = t.result.withColumn("_gq_textstats", ta.stats(col(on)))
+      val out = metricCols.foldLeft(withSt) { case (d, (n, c)) =>
+        d.withColumn(n, c) }.drop("_gq_textstats")
+      resolveTable(GTable(out, sortedBy = t.sortedBy, denseRid = t.denseRid),
+        f, None)
     case "shuffle" =>
       // deterministic md5-keyed corpus shuffle (range-partitioned sort);
       // the key is served as shuffle_key

@@ -697,6 +697,36 @@ object GqlQueries {
       "doc_id BIGINT, term STRING, tf BIGINT, df_t BIGINT, tfidf DOUBLE"),
     PipelineQueries.q_tfidf_topk.oracle)
 
+  /** The SERVED text-metric stack end-to-end: textStats(metrics:) projects
+    * ONE fused text_stats pass and derives the requested metric groups.
+    * The lang+tokens groups are integer/string-valued, so the compare is
+    * exact with no FP-rounding dependence; the double-valued groups are
+    * adjudicated by q_text_quality / q_text_repetition / q_gopher_filter
+    * through the same derivations. */
+  val q_gql_text_stats = Q(
+    "q_gql_text_stats",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: textStats(on: "text", metrics: ["lang", "tokens"]) {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } pred_lang { values }
+                            ws_tokens { values } bpe_ish_tokens { values } } } } } }""",
+      Seq("t", "f", "o", "c"),
+      "doc_id BIGINT, pred_lang STRING, ws_tokens INT, bpe_ish_tokens INT"),
+    Some("""WITH t AS (SELECT doc_id, text,
+              regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+            r AS (SELECT doc_id, text, toks,
+              len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) / greatest(len(toks), 1) AS en,
+              len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un','es','se','no'], x))) / greatest(len(toks), 1) AS es,
+              len(list_filter(toks, x -> list_contains(['der','die','das','und','zu','in','den','von','ist','mit'], x))) / greatest(len(toks), 1) AS de
+              FROM t)
+            SELECT doc_id,
+              CASE WHEN en >= es AND en >= de THEN 'en'
+                   WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang,
+              CAST(len(toks) AS INTEGER) AS ws_tokens,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens
+            FROM r ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
@@ -706,5 +736,5 @@ object GqlQueries {
     q_gql_takefrom, q_gql_sql, q_gql_cumsum, q_gql_vars_frag,
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
-    q_gql_dedup_spans)
+    q_gql_dedup_spans, q_gql_text_stats)
 }
