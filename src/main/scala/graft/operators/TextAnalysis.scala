@@ -373,6 +373,10 @@ object TextAnalysis {
     * stream (per-(doc, term) tf; per-term df), the corpus doc count rides a
     * broadcast 1-row frame, and the top-k window partitions by DOCUMENT —
     * parallelism grows with the corpus, no low-cardinality window ceiling.
+    * Document length is a window sum over the SAME id-partitioning the
+    * top-k window needs (one exchange feeds both), replacing the earlier
+    * separate groupBy(id) aggregate + re-join — one fewer shuffle and one
+    * fewer pass over the (doc, term) frame.
     * Output: (id, term, tf, df_t, tfidf), k rows per doc. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
@@ -380,13 +384,13 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val len = tf.groupBy("id").agg(sum("tf").as("_gq_len"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val n = df.select(countDistinct(col(idCol)).as("_gq_n"))
-    val scored = tf.join(len, "id").join(dfreq, "term")
+    val wLen = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(
-        (col("tf") / col("_gq_len")) *
+        (col("tf") / sum("tf").over(wLen)) *
           log(col("_gq_n").cast("double") / col("df_t")), 4))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("tfidf").desc, col("term").asc)
