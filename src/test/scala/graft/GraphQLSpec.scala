@@ -118,6 +118,24 @@ class GraphQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](service.execute("{ nation { bogus } }"))
   }
 
+  test("textStats serves metric groups and rejects unknown ones") {
+    val r = service.execute(
+      """{ documents { f: textStats(on: "text", metrics: ["lang", "gopher"]) {
+           schema { names } } } }""")
+    for (c <- Seq("pred_lang", "mean_word_len", "alpha_word_frac",
+        "symbol_word_ratio", "stopword_hits"))
+      assert(r.contains(c), s"missing served metric column $c")
+    // default group is quality
+    val q = service.execute(
+      """{ documents { f: textStats(on: "text") { schema { names } } } }""")
+    assert(q.contains("quality") && q.contains("type_token_ratio"))
+    intercept[IllegalArgumentException](service.execute(
+      """{ documents { f: textStats(on: "text", metrics: ["bogus"]) {
+           count } } }"""))
+    intercept[IllegalArgumentException](service.execute(
+      """{ documents { f: textStats(metrics: ["lang"]) { count } } }"""))
+  }
+
   test("project with expression tree") {
     val r = service.execute(
       """{ lineitem { project(columns: [
