@@ -32,10 +32,24 @@ object Scale {
   /** Write a bucketed+sorted table: repeated equi-joins/aggregations on
     * `keys` against other tables bucketed the same way need NO exchange. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    // Overwrite replaces a REGISTERED table, but with an ephemeral
+    // in-memory catalog a previous process's files can survive at the
+    // default location while the catalog entry did not — CTAS then fails
+    // with LOCATION_ALREADY_EXISTS. An unregistered leftover under
+    // Overwrite intent is droppable.
+    if (!cat.tableExists(ident)) {
+      val loc = new org.apache.hadoop.fs.Path(cat.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
