@@ -70,4 +70,53 @@ class PropertySpec extends SparkSpec {
         .filter(col("bk") < 0 || col("bk") >= b).count() == 0
     }, n = 15)
   }
+
+  test("fused text expressions match composable forms on random adversarial strings") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.expressions.TextFunctions
+    val spark2 = spark
+    import spark2.implicits._
+    // segments chosen to hit every quirk at once: stopwords of all three
+    // languages, unicode, digits, symbol-only, empty strings, and RAW
+    // whitespace segments (tab/newline/multi-space) that produce leading/
+    // trailing/consecutive separators — the split(-1) empty-token cases
+    val seg = Gen.oneOf("the", "a", "of", "el", "de", "der", "in", "fast",
+      "123", "#!%", "é", "ñá", "你好", "x", "", " ", "  ", "\t", "\n",
+      "Mixed", "WORLD", "the the")
+    val strGen = Gen.choose(0, 40).flatMap(k => Gen.listOfN(k, seg)).map(_.mkString)
+    val sample = Iterator.continually(strGen.sample).flatten.take(300).toList
+    val df = sample.toDF("text")
+      .select(col("text"), TextAnalysis.stats(col("text")).as("_st"))
+    val pairs: Seq[(String, org.apache.spark.sql.Column)] =
+      (for (n <- 1 to 3) yield s"shingles$n" ->
+        (TextFunctions.wordShingles(spark, col("text"), n) <=>
+          Dedup.shinglesComposable(col("text"), n))) ++
+      (for (sp <- Seq(1, 3, 10)) yield s"spans$sp" ->
+        (TextFunctions.wordSpans(spark, col("text"), sp) <=>
+          Dedup.spansComposable(col("text"), sp))) ++
+      Seq(
+        "collapse" -> (TextAnalysis.dedupConsecutiveTokens(col("text")) <=>
+          TextAnalysis.dedupConsecutiveTokensComposable(col("text"))),
+        "lang" -> (TextAnalysis.langIdFrom(col("_st")) <=>
+          TextAnalysis.langIdComposable(col("text"))),
+        "gopher" -> (TextAnalysis.gopherFilterFrom(col("_st")) <=>
+          TextAnalysis.gopherFilterComposable(col("text")))) ++
+      TextAnalysis.qualityMetricsFrom(col("_st"))
+        .zip(TextAnalysis.qualityMetricsComposable(col("text")))
+        .map { case ((n, f), (_, c)) => s"quality:$n" -> (f <=> c) } ++
+      TextAnalysis.repetitionMetricsFrom(col("_st"))
+        .zip(TextAnalysis.repetitionMetricsComposable(col("text")))
+        .map { case ((n, f), (_, c)) => s"rep:$n" -> (f <=> c) } ++
+      TextAnalysis.gopherMetricsFrom(col("_st"))
+        .zip(TextAnalysis.gopherMetricsComposable(col("text")))
+        .map { case ((n, f), (_, c)) => s"gm:$n" -> (f <=> c) }
+    val flags = df.select(pairs.map { case (n, c) => c.as(n) }: _*)
+    val bad = flags.filter(!pairs.map(p => col(p._1)).reduce(_ && _))
+    val badRows = bad.count()
+    if (badRows != 0) {
+      val row = bad.head()
+      val failing = pairs.map(_._1).filter(n => !row.getAs[Boolean](n))
+      fail(s"$badRows/300 random strings diverge; failing checks: $failing")
+    }
+  }
 }
