@@ -118,4 +118,35 @@ class DegenerateSpec extends SparkSpec {
     assert(graft.sources.ParquetMeta.readFiles(spark,
       s"$sf/nation.parquet", Nil).count() == 0)
   }
+
+  test("fused text stack on empty and all-null frames") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val ed = docs.filter(lit(false))
+    // empty frame: every derivation yields zero rows, no runtime error
+    val st = TextAnalysis.stats(col("text"))
+    assert(ed.select(TextAnalysis.qualityMetricsFrom(st).map {
+      case (n, c) => c.as(n) }: _*).count() == 0)
+    // null text: stats struct is null -> ratio metrics null, langId falls
+    // through to the tie-break default, filter verdict null (row not
+    // kept), and the composite quality clamps to 0.0 (greatest() skips
+    // nulls) — all matching the composable forms (parity-spec'd)
+    val nulls = Seq((1L, null: String), (2L, "real text")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.stats(col("text")).as("_st"))
+    val rows = nulls.select(col("doc_id"),
+        TextAnalysis.langIdFrom(col("_st")).as("lang"),
+        TextAnalysis.gopherFilterFrom(col("_st")).as("keep"),
+        TextAnalysis.qualityMetricsFrom(col("_st")).toMap.apply("quality").as("q"),
+        TextAnalysis.qualityMetricsFrom(col("_st")).toMap.apply("stopword_ratio").as("swr"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(1) == "de" && rows(0).isNullAt(2)
+      && rows(0).getDouble(3) == 0.0 && rows(0).isNullAt(4))
+    assert(!rows(1).isNullAt(3))
+    // served field on an empty root slice still answers
+    val svc = new graft.graphql.GraphQLService(spark, sf)
+    val r = svc.execute(
+      """{ documents { w: filter(doc_id: {lt: -1}) {
+           f: textStats(on: "text", metrics: ["lang"]) { count } } } }""")
+    assert(r.contains("0"))
+  }
 }
