@@ -681,6 +681,28 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         d.withColumn(n, c) }.drop("_gq_textstats")
       resolveTable(GTable(out, sortedBy = t.sortedBy, denseRid = t.denseRid),
         f, None)
+    case "chunks" =>
+      // RAG-style overlapping token chunking: (id, chunk_idx, chunk) rows,
+      // token array projected once per row (TextAnalysis.chunked)
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("chunks needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("chunks needs id: <key column>"))
+      val size = intArg(f, "size")
+        .getOrElse(throw new IllegalArgumentException("chunks needs size:"))
+      val overlap = intArg(f, "overlap").getOrElse(0)
+      resolveTable(GTable(graft.operators.TextAnalysis.chunked(
+        t.result, on, id, size, overlap)), f, None)
+    case "scrub" =>
+      // PII scrubbing projection (emails/IPv4/phones -> typed placeholders);
+      // replaces the column in place unless alias: names a new one
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("scrub needs on: <text column>"))
+      val alias = strArg(f, "alias").getOrElse(on)
+      val out = t.result.withColumn(alias,
+        graft.operators.TextAnalysis.scrubPii(col(on)))
+      resolveTable(GTable(out, sortedBy = t.sortedBy, denseRid = t.denseRid),
+        f, None)
     case "shuffle" =>
       // deterministic md5-keyed corpus shuffle (range-partitioned sort);
       // the key is served as shuffle_key

@@ -727,6 +727,40 @@ object GqlQueries {
               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens
             FROM r ORDER BY doc_id"""))
 
+  /** RAG chunking through the service — same oracle as the engine twin. */
+  val q_gql_chunks = Q(
+    "q_gql_chunks",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: chunks(on: "text", id: "doc_id", size: 64, overlap: 16) {
+             o: order(by: ["doc_id", "chunk_idx"]) {
+               c: columns { doc_id { values } chunk_idx { values }
+                            chunk { values } } } } } }""",
+      Seq("t", "f", "o", "c"),
+      "doc_id BIGINT, chunk_idx INT, chunk STRING"),
+    PipelineQueries.q_chunks.oracle)
+
+  /** PII scrubbing through the service, adjudicated by DuckDB running the
+    * SAME RE2-safe regex chain on the raw corpus (the synthetic-PII
+    * injection substance is covered by the engine twin q_pii_scrub). */
+  val q_gql_scrub = Q(
+    "q_gql_scrub",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: scrub(on: "text", alias: "clean") {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } clean { values } } } } } }""",
+      Seq("t", "f", "o", "c"),
+      "doc_id BIGINT, clean STRING"),
+    Some("""SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\+\d{7,15}\b', '<PHONE>', 'g') AS clean
+            FROM documents ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
@@ -736,5 +770,5 @@ object GqlQueries {
     q_gql_takefrom, q_gql_sql, q_gql_cumsum, q_gql_vars_frag,
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
-    q_gql_dedup_spans, q_gql_text_stats)
+    q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub)
 }
