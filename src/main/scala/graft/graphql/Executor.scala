@@ -681,6 +681,31 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         d.withColumn(n, c) }.drop("_gq_textstats")
       resolveTable(GTable(out, sortedBy = t.sortedBy, denseRid = t.denseRid),
         f, None)
+    case "fingerprint" =>
+      // fused rolling-hash document fingerprint projection
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("fingerprint needs on: <text column>"))
+      val alias = strArg(f, "alias").getOrElse("fp")
+      val out = t.result.withColumn(alias,
+        graft.operators.TextAnalysis.fingerprint(col(on)))
+      resolveTable(GTable(out, sortedBy = t.sortedBy, denseRid = t.denseRid),
+        f, None)
+    case "pack" =>
+      // token-budget sequence packing: one row per bin (block prefix-sum
+      // cumulative — needs the natural row order, so it must precede any
+      // order/join field that invalidates dense positions)
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("pack needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("pack needs id: <key column>"))
+      val budget = intArg(f, "budget")
+        .getOrElse(throw new IllegalArgumentException("pack needs budget:"))
+      if (!t.hasDensePositions)
+        throw new IllegalArgumentException(
+          "pack requires the natural row order; place it before order/join fields")
+      resolveTable(GTable(graft.operators.Sampling.packBins(t, id,
+        size(graft.operators.TextAnalysis.tokens(col(on))), budget.toLong)),
+        f, None)
     case "chunks" =>
       // RAG-style overlapping token chunking: (id, chunk_idx, chunk) rows,
       // token array projected once per row (TextAnalysis.chunked)

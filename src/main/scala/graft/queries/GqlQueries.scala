@@ -761,6 +761,32 @@ object GqlQueries {
                 '\+\d{7,15}\b', '<PHONE>', 'g') AS clean
             FROM documents ORDER BY doc_id"""))
 
+  /** Fused rolling-hash fingerprint through the service. */
+  val q_gql_fingerprint = Q(
+    "q_gql_fingerprint",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: fingerprint(on: "text") {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } fp { values } } } } } }""",
+      Seq("t", "f", "o", "c"),
+      "doc_id BIGINT, fp BIGINT"),
+    PipelineQueries.q_fingerprint.oracle)
+
+  /** Token-budget packing through the service (natural-order prefix sums
+    * — the field enforces dense positions). */
+  val q_gql_pack = Q(
+    "q_gql_pack",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: pack(on: "text", id: "doc_id", budget: 2048) {
+             o: order(by: ["bin"]) {
+               c: columns { bin { values } n_docs { values } tokens { values }
+                            first_id { values } last_id { values } } } } } }""",
+      Seq("t", "f", "o", "c"),
+      "bin BIGINT, n_docs BIGINT, tokens BIGINT, first_id BIGINT, last_id BIGINT"),
+    PipelineQueries.q_pack_tokens.oracle)
+
   def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
@@ -770,5 +796,6 @@ object GqlQueries {
     q_gql_takefrom, q_gql_sql, q_gql_cumsum, q_gql_vars_frag,
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
-    q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub)
+    q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
+    q_gql_fingerprint, q_gql_pack)
 }

@@ -136,6 +136,17 @@ class GraphQLSpec extends SparkSpec {
       """{ documents { f: textStats(metrics: ["lang"]) { count } } }"""))
   }
 
+  test("pack requires natural row order (rejects post-sort placement)") {
+    intercept[IllegalArgumentException](service.execute(
+      """{ documents { o: order(by: ["lang"]) {
+           f: pack(on: "text", id: "doc_id", budget: 100) { count } } } }"""))
+    // on the root it works and bins are contiguous
+    val r = service.execute(
+      """{ documents { f: pack(on: "text", id: "doc_id", budget: 100000) {
+           c: columns { n_docs { values } } } } }""")
+    assert(r.contains("\"n_docs\""))
+  }
+
   test("project with expression tree") {
     val r = service.execute(
       """{ lineitem { project(columns: [
