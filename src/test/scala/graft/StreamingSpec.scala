@@ -171,4 +171,34 @@ class StreamingSpec extends SparkSpec {
     val n = spark.table("evread").count()
     assert(n == graft.core.Tables.load(spark, sf, "events").count())
   }
+
+  test("fused text stack works as a streaming filter/projection, batch-equal") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.TextAnalysis
+    // gopherFilter as a streaming keep/drop + langId as a projection: the
+    // fused text_stats expression is a pure per-row projection, so it runs
+    // unchanged inside micro-batches (no state, no watermark needed)
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(200)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData(docs: _*)
+    val sdf = mem.toDF.toDF("doc_id", "text")
+      .withColumn("_st", TextAnalysis.stats(col("text")))
+      .filter(TextAnalysis.gopherFilterFrom(col("_st")))
+      .select(col("doc_id"), TextAnalysis.langIdFrom(col("_st")).as("lang"))
+    val q = sdf.writeStream.outputMode("append")
+      .format("memory").queryName("textstream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("textstream")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = docs.toDF("doc_id", "text")
+      .withColumn("_st", TextAnalysis.stats(col("text")))
+      .filter(TextAnalysis.gopherFilterFrom(col("_st")))
+      .select(col("doc_id"), TextAnalysis.langIdFrom(col("_st")).as("lang"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
