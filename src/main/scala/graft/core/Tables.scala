@@ -42,11 +42,15 @@ object Tables {
     normalize(schema.fold(r0)(r0.schema).load(dir))
   }
 
-  /** Load with the natural-order row id attached (see [[Natural]]). */
-  def loadOrdered(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    nanosConf(spark)
-    normalize(Natural.withRowId(spark, path(sfDir, name)))
-  }
+  /** Load with the natural-order row id attached (see [[Natural]]).
+    * Cached like [[load]]: Natural.withRowId runs a metadata-only
+    * footer-count job to build the per-file offsets — once per (session,
+    * path), not once per query. */
+  def loadOrdered(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.getOrElseUpdate((spark, "ordered:" + path(sfDir, name)), {
+      nanosConf(spark)
+      normalize(Natural.withRowId(spark, path(sfDir, name)))
+    })
 
   private def nanosConf(spark: SparkSession): Unit =
     // Spark has no nanosecond timestamp type and by default refuses parquet
