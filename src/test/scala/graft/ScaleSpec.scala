@@ -42,4 +42,46 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bkt")
     }
   }
+
+  test("AQE splits a skewed join partition at runtime") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one key owns ~all left rows; thresholds lowered so the sf-scale
+    // fixture crosses AQE's skew bars. The assertion is the mechanism the
+    // engine relies on at 100 TB for skewed JOINS (salting covers skewed
+    // aggregations; OptimizeSkewedJoin covers joins at runtime).
+    // repartition(8) first: AQE splits a skewed REDUCE partition at
+    // map-block granularity, so the hot key must arrive from several map
+    // tasks (one input file = one mapper = unsplittable otherwise).
+    // sf0.01 (60k rows): the sf0.001 fixture's hot partition compresses
+    // under even a 4KB skew threshold
+    val skewSf = "/root/testdata/sf0.01"
+    val hot = Tables.load(spark, skewSf, "lineitem")
+      .select((col("l_orderkey") * 0 + 1).as("k"), col("l_quantity"))
+      .repartition(8)
+    val dim = (1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "v")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      // at fixture scale the non-forced rule declines (cost heuristic);
+      // force makes the split deterministic for the assertion — production
+      // relies on the default heuristic at real sizes
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = hot.join(dim, "k")
+      val n = joined.collect().length // execute THIS plan to finalize AQE
+      assert(n == Tables.load(spark, skewSf, "lineitem").count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"expected AQE skew handling in final plan:\n${plan.take(2500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
