@@ -23,6 +23,11 @@ import graft.graphql.GVal._
   *   - `GRAFT_CPUS` (optional): local parallelism, default all cores —
   *     irrelevant when submitted to a real cluster via spark-submit, where
   *     the master comes from the submit context.
+  *   - `GRAFT_SPARK_CONF` (optional, JSON object): arbitrary Spark confs
+  *     applied at session build (`{"spark.sql.files.maxPartitionBytes":
+  *     "256m", ...}`) — the deployment-tuning escape hatch (partition
+  *     sizing, AQE knobs, shuffle compression) without a rebuild.
+  *     spark-submit `--conf` flags remain the cluster-native route.
   *
   * Serves `POST /graphql` until terminated.
   */
@@ -43,6 +48,17 @@ object ServiceMain {
       s"COLUMNS must be a JSON list or object, got $other")
   }
 
+  /** GRAFT_SPARK_CONF json object → (key, value) pairs. */
+  def parseSparkConf(json: String): Seq[(String, String)] = Json.parse(json) match {
+    case GObj(fields) => fields.map {
+      case (k, GStr(v)) => k -> v
+      case (k, other) => throw new IllegalArgumentException(
+        s"GRAFT_SPARK_CONF['$k'] must be a string value, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"GRAFT_SPARK_CONF must be a JSON object, got $other")
+  }
+
   def rootName(path: String): String = {
     val base = path.stripSuffix("/").split('/').last.stripSuffix(".parquet")
     // GraphQL field names can't contain dots/dashes; normalize like the
@@ -61,13 +77,16 @@ object ServiceMain {
     val port = sys.env.get("PORT").filter(_.nonEmpty).map(_.toInt).getOrElse(8080)
     val cpus = sys.env.getOrElse("GRAFT_CPUS", "*")
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
       .appName("graft-service")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = sys.env.get("GRAFT_SPARK_CONF").filter(_.nonEmpty)
+      .map(parseSparkConf)
+      .map(_.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) })
+      .getOrElse(builder).getOrCreate()
 
     val service = new GraphQLService(spark, sfDir = "", names = Nil,
       extraRoots = Map(name -> path),

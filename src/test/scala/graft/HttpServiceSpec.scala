@@ -133,6 +133,15 @@ class HttpServiceSpec extends SparkSpec {
     assert(ServiceMain.rootName("/data/lineitem.parquet") == "lineitem")
     assert(ServiceMain.rootName("/data/my-set.parquet") == "my_set")
     assert(ServiceMain.rootName("/data/2024") == "_2024")
+    assert(ServiceMain.parseSparkConf(
+      """{"spark.sql.files.maxPartitionBytes": "256m",
+         "spark.sql.adaptive.enabled": "true"}""") ==
+      Seq("spark.sql.files.maxPartitionBytes" -> "256m",
+        "spark.sql.adaptive.enabled" -> "true"))
+    intercept[IllegalArgumentException](
+      ServiceMain.parseSparkConf("""["not", "an", "object"]"""))
+    intercept[IllegalArgumentException](
+      ServiceMain.parseSparkConf("""{"k": 42}"""))
   }
 
   test("extra root with boot-time projection: served schema and data use aliases") {
