@@ -34,7 +34,8 @@ import GVal._
   * [[GraphQLService]] (thread-safe TrieMap).
   */
 final class GraphQLHttpServer(service: GraphQLService,
-                              port: Int = 0, threads: Int = 8) {
+                              port: Int = 0, threads: Int = 8,
+                              maxBodyBytes: Int = 10 << 20) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newFixedThreadPool(threads)
   server.setExecutor(pool)
@@ -51,8 +52,15 @@ final class GraphQLHttpServer(service: GraphQLService,
     try {
       ex.getRequestMethod match {
         case "POST" =>
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-          runQuery(ex, body)
+          // bounded read: an untrusted client must not be able to buffer an
+          // arbitrary body on the driver (Json.parse caps DEPTH; this caps
+          // SIZE). readNBytes(max+1) reads at most that much — the +1
+          // detects oversize without draining the rest.
+          val bytes = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+          if (bytes.length > maxBodyBytes)
+            respond(ex, 413, "application/json",
+              errors(s"request body exceeds $maxBodyBytes bytes"))
+          else runQuery(ex, new String(bytes, UTF_8))
         case "GET" =>
           val params = queryParams(Option(ex.getRequestURI.getRawQuery))
           params.get("query") match {

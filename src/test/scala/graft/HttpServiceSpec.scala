@@ -39,6 +39,30 @@ class HttpServiceSpec extends SparkSpec {
     assert(r.body().contains(""""timing_ms""""))
   }
 
+  test("oversized POST body is rejected with 413, small server cap honored") {
+    val tiny = new GraphQLHttpServer(new GraphQLService(spark, sf),
+      port = 0, maxBodyBytes = 256).start()
+    try {
+      val url = s"http://localhost:${tiny.boundPort}/graphql"
+      val big = """{"query": "{ nation { count } }", "pad": """" +
+        ("x" * 1024) + "\"}"
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(big, UTF_8)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 413, s"got ${r.statusCode()}: ${r.body()}")
+      // an in-bounds request on the same server still works
+      val ok = client.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query": "{ nation { count } }"}""", UTF_8)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200 && ok.body().contains(""""count":25"""))
+    } finally tiny.stop()
+  }
+
   test("POST with variables") {
     val r = post(
       """{"query": "query($k: Int) { nation { filter(n_regionkey: {eq: $k}) { count } } }",
