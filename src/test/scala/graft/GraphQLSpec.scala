@@ -136,6 +136,19 @@ class GraphQLSpec extends SparkSpec {
       """{ documents { f: textStats(metrics: ["lang"]) { count } } }"""))
   }
 
+  test("textStats composes mid-pipeline: filter -> stats -> group over a metric") {
+    val r = service.execute(
+      """{ documents {
+           w: filter(lang: {eq: "en"}) {
+             s: textStats(on: "text", metrics: ["lang"]) {
+               g: group(by: ["pred_lang"], counts: "n") {
+                 c: columns { pred_lang { values } n { values } } } } } } }""")
+    // grouping keys are the derived metric — executing proves the derived
+    // column participates in downstream aggregation like any native column
+    assert(r.contains("\"pred_lang\":{\"values\":["), r)
+    assert(r.contains("\"n\":{\"values\":["), r)
+  }
+
   test("pack requires natural row order (rejects post-sort placement)") {
     intercept[IllegalArgumentException](service.execute(
       """{ documents { o: order(by: ["lang"]) {
