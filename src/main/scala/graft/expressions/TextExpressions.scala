@@ -115,6 +115,7 @@ case class SimHash64(child: Expression)
   * (~4 s of the sf0.1 decontaminate bench). This is one compiled pass. */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"word_shingles needs n >= 1, got $n")
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -160,6 +161,7 @@ case class WordShingles(child: Expression, n: Int)
   * composable form does). Null text → empty array (when/otherwise). */
 case class WordSpans(child: Expression, span: Int)
     extends UnaryExpression with CodegenFallback {
+  require(span >= 1, s"word_spans needs span >= 1, got $span")
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
