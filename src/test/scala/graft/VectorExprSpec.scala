@@ -145,6 +145,18 @@ class VectorExprSpec extends SparkSpec {
     assert(r.forall(_.getDouble(0) >= 0.0))
   }
 
+  test("fused text functions callable from SQL after registration") {
+    graft.expressions.TextFunctions.register(spark)
+    Tables.load(spark, sf, "documents").limit(5).createOrReplaceTempView("docs5")
+    val r = spark.sql(
+      """SELECT text_stats(text).n_tokens AS n,
+                size(word_shingles(text, 3)) AS sh,
+                size(word_spans(text, 10)) AS sp,
+                collapse_repeats(text) AS cr
+         FROM docs5""").collect()
+    assert(r.length == 5 && r.forall(x => x.getInt(0) >= 1 && !x.isNullAt(3)))
+  }
+
   test("codegen path active (no fallback exception) on wide scan") {
     val e = Tables.load(spark, sf, "embeddings")
     val n = e.select(VectorFunctions.dot(spark, col("embedding"), col("embedding")).as("d"))
