@@ -77,12 +77,17 @@ object Dedup {
     */
   val DefaultMaxDf = 1000
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int, threshold: Double,
                    maxDf: Int = DefaultMaxDf): DataFrame = {
     val shAll = df.select(col(idCol).as("id"),
       explode(shingles(df.sparkSession, col(textCol), n)).as("sh"))
     val sh = if (maxDf > 0) {
+      log.info(s"jaccardPairs: shingle document-frequency cap maxDf=$maxDf " +
+        "active (pairs over shingles above the cap are not generated; " +
+        "maxDf=0 restores the unbounded all-pairs oracle)")
       val hot = shAll.groupBy("sh").agg(count(lit(1)).as("_df"))
         .filter(col("_df") > maxDf).select("sh")
       shAll.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -125,17 +130,57 @@ object Dedup {
           .signature(df.sparkSession, col(textCol), n, k).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** Per-(band, bucket) occupancy cap for the banded candidate joins.
+    *
+    * A bucket holding m documents contributes m(m-1)/2 candidate rows in
+    * EVERY band it appears in — the same F² blowup [[DefaultMaxDf]] closes
+    * for the Jaccard tier. Boilerplate-heavy web corpora (cookie banners,
+    * licence stubs, templated pages) put thousands-to-millions of
+    * near-identical docs in the SAME bucket, turning the linear banded join
+    * quadratic. Buckets above the cap are dropped before the self-join: at
+    * the default the worst bucket contributes ≤ 10⁶/2 candidate rows,
+    * bounded regardless of corpus size.
+    *
+    * Contract: run [[exact]]/[[exactNormalized]] dedup FIRST. After exact
+    * dedup an over-full bucket can only be mass near-duplicated boilerplate;
+    * dropping it trades recall on that degenerate mass for a hard quadratic
+    * bound (production near-dup pipelines make the same trade). `maxBucket =
+    * 0` disables the cap for oracle/verification runs. */
+  val DefaultMaxBucket = 1000
+
+  /** Drop (band, bucket) groups holding more than `maxBucket` docs.
+    * The hot-bucket list is tiny by construction — broadcast anti-join,
+    * no extra shuffle of the banded stream. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int,
+                         op: String): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      log.info(s"$op: band-bucket occupancy cap maxBucket=$maxBucket active " +
+        "(oversized buckets are dropped from candidate generation; run exact " +
+        "dedup first — maxBucket=0 disables the cap)")
+      val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucket).select("band", "bucket")
+      banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    }
+
   /** LSH candidate pairs from MinHash signatures: `bands` bands of
     * `k/bands` rows each; docs sharing any band bucket are candidates;
     * candidates are then verified with the exact signature similarity
     * (fraction of equal signature components ≥ threshold).
     *
     * Scale shape: explode to (band, bucketHash) — b rows per doc — then a
-    * shuffle on the bucket key. No quadratic stage outside buckets.
-    */
+    * shuffle on the bucket key. No quadratic stage outside buckets, and
+    * bucket occupancy itself is bounded by `maxBucket` (see
+    * [[DefaultMaxBucket]] for the boilerplate-skew rationale).
+    *
+    * The result is materialized eagerly (narrow (id1, id2, est_jaccard)
+    * rows, volume bounded by the banded candidate count) so the signature
+    * cache is scoped to this call — a long-lived serving process must not
+    * accumulate pinned frames across requests. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k ($k) must be a positive multiple of bands ($bands): a remainder " +
         "would silently exclude trailing signature components from banding")
@@ -144,26 +189,30 @@ object Dedup {
     // signature frame — the local analog of materializing a signature table,
     // which is how a 100 TB pipeline would amortize it across runs
     val sig = minhashSignatures(df, textCol, idCol, n, k).persist()
-    // band join and dedup on bare (band, bucket, id) rows — signatures
-    // (64 longs each) are re-joined only for the surviving candidates, so
-    // the wide payload never rides the candidate-generation shuffle
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .dropDuplicates("id1", "id2")
-    val withSigs = cand
-      .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
-      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
-    withSigs.withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-          b => b)) / lit(k.toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select("id1", "id2", "est_jaccard")
+    try {
+      // band join and dedup on bare (band, bucket, id) rows — signatures
+      // (64 longs each) are re-joined only for the surviving candidates, so
+      // the wide payload never rides the candidate-generation shuffle
+      val banded = capBuckets(sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
+        maxBucket, "minhashPairs")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .dropDuplicates("id1", "id2")
+      val withSigs = cand
+        .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+        .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      withSigs.withColumn("est_jaccard",
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+            b => b)) / lit(k.toDouble))
+        .filter(col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+        .localCheckpoint(eager = true)
+    } finally sig.unpersist(blocking = false)
   }
 
   /** md5-derived 60-bit hash of a seeded string — reproducible in ANY
@@ -184,7 +233,8 @@ object Dedup {
     * banded candidates, no all-pairs stage) is the same. */
   def minhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k ($k) must be a positive multiple of bands ($bands): a remainder " +
         "would silently exclude trailing signature components from banding")
@@ -202,23 +252,27 @@ object Dedup {
       .agg(transform(array_sort(collect_list(struct(col("seed"), col("m")))),
         x => x.getField("m")).as("sig"))
       .persist()
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ","))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .dropDuplicates("id1", "id2")
-    cand
-      .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
-      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-          b => b)) / lit(k.toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select("id1", "id2", "est_jaccard")
+    try {
+      val banded = capBuckets(sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ","))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
+        maxBucket, "minhashPairsMd5")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .dropDuplicates("id1", "id2")
+      cand
+        .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+        .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+            b => b)) / lit(k.toDouble))
+        .filter(col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+        .localCheckpoint(eager = true)
+    } finally sig.unpersist(blocking = false)
   }
 
   /** SimHash pairs with md5-derived per-token bits: token bit b comes from
@@ -229,7 +283,8 @@ object Dedup {
     * compares slices, which is equality-equivalent to the packed-long
     * banding here. */
   def simhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
     val hv = tok.select(col("id"),
       conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("v1"),
@@ -247,19 +302,23 @@ object Dedup {
     val fp = hv.groupBy("id").agg(sums.head, sums.tail: _*)
       .select(col("id"), packed.as("sh"))
       .persist()
-    val banded = fp.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
-      .dropDuplicates("id1", "id2")
-    cand.withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+    try {
+      val banded = capBuckets(fp.select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
+        maxBucket, "simhashPairsMd5")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+        .dropDuplicates("id1", "id2")
+      cand.withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("id1", "id2", "hamming")
+        .localCheckpoint(eager = true)
+    } finally fp.unpersist(blocking = false)
   }
 
   /** 64-bit SimHash over tokens: bit b is set iff the sum over tokens of
@@ -287,14 +346,20 @@ object Dedup {
       org.apache.spark.sql.SparkSession.active, text)
 
   /** SimHash near-dup candidates: 4 bands of 16 bits; same-band collision →
-    * candidate; verified by Hamming distance ≤ maxHamming. */
+    * candidate; verified by Hamming distance ≤ maxHamming. Bucket occupancy
+    * bounded by `maxBucket` ([[DefaultMaxBucket]] — 16-bit SimHash bands are
+    * especially collision-prone on boilerplate corpora). The fingerprint
+    * frame is a single fused-expression scan (cheap to recompute), so no
+    * persist is needed here. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val banded = sig.select(col("id"), col("sh"),
+    val banded = capBuckets(sig.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
+      maxBucket, "simhashPairs")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

@@ -22,6 +22,47 @@ class PipelineSpec extends SparkSpec {
     info(s"exact pairs: ${exact.size}, lsh candidates: ${lsh.size}")
   }
 
+  test("band-bucket cap prunes boilerplate skew; inactive on normal data; no cache leak") {
+    import spark.implicits._
+    // 40 ids sharing ONE boilerplate text — identical signatures, so all 40
+    // land in the same bucket of EVERY band (the quadratic skew shape) —
+    // plus one genuine near-dup pair and unrelated filler docs
+    val boiler = "cookie consent banner please accept our terms " * 8
+    val nearA = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearB = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val filler = (1L to 10L).map(i =>
+      (1000L + i, s"unique filler document number $i with totally distinct words ${i * 7} ${i * 13} ${i * 29}"))
+    val df = ((1L to 40L).map(i => (i, boiler)) ++
+      Seq((100L, nearA), (101L, nearB)) ++ filler).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.5,
+      maxBucket = 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.5,
+      maxBucket = 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: the 40-doc boilerplate bucket alone yields 780 pairs
+    assert(uncapped.size >= 780 + 1)
+    // capped: the oversized bucket is gone; the small-bucket near-dup pair
+    // survives untouched
+    assert(capped.contains((100L, 101L)))
+    assert(!capped.exists { case (a, b) => a <= 40 && b <= 40 })
+    // on data with no oversized buckets the default cap changes nothing
+    val dn = docs
+    val withCap = Dedup.minhashPairs(dn, "text", "doc_id", threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noCap = Dedup.minhashPairs(dn, "text", "doc_id", threshold = 0.5,
+      maxBucket = 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withCap == noCap)
+    // the signature persist is scoped to the call: nothing left pinned in
+    // the cache manager after repeated pairs calls (serving hygiene)
+    Dedup.simhashPairs(df, "text", "doc_id", maxBucket = 10).collect()
+    Dedup.minhashPairsMd5(df, "text", "doc_id", maxBucket = 10).collect()
+    Dedup.simhashPairsMd5(df, "text", "doc_id", maxBucket = 10).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pairs operators must unpersist their signature caches")
+  }
+
   test("minhash banding rejects k not divisible by bands") {
     // k=30, bands=8 would silently drop the trailing 30-8*3=6 signature
     // components from banding while est_jaccard still divides by k
