@@ -103,11 +103,11 @@ case class LshBits(child: Expression, planes: Array[Array[Double]])
 }
 
 object LshFunctions {
-  /** Register (idempotently, one name per plane family) and call. */
+  /** Register (idempotently; the name encodes the plane-family parameters,
+    * so keep-first registration is always the same builder) and call. */
   def bits(spark: SparkSession, vec: Column, name: String,
            planes: Array[Array[Double]]): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => LshBits(exprs(0), planes), "scala_udf")
+    Registration.ensure(spark, name)(exprs => LshBits(exprs(0), planes))
     call_function(name, vec)
   }
 }

@@ -77,10 +77,10 @@ object MinHashFunctions {
   /** Idempotent session registration; usable via Column API ([[signature]])
     * and SQL (`minhash_sig(text, n, k)`). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
-      "scala_udf")
+    Registration.ensure(spark, "minhash_sig")(
+      exprs => MinHashSignature(exprs(0),
+        Registration.intArg(exprs(1), "minhash_sig", "n"),
+        Registration.intArg(exprs(2), "minhash_sig", "k")))
 
   def signature(spark: SparkSession, text: Column, n: Int, k: Int): Column = {
     register(spark)

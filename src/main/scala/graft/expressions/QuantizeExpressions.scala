@@ -70,8 +70,8 @@ case class QuantizeInt8(child: Expression)
 
 object QuantizeFunctions {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "quantize_int8", exprs => QuantizeInt8(exprs(0)), "scala_udf")
+    Registration.ensure(spark, "quantize_int8")(
+      exprs => QuantizeInt8(exprs(0)))
 
   def quantize(spark: SparkSession, vec: Column): Column = {
     register(spark)

@@ -363,20 +363,16 @@ object TextStats {
 
 object TextFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_fingerprint", exprs => RollingFingerprint(exprs(0)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_spans", exprs => WordSpans(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "text_stats", exprs => TextStats(exprs(0)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "collapse_repeats", exprs => CollapseRepeats(exprs(0)), "scala_udf")
+    Registration.ensure(spark, "rolling_fingerprint")(
+      exprs => RollingFingerprint(exprs(0)))
+    Registration.ensure(spark, "simhash64")(exprs => SimHash64(exprs(0)))
+    Registration.ensure(spark, "word_shingles")(exprs => WordShingles(exprs(0),
+      Registration.intArg(exprs(1), "word_shingles", "n")))
+    Registration.ensure(spark, "word_spans")(exprs => WordSpans(exprs(0),
+      Registration.intArg(exprs(1), "word_spans", "span")))
+    Registration.ensure(spark, "text_stats")(exprs => TextStats(exprs(0)))
+    Registration.ensure(spark, "collapse_repeats")(
+      exprs => CollapseRepeats(exprs(0)))
   }
 
   def fingerprint(spark: SparkSession, text: Column): Column = {

@@ -62,8 +62,8 @@ object VectorFunctions {
   /** Idempotent session registration; expression usable via Column API
     * ([[dot]]) and SQL (`vec_dot(a, b)`). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "scala_udf")
+    Registration.ensure(spark, "vec_dot")(
+      exprs => FloatVectorDot(exprs(0), exprs(1)))
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

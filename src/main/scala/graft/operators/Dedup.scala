@@ -523,9 +523,11 @@ object Dedup {
       if (hashes.isEmpty) keyed
       else {
         val bf = hashes.stat.bloomFilter("_h", expectedItems, fpp)
-        val bcast = spark.sparkContext.broadcast(bf)
-        val unseen = udf((h: Long) => !bcast.value.mightContainLong(h))
-        keyed.filter(unseen(col("_h")))
+        // native codegen'd membership expression (the one Spark's runtime
+        // row-filter injection uses) — not a Scala UDF: stays visible to
+        // Catalyst and inside whole-stage codegen on the screening hot path
+        keyed.filter(!graft.expressions.BloomFunctions
+          .mightContainLong(spark, bf, col("_h")))
       }
     screened
       .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))

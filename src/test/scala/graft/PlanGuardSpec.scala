@@ -49,6 +49,22 @@ class PlanGuardSpec extends SparkSpec {
       s"unpartitioned row-scale windows: ${offenders.mkString("; ")}")
   }
 
+  test("incrementalBloom screens via the native Bloom expression, not a Scala UDF") {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalaUDF}
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val corpus = docs.limit(200).select("doc_id", "text")
+    val batch = docs.limit(300).select("doc_id", "text")
+    val df = graft.operators.Dedup.incrementalBloom(batch, corpus,
+      "text", "doc_id", expectedItems = 1000L, fpp = 1e-6)
+    val analyzed = df.queryExecution.analyzed
+    val udfs = analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect { case u: ScalaUDF => u }) }.flatten
+    assert(udfs.isEmpty, s"Scala UDF on the Bloom screening hot path: $udfs")
+    val blooms = analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect { case b: BloomFilterMightContain => b }) }.flatten
+    assert(blooms.nonEmpty, "expected a BloomFilterMightContain screen in the plan")
+  }
+
   test("the guard itself catches the documented-serial window shape") {
     // q_runs IS the serial reference form — the guard must see it, or the
     // green assertion above proves nothing
