@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -28,16 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * consistent with the relational form dropping them).
   */
 case class MinHashSignature(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override def nullable: Boolean = true
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return null
-    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+  /** Null when the doc has fewer than n tokens (no shingles). */
+  def compute(u: UTF8String): GenericArrayData = {
+    val text = u.toString.toLowerCase
     // whitespace tokenization, empty tokens skipped (matches split(lower, \s+))
     val toks = text.split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) return null
@@ -67,6 +67,27 @@ case class MinHashSignature(child: Expression, n: Int, k: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  // compute() itself returns null for sub-n-token docs, so the generated
+  // code must re-derive isNull from the result (nullSafeCodeGen would pin
+  // isNull to the child's and hand a null value downstream as non-null)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val self = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      $jt ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = ($jt) $self.compute(${c.value});
+        ${ev.isNull} = ${ev.value} == null;
+      }
+      """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -3,10 +3,23 @@ package graft.expressions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen note (applies to every fused expression in this file): instead
+  * of CodegenFallback — which forces the surrounding operator to materialize
+  * a full InternalRow per row and crosses an interpreted `eval` boundary
+  * with boxed results — each expression generates a direct call to its own
+  * compiled `compute(UTF8String)` via `ctx.addReferenceObj`, the same
+  * technique [[LshBits]] uses for its plane matrix. The operator stays
+  * inside whole-stage codegen (no fallback boundary in the plan), inputs
+  * and outputs stay unboxed, and the per-document loop runs as ordinary
+  * JIT-compiled JVM code; the one virtual call per ROW is noise against the
+  * per-token work inside. */
 
 /** Fused rolling-hash document fingerprint — bit-identical to the
   * composable form in [[graft.operators.TextAnalysis.fingerprintComposable]]
@@ -19,17 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * The composable form walks interpreted higher-order lambdas per CHARACTER
   * (~2 s at sf0.1 for 1.5 MB of text); this is one compiled pass. */
 case class RollingFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fingerprint"
 
   private val M = 1000000007L
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return null
-    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+  def compute(u: UTF8String): Long = {
+    val text = u.toString.toLowerCase
     // Spark split(str, re) = java split(re, -1): keeps leading/trailing empties
     val toks = text.split("\\s+", -1)
     var acc = 0L
@@ -52,6 +63,15 @@ case class RollingFingerprint(child: Expression)
     acc
   }
 
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("fp", this, classOf[RollingFingerprint].getName)
+      s"${ev.value} = $self.compute($c);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -65,15 +85,13 @@ case class RollingFingerprint(child: Expression)
   * per token (interpreted); this is one compiled pass with a 64-int
   * counter array. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return null
-    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+  def compute(u: UTF8String): Long = {
+    val text = u.toString.toLowerCase
     val toks = text.split("\\s+", -1)
     val counters = new Array[Int](64)
     var t = 0
@@ -98,6 +116,15 @@ case class SimHash64(child: Expression)
     acc
   }
 
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      s"${ev.value} = $self.compute($c);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -114,7 +141,7 @@ case class SimHash64(child: Expression)
   * the split re-ran once PER SHINGLE INDEX — O(tokens²) regex work per doc
   * (~4 s of the sf0.1 decontaminate bench). This is one compiled pass. */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"word_shingles needs n >= 1, got $n")
 
   override def dataType: DataType =
@@ -123,14 +150,12 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
   override def nullable: Boolean = false
 
-  private val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-    Array.empty[Any])
+  // shared immutable instance: null/short docs produce the SAME empty array
+  def emptyArray: ArrayData = WordShingles.Empty
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return empty
-    val toks = v.asInstanceOf[UTF8String].toString.toLowerCase.split("\\s+", -1)
-    if (toks.length < n) return empty
+  def compute(u: UTF8String): ArrayData = {
+    val toks = u.toString.toLowerCase.split("\\s+", -1)
+    if (toks.length < n) return WordShingles.Empty
     val seen = new java.util.LinkedHashSet[String]
     var i = 0
     while (i <= toks.length - n) {
@@ -144,11 +169,33 @@ case class WordShingles(child: Expression, n: Int)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordShingles.Empty else compute(v.asInstanceOf[UTF8String])
+  }
+
+  // null input maps to the empty array (never null out), so the default
+  // null-propagating nullSafeCodeGen does not fit — generate the branch
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val self = ctx.addReferenceObj("shingles", this, classOf[WordShingles].getName)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $jt ${ev.value} = ${c.isNull} ? ($jt) $self.emptyArray()
+        : ($jt) $self.compute(${c.value});
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object WordShingles {
+  private val Empty = new GenericArrayData(Array.empty[Any])
 }
 
 /** Fused non-overlapping token spans — bit-identical to the composable form
@@ -160,7 +207,7 @@ case class WordShingles(child: Expression, n: Int)
   * passes the guard and yields its quirky empty-token spans, as the
   * composable form does). Null text → empty array (when/otherwise). */
 case class WordSpans(child: Expression, span: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(span >= 1, s"word_spans needs span >= 1, got $span")
 
   override def dataType: DataType =
@@ -169,17 +216,14 @@ case class WordSpans(child: Expression, span: Int)
   override def prettyName: String = "word_spans"
   override def nullable: Boolean = false
 
-  private val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-    Array.empty[Any])
+  def emptyArray: ArrayData = WordSpans.Empty
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return empty
-    val s = v.asInstanceOf[UTF8String].toString
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
     var nonSpace = false
     var c = 0
     while (c < s.length && !nonSpace) { if (s.charAt(c) != ' ') nonSpace = true; c += 1 }
-    if (!nonSpace) return empty
+    if (!nonSpace) return WordSpans.Empty
     val toks = s.split("\\s+", -1)
     val nch = ((toks.length + span - 1) / span).max(1)
     val out = new Array[Any](nch)
@@ -193,11 +237,31 @@ case class WordSpans(child: Expression, span: Int)
       out(j) = UTF8String.fromString(sb.toString)
       j += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordSpans.Empty else compute(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val self = ctx.addReferenceObj("spans", this, classOf[WordSpans].getName)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $jt ${ev.value} = ${c.isNull} ? ($jt) $self.emptyArray()
+        : ($jt) $self.compute(${c.value});
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object WordSpans {
+  private val Empty = new GenericArrayData(Array.empty[Any])
 }
 
 /** One-pass fused primitives behind every per-document text metric
@@ -217,17 +281,13 @@ case class WordSpans(child: Expression, span: Int)
   * pass per row; consumers project this struct ONCE and derive each metric
   * with plain arithmetic on its fields. */
 case class TextStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  import org.apache.spark.sql.types._
+    extends UnaryExpression {
 
   override def dataType: DataType = TextStats.schema
   override def prettyName: String = "text_stats"
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return null
-    val orig = v.asInstanceOf[UTF8String].toString
+  def compute(u: UTF8String): InternalRow = {
+    val orig = u.toString
     val nChars = orig.codePointCount(0, orig.length)
     val lower = orig.toLowerCase
     val toks = lower.split("\\s+", -1)
@@ -288,6 +348,16 @@ case class TextStats(child: Expression)
         dupTrigrams, nTrigrams, bpeIsh))
   }
 
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("textStats", this, classOf[TextStats].getName)
+      val jt = CodeGenerator.javaType(dataType)
+      s"${ev.value} = ($jt) $self.compute($c);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -299,16 +369,14 @@ case class TextStats(child: Expression)
   * (concat_ws never returns null). The composable form's filter lambda
   * re-evaluates the split per element via element_at. */
 case class CollapseRepeats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def prettyName: String = "collapse_repeats"
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return UTF8String.EMPTY_UTF8
-    val toks = v.asInstanceOf[UTF8String].toString.toLowerCase.split("\\s+", -1)
+  def compute(u: UTF8String): UTF8String = {
+    val toks = u.toString.toLowerCase.split("\\s+", -1)
     val sb = new java.lang.StringBuilder(toks(0))
     var i = 1
     while (i < toks.length) {
@@ -316,6 +384,25 @@ case class CollapseRepeats(child: Expression)
       i += 1
     }
     UTF8String.fromString(sb.toString)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) UTF8String.EMPTY_UTF8 else compute(v.asInstanceOf[UTF8String])
+  }
+
+  // null input maps to "" (concat_ws semantics), so the default
+  // null-propagating codegen does not fit
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val self = ctx.addReferenceObj("collapse", this, classOf[CollapseRepeats].getName)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $jt ${ev.value} = ${c.isNull}
+        ? org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        : $self.compute(${c.value});
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
