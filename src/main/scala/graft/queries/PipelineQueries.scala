@@ -431,6 +431,89 @@ object PipelineQueries {
             CAST(rn AS INT) AS rank
           FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
 
+  /** Index base dir for the prebuilt-ANN gate queries: per-sf-dir so the
+    * sf0.01 and sf0.1 gate runs never share index files. */
+  private def annDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** IVF ANN against a PREBUILT cid-partitioned index (build-once/
+    * probe-many serving path): identical parameters and oracle as
+    * [[q_ann_ivf]] — the index must change WHERE the work happens (probe
+    * reads only the probed cluster partitions; PipelineSpec asserts the
+    * pruning), never the answer. */
+  val q_ann_ivf_prebuilt = Q(
+    "q_ann_ivf_prebuilt",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val idx = Similarity.ivfIndexFor(e, corpusKey = dir, "vec_id", "embedding",
+        nlist = 16, baseDir = annDir(dir))
+      GTable(Similarity.ivfProbe(idx, queries, k = 5, nprobe = 6))
+        .project("score" -> round(col("score"), 9))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cid, e AS ce FROM v
+            ORDER BY vec_id LIMIT 16),
+          asg AS (SELECT v.vec_id AS neighbor_id,
+              (SELECT c.cid FROM cents c
+               ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM v),
+          probes AS (SELECT q.vec_id AS query_id, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.e", "c.ce")} DESC, c.cid DESC) AS pr
+            FROM v q, cents c WHERE q.vec_id < 10),
+          cand AS (SELECT DISTINCT query_id, neighbor_id
+            FROM (SELECT query_id, cid FROM probes WHERE pr <= 6) p
+            JOIN asg USING (cid) WHERE query_id <> neighbor_id),
+          scored AS (SELECT query_id, neighbor_id,
+              ${cosSql("qv.e", "cv.e")} AS score
+            FROM cand JOIN v qv ON cand.query_id = qv.vec_id
+                      JOIN v cv ON cand.neighbor_id = cv.vec_id),
+          ranked AS (SELECT query_id, neighbor_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn
+            FROM scored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rn AS INT) AS rank
+          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
+
+  /** LSH ANN against a PREBUILT (table, bucket)-partitioned index — same
+    * parameters and oracle as [[q_ann_lsh]]. */
+  val q_ann_lsh_prebuilt = Q(
+    "q_ann_lsh_prebuilt",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val idx = Similarity.lshIndexFor(e, corpusKey = dir, "vec_id", "embedding",
+        planes = 4, dim = 64, baseDir = annDir(dir))
+      GTable(Similarity.lshProbe(idx, queries, k = 5))
+        .project("score" -> round(col("score"), 9))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          ${lshBucketsSql(planes = 4, dim = 64, tables = 8)},
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          scored AS (SELECT query_id, neighbor_id,
+              ${cosSql("qv.e", "cv.e")} AS score
+            FROM cand JOIN v qv ON cand.query_id = qv.vec_id
+                      JOIN v cv ON cand.neighbor_id = cv.vec_id),
+          ranked AS (SELECT query_id, neighbor_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn
+            FROM scored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rn AS INT) AS rank
+          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
+
   /** Language ID + per-language doc counts (stopword-ratio heuristic). */
   val q_lang_id = Q(
     "q_lang_id",
@@ -1197,7 +1280,8 @@ object PipelineQueries {
     q_dedup_minhash_md5, q_dedup_simhash_md5, q_gql_near_dedup,
     q_gql_dedup_against, q_gql_dedup_against_bloom,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
-    q_ann_lsh, q_ann_ivf, q_lang_id, q_text_quality, q_token_count,
+    q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,
+    q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
     q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,
     q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,

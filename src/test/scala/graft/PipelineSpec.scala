@@ -63,6 +63,50 @@ class PipelineSpec extends SparkSpec {
       "pairs operators must unpersist their signature caches")
   }
 
+  test("prebuilt ANN indexes: probe prunes to probed partitions, answers match on-the-fly") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+    }.flatten
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    val e = embs
+    val queries = e.filter(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_spec").toString
+
+    val ivf = Similarity.ivfBuild(e, "vec_id", "embedding", nlist = 8,
+      path = s"$dir/ivf")
+    val probe = Similarity.ivfProbe(ivf, queries, k = 5, nprobe = 2)
+    assert(key(probe) == key(Similarity.ivfTopK(e, queries, "vec_id",
+      "embedding", k = 5, nlist = 8, nprobe = 2)))
+    // the index scan carries a static cid partition filter and reads
+    // strictly fewer files than the index holds (3 queries × nprobe 2 of
+    // 8 lists) — the build-once/probe-many contract
+    val ivfScan = scans(probe.queryExecution.executedPlan)
+      .find(_.toString.contains("ivf")).get
+    assert(ivfScan.toString.contains("PartitionFilters"), ivfScan.toString)
+    val ivfRead = ivfScan.metrics("numFiles").value
+    val ivfAll = spark.read.parquet(s"$dir/ivf").inputFiles.length
+    assert(ivfRead > 0 && ivfRead < ivfAll,
+      s"ivf probe read $ivfRead of $ivfAll index files — not pruned")
+
+    val lsh = Similarity.lshBuild(e, "vec_id", "embedding", planes = 4,
+      dim = 64, path = s"$dir/lsh")
+    val lprobe = Similarity.lshProbe(lsh, queries, k = 5)
+    assert(key(lprobe) == key(Similarity.lshTopK(e, queries, "vec_id",
+      "embedding", k = 5, planes = 4, dim = 64)))
+    val lshScan = scans(lprobe.queryExecution.executedPlan)
+      .find(_.toString.contains("lsh")).get
+    val lshRead = lshScan.metrics("numFiles").value
+    val lshAll = spark.read.parquet(s"$dir/lsh").inputFiles.length
+    assert(lshRead > 0 && lshRead < lshAll,
+      s"lsh probe read $lshRead of $lshAll index files — not pruned")
+  }
+
   test("minhash banding rejects k not divisible by bands") {
     // k=30, bands=8 would silently drop the trailing 30-8*3=6 signature
     // components from banding while est_jaccard still divides by k
