@@ -38,25 +38,56 @@ object Natural {
     col(rid)
   }
 
-  /** Read `path` with a stable 0-based natural-order row id attached. */
-  def withRowId(spark: SparkSession, path: String): DataFrame = {
-    // Metadata-only: per-file row counts (footer counts; no data IO).
-    val counts = spark.read.parquet(path)
-      .groupBy(col("_metadata.file_path").as(fileCol))
-      .count()
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (f, n) => val o = acc; acc += n; (f, o) }
-    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF(fileCol, "_gq_off")
-    spark.read.parquet(path)
-      .withColumn(fileCol, col("_metadata.file_path"))
+  /** Per-file natural-order start offsets for every file under `path`:
+    * footer row counts (metadata-only job), lexicographic file order,
+    * driver-side prefix sum. Memoized per (session, path) — served fast
+    * paths consult this per request and a root's files don't change under
+    * a service (same contract as ParquetMeta.partitionColumns). */
+  private val offsetCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[(String, Long)]]
+  def fileOffsets(spark: SparkSession, path: String): Array[(String, Long)] =
+    offsetCache.getOrElseUpdate((spark, path), {
+      val counts = spark.read.parquet(path)
+        .groupBy(col("_metadata.file_path").as(fileCol))
+        .count()
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      var acc = 0L
+      counts.map { case (f, n) => val o = acc; acc += n; (f, o) }
+    })
+
+  private def attachRowId(df: DataFrame, spark: SparkSession,
+                          offsets: Seq[(String, Long)]): DataFrame = {
+    val offsetsDf = spark.createDataFrame(offsets).toDF(fileCol, "_gq_off")
+    df.withColumn(fileCol, col("_metadata.file_path"))
       .withColumn("_gq_idx", col("_metadata.row_index"))
       .join(broadcast(offsetsDf), fileCol)
       .withColumn(rid, col("_gq_off") + col("_gq_idx"))
       .drop(fileCol, "_gq_off", "_gq_idx")
   }
+
+  /** Read `path` with a stable 0-based natural-order row id attached. */
+  def withRowId(spark: SparkSession, path: String): DataFrame =
+    attachRowId(spark.read.parquet(path), spark,
+      fileOffsets(spark, path).toSeq)
+
+  /** Read only `files` of the dataset rooted at `root`, with each row
+    * carrying the SAME natural-order id the full root would assign it —
+    * offsets are prefix-summed over ALL of the root's files, then
+    * restricted to the selected subset. This is what lets metadata file
+    * narrowing (ParquetMeta.orderedFiles/firstFiles) keep the natural-order
+    * serving contract: downstream slice/row/column collection order by the
+    * sparse rid exactly as they would over the un-narrowed root. */
+  def withRowIdFiles(spark: SparkSession, root: String,
+                     files: Seq[String]): DataFrame =
+    if (files.isEmpty) withRowId(spark, root).limit(0)
+    else {
+      val sel = files.toSet
+      attachRowId(
+        spark.read.option("basePath", root).parquet(files: _*), spark,
+        fileOffsets(spark, root).filter(f => sel.contains(f._1)).toSeq)
+    }
 
   /** Drop the hidden id (call before surfacing results). */
   def strip(df: DataFrame): DataFrame =

@@ -182,7 +182,11 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     rootPath.filter(_ => over.isEmpty && by.nonEmpty).flatMap { p =>
       val keys = graft.sources.ParquetMeta.keyPrefix(spark, p, by)
       if (keys.isEmpty) None
-      else Some(GTable(graft.sources.ParquetMeta.readFiles(spark, p, files(p, keys)),
+      // the narrowed frame re-attaches the root's natural row ids (offsets
+      // restricted to the selected files), so unsorted serving after the
+      // exact operator — slice/row, per-column collection — keeps the
+      // natural-order contract the rid-carrying root gave it
+      else Some(GTable(graft.core.Natural.withRowIdFiles(spark, p, files(p, keys)),
         denseRid = false))
     }
 
@@ -1122,8 +1126,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     // query is identical either way.
     val rankOps = Set("rowNumber", "rank", "denseRank", "percentRank", "ntile")
     val opArgs = f.args.filter { case (k, _) => k != "over" && k != "by" }
-    val pureRanking = over.nonEmpty && byKeys.nonEmpty && opArgs.nonEmpty &&
-      opArgs.forall { case (k, _) => rankOps(k) }
+    // above the flip threshold rankingsAuto executes EAGERLY (stats collect
+    // + localCheckpoint at plan-construction time) — only worth it when the
+    // selection actually materializes rows. A schema/type/toSql-only
+    // selection stays on the lazy window form (same output schema), so
+    // reflection queries never trigger a full ranking job (mirrors the
+    // resolveTable persist policy's consumer test).
+    val materializes = f.sels.exists(s =>
+      !Set("type", "schema", "toSql").contains(s.name))
+    val pureRanking = materializes && over.nonEmpty && byKeys.nonEmpty &&
+      opArgs.nonEmpty && opArgs.forall { case (k, _) => rankOps(k) }
     if (pureRanking) {
       def alias(v: GVal, dflt: String): String = v match {
         case GStr(a) => a

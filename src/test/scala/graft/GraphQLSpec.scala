@@ -530,6 +530,45 @@ class GraphQLSpec extends SparkSpec {
     assert(r.contains(""""count":5"""))
   }
 
+  test("hive first narrowing keeps the natural-order serving contract") {
+    import graft.core.{Natural, Tables}
+    import graft.graphql.GraphQLService
+    import org.apache.spark.sql.functions.col
+    // multi-file partitions: arbitrary narrowed-scan order would interleave
+    // files, so only a real row-id re-attach can serve file order
+    val dir = java.nio.file.Files.createTempDirectory("graft_hive_first").toString + "/li"
+    Tables.load(spark, sf, "lineitem").repartition(3)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val svc = new GraphQLService(spark, sf, extraRoots = Map("lihive" -> dir))
+    // expected: the un-narrowed ordered root's natural order for the first
+    // partition value (the rank-1 group)
+    val full = Natural.withRowId(spark, dir)
+    val firstFlag = full.select("l_returnflag").orderBy(col("l_returnflag"))
+      .limit(1).collect()(0).getString(0)
+    val expect = full.filter(col("l_returnflag") === firstFlag)
+      .orderBy(col(Natural.rid))
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val r = svc.execute(
+      """{ lihive { first(by: ["l_returnflag"]) {
+           columns { l_orderkey { values } l_partkey { values } } } } }""")
+    def longs(name: String): Seq[Long] =
+      (s""""$name":\\{"values":\\[([^\\]]*)\\]""".r.findFirstMatchIn(r).get
+        .group(1)).split(",").map(_.trim.toLong).toSeq
+    // both columns ride independent collection jobs — natural order keeps
+    // them row-aligned AND in file order
+    assert(longs("l_orderkey").zip(longs("l_partkey")) == expect,
+      "narrowed first must serve the root's natural order")
+    // slice after first: positional semantics over the narrowed frame
+    val r2 = svc.execute(
+      """{ lihive { first(by: ["l_returnflag"]) { slice(offset: 5, limit: 3) {
+           columns { l_orderkey { values } } } } } }""")
+    val sliced = (""""l_orderkey":\{"values":\[([^\]]*)\]""".r
+      .findFirstMatchIn(r2).get.group(1)).split(",").map(_.trim.toLong).toSeq
+    assert(sliced == expect.map(_._1).slice(5, 8),
+      "slice after narrowed first must follow natural order")
+  }
+
   test("invalid field names are warned and skipped in the SDL (nofields behavior)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
