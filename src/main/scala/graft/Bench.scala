@@ -44,23 +44,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
     val qmap = SparkEntry.queries
     val names = headline.filter(qmap.contains)
     // JVM/codegen warmup on the smallest scale of the first query
     qmap(names.head)(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Best-of-N protocol (round-6): single runs wobble ±2-3 s on a busy
+    // box, which made round-over-round deltas unreadable (VERDICT r5 §perf).
+    // The min over in-process repetitions estimates the noise floor; raw
+    // runs are kept in the JSON so the distribution stays auditable.
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, runs.min, runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val raw = results.map { case (k, _, rs) =>
+      "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // continuity subtotal: the pre-round-5 18-query set, so cross-round
     // totals compare like-for-like after the LLM-pipeline set was added
-    val core18 = results.filterNot { case (k, _) => llmSet.contains(k) }.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core18":$core18%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    val core18 = results.filterNot { case (k, _, _) => llmSet.contains(k) }.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core18":$core18%.3f,"reps":$reps,"queries":$qs,"raw":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
