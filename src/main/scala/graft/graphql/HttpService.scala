@@ -23,9 +23,12 @@ import GVal._
   *     the graphql-over-http spec's distinction).
   *   - `GET /graphql?query=...&variables=...` — same execution for
   *     URL-encoded reads.
-  *   - `GET /graphql` without a query → the schema SDL as text (the
-  *     reference serves GraphiQL here; a browser IDE is out of scope but
-  *     the SDL gives the same "what can I query" answer).
+  *   - `GET /graphql` without a query → a browser IDE page (reference
+  *     parity: strawberry.asgi serves GraphiQL on bare GET,
+  *     middleware.py:41-65). Self-contained HTML — zero egress: a query
+  *     editor with the live SDL inlined, posting to this endpoint.
+  *   - `GET /graphql?sdl` → the schema SDL as plain text (machine-readable
+  *     variant of the same reflection).
   *
   * Scale: the handler pool bounds concurrent queries (`threads`); each
   * request builds one lazy Catalyst plan and only leaf scalars
@@ -69,7 +72,10 @@ final class GraphQLHttpServer(service: GraphQLService,
               val op = params.get("operationName")
                 .map(n => s""","operationName":${Json.quote(n)}""").getOrElse("")
               runQuery(ex, s"""{"query":${Json.quote(q)}$vars$op}""")
-            case None => respond(ex, 200, "text/plain; charset=utf-8", service.sdl)
+            case None if params.contains("sdl") =>
+              respond(ex, 200, "text/plain; charset=utf-8", service.sdl)
+            case None =>
+              respond(ex, 200, "text/html; charset=utf-8", idePage)
           }
         case other =>
           respond(ex, 405, "application/json",
@@ -113,6 +119,54 @@ final class GraphQLHttpServer(service: GraphQLService,
       case Right(_) =>
         respond(ex, 400, "application/json", errors("request body must be a JSON object"))
     }
+  }
+
+  /** Browser IDE served on bare GET (reference middleware.py:41-65 serves
+    * GraphiQL from strawberry.asgi's default). Self-contained — no CDN
+    * scripts (the deployment may have zero egress): a two-pane editor that
+    * POSTs to this endpoint and shows the schema SDL inline. */
+  private lazy val idePage: String = {
+    val sdlJs = Json.quote(service.sdl)
+    s"""<!doctype html>
+<html><head><meta charset="utf-8"><title>graft GraphQL</title>
+<style>
+body{margin:0;font:14px/1.4 system-ui,sans-serif;display:flex;flex-direction:column;height:100vh}
+header{padding:8px 12px;background:#1b2b34;color:#fff;display:flex;gap:12px;align-items:center}
+header h1{font-size:15px;margin:0;font-weight:600}
+header button{padding:4px 14px;border:0;border-radius:4px;background:#4fb3bf;color:#042;cursor:pointer;font-weight:600}
+main{flex:1;display:flex;min-height:0}
+main>section{flex:1;display:flex;flex-direction:column;min-width:0;border-right:1px solid #ddd}
+main textarea,main pre{flex:1;margin:0;padding:10px;border:0;font:12px/1.5 ui-monospace,monospace;overflow:auto;white-space:pre}
+main textarea{resize:none;outline:0}
+label{padding:4px 10px;background:#eee;font-size:11px;text-transform:uppercase;letter-spacing:.06em}
+#vars{flex:0 0 5em;border-top:1px solid #ddd}
+</style></head><body>
+<header><h1>graft GraphQL</h1><button id="run">Run &#9654;</button>
+<span style="font-size:12px;opacity:.7">POSTs to this endpoint; schema pane shows the live SDL</span></header>
+<main>
+<section><label>query</label><textarea id="q">{ }</textarea>
+<label>variables (JSON)</label><textarea id="vars">{}</textarea></section>
+<section><label>result</label><pre id="out"></pre></section>
+<section style="border-right:0"><label>schema (SDL)</label><pre id="sdl"></pre></section>
+</main>
+<script>
+document.getElementById('sdl').textContent = $sdlJs;
+async function run(){
+  let vars = {};
+  try { vars = JSON.parse(document.getElementById('vars').value || '{}'); }
+  catch(e){ document.getElementById('out').textContent = 'variables: ' + e; return; }
+  const r = await fetch(location.pathname, {method:'POST',
+    headers:{'content-type':'application/json'},
+    body: JSON.stringify({query: document.getElementById('q').value, variables: vars})});
+  const t = await r.text();
+  try { document.getElementById('out').textContent = JSON.stringify(JSON.parse(t), null, 2); }
+  catch(e){ document.getElementById('out').textContent = t; }
+}
+document.getElementById('run').onclick = run;
+document.getElementById('q').addEventListener('keydown', e => {
+  if ((e.ctrlKey || e.metaKey) && e.key === 'Enter') run();
+});
+</script></body></html>"""
   }
 
   private def msg(e: Exception): String =

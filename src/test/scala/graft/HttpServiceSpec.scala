@@ -71,11 +71,21 @@ class HttpServiceSpec extends SparkSpec {
     assert(r.body().contains(""""count":5"""))
   }
 
-  test("GET with url-encoded query executes; bare GET serves SDL") {
+  test("GET with url-encoded query executes; bare GET serves the IDE; ?sdl serves SDL") {
     val r = get(base + "?query=%7B%20nation%20%7B%20count%20%7D%20%7D")
     assert(r.statusCode() == 200 && r.body().contains(""""count":25"""))
-    val sdl = get(base)
+    // bare GET = browser IDE shell (reference serves GraphiQL here,
+    // middleware.py:41-65) — self-contained HTML that POSTs back to the
+    // endpoint and inlines the live SDL
+    val ide = get(base)
+    assert(ide.statusCode() == 200)
+    assert(ide.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+    assert(ide.body().contains("<!doctype html") && ide.body().contains("fetch(location.pathname"))
+    assert(ide.body().contains("nation: Nation")) // inlined SDL
+    // machine-readable SDL stays reachable under ?sdl
+    val sdl = get(base + "?sdl")
     assert(sdl.statusCode() == 200)
+    assert(sdl.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
     assert(sdl.body().contains("type Query") && sdl.body().contains("nation: Nation"))
   }
 
