@@ -29,6 +29,11 @@ object Scale {
         merge.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Name of the marker file stamped into every graft-written bucketed
+    * table location; pre-existing unregistered files are only ever deleted
+    * when they carry it. */
+  private[graft] val BucketMarker = "_graft_bucketed"
+
   /** Write a bucketed+sorted table: repeated equi-joins/aggregations on
     * `keys` against other tables bucketed the same way need NO exchange. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
@@ -40,16 +45,34 @@ object Scale {
     // in-memory catalog a previous process's files can survive at the
     // default location while the catalog entry did not — CTAS then fails
     // with LOCATION_ALREADY_EXISTS. An unregistered leftover under
-    // Overwrite intent is droppable.
+    // Overwrite intent is droppable — but ONLY if a graft marker proves a
+    // previous writeBucketed produced it: a shared warehouse directory can
+    // hold another application's live table at the same default location,
+    // which must never be silently destroyed.
     if (!cat.tableExists(ident)) {
       val loc = new org.apache.hadoop.fs.Path(cat.defaultTablePath(ident))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(loc, BucketMarker))) {
+          System.err.println(
+            s"[graft] writeBucketed: deleting unregistered graft-marked leftover at $loc")
+          fs.delete(loc, true)
+        } else throw new IllegalStateException(
+          s"writeBucketed: $loc exists but is not catalog-registered and carries no " +
+          s"$BucketMarker marker — refusing to delete files this engine did not write. " +
+          "Drop the table/location explicitly or choose another table name.")
+      }
     }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+    // stamp the marker AFTER a successful write so only complete graft
+    // tables are ever auto-reclaimed
+    val written = new org.apache.hadoop.fs.Path(
+      cat.getTableMetadata(ident).location)
+    val fs = written.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(written, BucketMarker), true).close()
   }
 }
