@@ -153,6 +153,60 @@ object StreamQueries {
     },
     q_stream_tumbling.oracle)
 
+  /** Incremental-ingestion dedup through the REAL micro-batch engine with
+    * corpus state UPDATING between batches (q_stream_micro's replay
+    * pattern): documents stream in 3 chunks; each chunk also carries
+    * re-submissions of the PREVIOUS chunk's texts under new ids (must be
+    * dropped by the accumulated hash state) and copies of half its own
+    * texts under bigger ids (must be dropped by within-batch min-id
+    * dedup). Survivors across the whole replay are therefore exactly the
+    * original documents, each emitted once — any cross-batch state loss
+    * shows up as extra output rows, any over-dropping as missing ones.
+    * The Bloom pre-pass runs with the exact anti-join behind it, so the
+    * screen only shrinks the join and never changes the answer. */
+  val q_stream_dedup_incr = Q(
+    "q_stream_dedup_incr",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      val spark2 = s
+      import spark2.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val work = java.nio.file.Files.createTempDirectory("graft_incr_dedup").toString
+      val mem = MemoryStream[(Long, String)](s)
+      val q = StreamOps.incrementalDedupSink(
+        mem.toDF.toDF("doc_id", "text"), "text", "doc_id",
+        hashDir = s"$work/hashes", outDir = s"$work/out",
+        checkpoint = s"$work/ckpt",
+        bloomExpected = 10000, bloomFpp = 0.01,
+        trigger = Trigger.ProcessingTime(0))
+      try {
+        (0 until 3).foreach { c =>
+          val originals = docs.filter(_._1 % 3 == c)
+          val crossDupes =
+            if (c == 0) Array.empty[(Long, String)]
+            else docs.filter(_._1 % 3 == c - 1)
+              .map { case (id, t) => (id + 100000L, t) }
+          val withinDupes = originals.filter(_._1 % 2 == 0)
+            .map { case (id, t) => (id + 200000L, t) }
+          mem.addData((originals ++ crossDupes ++ withinDupes).toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      GTable(s.read.parquet(s"$work/out").select("doc_id"))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    // first occurrence per text class in REPLAY order: chunk = doc_id % 3,
+    // min doc_id within a chunk (sf0.1's documents table contains a few
+    // genuinely duplicated texts — the sink must keep exactly the earliest)
+    Some("""WITH ranked AS (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn
+              FROM documents)
+            SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session, q_stream_join,
-    q_stream_dedup, q_stream_micro)
+    q_stream_dedup, q_stream_micro, q_stream_dedup_incr)
 }

@@ -141,13 +141,86 @@ object StreamOps {
   /** Batch-wise sink for arbitrary output modes / richer writers: each
     * micro-batch lands through GTable.write (hive layout, bucketing) via
     * foreachBatch. */
-  def writeBatches(df: DataFrame, checkpoint: String)
+  def writeBatches(df: DataFrame, checkpoint: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
                   (write: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch(write)
       .start()
+
+  /** Streaming incremental-ingestion dedup: a foreachBatch loop whose
+    * corpus hash-set state UPDATES between micro-batches — the piece
+    * [[graft.operators.Dedup.exactIncremental]] (batch vs a STATIC corpus)
+    * leaves to the caller. Each micro-batch is
+    *
+    *   1. keyed by text class (xxhash64, optionally normalized),
+    *   2. optionally pre-screened against a Bloom filter folded from the
+    *      corpus hash set (`bloomExpected > 0`): bloom-negative rows are
+    *      provably unseen and bypass the join; only bloom-positive rows
+    *      (true hits + ≤fpp false positives) carry on to the exact
+    *      anti-join — the screen shrinks the join input and never changes
+    *      the answer (the run-bloom-then-exact composition the Dedup
+    *      scaladocs describe),
+    *   3. exact-anti-joined against the accumulated corpus hash set,
+    *   4. deduplicated within itself — representative = min id per class,
+    *      on (class, id) so non-unique ids stay safe (exactReps contract),
+    *   5. appended to `outDir`, and its class hashes appended to `hashDir`.
+    *
+    * Scale: only 8-byte hashes + ids ride every join and the persisted
+    * state; batch text is projected once and never shuffled. The state dir
+    * grows by one small file per batch — compact it offline when file
+    * count matters. Write ORDER is output-then-hashes: a crash between the
+    * two replays the batch (at-least-once output, standard foreachBatch
+    * semantics) — hashes-first would instead make the replayed batch
+    * anti-join against ITS OWN hashes and silently drop everything.
+    *
+    * Pass `hashDir` pre-seeded (e.g. `Dedup.exact` hashes of an existing
+    * corpus) to dedup a stream against historical data from batch one. */
+  def incrementalDedupSink(stream: DataFrame, textCol: String, idCol: String,
+                           hashDir: String, outDir: String, checkpoint: String,
+                           normalized: Boolean = false,
+                           bloomExpected: Long = 0, bloomFpp: Double = 0.01,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    writeBatches(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      import graft.operators.Dedup
+      val keyed = batch.withColumn("_gq_h", Dedup.classKey(col(textCol), normalized))
+      val fs = new org.apache.hadoop.fs.Path(hashDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val seen: Option[DataFrame] =
+        if (fs.exists(new org.apache.hadoop.fs.Path(hashDir)))
+          Some(spark.read.parquet(hashDir)) else None
+      val screened = seen match {
+        case None => keyed
+        case Some(corpus) =>
+          val seenH = corpus.select(col("_gq_h")).distinct()
+          if (bloomExpected > 0 && !corpus.isEmpty) {
+            // split, don't drop: bloom-NEGATIVE rows are provably new and
+            // bypass the join entirely; bloom-POSITIVE rows (true hits +
+            // ≤fpp false positives) take the exact anti-join — so the
+            // screen only shrinks the join input, never the answer
+            val bf = corpus.stat.bloomFilter("_gq_h", bloomExpected, bloomFpp)
+            val might = graft.expressions.BloomFunctions
+              .mightContainLong(spark, bf, col("_gq_h"))
+            keyed.filter(!might).unionByName(
+              keyed.filter(might).join(seenH, Seq("_gq_h"), "left_anti"))
+          } else keyed.join(seenH, Seq("_gq_h"), "left_anti")
+      }
+      // within-batch representative: min id per class, semi-join on BOTH
+      // (class, id) — with duplicate ids a row survives only as the
+      // representative of its OWN class
+      val reps = screened.groupBy(col("_gq_h")).agg(min(col(idCol)).as(idCol))
+      val survivors = screened.join(reps, Seq("_gq_h", idCol), "left_semi")
+        .localCheckpoint() // one computation feeds BOTH writes below
+      survivors.drop("_gq_h").write.mode("append").parquet(outDir)
+      survivors.select(col("_gq_h")).distinct()
+        .write.mode("append").parquet(hashDir)
+    }
 }

@@ -201,4 +201,59 @@ class StreamingSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("incrementalDedupSink: corpus hash state updates between micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.incrementalDedupSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      hashDir = s"$work/hashes", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: fresh texts + an in-batch dup under a larger id
+      mem.addData((1L, "alpha"), (2L, "beta"), (10L, "alpha"))
+      q.processAllAvailable()
+      // batch 2: all dups of batch 1 (new ids) + one fresh text
+      mem.addData((20L, "alpha"), (21L, "beta"), (3L, "gamma"))
+      q.processAllAvailable()
+      // batch 3: dups of batches 1 AND 2 + one fresh text — state must
+      // have accumulated ACROSS batches, not just against the previous one
+      mem.addData((30L, "alpha"), (31L, "gamma"), (4L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L),
+      s"survivors must be the first occurrence of each text, got $out")
+    // the state dir holds exactly the distinct survivor hashes
+    assert(spark.read.parquet(s"$work/hashes").distinct().count() == 4)
+  }
+
+  test("incrementalDedupSink: pre-seeded corpus hashes screen batch one; bloom path matches") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.Dedup
+    val work = java.nio.file.Files.createTempDirectory("graft_incr_seed").toString
+    // historical corpus: its class hashes seed the state dir
+    Seq((100L, "alpha"), (101L, "beta")).toDF("id", "text")
+      .select(Dedup.classKey(col("text"), normalized = false).as("_gq_h"))
+      .distinct().write.parquet(s"$work/hashes")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.incrementalDedupSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      hashDir = s"$work/hashes", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt",
+      bloomExpected = 1000, bloomFpp = 0.01, // bloom split + exact anti-join
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "alpha"), (2L, "fresh"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L),
+      s"batch one must be screened against the pre-seeded corpus, got $out")
+  }
 }
