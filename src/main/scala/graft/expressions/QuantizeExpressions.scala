@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   *  - otherwise → null slots stay null, values clamp to [-127, 127]
   */
 case class QuantizeInt8(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = true),
@@ -32,10 +32,7 @@ case class QuantizeInt8(child: Expression)
   override def prettyName: String = "quantize_int8"
   override def nullable: Boolean = true
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return null
-    val x = v.asInstanceOf[ArrayData]
+  def compute(x: ArrayData): InternalRow = {
     val n = x.numElements()
     var scale = 0.0
     var any = false
@@ -63,6 +60,15 @@ case class QuantizeInt8(child: Expression)
     }
     InternalRow(if (any) scale else null, new GenericArrayData(qs))
   }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("quant", this, classOf[QuantizeInt8].getName)
+      s"${ev.value} = $self.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.expressions.{MinHashFunctions, TextFunctions}
+import graft.expressions.{MinHashFunctions, QuantizeFunctions, TextFunctions}
 
 /** Guards the round-6 codegen promotion of the fused expression tier: the
   * text/minhash expressions must not reintroduce a CodegenFallback boundary
@@ -27,13 +27,18 @@ class CodegenSpec extends SparkSpec {
     TextFunctions.collapseRepeats(spark, col("text")).as("cr"),
     MinHashFunctions.signature(spark, col("text"), 3, 64).as("sig"))
 
+  private def quantProjection = Tables.load(spark, sf, "embeddings").select(
+    QuantizeFunctions.quantize(spark, col("embedding")).as("qz"))
+
   test("fused text/minhash expressions carry no CodegenFallback boundary") {
-    val plan = fusedProjection.queryExecution.optimizedPlan
-    val fallbacks = plan.expressions.flatMap(_.collect {
-      case e: CodegenFallback => e
-    })
-    assert(fallbacks.isEmpty,
-      s"CodegenFallback on the fused tier: ${fallbacks.map(_.prettyName)}")
+    for (proj <- Seq(fusedProjection, quantProjection)) {
+      val plan = proj.queryExecution.optimizedPlan
+      val fallbacks = plan.expressions.flatMap(_.collect {
+        case e: CodegenFallback => e
+      })
+      assert(fallbacks.isEmpty,
+        s"CodegenFallback on the fused tier: ${fallbacks.map(_.prettyName)}")
+    }
   }
 
   test("fused projection plans inside a WholeStageCodegen stage") {
@@ -58,6 +63,9 @@ class CodegenSpec extends SparkSpec {
         sum(length(col("cr"))), max(element_at(col("sig"), 1)))
         .head()
       assert(!row.anyNull)
+      val qrow = quantProjection
+        .select(sum(col("qz.scale")), sum(size(col("qz.q")))).head()
+      assert(!qrow.anyNull)
     } finally spark.conf.set(key, prev)
   }
 }
