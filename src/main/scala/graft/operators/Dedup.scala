@@ -148,20 +148,28 @@ object Dedup {
     * 0` disables the cap for oracle/verification runs. */
   val DefaultMaxBucket = 1000
 
-  /** Drop (band, bucket) groups holding more than `maxBucket` docs.
+  /** Drop bucket-key groups holding more than `maxBucket` docs.
     * The hot-bucket list is tiny by construction — broadcast anti-join,
-    * no extra shuffle of the banded stream. */
-  private def capBuckets(banded: DataFrame, maxBucket: Int,
-                         op: String): DataFrame =
+    * no extra shuffle of the banded stream. Generic over the key columns so
+    * every banded self-join in the engine (MinHash/SimHash bands here,
+    * hyperplane buckets in [[graft.operators.Similarity.lshCosinePairs]])
+    * shares the one cap shape. */
+  private[operators] def capBucketsBy(banded: DataFrame, keys: Seq[String],
+                                      maxBucket: Int, op: String): DataFrame =
     if (maxBucket <= 0) banded
     else {
       log.info(s"$op: band-bucket occupancy cap maxBucket=$maxBucket active " +
         "(oversized buckets are dropped from candidate generation; run exact " +
         "dedup first — maxBucket=0 disables the cap)")
-      val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > maxBucket).select("band", "bucket")
-      banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      val hot = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucket).select(keys.map(col): _*)
+      banded.join(broadcast(hot), keys, "left_anti")
     }
+
+  private def capBuckets(banded: DataFrame, maxBucket: Int,
+                         op: String): DataFrame =
+    capBucketsBy(banded, Seq("band", "bucket"), maxBucket, op)
 
   /** LSH candidate pairs from MinHash signatures: `bands` bands of
     * `k/bands` rows each; docs sharing any band bucket are candidates;

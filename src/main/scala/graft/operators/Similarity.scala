@@ -465,13 +465,22 @@ object Similarity {
         s"$baseDir/lsh_${keyHash(key)}", tables))
   }
 
+  /** `maxBucket` bounds per-(table, bucket) occupancy exactly like the
+    * MinHash/SimHash band caps ([[graft.operators.Dedup.DefaultMaxBucket]]):
+    * a corpus with dense embedding clusters (mass-duplicated vectors) puts
+    * m near-identical rows in one sign bucket of EVERY table, turning the
+    * banded join quadratic — oversized buckets are dropped before the
+    * self-join (run exact dedup first; 0 disables for oracle runs). */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int, dim: Int,
-                     tables: Int = 8): DataFrame = {
+                     tables: Int = 8,
+                     maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val buckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col(vecCol), planes, dim, t).as("b")))
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array(buckets: _*)).as("_bucket"))
+    val v = Dedup.capBucketsBy(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(buckets: _*)).as("_bucket")),
+      Seq("_bucket"), maxBucket, "lshCosinePairs")
     v.as("a").join(v.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

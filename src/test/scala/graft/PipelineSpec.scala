@@ -63,6 +63,41 @@ class PipelineSpec extends SparkSpec {
       "pairs operators must unpersist their signature caches")
   }
 
+  test("lshCosinePairs bucket cap bounds dense embedding clusters; inactive on normal data") {
+    import spark.implicits._
+    // 1000 ids sharing ONE vector — identical sign bits in every table, so
+    // all 1000 land in the same bucket of every hyperplane family (the
+    // dense-cosine-cluster skew gen_scale.py synthesizes) — plus a genuine
+    // close-but-distinct pair and orthogonal-ish filler
+    val dim = 8
+    val cluster = Array.tabulate(dim)(i => (i + 1).toFloat)
+    // near pair points AWAY from the cluster (opposite sign bits → its own
+    // bucket) so the cap must preserve it while dropping the cluster bucket
+    val nearA = Array.tabulate(dim)(i => -(i + 1).toFloat + 0.01f)
+    val nearB = Array.tabulate(dim)(i => -(i + 1).toFloat - 0.01f)
+    val filler = (1 to 10).map(j =>
+      (5000L + j, Array.tabulate(dim)(i => if (i == j % dim) 1f else -1f * ((i + j) % 3))))
+    val df = ((1L to 1000L).map(i => (i, cluster)) ++
+      Seq((2000L, nearA), (2001L, nearB)) ++ filler).toDF("vec_id", "embedding")
+    val capped = Similarity.lshCosinePairs(df, "vec_id", "embedding", 0.99,
+      planes = 4, dim = dim, maxBucket = 100)
+    // capped: the 1000-row cluster bucket is dropped BEFORE the self-join —
+    // candidate volume is bounded, and the small-bucket near pair survives
+    val cp = capped.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp.contains((2000L, 2001L)))
+    assert(!cp.exists { case (a, b) => a <= 1000 && b <= 1000 },
+      "oversized cluster bucket must be dropped from candidate generation")
+    // on data with no oversized buckets the default cap changes nothing
+    val withCap = Similarity.lshCosinePairs(embs, "vec_id", "embedding", 0.2,
+        planes = 4, dim = 64)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noCap = Similarity.lshCosinePairs(embs, "vec_id", "embedding", 0.2,
+        planes = 4, dim = 64, maxBucket = 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withCap == noCap)
+  }
+
   test("prebuilt ANN indexes: probe prunes to probed partitions, answers match on-the-fly") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
