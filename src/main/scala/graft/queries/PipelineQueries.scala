@@ -363,8 +363,10 @@ object PipelineQueries {
           FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
 
   /** LSH-bucketed embedding near-dup pairs (linear bucketing, intra-bucket
-    * verify): fully adjudicated — buckets, pairing and exact cosine verify
-    * all recomputed by the oracle. */
+    * verify): fully adjudicated — buckets, the default bucket-occupancy cap
+    * (hot-bucket exclusion, mirroring capBucketsBy), pairing and exact
+    * cosine verify all recomputed by the oracle, so the cap itself is
+    * oracle-checked at any scale. */
   val q_dedup_cosine_lsh = Q(
     "q_dedup_cosine_lsh",
     (s, dir) => {
@@ -379,8 +381,13 @@ object PipelineQueries {
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings),
           ${lshBucketsSql(planes = 4, dim = 64, tables = 8)},
+          hot AS (SELECT t, bucket FROM buck GROUP BY t, bucket
+            HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          buckc AS (SELECT buck.* FROM buck
+            WHERE NOT EXISTS (SELECT 1 FROM hot h
+              WHERE h.t = buck.t AND h.bucket = buck.bucket)),
           cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-            FROM buck a JOIN buck b ON a.t = b.t AND a.bucket = b.bucket
+            FROM buckc a JOIN buckc b ON a.t = b.t AND a.bucket = b.bucket
               AND a.vec_id < b.vec_id),
           scored AS (SELECT id1, id2, ${cosSql("v1.e", "v2.e")} AS cos
             FROM cand JOIN v v1 ON cand.id1 = v1.vec_id

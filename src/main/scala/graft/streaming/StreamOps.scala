@@ -153,14 +153,27 @@ object StreamOps {
       .foreachBatch(write)
       .start()
 
+  /** Per-query observability for [[incrementalDedupSink]]'s Bloom screen,
+    * keyed by checkpoint dir: `builds` counts full hashDir-scan filter
+    * constructions (initial seed + fpp-budget rebuilds), `merges` counts
+    * cheap in-place merges of a batch's fresh hashes. StreamingSpec asserts
+    * builds stays at 1 across a multi-batch run — the per-batch O(corpus)
+    * rebuild this maintenance loop replaced. */
+  final case class BloomScreenStats(builds: Long, merges: Long,
+                                    items: Long, expected: Long)
+  private val bloomStatsMap =
+    new scala.collection.concurrent.TrieMap[String, BloomScreenStats]
+  def bloomScreenStats(checkpoint: String): Option[BloomScreenStats] =
+    bloomStatsMap.get(checkpoint)
+
   /** Streaming incremental-ingestion dedup: a foreachBatch loop whose
     * corpus hash-set state UPDATES between micro-batches — the piece
     * [[graft.operators.Dedup.exactIncremental]] (batch vs a STATIC corpus)
     * leaves to the caller. Each micro-batch is
     *
     *   1. keyed by text class (xxhash64, optionally normalized),
-    *   2. optionally pre-screened against a Bloom filter folded from the
-    *      corpus hash set (`bloomExpected > 0`): bloom-negative rows are
+    *   2. optionally pre-screened against a Bloom filter over the corpus
+    *      hash set (`bloomExpected > 0`): bloom-negative rows are
     *      provably unseen and bypass the join; only bloom-positive rows
     *      (true hits + ≤fpp false positives) carry on to the exact
     *      anti-join — the screen shrinks the join input and never changes
@@ -170,6 +183,19 @@ object StreamOps {
     *   4. deduplicated within itself — representative = min id per class,
     *      on (class, id) so non-unique ids stay safe (exactReps contract),
     *   5. appended to `outDir`, and its class hashes appended to `hashDir`.
+    *
+    * The Bloom filter is MAINTAINED across batches, not rebuilt: built once
+    * (from `hashDir` when resuming over an existing corpus, else seeded
+    * from the first batch's fresh hashes), then each batch's new hashes are
+    * folded in with an in-place merge of an identically-sized batch filter
+    * (distributed build, driver-side OR — no corpus rescan). When inserted
+    * items exhaust the filter's sizing budget (`bloomExpected`), ONE full
+    * rebuild runs at doubled capacity — amortized O(1) scans per batch.
+    * Correctness never depends on the filter's freshness: the exact
+    * anti-join adjudicates every bloom-positive row, and the filter always
+    * holds exactly the hashes already written to `hashDir` (a crash between
+    * hash write and merge only restarts the query, which rebuilds from
+    * `hashDir`).
     *
     * Scale: only 8-byte hashes + ids ride every join and the persisted
     * state; batch text is projected once and never shuffled. The state dir
@@ -187,7 +213,14 @@ object StreamOps {
                            bloomExpected: Long = 0, bloomFpp: Double = 0.01,
                            trigger: org.apache.spark.sql.streaming.Trigger =
                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Bloom maintenance state, scoped to this query (foreachBatch runs
+    // sequentially per query, so plain vars are safe)
+    var filter: org.apache.spark.util.sketch.BloomFilter = null
+    var expected = bloomExpected
+    var items = 0L
+    var builds = 0L
+    var merges = 0L
     writeBatches(stream, checkpoint, trigger) { (batch, _) =>
       val spark = batch.sparkSession
       import graft.operators.Dedup
@@ -201,14 +234,20 @@ object StreamOps {
         case None => keyed
         case Some(corpus) =>
           val seenH = corpus.select(col("_gq_h")).distinct()
-          if (bloomExpected > 0 && !corpus.isEmpty) {
+          if (bloomExpected > 0) {
+            if (filter == null) {
+              // restart / first-batch-over-existing-corpus path: ONE build
+              // from the persisted hash state; maintained in place after
+              filter = corpus.stat.bloomFilter("_gq_h", expected, bloomFpp)
+              items = corpus.count() // parquet metadata count, no data scan
+              builds += 1
+            }
             // split, don't drop: bloom-NEGATIVE rows are provably new and
             // bypass the join entirely; bloom-POSITIVE rows (true hits +
             // ≤fpp false positives) take the exact anti-join — so the
             // screen only shrinks the join input, never the answer
-            val bf = corpus.stat.bloomFilter("_gq_h", bloomExpected, bloomFpp)
             val might = graft.expressions.BloomFunctions
-              .mightContainLong(spark, bf, col("_gq_h"))
+              .mightContainLong(spark, filter, col("_gq_h"))
             keyed.filter(!might).unionByName(
               keyed.filter(might).join(seenH, Seq("_gq_h"), "left_anti"))
           } else keyed.join(seenH, Seq("_gq_h"), "left_anti")
@@ -220,7 +259,32 @@ object StreamOps {
       val survivors = screened.join(reps, Seq("_gq_h", idCol), "left_semi")
         .localCheckpoint() // one computation feeds BOTH writes below
       survivors.drop("_gq_h").write.mode("append").parquet(outDir)
-      survivors.select(col("_gq_h")).distinct()
-        .write.mode("append").parquet(hashDir)
+      val newH = survivors.select(col("_gq_h")).distinct().localCheckpoint()
+      newH.write.mode("append").parquet(hashDir)
+      if (bloomExpected > 0) {
+        val n = newH.count()
+        if (filter == null) {
+          // very first batch of a fresh corpus: seed from its hashes
+          filter = newH.stat.bloomFilter("_gq_h", expected, bloomFpp)
+          items = n
+          builds += 1
+        } else if (items + n > expected) {
+          // fpp budget exhausted: one full rebuild at doubled capacity —
+          // amortized across all the batches that fit under the new budget
+          expected = math.max(expected * 2, items + n)
+          filter = spark.read.parquet(hashDir)
+            .stat.bloomFilter("_gq_h", expected, bloomFpp)
+          items += n
+          builds += 1
+        } else {
+          // steady state: distributed batch filter (same sizing → bit-
+          // compatible) OR'd into the corpus filter on the driver
+          filter.mergeInPlace(newH.stat.bloomFilter("_gq_h", expected, bloomFpp))
+          items += n
+          merges += 1
+        }
+        bloomStatsMap(checkpoint) = BloomScreenStats(builds, merges, items, expected)
+      }
     }
+  }
 }

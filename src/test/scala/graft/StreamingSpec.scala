@@ -256,4 +256,63 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(2L),
       s"batch one must be screened against the pre-seeded corpus, got $out")
   }
+
+  test("incrementalDedupSink: bloom filter is maintained across batches, not rebuilt") {
+    val spark2 = spark
+    import spark2.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_incr_bloom").toString
+    val ckpt = s"$work/ckpt"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.incrementalDedupSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      hashDir = s"$work/hashes", outDir = s"$work/out",
+      checkpoint = ckpt,
+      bloomExpected = 1000, bloomFpp = 0.01,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"), (10L, "alpha"))
+      q.processAllAvailable()
+      mem.addData((20L, "alpha"), (21L, "beta"), (3L, "gamma"))
+      q.processAllAvailable()
+      mem.addData((30L, "alpha"), (31L, "gamma"), (4L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // screen results identical to the no-bloom run of the same replay
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L), s"bloom screen must not change the answer, got $out")
+    // the filter was seeded ONCE (first batch of a fresh corpus) and then
+    // maintained by in-place merges — no per-batch hashDir rebuild scan
+    val stats = StreamOps.bloomScreenStats(ckpt).get
+    assert(stats.builds == 1L,
+      s"expected exactly one full filter build across 3 batches, got $stats")
+    assert(stats.merges == 2L, s"batches 2 and 3 must merge, got $stats")
+    assert(stats.items == 4L && stats.expected == 1000L, s"$stats")
+
+    // fpp-budget exhaustion: a tiny expected capacity forces exactly one
+    // rebuild at doubled capacity, after which merges resume
+    val work2 = java.nio.file.Files.createTempDirectory("graft_incr_bloom2").toString
+    val ckpt2 = s"$work2/ckpt"
+    val mem2 = MemoryStream[(Long, String)](spark)
+    val q2 = StreamOps.incrementalDedupSink(
+      mem2.toDF.toDF("id", "text"), "text", "id",
+      hashDir = s"$work2/hashes", outDir = s"$work2/out",
+      checkpoint = ckpt2,
+      bloomExpected = 3, bloomFpp = 0.01,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((1L, "a"), (2L, "b"))         // seed build: 2 items ≤ 3
+      q2.processAllAvailable()
+      mem2.addData((3L, "c"), (4L, "d"))         // 2+2 > 3 → rebuild at 6
+      q2.processAllAvailable()
+      mem2.addData((5L, "e"), (6L, "a"))         // 4+1 ≤ 6 → merge
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = spark.read.parquet(s"$work2/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out2 == Seq(1L, 2L, 3L, 4L, 5L), s"got $out2")
+    val stats2 = StreamOps.bloomScreenStats(ckpt2).get
+    assert(stats2.builds == 2L && stats2.merges == 1L && stats2.expected == 6L,
+      s"seed + one capacity rebuild + one merge expected, got $stats2")
+  }
 }
