@@ -429,40 +429,121 @@ object Similarity {
     * only — never all-pairs. */
   // ---- build-once index cache (serving tier) --------------------------
   // A served endpoint must not rebuild its index per request: indexes are
-  // cached per JVM keyed by (corpus identity, operator parameters); the
-  // storage path is derived from the key, so a later session with the same
-  // key reuses the on-disk partitioned layout via a cheap re-open even
-  // after the in-memory entry is gone. computeIfAbsent bounds concurrent
-  // requests to at most one build per key.
+  // cached per JVM keyed by (corpus identity, operator parameters). The
+  // key folds in a CONTENT FINGERPRINT of the corpus (input file list +
+  // sizes + modification times), so a corpus rewritten in place changes
+  // the key and gets a fresh index instead of serving a stale one. The
+  // storage path is derived from the key and a small metadata sidecar is
+  // written next to the partitioned files, so a later session (or a
+  // cleared cache) with the same key re-OPENS the on-disk index from
+  // metadata alone — no corpus scan, no rebuild job. computeIfAbsent
+  // bounds concurrent requests to at most one build per key.
 
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
   private val lshCache =
     new java.util.concurrent.ConcurrentHashMap[String, LshIndex]()
 
+  /** Build counters (metadata re-opens do NOT increment) — serving-tier
+    * observability; specs assert re-open paths leave them unchanged. */
+  private[graft] val ivfBuildCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val lshBuildCount = new java.util.concurrent.atomic.AtomicLong
+
   private def keyHash(key: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** Content fingerprint of the frame's input files (path, size, mtime).
+    * Frames with no file lineage (in-memory fixtures) fingerprint as
+    * "nofiles" — their identity is then carried by `corpusKey` alone. */
+  private def fingerprint(corpus: DataFrame): String = {
+    val files = corpus.inputFiles.sorted
+    if (files.isEmpty) "nofiles"
+    else {
+      val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        md.update(s"$f|${st.getLen}|${st.getModificationTime}\n".getBytes("UTF-8"))
+      }
+      md.digest().take(8).map("%02x".format(_)).mkString
+    }
+  }
+
+  private val MetaFile = "_graft_index_meta.bin"
+
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+                        path: String, index: AnyRef): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$MetaFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.ObjectOutputStream(fs.create(p, true))
+    try out.writeObject(index) finally out.close()
+  }
+
+  /** Cheap re-open: the sidecar holds everything a probe needs (params,
+    * schema, IVF centroids) — reading it is O(metadata), not O(corpus).
+    * Any failure (missing, torn write, incompatible version) falls back to
+    * a rebuild. The path already encodes the fingerprinted key, so a
+    * readable sidecar at that path is valid by construction. */
+  private def readMeta[T](spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[T] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$MetaFile")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = new java.io.ObjectInputStream(fs.open(p))
+        try Some(in.readObject().asInstanceOf[T]) finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Drop every cached index for `corpusKey` (both families); the on-disk
+    * files stay — a later request re-opens or, if the corpus changed,
+    * builds under a new fingerprinted path. */
+  def invalidateIndexes(corpusKey: String): Unit = {
+    ivfCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
+    lshCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
+  }
+
+  /** Clear the whole in-memory index cache (restart simulation / tests). */
+  def invalidateAllIndexes(): Unit = { ivfCache.clear(); lshCache.clear() }
 
   /** Cached [[ivfBuild]]: `corpusKey` identifies the corpus contents (e.g.
     * its parquet directory); `baseDir` hosts the partitioned index files. */
   def ivfIndexFor(corpus: DataFrame, corpusKey: String, idCol: String,
                   vecCol: String, nlist: Int, baseDir: String,
                   kmeansIters: Int = 0): IvfIndex = {
-    val key = s"ivf|$corpusKey|$idCol|$vecCol|$nlist|$kmeansIters"
-    ivfCache.computeIfAbsent(key, _ =>
-      ivfBuild(corpus, idCol, vecCol, nlist,
-        s"$baseDir/ivf_${keyHash(key)}", kmeansIters))
+    val key =
+      s"ivf|$corpusKey|${fingerprint(corpus)}|$idCol|$vecCol|$nlist|$kmeansIters"
+    ivfCache.computeIfAbsent(key, _ => {
+      val spark = corpus.sparkSession
+      val path = s"$baseDir/ivf_${keyHash(key)}"
+      readMeta[IvfIndex](spark, path).getOrElse {
+        val idx = ivfBuild(corpus, idCol, vecCol, nlist, path, kmeansIters)
+        ivfBuildCount.incrementAndGet()
+        writeMeta(spark, path, idx)
+        idx
+      }
+    })
   }
 
   /** Cached [[lshBuild]]. */
   def lshIndexFor(corpus: DataFrame, corpusKey: String, idCol: String,
                   vecCol: String, planes: Int, dim: Int, baseDir: String,
                   tables: Int = 8): LshIndex = {
-    val key = s"lsh|$corpusKey|$idCol|$vecCol|$planes|$dim|$tables"
-    lshCache.computeIfAbsent(key, _ =>
-      lshBuild(corpus, idCol, vecCol, planes, dim,
-        s"$baseDir/lsh_${keyHash(key)}", tables))
+    val key =
+      s"lsh|$corpusKey|${fingerprint(corpus)}|$idCol|$vecCol|$planes|$dim|$tables"
+    lshCache.computeIfAbsent(key, _ => {
+      val spark = corpus.sparkSession
+      val path = s"$baseDir/lsh_${keyHash(key)}"
+      readMeta[LshIndex](spark, path).getOrElse {
+        val idx = lshBuild(corpus, idCol, vecCol, planes, dim, path, tables)
+        lshBuildCount.incrementAndGet()
+        writeMeta(spark, path, idx)
+        idx
+      }
+    })
   }
 
   /** `maxBucket` bounds per-(table, bucket) occupancy exactly like the

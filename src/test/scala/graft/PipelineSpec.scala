@@ -142,6 +142,77 @@ class PipelineSpec extends SparkSpec {
       s"lsh probe read $lshRead of $lshAll index files — not pruned")
   }
 
+  test("ANN index lifecycle: fingerprinted keys, cheap re-open, explicit invalidate") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val work = java.nio.file.Files.createTempDirectory("graft_ann_life").toString
+    val corpusDir = s"$work/corpus"
+    val baseDir = s"$work/idx"
+    embs.filter(col("vec_id") < 100).write.parquet(corpusDir)
+    def corpus = spark.read.parquet(corpusDir)
+    val queries = corpus.filter(col("vec_id") < 3)
+
+    val b0 = Similarity.ivfBuildCount.get()
+    val idx1 = Similarity.ivfIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      nlist = 8, baseDir)
+    assert(Similarity.ivfBuildCount.get() == b0 + 1)
+    val a1 = key(Similarity.ivfProbe(idx1, queries, k = 5, nprobe = 2))
+
+    // same corpus, same params → in-memory cache hit, no second build
+    val idx2 = Similarity.ivfIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      nlist = 8, baseDir)
+    assert((idx2 eq idx1) && Similarity.ivfBuildCount.get() == b0 + 1)
+
+    // restart simulation: cleared cache re-OPENS the on-disk index from its
+    // metadata sidecar — same path, same answers, build count unchanged
+    Similarity.invalidateAllIndexes()
+    val idx3 = Similarity.ivfIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      nlist = 8, baseDir)
+    assert(Similarity.ivfBuildCount.get() == b0 + 1,
+      "re-open must not run a rebuild job")
+    assert(idx3.path == idx1.path)
+    assert(key(Similarity.ivfProbe(idx3, queries, k = 5, nprobe = 2)) == a1)
+
+    // corpus rewritten in place → fingerprint changes → fresh index (stale
+    // one is never served), and the probe sees the new contents (staged
+    // write + swap: Spark cannot overwrite a path it is reading)
+    corpus.filter(col("vec_id") >= 50).write.parquet(s"$work/stage")
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(corpusDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$work/stage"),
+      new org.apache.hadoop.fs.Path(corpusDir))
+    val idx4 = Similarity.ivfIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      nlist = 8, baseDir)
+    assert(Similarity.ivfBuildCount.get() == b0 + 2,
+      "mutated corpus must trigger a fresh build")
+    assert(idx4.path != idx1.path)
+    val q2 = corpus.filter(col("vec_id") < 53)
+    val n4 = Similarity.ivfProbe(idx4, q2, k = 5, nprobe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(n4.nonEmpty && n4.forall(_ >= 50),
+      s"probe must serve the rewritten corpus, got $n4")
+
+    // explicit invalidate drops only this corpus's entries; next request
+    // re-opens from disk (no build)
+    Similarity.invalidateIndexes(corpusDir)
+    val idx5 = Similarity.ivfIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      nlist = 8, baseDir)
+    assert(Similarity.ivfBuildCount.get() == b0 + 2 && idx5.path == idx4.path)
+
+    // LSH family shares the lifecycle: build once, re-open after clear
+    val l0 = Similarity.lshBuildCount.get()
+    val lsh1 = Similarity.lshIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      planes = 4, dim = 64, baseDir)
+    assert(Similarity.lshBuildCount.get() == l0 + 1)
+    Similarity.invalidateAllIndexes()
+    val lsh2 = Similarity.lshIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      planes = 4, dim = 64, baseDir)
+    assert(Similarity.lshBuildCount.get() == l0 + 1 && lsh2.path == lsh1.path)
+    assert(key(Similarity.lshProbe(lsh2, q2, k = 5)) ==
+      key(Similarity.lshProbe(lsh1, q2, k = 5)))
+  }
+
   test("minhash banding rejects k not divisible by bands") {
     // k=30, bands=8 would silently drop the trailing 30-8*3=6 signature
     // components from banding while est_jaccard still divides by k
