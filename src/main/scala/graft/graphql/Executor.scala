@@ -32,7 +32,8 @@ import GVal._
   * Bloom screen), decontaminate (benchmark n-gram overlap), split (deterministic md5 shares), sample
   * (stratified keep), mix (weighted mixture resampling), shuffle
   * (md5-keyed range sort), reservoir (per-stratum fixed-size sample),
-  * tfidf (keyword extraction).
+  * tfidf (keyword extraction), nearest (ANN search — BRUTE broadcast
+  * scorer or prebuilt partition-pruned IVF/LSH index probes, round 7).
   */
 final class GraphQLService(spark: SparkSession, sfDir: String,
                            names: Seq[String] = Tables.names,
@@ -154,6 +155,24 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       n -> org.apache.spark.sql.types.StructType(
         roots(n)().df.schema.filterNot(_.name == Natural.rid))
     }, keys)
+
+  /** Where this service's prebuilt ANN indexes live (GRAFT_ANN_DIR for a
+    * durable deployment location; else a per-process temp dir). Lazy — a
+    * service that never serves `nearest` creates nothing. */
+  private lazy val annIndexDir: String =
+    sys.env.getOrElse("GRAFT_ANN_DIR",
+      java.nio.file.Files.createTempDirectory("graft_gql_ann").toString)
+
+  /** Corpus identity for the index cache: the canonicalized logical plan
+    * (source files + every filter/projection applied on the way to this
+    * scope — two different pipelines over the same files must not share an
+    * index). Content freshness is handled inside ivfIndexFor/lshIndexFor by
+    * the file fingerprint. */
+  private def corpusKeyOf(corpus: DataFrame): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(corpus.queryExecution.analyzed.canonicalized.toString
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
   // ─── resolvers ───
 
@@ -647,6 +666,49 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       }
       resolveTable(GTable(graft.operators.Dedup.keepRepresentatives(
         t.df, pairs, id), denseRid = false), f, None)
+    case "nearest" =>
+      // approximate-nearest-neighbor search served through the table type:
+      // queries are corpus rows selected by ids:, dispatched to the exact
+      // broadcast scorer (BRUTE) or to the build-once/probe-many prebuilt
+      // index tier (IVF / LSH — ivfIndexFor/lshIndexFor cache per corpus
+      // content fingerprint, so the first request builds and every later
+      // request probes only its nprobe/bucket partitions)
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("nearest needs on: <vector column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("nearest needs id: <key column>"))
+      val k = intArg(f, "k")
+        .getOrElse(throw new IllegalArgumentException("nearest needs k:"))
+      val ids = f.arg("ids").toSeq.flatMap {
+        case GList(items) => items.collect { case GInt(i) => i }
+        case other => throw new IllegalArgumentException(
+          s"nearest ids: must be a list of ids, got $other")
+      }
+      if (ids.isEmpty)
+        throw new IllegalArgumentException("nearest needs ids: [<query ids>]")
+      val corpus = t.result
+      val queries = corpus.filter(col(id).isin(ids: _*))
+      val sim = graft.operators.Similarity
+      val out = strArg(f, "method").getOrElse("BRUTE").toUpperCase match {
+        case "BRUTE" => sim.bruteForceTopK(corpus, queries, id, on, k)
+        case "IVF" =>
+          val nlist = intArg(f, "nlist").getOrElse(16)
+          val nprobe = intArg(f, "nprobe").getOrElse(6)
+          val idx = sim.ivfIndexFor(corpus, corpusKeyOf(corpus), id, on,
+            nlist, annIndexDir)
+          sim.ivfProbe(idx, queries, k, nprobe)
+        case "LSH" =>
+          val planes = intArg(f, "planes").getOrElse(4)
+          val tables = intArg(f, "tables").getOrElse(8)
+          val dim = intArg(f, "dim").getOrElse(
+            corpus.select(size(col(on))).head.getInt(0))
+          val idx = sim.lshIndexFor(corpus, corpusKeyOf(corpus), id, on,
+            planes, dim, annIndexDir, tables)
+          sim.lshProbe(idx, queries, k)
+        case other => throw new IllegalArgumentException(
+          s"nearest method: must be BRUTE, IVF or LSH, got \"$other\"")
+      }
+      resolveTable(GTable(out, denseRid = false), f, None)
     case "tfidf" =>
       // per-document top-k terms by tf-idf (keyword extraction)
       val on = strArg(f, "on")

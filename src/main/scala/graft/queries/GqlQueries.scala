@@ -684,6 +684,27 @@ object GqlQueries {
       "doc_id BIGINT, lang STRING"),
     PipelineQueries.q_reservoir.oracle)
 
+  /** ANN nearest-neighbor search through the service: the `nearest` field
+    * dispatches to the PREBUILT IVF index tier (ivfIndexFor build-once +
+    * partition-pruned ivfProbe) — same parameters and oracle as
+    * q_ann_ivf_prebuilt, so the served path is hash-adjudicated against the
+    * library path's DuckDB recomputation. */
+  val q_gql_ann = Q(
+    "q_gql_ann",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: embeddings {
+           n: nearest(on: "embedding", id: "vec_id",
+                      ids: [0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
+                      k: 5, method: "IVF", nlist: 16, nprobe: 6) {
+             p: project(columns: [
+                   {alias: "score_r", numeric: {round: [{name: "score"}, {value: 9}]}}]) {
+               o: order(by: ["query_id", "rank"]) {
+                 c: columns { query_id { values } neighbor_id { values }
+                              score: score_r { values } rank { values } } } } } } }""",
+      Seq("t", "n", "p", "o", "c"),
+      "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
+    PipelineQueries.q_ann_ivf_prebuilt.oracle)
+
   /** tf-idf keyword extraction through the service. */
   val q_gql_tfidf = Q(
     "q_gql_tfidf",
@@ -797,5 +818,5 @@ object GqlQueries {
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
-    q_gql_fingerprint, q_gql_pack)
+    q_gql_fingerprint, q_gql_pack, q_gql_ann)
 }

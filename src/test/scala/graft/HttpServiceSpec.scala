@@ -117,6 +117,43 @@ class HttpServiceSpec extends SparkSpec {
     }
   }
 
+  test("nearest serves ANN over HTTP: brute and prebuilt-IVF agree") {
+    def hits(method: String): String = {
+      val q = s"""{ t: embeddings {
+        n: nearest(on: \\"embedding\\", id: \\"vec_id\\", ids: [0, 1],
+                   k: 3, method: \\"$method\\") {
+          o: order(by: [\\"query_id\\", \\"rank\\"]) {
+            c: columns { query_id { values } neighbor_id { values }
+                         rank { values } } } } } }"""
+      val r = post(s"""{"query": "${q.replace("\n", " ")}"}""")
+      assert(r.statusCode() == 200, r.body())
+      assert(!r.body().contains("\"errors\""), r.body())
+      // strip timings so the two methods' envelopes compare structurally
+      r.body().replaceAll(""""timing_ms":\{[^}]*\}""", "")
+    }
+    val brute = hits("BRUTE")
+    assert(brute.contains("\"neighbor_id\""))
+    // the prebuilt-index path must serve the same ranking as the exact
+    // scorer on this small fixture when every list is probed
+    val q2 = """{ t: embeddings {
+      n: nearest(on: \"embedding\", id: \"vec_id\", ids: [0, 1],
+                 k: 3, method: \"IVF\", nlist: 4, nprobe: 4) {
+        o: order(by: [\"query_id\", \"rank\"]) {
+          c: columns { query_id { values } neighbor_id { values }
+                       rank { values } } } } } }"""
+    val r2 = post(s"""{"query": "${q2.replace("\n", " ")}"}""")
+    assert(r2.statusCode() == 200, r2.body())
+    val ivf = r2.body().replaceAll(""""timing_ms":\{[^}]*\}""", "")
+    assert(ivf == brute, s"IVF with full probing must match BRUTE:\n$ivf\nvs\n$brute")
+    // build-once/probe-many through the service: a repeat request hits the
+    // cached prebuilt index — no second build job
+    val b0 = graft.operators.Similarity.ivfBuildCount.get()
+    val r3 = post(s"""{"query": "${q2.replace("\n", " ")}"}""")
+    assert(r3.statusCode() == 200, r3.body())
+    assert(graft.operators.Similarity.ivfBuildCount.get() == b0,
+      "a repeat nearest(method: IVF) request must reuse the prebuilt index")
+  }
+
   test("Json.parse round-trips the value grammar") {
     assert(Json.parse("""{"a": [1, 2.5, "x\nя", true, null], "b": {"c": -7}}""") ==
       GObj(Seq(
