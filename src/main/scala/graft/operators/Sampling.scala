@@ -117,10 +117,27 @@ object Sampling {
   def reservoirK(t: GTable, strata: Seq[String], key: Column, k: Int,
                  seed: String = "0"): DataFrame = {
     require(k > 0, "reservoirK needs k > 0")
-    t.project("_gq_rk" -> shuffleKey(key, seed))
+    // Rank a NARROW (strata, key) projection: the wide payload (document
+    // text, embeddings) must not ride the range shuffle, the ranked cache,
+    // or the checkpoint inside rankings — at corpus scale those were the
+    // dominant cost AND the run-to-run variance (wide-row cache pressure).
+    // The winner set is ≤ k rows per stratum — tiny by construction — so
+    // the full rows are re-selected with a BROADCAST semi-join: the wide
+    // data is scanned once and never shuffled at all. Rows tied on a
+    // duplicated (strata, key) tuple all survive the join-back (the sample
+    // key is expected unique per stratum, as with any reservoir keyed on a
+    // row id).
+    val sCols = strata.map(col)
+    val winners = GTable(t.df.select(sCols :+ key.as("_gq_kv"): _*))
+      .project("_gq_rk" -> shuffleKey(col("_gq_kv"), seed))
       .rankings(strata, Seq(col("_gq_rk")), rowNumber = Some("_gq_rn"))
       .filter(col("_gq_rn") < k) // rankings outputs are 0-based
-      .df.drop("_gq_rk", "_gq_rn")
+      .df.select(sCols.zipWithIndex.map { case (c, i) => c.as(s"_gq_s$i") } :+
+        col("_gq_kv"): _*)
+    val cond = strata.zipWithIndex.map { case (s, i) =>
+      col(s) <=> col(s"_gq_s$i") }
+      .foldLeft(key <=> col("_gq_kv"))(_ && _)
+    t.df.join(broadcast(winners), cond, "left_semi")
   }
 
   /** Token-budget sequence packing: rows (in natural order) are assigned to
