@@ -56,14 +56,31 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       t.project(cols.map { case (alias, src) => alias -> col(src) }: _*)
         .select(cols.map(_._1): _*)
     }
+  /** Map-column policy (spark.graft.schema.mapAsJson, default false):
+    * GraphQL has no map scalar, and the reference warns-and-drops map
+    * fields (tests/test_core.py:39-41) — the parity default. With the flag
+    * on, map columns are instead served as JSON string scalars (to_json at
+    * the root / sql boundary), so the data stays reachable; reflection,
+    * filtering and projection all see a plain String column. */
+  private def mapsAsJson: Boolean =
+    spark.conf.getOption("spark.graft.schema.mapAsJson").contains("true")
+
+  private def jsonifyMaps(df: DataFrame): DataFrame = {
+    val mapCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+    }
+    if (mapCols.isEmpty || !mapsAsJson) df
+    else mapCols.foldLeft(df)((d, c) => d.withColumn(c, to_json(col(c))))
+  }
+
   private val rootCache = scala.collection.concurrent.TrieMap.empty[String, GTable]
   private val roots: Map[String, () => GTable] =
     names.map(n => n -> (() =>
       rootCache.getOrElseUpdate(n,
-        projected(n, GTable(Tables.loadOrdered(spark, sfDir, n)))))).toMap ++
+        projected(n, GTable(jsonifyMaps(Tables.loadOrdered(spark, sfDir, n))))))).toMap ++
     extraRoots.map { case (n, path) => n -> (() =>
       rootCache.getOrElseUpdate(n,
-        projected(n, GTable(Natural.withRowId(spark, path))))) }
+        projected(n, GTable(jsonifyMaps(Natural.withRowId(spark, path)))))) }
 
   private lazy val viewsRegistered: Unit =
     (names ++ extraRoots.keys).foreach(n =>
@@ -122,7 +139,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           .getOrElse(throw new IllegalArgumentException("sql needs query:"))
         viewsRegistered
         val t0 = System.nanoTime()
-        val r = f.outName -> resolveTable(GTable(spark.sql(q)), f, Some(q))
+        val r = f.outName -> resolveTable(GTable(jsonifyMaps(spark.sql(q))), f, Some(q))
         timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
         r
       } else {

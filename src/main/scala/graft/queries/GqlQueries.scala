@@ -705,6 +705,25 @@ object GqlQueries {
       "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
     PipelineQueries.q_ann_ivf_prebuilt.oracle)
 
+  /** Map columns served as JSON scalars (spark.graft.schema.mapAsJson;
+    * parity default drops them like the reference) — the sql root builds a
+    * map from plain columns, the service serializes it to_json, and DuckDB
+    * recomputes the identical JSON text. Set per-request: the flag is read
+    * at the sql boundary, not service construction. */
+  val q_gql_map = Q(
+    "q_gql_map",
+    (s, dir) => {
+      s.conf.set("spark.graft.schema.mapAsJson", "true")
+      try GqlBridge.frame(s, dir,
+        """{ q: sql(query: "SELECT doc_id, map('lang', lang) AS m FROM documents ORDER BY doc_id") {
+             c: columns { doc_id { values } m { values } } } }""",
+        Seq("q", "c"),
+        "doc_id BIGINT, m STRING")
+      finally s.conf.unset("spark.graft.schema.mapAsJson")
+    },
+    Some("""SELECT doc_id, CAST(to_json(MAP {'lang': lang}) AS VARCHAR) AS m
+            FROM documents ORDER BY doc_id"""))
+
   /** tf-idf keyword extraction through the service. */
   val q_gql_tfidf = Q(
     "q_gql_tfidf",
@@ -818,5 +837,5 @@ object GqlQueries {
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
-    q_gql_fingerprint, q_gql_pack, q_gql_ann)
+    q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_map)
 }

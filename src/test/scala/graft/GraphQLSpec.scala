@@ -665,4 +665,31 @@ class GraphQLSpec extends SparkSpec {
     val sdl = graphql.SchemaGen.sdlOf(Seq("t" -> schema))
     assert(sdl.contains("ok: BigInt") && !sdl.contains("m:"))
   }
+
+  test("mapAsJson flag serves map columns as JSON string scalars instead of dropping") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_map_root").toString + "/t"
+    Seq((1L, Map("a" -> 10L, "b" -> 20L)), (2L, Map("c" -> 30L)))
+      .toDF("id", "m").write.parquet(dir)
+    spark.conf.set("spark.graft.schema.mapAsJson", "true")
+    try {
+      val svc = new graphql.GraphQLService(spark, sf,
+        extraRoots = Map("mapped" -> dir))
+      // reflection: the map field survives as a String scalar
+      assert(svc.sdl.contains("m: String"), svc.sdl)
+      // serving: values arrive as JSON text, ordered and filterable like
+      // any other string column
+      val resp = svc.execute(
+        """{ mapped { o: order(by: ["id"]) {
+             c: columns { id { values } m { values } } } } }""")
+      assert(!resp.contains("\"errors\""), resp)
+      assert(resp.contains("""{\"a\":10,\"b\":20}""") ||
+        resp.contains("""{"a":10,"b":20}"""), resp)
+    } finally spark.conf.unset("spark.graft.schema.mapAsJson")
+    // parity default (flag off): same root drops the map field
+    val svc2 = new graphql.GraphQLService(spark, sf,
+      extraRoots = Map("mapped2" -> dir))
+    assert(!svc2.sdl.contains("m: String"))
+  }
 }
