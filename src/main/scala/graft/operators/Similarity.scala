@@ -558,15 +558,21 @@ object Similarity {
                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val buckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col(vecCol), planes, dim, t).as("b")))
-    val v = Dedup.capBucketsBy(
-      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // candidate generation and dedup ride NARROW (bucket, id) rows — the
+    // vectors (dim floats each) are re-joined only for the surviving
+    // distinct pairs, exactly like minhashPairs re-joins signatures
+    // post-dedup, so the candidate shuffle never carries the embedding
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = Dedup.capBucketsBy(
+      df.select(col(idCol).as("id"),
         explode(array(buckets: _*)).as("_bucket")),
       Seq("_bucket"), maxBucket, "lshCosinePairs")
-    v.as("a").join(v.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.v").as("v1"), col("b.v").as("v2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
+      .join(v.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(v.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         cosineFast(df.sparkSession)(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
