@@ -126,8 +126,13 @@ object PipelineQueries {
        |    array_to_string(sg[CAST(band * $r + 1 AS INT) : CAST(band * $r + $r AS INT)],
        |      ',') AS bucket
        |  FROM sig, (SELECT unnest(range(0, $bands)) AS band) bands),
+       |hotb AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+       |  HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+       |bandedc AS (SELECT banded.* FROM banded
+       |  WHERE NOT EXISTS (SELECT 1 FROM hotb h
+       |    WHERE h.band = banded.band AND h.bucket = banded.bucket)),
        |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
-       |  FROM banded a JOIN banded b
+       |  FROM bandedc a JOIN bandedc b
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
        |est AS (SELECT id1, id2,
        |    len(list_filter(list_transform(range(1, ${k + 1}),
@@ -245,8 +250,14 @@ object PipelineQueries {
                 array_to_string(bt[CAST(49 - 16 * band AS INT) : CAST(64 - 16 * band AS INT)],
                   '') AS bucket
               FROM bits, (SELECT unnest(range(0, 4)) AS band) bands),
+            hotb AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+              HAVING count(*) > """ +
+          s"""${graft.operators.Dedup.DefaultMaxBucket}),
+            bandedc AS (SELECT banded.* FROM banded
+              WHERE NOT EXISTS (SELECT 1 FROM hotb h
+                WHERE h.band = banded.band AND h.bucket = banded.bucket)),
             cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
-              FROM banded a JOIN banded b
+              FROM bandedc a JOIN bandedc b
               ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
             ham AS (SELECT id1, id2,
                 len(list_filter(list_transform(range(1, 65),
