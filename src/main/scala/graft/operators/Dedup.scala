@@ -171,6 +171,23 @@ object Dedup {
                          op: String): DataFrame =
     capBucketsBy(banded, Seq("band", "bucket"), maxBucket, op)
 
+  /** Diagnostic: the per-(band, bucket) occupancy histogram of the MinHash
+    * banding [[minhashPairs]] self-joins on — the distribution `maxBucket`
+    * acts on. One row per non-empty bucket with its `count`; same fused
+    * signature pass + banding as the production path, so a soak/ops probe
+    * (graft.tools.SoakProbe) measures exactly what the cap would see. */
+  def minhashBandOccupancy(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3, k: Int = 64,
+                           bands: Int = 16): DataFrame = {
+    require(bands > 0 && k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
+    val r = k / bands
+    minhashSignatures(df, textCol, idCol, n, k)
+      .select(posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .groupBy("band", "bucket").count()
+  }
+
   /** LSH candidate pairs from MinHash signatures: `bands` bands of
     * `k/bands` rows each; docs sharing any band bucket are candidates;
     * candidates are then verified with the exact signature similarity

@@ -79,6 +79,22 @@ object Similarity {
       s"lsh_bits_${table}_${planes}_${dim}", matrix)
   }
 
+  /** Hyperplane count sized to the corpus: smallest `planes` with expected
+    * bucket occupancy `n / 2^planes ≤ targetOccupancy`. Bucket geometry is
+    * as load-bearing as the occupancy cap — the round-7 soak measured an
+    * 81× wall-clock blowup (5.3 s → 429 s) on a 24k-vector corpus banded
+    * with 4 planes (16 buckets/table), vs capped==uncapped equivalence at
+    * the planesFor size. Keep targetOccupancy well under the
+    * [[graft.operators.Dedup.DefaultMaxBucket]] cap so only adversarial
+    * mass (not honest geometry) trips it. */
+  def planesFor(n: Long, targetOccupancy: Int = 256): Int = {
+    require(n >= 0 && targetOccupancy > 0,
+      s"need n >= 0 and targetOccupancy > 0 (got $n, $targetOccupancy)")
+    var planes = 1
+    while ((n >> planes) > targetOccupancy && planes < 62) planes += 1
+    planes
+  }
+
   /** Composable reference form of [[lshBucket]] (interpreted HOF lambdas —
     * the fused expression replaces it on hot paths). */
   def lshBucketComposable(vec: Column, planes: Int, dim: Int,
@@ -551,7 +567,12 @@ object Similarity {
     * a corpus with dense embedding clusters (mass-duplicated vectors) puts
     * m near-identical rows in one sign bucket of EVERY table, turning the
     * banded join quadratic — oversized buckets are dropped before the
-    * self-join (run exact dedup first; 0 disables for oracle runs). */
+    * self-join (run exact dedup first; 0 disables for oracle runs).
+    *
+    * Size `planes` with [[planesFor]]: expected occupancy is
+    * n / 2^planes per table, and an under-planed corpus makes EVERY
+    * bucket quadratic with no skew at all (soak-measured 81× blowup at
+    * 24k vectors × 4 planes; see BASELINE.md round-7). */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int, dim: Int,
                      tables: Int = 8,

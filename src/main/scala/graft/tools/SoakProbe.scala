@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
 
@@ -8,45 +8,83 @@ import graft.operators.{Dedup, Similarity}
   * driver contract): on a gen_scale.py-amplified dataset — verbatim-copied
   * embedding vectors (dense cosine clusters) and copyK-prefixed near-dup
   * document clusters — measure the band-bucket occupancy the caps exist
-  * for: bucket histogram, hot-bucket count at the default cap, and the
-  * capped-vs-uncapped candidate volume/wall-time of the banded cosine
-  * self-join. Args: <amplified sf dir>. */
+  * for: bucket histograms for BOTH banded self-joins (hyperplane-LSH
+  * cosine and MinHash bands), hot-bucket counts at the cap, and
+  * capped-vs-uncapped candidate volume / wall time.
+  *
+  * Args: <amplified sf dir> [--cap N] [--skip-uncapped]
+  * `--skip-uncapped` is for the skew-regime corpus (cluster width > cap),
+  * where the uncapped join is quadratic by construction — the point is
+  * that the capped run stays bounded, not that the uncapped one finishes.
+  */
 object SoakProbe {
   def main(args: Array[String]): Unit = {
-    val sf = if (args.nonEmpty) args(0) else "/root/repo/tmpscale/sf1.2"
+    val sf = args.headOption.getOrElse("/root/repo/tmpscale/sf1.2")
+    val skipUncapped = args.contains("--skip-uncapped")
+    val cap = args.sliding(2).collectFirst {
+      case Array("--cap", v) => v.toInt
+    }.getOrElse(Dedup.DefaultMaxBucket)
+    // hyperplane count scales with corpus size in a real deployment
+    // (buckets ≈ 2^planes per table; pick planes so n / 2^planes stays
+    // well under the occupancy cap for a non-adversarial corpus)
+    val planes = args.sliding(2).collectFirst {
+      case Array("--planes", v) => v.toInt
+    }.getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // surface the capBuckets log.info line the round-7 soak is asked to observe
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.operators", org.apache.logging.log4j.Level.INFO)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    println(s"SOAK dir=$sf cap=$cap planes=$planes docs=${docs.count()} embs=${embs.count()}")
 
-    val buckets = (0 until 8).map(t => struct(lit(t).as("t"),
-      Similarity.lshBucket(col("embedding"), 4, 64, t).as("b")))
-    val occ = embs.select(explode(array(buckets: _*)).as("_bucket"))
-      .groupBy("_bucket").count()
-    val st = occ.agg(max("count"), avg("count"), count(lit(1))).head
-    println(f"SOAK lsh-bucket occupancy: nBuckets=${st.getLong(2)} " +
-      f"avg=${st.getDouble(1)}%.1f max=${st.getLong(0)}")
-    println(s"SOAK hot buckets (> default cap 1000): " +
-      occ.filter(col("count") > 1000).count())
-
-    def pairs(maxBucket: Int): (Long, Double) = {
-      val t0 = System.nanoTime()
-      val n = Similarity.lshCosinePairs(embs, "vec_id", "embedding", 0.2,
-        planes = 4, dim = 64, maxBucket = maxBucket).count()
-      (n, (System.nanoTime() - t0) / 1e9)
+    def occStats(name: String, occ: DataFrame): Unit = {
+      val st = occ.agg(max("count"), avg("count"), count(lit(1))).head
+      val hot = occ.filter(col("count") > cap).count()
+      println(f"SOAK $name occupancy: nBuckets=${st.getLong(2)} " +
+        f"avg=${st.getDouble(1)}%.1f max=${st.getLong(0)} hot(>$cap)=$hot")
     }
-    val (nc, tc) = pairs(1000)
-    println(f"SOAK lshCosinePairs capped(1000): $nc pairs in $tc%.1fs")
-    val (nu, tu) = pairs(0)
-    println(f"SOAK lshCosinePairs uncapped: $nu pairs in $tu%.1fs")
+    val buckets = (0 until 8).map(t => struct(lit(t).as("t"),
+      Similarity.lshBucket(col("embedding"), planes, 64, t).as("b")))
+    occStats("lsh-cosine-bucket", embs
+      .select(explode(array(buckets: _*)).as("_bucket"))
+      .groupBy("_bucket").count())
+    occStats("minhash-band-bucket",
+      Dedup.minhashBandOccupancy(docs, "text", "doc_id"))
 
-    val t1 = System.nanoTime()
-    val mh = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5).count()
-    println(f"SOAK minhashPairs(default cap): $mh pairs in ${(System.nanoTime() - t1) / 1e9}%.1fs")
+    def timed[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SOAK $what in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    val nc = timed(s"lshCosinePairs capped($cap)") {
+      Similarity.lshCosinePairs(embs, "vec_id", "embedding", 0.2,
+        planes = planes, dim = 64, maxBucket = cap).count()
+    }
+    println(s"SOAK lshCosinePairs capped pairs=$nc")
+    val mc = timed(s"minhashPairs capped($cap)") {
+      Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
+        maxBucket = cap).count()
+    }
+    println(s"SOAK minhashPairs capped pairs=$mc")
+    if (!skipUncapped) {
+      val nu = timed("lshCosinePairs uncapped") {
+        Similarity.lshCosinePairs(embs, "vec_id", "embedding", 0.2,
+          planes = planes, dim = 64, maxBucket = 0).count()
+      }
+      println(s"SOAK lshCosinePairs uncapped pairs=$nu (capped==uncapped: ${nu == nc})")
+      val mu = timed("minhashPairs uncapped") {
+        Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
+          maxBucket = 0).count()
+      }
+      println(s"SOAK minhashPairs uncapped pairs=$mu (capped==uncapped: ${mu == mc})")
+    }
     spark.stop()
   }
 }

@@ -505,6 +505,24 @@ class PipelineSpec extends SparkSpec {
     assert(zero == Seq(0.0, 0.0, 0.0))
   }
 
+  test("planesFor sizes bucket geometry to the corpus; occupancy probe matches the cap's view") {
+    // expected occupancy n / 2^planes must land at or under the target
+    for ((n, target) <- Seq((200L, 256), (24000L, 256), (600000L, 256), (1L << 40, 512))) {
+      val p = Similarity.planesFor(n, target)
+      assert((n >> p) <= target, s"n=$n planes=$p occupancy=${n >> p}")
+      // and one fewer plane would overshoot (minimality), unless already at 1
+      if (p > 1) assert((n >> (p - 1)) > target, s"n=$n planes=$p not minimal")
+    }
+    // the diagnostic histogram counts every (band, bucket) group the capped
+    // join would see: total occupancy == bands × docs-with-signatures
+    val occ = Dedup.minhashBandOccupancy(docs, "text", "doc_id", bands = 16)
+    val total = occ.agg(sum("count")).head.getLong(0)
+    val nDocs = docs.count()
+    // every signature-bearing doc contributes exactly one row to each band
+    assert(total % 16 == 0 && total > 0 && total <= 16 * nDocs,
+      s"histogram total $total vs ${16 * nDocs} banded-row ceiling")
+  }
+
   test("langId returns a configured language and quality is in [0,1]") {
     val r = docs.select(TextAnalysis.langId(col("text")).as("l"),
       TextAnalysis.qualityMetrics(col("text")).toMap.apply("quality").as("q")).collect()
