@@ -247,6 +247,23 @@ object Dedup {
   def md5Hash60(c: Column, seed: Column): Column =
     Hashing.md5Long(concat(seed.cast("string"), lit(":"), c))
 
+  /** md5-permutation MinHash signatures (id, sig): the oracle-reproducible
+    * twin of [[minhashSignatures]] — k seeded md5 mins over the shingle
+    * set, sorted by seed. Shared by [[minhashPairsMd5]] and the md5 mode
+    * of [[minhashIndexBuild]]. */
+  private def md5Signatures(df: DataFrame, textCol: String, idCol: String,
+                            n: Int, k: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(df.sparkSession, col(textCol), n)).as("sh"))
+    sh.select(col("id"),
+        explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
+      .select(col("id"), col("seed"), md5Hash60(col("sh"), col("seed")).as("h"))
+      .groupBy("id", "seed").agg(min(col("h")).as("m"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("seed"), col("m")))),
+        x => x.getField("m")).as("sig"))
+  }
+
   /** MinHash+LSH pairs with md5-derived permutation hashes: identical
     * algorithm to [[minhashPairs]] (k per-shingle hash mins → signature →
     * b bands → bucket join → equal-component verification), but every value
@@ -264,19 +281,10 @@ object Dedup {
       s"k ($k) must be a positive multiple of bands ($bands): a remainder " +
         "would silently exclude trailing signature components from banding")
     val r = k / bands
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(df.sparkSession, col(textCol), n)).as("sh"))
-    val hv = sh.select(col("id"),
-        explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
-      .select(col("id"), col("seed"), md5Hash60(col("sh"), col("seed")).as("h"))
     // consumed 3x (banding + two verification joins): persist, as
     // minhashPairs does — the k-seeded md5 aggregation is the dominant cost
     // and must not run three times
-    val sig = hv.groupBy("id", "seed").agg(min(col("h")).as("m"))
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("seed"), col("m")))),
-        x => x.getField("m")).as("sig"))
-      .persist()
+    val sig = md5Signatures(df, textCol, idCol, n, k).persist()
     try {
       val banded = capBuckets(sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -557,6 +565,169 @@ object Dedup {
     screened
       .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
+  }
+
+  /** Default directory-slot count per partition family in the MinHash
+    * index layout ([[minhashIndexBuild]]): banded rows land in
+    * `_bb = band · slots + pmod(hash(bucket), slots)` partitions and
+    * signatures in `_sp = pmod(hash(id), slots)` — coarse enough to keep
+    * file counts sane at corpus scale, fine enough that a small batch's
+    * key list prunes most of the read statically. Tune with corpus size:
+    * small fixtures want few slots (dir-creation overhead dominates),
+    * petabyte corpora want more (files per dir). */
+  val IndexSlots = 64
+
+  /** Handle to a prebuilt MinHash band index (see [[minhashIndexBuild]]).
+    * `md5` selects the oracle-reproducible hash family; schemas are
+    * carried so probes re-open the parquet without inference. */
+  final case class MinHashIndex(
+      path: String, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int, md5: Boolean, slots: Int,
+      bandedSchema: org.apache.spark.sql.types.StructType,
+      sigSchema: org.apache.spark.sql.types.StructType)
+
+  private def signaturesFor(df: DataFrame, textCol: String, idCol: String,
+                            n: Int, k: Int, md5: Boolean): DataFrame =
+    if (md5) md5Signatures(df, textCol, idCol, n, k)
+    else minhashSignatures(df, textCol, idCol, n, k)
+
+  /** Banded (band, bucket, id) rows of a signature frame. Bucket is the
+    * band slice's join key in its natural form: the joined string for the
+    * md5 family (oracle-recomputable), its xxhash64 for the fused family
+    * (narrower shuffle key, matches [[minhashPairs]]). */
+  private def bandedFor(sig: DataFrame, bands: Int, r: Int,
+                        md5: Boolean): DataFrame = {
+    val slices = transform(sequence(lit(0), lit(bands - 1)), b =>
+      array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ","))
+    val exploded = sig.select(col("id"), posexplode(slices))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    if (md5) exploded
+    else exploded.withColumn("bucket", xxhash64(col("bucket")))
+  }
+
+  /** Build-once/probe-many near-dup index: the corpus's MinHash
+    * signatures and banded rows written ONCE, so incremental ingestion
+    * never re-reads corpus text or re-runs its signature pass (the
+    * dominant near-dup cost — the round-7 soak measured ~27 s per 60k
+    * docs). Same rationale as the prebuilt ANN indexes
+    * ([[graft.operators.Similarity.lshBuild]]): the index changes WHERE
+    * the work happens, never the answer.
+    *
+    * Layout: `path/banded` (band, bucket, id) partitioned by `_bb`
+    * (band-salted bucket hash, [[IndexSlots]] slots per band) — a batch
+    * probe's distinct `_bb` keys prune the read statically; `path/sigs`
+    * (id, sig) partitioned by `_sp` (id-hash slot) — candidate corpus ids
+    * prune the verification read the same way. At 100 TB both trees are
+    * also the natural unit of incremental APPEND (a new corpus segment
+    * writes its own banded/sig files under the same slots). */
+  def minhashIndexBuild(corpus: DataFrame, textCol: String, idCol: String,
+                        path: String, n: Int = 3, k: Int = 64,
+                        bands: Int = 16, md5: Boolean = false,
+                        slots: Int = IndexSlots): MinHashIndex = {
+    require(bands > 0 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands)")
+    require(slots > 0, s"slots must be positive (got $slots)")
+    val r = k / bands
+    val sig = signaturesFor(corpus, textCol, idCol, n, k, md5).persist()
+    try {
+      val banded = bandedFor(sig, bands, r, md5)
+        .withColumn("_bb", col("band") * lit(slots) +
+          pmod(xxhash64(col("bucket").cast("string")), lit(slots)))
+      banded.write.mode("overwrite").partitionBy("_bb")
+        .parquet(s"$path/banded")
+      val sigs = sig.withColumn("_sp",
+        pmod(xxhash64(col("id").cast("string")), lit(slots)))
+      sigs.write.mode("overwrite").partitionBy("_sp").parquet(s"$path/sigs")
+      MinHashIndex(path, textCol, idCol, n, k, bands, md5, slots,
+        banded.schema, sigs.schema)
+    } finally sig.unpersist(blocking = false)
+  }
+
+  /** Near-dup hits of a new batch against a prebuilt corpus index:
+    * (batch_id, corpus_id, est_jaccard) pairs at `threshold`. Only the
+    * BATCH's signatures are computed; the corpus side is a pruned read of
+    * the stored banding (batch is small by contract — an ingestion tick,
+    * not a second corpus; above `maxPruneKeys` distinct band-buckets the
+    * probe degrades to a full banded scan, still signature-pass-free).
+    * The occupancy cap applies to the CORPUS buckets exactly as in
+    * [[minhashPairs]] — boilerplate mass in the corpus must not make an
+    * ingestion tick quadratic. */
+  def minhashDedupAgainst(index: MinHashIndex, batch: DataFrame,
+                          threshold: Double = 0.7,
+                          maxBucket: Int = DefaultMaxBucket,
+                          maxPruneKeys: Int = 2048): DataFrame =
+    dedupAgainstFrame(index, batch, threshold, maxBucket, maxPruneKeys,
+      materialize = true)
+
+  /** Lazy twin of [[minhashDedupAgainst]] for plan audits/specs: no
+    * persist scoping, no checkpoint — the returned frame still carries the
+    * pruned file-scan operators introspection needs. */
+  private[graft] def minhashDedupAgainstLazy(
+      index: MinHashIndex, batch: DataFrame, threshold: Double = 0.7,
+      maxBucket: Int = DefaultMaxBucket, maxPruneKeys: Int = 2048): DataFrame =
+    dedupAgainstFrame(index, batch, threshold, maxBucket, maxPruneKeys,
+      materialize = false)
+
+  private def dedupAgainstFrame(index: MinHashIndex, batch: DataFrame,
+                                threshold: Double, maxBucket: Int,
+                                maxPruneKeys: Int,
+                                materialize: Boolean): DataFrame = {
+    val spark = batch.sparkSession
+    val r = index.k / index.bands
+    val bs0 = signaturesFor(batch, index.textCol, index.idCol,
+      index.n, index.k, index.md5)
+    val bs = if (materialize) bs0.persist() else bs0
+    try {
+      val bb = bandedFor(bs, index.bands, r, index.md5)
+        .withColumn("_bb", col("band") * lit(index.slots) +
+          pmod(xxhash64(col("bucket").cast("string")), lit(index.slots)))
+      val keys = bb.select("_bb").distinct()
+        .limit(maxPruneKeys + 1).collect().map(_.getLong(0))
+      val corpusBanded0 = spark.read.schema(index.bandedSchema)
+        .parquet(s"${index.path}/banded")
+      val corpusBanded =
+        if (keys.length <= maxPruneKeys)
+          corpusBanded0.filter(col("_bb").isin(keys: _*))
+        else corpusBanded0
+      // a bucket's rows share one _bb partition, so occupancy counted on
+      // the pruned stream equals occupancy on the full index
+      val cb = capBucketsBy(corpusBanded, Seq("band", "bucket"), maxBucket,
+        "minhashDedupAgainst")
+      val cand0 = bb.select(col("band"), col("bucket"), col("id").as("batch_id"))
+        .join(cb.select(col("band"), col("bucket"), col("id").as("corpus_id")),
+          Seq("band", "bucket"))
+        .select("batch_id", "corpus_id").dropDuplicates()
+      val cand = if (materialize) cand0.persist() else cand0
+      try {
+        val sp = cand.select(pmod(xxhash64(col("corpus_id").cast("string")),
+            lit(index.slots)).as("_sp"))
+          .distinct().collect().map(_.getLong(0))
+        val cs = spark.read.schema(index.sigSchema)
+          .parquet(s"${index.path}/sigs")
+          .filter(col("_sp").isin(sp: _*))
+        val out = cand
+          .join(cs.select(col("id").as("corpus_id"), col("sig").as("sig2")),
+            Seq("corpus_id"))
+          .join(bs.select(col("id").as("batch_id"), col("sig").as("sig1")),
+            Seq("batch_id"))
+          .withColumn("est_jaccard",
+            size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+              b => b)) / lit(index.k.toDouble))
+          .filter(col("est_jaccard") >= threshold)
+          .select("batch_id", "corpus_id", "est_jaccard")
+        if (materialize) out.localCheckpoint(eager = true) else out
+      } finally if (materialize) cand.unpersist(blocking = false)
+    } finally if (materialize) bs.unpersist(blocking = false)
+  }
+
+  /** Ingestion-side survivor set: batch rows with NO near-duplicate in
+    * the corpus index (the near-dup analog of [[exactIncremental]]). */
+  def minhashDedupFilter(index: MinHashIndex, batch: DataFrame,
+                         threshold: Double = 0.7,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val hits = minhashDedupAgainst(index, batch, threshold, maxBucket)
+      .select(col("batch_id")).dropDuplicates()
+    batch.join(hits, batch(index.idCol) === hits("batch_id"), "left_anti")
   }
 
   /** Eval-set decontamination (the GPT-3/PaLM appendix-C recipe): flag

@@ -99,11 +99,44 @@ object PipelineQueries {
     Some(s"""WITH ${minhashMd5PairsSql(k = 32, bands = 8, threshold = 0.5)}
             SELECT id1, id2, est_jaccard FROM pairs ORDER BY id1, id2"""))
 
+  /** Incremental near-dup against a PREBUILT MinHash band index
+    * (build-once/probe-many ingestion path): corpus = doc_id < 400 written
+    * as a banded+signature index, batch = doc_id ≥ 400 probed against it —
+    * only the batch's signatures are computed at probe time. md5 hash
+    * family, so the WHOLE path (index contents, pruned banding join,
+    * corpus-side occupancy cap, signature verification) is recomputed
+    * relationally by the oracle. */
+  val q_dedup_idx_md5 = Q(
+    "q_dedup_idx_md5",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val idx = Dedup.minhashIndexBuild(d.filter(col("doc_id") < 400),
+        "text", "doc_id", path = mhIdxDir(dir), n = 3, k = 32, bands = 8,
+        md5 = true, slots = 8)
+      GTable(Dedup.minhashDedupAgainst(idx, d.filter(col("doc_id") >= 400),
+          threshold = 0.5))
+        .order(GTable.orderKeys(Seq("batch_id", "corpus_id")))
+        .result
+    },
+    Some(s"""WITH ${minhashMd5AgainstSql(k = 32, bands = 8, threshold = 0.5,
+              corpusCond = "id < 400", batchCond = "id >= 400")}
+            SELECT batch_id, corpus_id, est_jaccard FROM pairs
+            ORDER BY batch_id, corpus_id"""))
+
+  /** Index base dir for the prebuilt-MinHash gate query: per-sf-dir so
+    * sf0.01 and sf0.1 runs never share index files. */
+  private def mhIdxDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   /** Shared oracle CTE block: the md5-permutation MinHash+LSH pipeline
     * (mirror of Dedup.minhashPairsMd5 — seeded shingle hash mins →
     * signature → banding → bucket join → equal-component verification),
     * ending in `pairs(id1, id2, est_jaccard)`. */
-  private def minhashMd5PairsSql(k: Int, bands: Int, threshold: Double): String = {
+  /** Shared oracle CTE prefix: md5-permutation signatures + banding for
+    * every document, ending in `sig(id, sg)` and `banded(id, band,
+    * bucket)`. Used by the self-join ([[minhashMd5PairsSql]]) and the
+    * index-probe cross join ([[minhashMd5AgainstSql]]) tails. */
+  private def minhashMd5BandedSql(k: Int, bands: Int): String = {
     val r = k / bands
     s"""toks AS (
        |  SELECT doc_id AS id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
@@ -125,7 +158,11 @@ object PipelineQueries {
        |banded AS (SELECT id, band,
        |    array_to_string(sg[CAST(band * $r + 1 AS INT) : CAST(band * $r + $r AS INT)],
        |      ',') AS bucket
-       |  FROM sig, (SELECT unnest(range(0, $bands)) AS band) bands),
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS band) bands)""".stripMargin
+  }
+
+  private def minhashMd5PairsSql(k: Int, bands: Int, threshold: Double): String = {
+    s"""${minhashMd5BandedSql(k, bands)},
        |hotb AS (SELECT band, bucket FROM banded GROUP BY band, bucket
        |  HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
        |bandedc AS (SELECT banded.* FROM banded
@@ -141,6 +178,35 @@ object PipelineQueries {
        |  FROM cand JOIN sig s1 ON cand.id1 = s1.id
        |            JOIN sig s2 ON cand.id2 = s2.id),
        |pairs AS (SELECT id1, id2, est_jaccard FROM est
+       |  WHERE est_jaccard >= $threshold)""".stripMargin
+  }
+
+  /** Cross tail of the md5 MinHash oracle: batch docs (`batchCond` on id)
+    * probed against corpus docs (`corpusCond`), the occupancy cap on the
+    * CORPUS buckets only — the relational mirror of
+    * Dedup.minhashDedupAgainst over a minhashIndexBuild(md5 = true) index.
+    * Ends in `pairs(batch_id, corpus_id, est_jaccard)`. */
+  private def minhashMd5AgainstSql(k: Int, bands: Int, threshold: Double,
+                                   corpusCond: String,
+                                   batchCond: String): String = {
+    s"""${minhashMd5BandedSql(k, bands)},
+       |bandedcorp AS (SELECT * FROM banded WHERE $corpusCond),
+       |bandedbatch AS (SELECT * FROM banded WHERE $batchCond),
+       |hotb AS (SELECT band, bucket FROM bandedcorp GROUP BY band, bucket
+       |  HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+       |bandedcorpc AS (SELECT bandedcorp.* FROM bandedcorp
+       |  WHERE NOT EXISTS (SELECT 1 FROM hotb h
+       |    WHERE h.band = bandedcorp.band AND h.bucket = bandedcorp.bucket)),
+       |cand AS (SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+       |  FROM bandedbatch b JOIN bandedcorpc c
+       |  ON b.band = c.band AND b.bucket = c.bucket),
+       |est AS (SELECT batch_id, corpus_id,
+       |    len(list_filter(list_transform(range(1, ${k + 1}),
+       |      i -> s1.sg[CAST(i AS INT)] = s2.sg[CAST(i AS INT)]), x -> x)) / $k.0
+       |      AS est_jaccard
+       |  FROM cand JOIN sig s1 ON cand.batch_id = s1.id
+       |            JOIN sig s2 ON cand.corpus_id = s2.id),
+       |pairs AS (SELECT batch_id, corpus_id, est_jaccard FROM est
        |  WHERE est_jaccard >= $threshold)""".stripMargin
   }
 
@@ -177,7 +243,7 @@ object PipelineQueries {
       """{ t: documents {
            f: filter(doc_id: {ge: 400}) {
            d: dedupAgainst(corpus: "documents", method: "bloom",
-                           expectedItems: 1000, fpp: 0.000001,
+                           expectedItems: 1000, fpp: 0.000000001,
                            corpusWhere: {lt: [{name: "doc_id"}, {value: 400}]},
                            on: "text", id: "doc_id") {
              o: order(by: ["doc_id"]) {
@@ -1160,8 +1226,14 @@ object PipelineQueries {
       val batch = d.filter(col("doc_id") >= 400).select("doc_id", "text")
         .union(d.filter(col("doc_id") < 50)
           .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      // fpp 1e-9, not 1e-6: the gate's oracle models the EXACT result, and
+      // at soak scale (60k-doc batch, ×12 amplification) 1e-6 gave a ~6%
+      // chance of one deterministic false drop — observed in the round-7
+      // soak. 1e-9 keeps the agreement probability overwhelming at any
+      // realistic amplification while the fpp trade itself is spec'd in
+      // PipelineSpec (no-false-negatives + subset-of-exact).
       GTable(Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
-          expectedItems = 1000L, fpp = 1e-6))
+          expectedItems = 1000L, fpp = 1e-9))
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
@@ -1295,7 +1367,7 @@ object PipelineQueries {
             FROM t ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
-    q_dedup_minhash_md5, q_dedup_simhash_md5, q_gql_near_dedup,
+    q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5, q_gql_near_dedup,
     q_gql_dedup_against, q_gql_dedup_against_bloom,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,

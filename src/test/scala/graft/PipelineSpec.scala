@@ -523,6 +523,70 @@ class PipelineSpec extends SparkSpec {
       s"histogram total $total vs ${16 * nDocs} banded-row ceiling")
   }
 
+  test("prebuilt MinHash index: probe equals cross-restricted pairs; banded read prunes; filter keeps survivors") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+    }.flatten
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx_spec").toString
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val idx = Dedup.minhashIndexBuild(corpus, "text", "doc_id", path = dir)
+
+    // the probe answers exactly what the direct self-join answers on the
+    // cross (batch, corpus) pairs — uncapped on both sides so cap SCOPE
+    // (union vs corpus-only occupancy) cannot differ
+    val got = Dedup.minhashDedupAgainst(idx, batch, threshold = 0.5, maxBucket = 0)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
+        maxBucket = 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if a % 2 != b % 2 =>
+        if (a % 2 == 1) (a, b) else (b, a) }.toSet
+    assert(got == expect, s"probe ${got.size} pairs vs direct ${expect.size}")
+
+    // a one-doc ingestion tick reads only the band-bucket slots it hashes
+    // to — strictly fewer index files than the banded tree holds
+    // pick a doc with a known hit (a signature-less or candidate-less doc
+    // folds the whole probe to an empty relation at planning time)
+    val oneId = got.headOption.map(_._1).getOrElse(
+      batch.filter(size(split(col("text"), "\\s+")) >= 3)
+        .select("doc_id").head.getLong(0))
+    val one = batch.filter(col("doc_id") === oneId)
+    // AQE folds an empty probe result into LocalTableScan, erasing the
+    // scan operators; the pruning under test is STATIC (an isin partition
+    // filter planted at planning time), so assert it with AQE off
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val lazyProbe =
+      try Dedup.minhashDedupAgainstLazy(idx, one, threshold = 0.5)
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try lazyProbe.collect()
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val found = scans(lazyProbe.queryExecution.executedPlan)
+    val bandedScan = found
+      .find(f => f.relation.location.rootPaths.mkString(",").contains("banded"))
+      .getOrElse(fail(s"no banded scan among ${found.size}: " +
+        found.map(_.relation.location.rootPaths.mkString(","))
+          .mkString(" | ").take(2000)))
+    val read = bandedScan.metrics("numFiles").value
+    val total = spark.read.parquet(s"$dir/banded").inputFiles.length
+    assert(read > 0 && read < total,
+      s"one-doc probe read $read of $total banded index files — not pruned")
+
+    // survivor filter = batch minus hit ids
+    val surv = Dedup.minhashDedupFilter(idx, batch, threshold = 0.5, maxBucket = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == batchIds -- got.map(_._1), "filter disagrees with probe hits")
+  }
+
   test("langId returns a configured language and quality is in [0,1]") {
     val r = docs.select(TextAnalysis.langId(col("text")).as("l"),
       TextAnalysis.qualityMetrics(col("text")).toMap.apply("quality").as("q")).collect()
