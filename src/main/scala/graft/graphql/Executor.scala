@@ -583,12 +583,35 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           if (hashes.isEmpty) keyed
           else {
             val bf = hashes.stat.bloomFilter("_h", items, fpp)
-            val bcast = spark.sparkContext.broadcast(bf)
-            val unseenU = udf((h: Long) => !bcast.value.mightContainLong(h))
-            keyed.filter(unseenU(col("_gq_h")))
+            // native codegen'd membership (same expression as
+            // Dedup.incrementalBloom) — not a Scala UDF, so the served
+            // screen stays inside whole-stage codegen like the library path
+            keyed.filter(!graft.expressions.BloomFunctions
+              .mightContainLong(spark, bf, col("_gq_h")))
           }
+        case "minhash" =>
+          // near-dup incremental ingestion: survivors have no MinHash+LSH
+          // near-duplicate in the corpus — served off a PREBUILT band
+          // index (minhashIndexFor: first request builds, every later
+          // request probes; content-fingerprinted like the ANN tier).
+          // hash: "md5" swaps in oracle-reproducible permutations.
+          val threshold = f.arg("threshold").collect {
+            case GFloat(d) => d
+            case GInt(i) => i.toDouble
+          }.getOrElse(0.7)
+          val md5 = strArg(f, "hash").contains("md5")
+          val (n, k, bands) = (intArg(f, "n").getOrElse(3),
+            intArg(f, "k").getOrElse(if (md5) 32 else 64),
+            intArg(f, "bands").getOrElse(if (md5) 8 else 16))
+          val idx = graft.operators.Dedup.minhashIndexFor(corpus,
+            corpusKeyOf(corpus), on, id, annIndexDir, n, k, bands, md5,
+            slots = intArg(f, "slots").getOrElse(8))
+          graft.operators.Dedup.minhashDedupFilter(idx, keyed.drop("_gq_h"),
+              threshold)
+            .withColumn("_gq_h",
+              graft.operators.Dedup.classKey(col(on), normalize))
         case other => throw new IllegalArgumentException(
-          s"""dedupAgainst method: must be "exact" or "bloom", got "$other"""")
+          s"""dedupAgainst method: must be "exact", "bloom" or "minhash", got "$other"""")
       }
       // batch-internal dedup joins on (class hash, id) — duplicate-id safe
       // like the dedup field

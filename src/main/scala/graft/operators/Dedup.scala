@@ -730,6 +730,46 @@ object Dedup {
     batch.join(hits, batch(index.idCol) === hits("batch_id"), "left_anti")
   }
 
+  private val mhCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MinHashIndex]()
+
+  /** Build counter (metadata re-opens do NOT increment) — serving-tier
+    * observability, mirrors Similarity.ivfBuildCount. */
+  private[graft] val minhashBuildCount =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Cached [[minhashIndexBuild]] — the serving entry point, sharing the
+    * prebuilt-ANN lifecycle contract (Similarity.ivfIndexFor): cache key
+    * folds a corpus content fingerprint (file list + sizes + mtimes), a
+    * readable on-disk sidecar re-opens without a build job, and a corpus
+    * rewritten in place gets a fresh fingerprint → fresh path → rebuild. */
+  def minhashIndexFor(corpus: DataFrame, corpusKey: String, textCol: String,
+                      idCol: String, baseDir: String, n: Int = 3,
+                      k: Int = 64, bands: Int = 16, md5: Boolean = false,
+                      slots: Int = IndexSlots): MinHashIndex = {
+    val key = s"mh|$corpusKey|${Similarity.fingerprint(corpus)}|" +
+      s"$textCol|$idCol|$n|$k|$bands|$md5|$slots"
+    mhCache.computeIfAbsent(key, _ => {
+      val spark = corpus.sparkSession
+      val path = s"$baseDir/mh_${Similarity.keyHash(key)}"
+      Similarity.readMeta[MinHashIndex](spark, path).getOrElse {
+        val idx = minhashIndexBuild(corpus, textCol, idCol, path, n, k,
+          bands, md5, slots)
+        minhashBuildCount.incrementAndGet()
+        Similarity.writeMeta(spark, path, idx)
+        idx
+      }
+    })
+  }
+
+  /** Drop cached MinHash indexes for `corpusKey` (on-disk files stay —
+    * a later request re-opens or rebuilds under a fresh fingerprint). */
+  def invalidateMinhashIndexes(corpusKey: String): Unit =
+    mhCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
+
+  /** Clear the whole in-memory MinHash index cache (restart simulation). */
+  def invalidateAllMinhashIndexes(): Unit = mhCache.clear()
+
   /** Eval-set decontamination (the GPT-3/PaLM appendix-C recipe): flag
     * training documents sharing at least `minHits` distinct word n-grams
     * with any benchmark document, so they can be dropped before training

@@ -465,14 +465,14 @@ object Similarity {
   private[graft] val ivfBuildCount = new java.util.concurrent.atomic.AtomicLong
   private[graft] val lshBuildCount = new java.util.concurrent.atomic.AtomicLong
 
-  private def keyHash(key: String): String =
+  private[operators] def keyHash(key: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   /** Content fingerprint of the frame's input files (path, size, mtime).
     * Frames with no file lineage (in-memory fixtures) fingerprint as
     * "nofiles" — their identity is then carried by `corpusKey` alone. */
-  private def fingerprint(corpus: DataFrame): String = {
+  private[operators] def fingerprint(corpus: DataFrame): String = {
     val files = corpus.inputFiles.sorted
     if (files.isEmpty) "nofiles"
     else {
@@ -489,7 +489,7 @@ object Similarity {
 
   private val MetaFile = "_graft_index_meta.bin"
 
-  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def writeMeta(spark: org.apache.spark.sql.SparkSession,
                         path: String, index: AnyRef): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$MetaFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -502,7 +502,7 @@ object Similarity {
     * Any failure (missing, torn write, incompatible version) falls back to
     * a rebuild. The path already encodes the fingerprinted key, so a
     * readable sidecar at that path is valid by construction. */
-  private def readMeta[T](spark: org.apache.spark.sql.SparkSession,
+  private[operators] def readMeta[T](spark: org.apache.spark.sql.SparkSession,
                           path: String): Option[T] =
     try {
       val p = new org.apache.hadoop.fs.Path(s"$path/$MetaFile")

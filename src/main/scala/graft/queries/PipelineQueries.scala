@@ -252,6 +252,33 @@ object PipelineQueries {
       "doc_id BIGINT"),
     dedupAgainstOracle)
 
+  /** The SERVED near-dup incremental ingestion (dedupAgainst method:
+    * "minhash"): survivors are batch rows with no MinHash+LSH
+    * near-duplicate in the corpus, probed off a PREBUILT band index
+    * (minhashIndexFor — built on the first request, content-fingerprint
+    * cached), then exact-deduped within the batch like the other methods.
+    * hash: "md5" makes the whole probe relationally recomputable. */
+  val q_gql_dedup_against_minhash = Q(
+    "q_gql_dedup_against_minhash",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: filter(doc_id: {ge: 400}) {
+           d: dedupAgainst(corpus: "documents", method: "minhash",
+                           hash: "md5", threshold: 0.5,
+                           corpusWhere: {lt: [{name: "doc_id"}, {value: 400}]},
+                           on: "text", id: "doc_id") {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } } } } } } }""",
+      Seq("t", "f", "d", "o", "c"),
+      "doc_id BIGINT"),
+    Some(s"""WITH ${minhashMd5AgainstSql(k = 32, bands = 8, threshold = 0.5,
+              corpusCond = "id < 400", batchCond = "id >= 400")},
+            hits AS (SELECT DISTINCT batch_id FROM pairs),
+            surv AS (SELECT d.* FROM documents d WHERE d.doc_id >= 400
+              AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.batch_id = d.doc_id))
+            SELECT min(doc_id) AS doc_id FROM surv GROUP BY text
+            ORDER BY doc_id"""))
+
   /** The SERVED near-dedup pipeline end-to-end (GraphQL nearDedup field
     * with hash: "md5"): banded candidates → connected components → only
     * each cluster's smallest id survives; the oracle re-derives the same
@@ -1368,7 +1395,7 @@ object PipelineQueries {
 
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
     q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5, q_gql_near_dedup,
-    q_gql_dedup_against, q_gql_dedup_against_bloom,
+    q_gql_dedup_against, q_gql_dedup_against_bloom, q_gql_dedup_against_minhash,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,
     q_lang_id, q_text_quality, q_token_count,

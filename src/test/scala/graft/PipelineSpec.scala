@@ -587,6 +587,27 @@ class PipelineSpec extends SparkSpec {
     assert(surv == batchIds -- got.map(_._1), "filter disagrees with probe hits")
   }
 
+  test("minhashIndexFor lifecycle: cache hit, re-open without rebuild, fingerprint invalidation") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mh_for_spec").toString
+    val before = Dedup.minhashBuildCount.get
+    val i1 = Dedup.minhashIndexFor(docs, "mh-spec-corpus", "text", "doc_id", base)
+    assert(Dedup.minhashBuildCount.get == before + 1, "first request builds")
+    val i2 = Dedup.minhashIndexFor(docs, "mh-spec-corpus", "text", "doc_id", base)
+    assert((i2 eq i1) && Dedup.minhashBuildCount.get == before + 1,
+      "second request is a cache hit")
+    // restart simulation: cleared in-memory cache must RE-OPEN the on-disk
+    // sidecar, not rebuild
+    Dedup.invalidateAllMinhashIndexes()
+    val i3 = Dedup.minhashIndexFor(docs, "mh-spec-corpus", "text", "doc_id", base)
+    assert(Dedup.minhashBuildCount.get == before + 1,
+      "re-open after cache clear must not run a build job")
+    assert(i3.path == i1.path && i3.k == i1.k && i3.bands == i1.bands)
+    // a different corpus (content) under the same key must not share
+    val i4 = Dedup.minhashIndexFor(docs.limit(10).localCheckpoint(true),
+      "mh-spec-corpus", "text", "doc_id", base)
+    assert(i4.path != i1.path, "different corpus content must get its own index")
+  }
+
   test("langId returns a configured language and quality is in [0,1]") {
     val r = docs.select(TextAnalysis.langId(col("text")).as("l"),
       TextAnalysis.qualityMetrics(col("text")).toMap.apply("quality").as("q")).collect()
