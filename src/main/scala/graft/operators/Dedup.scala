@@ -584,7 +584,8 @@ object Dedup {
       path: String, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int, md5: Boolean, slots: Int,
       bandedSchema: org.apache.spark.sql.types.StructType,
-      sigSchema: org.apache.spark.sql.types.StructType)
+      sigSchema: org.apache.spark.sql.types.StructType,
+      occSchema: org.apache.spark.sql.types.StructType)
 
   private def signaturesFor(df: DataFrame, textCol: String, idCol: String,
                             n: Int, k: Int, md5: Boolean): DataFrame =
@@ -633,13 +634,22 @@ object Dedup {
       val banded = bandedFor(sig, bands, r, md5)
         .withColumn("_bb", col("band") * lit(slots) +
           pmod(xxhash64(col("bucket").cast("string")), lit(slots)))
-      banded.write.mode("overwrite").partitionBy("_bb")
-        .parquet(s"$path/banded")
-      val sigs = sig.withColumn("_sp",
-        pmod(xxhash64(col("id").cast("string")), lit(slots)))
-      sigs.write.mode("overwrite").partitionBy("_sp").parquet(s"$path/sigs")
-      MinHashIndex(path, textCol, idCol, n, k, bands, md5, slots,
-        banded.schema, sigs.schema)
+        .persist()
+      try {
+        banded.write.mode("overwrite").partitionBy("_bb")
+          .parquet(s"$path/banded")
+        // bucket-occupancy histogram as a build-time sidecar: the cap's
+        // hot-bucket list is a property of the INDEX, so the per-probe
+        // groupBy over the banded stream (the dominant probe cost measured
+        // in the round-7 soak) moves here and runs once
+        val occ = banded.groupBy("band", "bucket").count()
+        occ.write.mode("overwrite").parquet(s"$path/occ")
+        val sigs = sig.withColumn("_sp",
+          pmod(xxhash64(col("id").cast("string")), lit(slots)))
+        sigs.write.mode("overwrite").partitionBy("_sp").parquet(s"$path/sigs")
+        MinHashIndex(path, textCol, idCol, n, k, bands, md5, slots,
+          banded.schema, sigs.schema, occ.schema)
+      } finally banded.unpersist(blocking = false)
     } finally sig.unpersist(blocking = false)
   }
 
@@ -689,10 +699,18 @@ object Dedup {
         if (keys.length <= maxPruneKeys)
           corpusBanded0.filter(col("_bb").isin(keys: _*))
         else corpusBanded0
-      // a bucket's rows share one _bb partition, so occupancy counted on
-      // the pruned stream equals occupancy on the full index
-      val cb = capBucketsBy(corpusBanded, Seq("band", "bucket"), maxBucket,
-        "minhashDedupAgainst")
+      // hot-bucket exclusion off the build-time occupancy sidecar — the
+      // histogram is a property of the index, so no per-probe groupBy over
+      // the banded stream; the hot list is tiny by construction (broadcast
+      // anti-join, same shape as capBucketsBy)
+      val cb =
+        if (maxBucket <= 0) corpusBanded
+        else {
+          val hot = spark.read.schema(index.occSchema)
+            .parquet(s"${index.path}/occ")
+            .filter(col("count") > maxBucket).select("band", "bucket")
+          corpusBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        }
       val cand0 = bb.select(col("band"), col("bucket"), col("id").as("batch_id"))
         .join(cb.select(col("band"), col("bucket"), col("id").as("corpus_id")),
           Seq("band", "bucket"))
