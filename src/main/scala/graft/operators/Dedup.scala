@@ -706,8 +706,11 @@ object Dedup {
       val cb =
         if (maxBucket <= 0) corpusBanded
         else {
+          // aggregate: appends ([[minhashIndexAppend]]) land as occupancy
+          // DELTA rows, so the cap sees build + every appended segment
           val hot = spark.read.schema(index.occSchema)
             .parquet(s"${index.path}/occ")
+            .groupBy("band", "bucket").agg(sum("count").as("count"))
             .filter(col("count") > maxBucket).select("band", "bucket")
           corpusBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
         }
@@ -736,6 +739,37 @@ object Dedup {
         if (materialize) out.localCheckpoint(eager = true) else out
       } finally if (materialize) cand.unpersist(blocking = false)
     } finally if (materialize) bs.unpersist(blocking = false)
+  }
+
+  /** Append a new corpus segment to an existing index: the segment's
+    * signatures and banded rows land in the SAME slot layout (new files
+    * under the existing partition dirs) and its occupancy lands as DELTA
+    * rows that probes aggregate — so the cap sees build + every append.
+    * Write order is sigs → banded → occ: a crash after sigs alone leaves
+    * harmless unused signatures, where banded-without-sigs would silently
+    * drop candidates at the verification join. A replayed (duplicate)
+    * append cannot change [[minhashDedupFilter]]'s survivor set: hits ride
+    * a dropDuplicates + anti-join, so duplicated index rows are absorbed. */
+  def minhashIndexAppend(index: MinHashIndex, segment: DataFrame): Unit = {
+    val r = index.k / index.bands
+    val sig = signaturesFor(segment, index.textCol, index.idCol,
+      index.n, index.k, index.md5).persist()
+    try {
+      sig.withColumn("_sp",
+          pmod(xxhash64(col("id").cast("string")), lit(index.slots)))
+        .write.mode("append").partitionBy("_sp")
+        .parquet(s"${index.path}/sigs")
+      val banded = bandedFor(sig, index.bands, r, index.md5)
+        .withColumn("_bb", col("band") * lit(index.slots) +
+          pmod(xxhash64(col("bucket").cast("string")), lit(index.slots)))
+        .persist()
+      try {
+        banded.write.mode("append").partitionBy("_bb")
+          .parquet(s"${index.path}/banded")
+        banded.groupBy("band", "bucket").count()
+          .write.mode("append").parquet(s"${index.path}/occ")
+      } finally banded.unpersist(blocking = false)
+    } finally sig.unpersist(blocking = false)
   }
 
   /** Ingestion-side survivor set: batch rows with NO near-duplicate in

@@ -489,7 +489,7 @@ object Similarity {
 
   private val MetaFile = "_graft_index_meta.bin"
 
-  private[operators] def writeMeta(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeMeta(spark: org.apache.spark.sql.SparkSession,
                         path: String, index: AnyRef): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$MetaFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -502,7 +502,7 @@ object Similarity {
     * Any failure (missing, torn write, incompatible version) falls back to
     * a rebuild. The path already encodes the fingerprinted key, so a
     * readable sidecar at that path is valid by construction. */
-  private[operators] def readMeta[T](spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readMeta[T](spark: org.apache.spark.sql.SparkSession,
                           path: String): Option[T] =
     try {
       val p = new org.apache.hadoop.fs.Path(s"$path/$MetaFile")

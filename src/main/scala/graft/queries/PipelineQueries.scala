@@ -186,7 +186,7 @@ object PipelineQueries {
     * CORPUS buckets only — the relational mirror of
     * Dedup.minhashDedupAgainst over a minhashIndexBuild(md5 = true) index.
     * Ends in `pairs(batch_id, corpus_id, est_jaccard)`. */
-  private def minhashMd5AgainstSql(k: Int, bands: Int, threshold: Double,
+  private[queries] def minhashMd5AgainstSql(k: Int, bands: Int, threshold: Double,
                                    corpusCond: String,
                                    batchCond: String): String = {
     s"""${minhashMd5BandedSql(k, bands)},

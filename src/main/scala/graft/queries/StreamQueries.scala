@@ -207,6 +207,80 @@ object StreamQueries {
               FROM documents)
             SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Streaming NEAR-DUP ingestion against a pre-seeded prebuilt MinHash
+    * index (StreamOps.nearDupDedupSink): corpus = doc_id < 400 built as an
+    * index, docs ≥ 400 streamed as one micro-batch — survivors have no
+    * near-dup in the corpus index AND are their within-batch near-dup
+    * cluster's smallest id. md5 family, so the oracle recomputes the whole
+    * path: the cross probe (corpus-side cap), the within-batch banded
+    * self-join (batch-side cap) and the recursive cluster closure.
+    * Cross-batch accumulation is spec'd in StreamingSpec (replay tests). */
+  val q_stream_dedup_neardup = Q(
+    "q_stream_dedup_neardup",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      val spark2 = s
+      import spark2.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft_neardup_sink").toString
+      val idx = graft.operators.Dedup.minhashIndexBuild(
+        docs.filter(col("doc_id") < 400), "text", "doc_id",
+        path = s"$work/idx", n = 3, k = 32, bands = 8, md5 = true, slots = 8)
+      graft.operators.Similarity.writeMeta(s, s"$work/idx", idx)
+      val batch = docs.filter(col("doc_id") >= 400)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val mem = MemoryStream[(Long, String)](s)
+      val q = StreamOps.nearDupDedupSink(
+        mem.toDF.toDF("doc_id", "text"), "text", "doc_id",
+        indexDir = s"$work/idx", outDir = s"$work/out",
+        checkpoint = s"$work/ckpt", threshold = 0.5,
+        n = 3, k = 32, bands = 8, md5 = true, slots = 8,
+        trigger = Trigger.ProcessingTime(0))
+      try {
+        mem.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      GTable(s.read.parquet(s"$work/out").select("doc_id"))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some(s"""WITH RECURSIVE ${PipelineQueries.minhashMd5AgainstSql(k = 32,
+              bands = 8, threshold = 0.5,
+              corpusCond = "id < 400", batchCond = "id >= 400")},
+            surv0 AS (SELECT id FROM sig WHERE id >= 400
+              AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.batch_id = id)
+              UNION SELECT doc_id FROM documents WHERE doc_id >= 400
+                AND doc_id NOT IN (SELECT id FROM sig)),
+            bsurv AS (SELECT b.* FROM banded b
+              WHERE EXISTS (SELECT 1 FROM surv0 s WHERE s.id = b.id)),
+            hotw AS (SELECT band, bucket FROM bsurv GROUP BY band, bucket
+              HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+            bsurvc AS (SELECT bsurv.* FROM bsurv
+              WHERE NOT EXISTS (SELECT 1 FROM hotw h
+                WHERE h.band = bsurv.band AND h.bucket = bsurv.bucket)),
+            wcand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              FROM bsurvc a JOIN bsurvc b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+            wpairs AS (SELECT id1, id2 FROM wcand
+              JOIN sig s1 ON wcand.id1 = s1.id
+              JOIN sig s2 ON wcand.id2 = s2.id
+              WHERE len(list_filter(list_transform(range(1, 33),
+                i -> s1.sg[CAST(i AS INT)] = s2.sg[CAST(i AS INT)]), x -> x))
+                / 32.0 >= 0.5),
+            edges AS (SELECT id1 AS a, id2 AS b FROM wpairs
+                      UNION SELECT id2, id1 FROM wpairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(src, dst) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+            dupes AS (SELECT src AS id FROM reach
+              GROUP BY src HAVING src <> min(dst))
+            SELECT s.id AS doc_id FROM surv0 s
+            WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.id = s.id)
+            ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session, q_stream_join,
-    q_stream_dedup, q_stream_micro, q_stream_dedup_incr)
+    q_stream_dedup, q_stream_micro, q_stream_dedup_incr, q_stream_dedup_neardup)
 }

@@ -287,4 +287,70 @@ object StreamOps {
       }
     }
   }
+
+  /** Streaming NEAR-DUP incremental ingestion — the MinHash analog of
+    * [[incrementalDedupSink]]: every micro-batch is
+    *
+    *   1. probed against a prebuilt MinHash band index of everything
+    *      accepted so far (Dedup.minhashDedupFilter — only the batch's
+    *      signatures are computed; the accepted corpus's text is never
+    *      re-read and its signature pass never re-runs, no matter how
+    *      large the corpus grows),
+    *   2. near-deduped within itself — cluster representatives (smallest
+    *      id) over the batch's own banded pairs,
+    *   3. appended to `outDir`, and
+    *   4. appended to the index as a new banded/signature segment
+    *      (Dedup.minhashIndexAppend) with its occupancy delta.
+    *
+    * Bootstrap: with no index at `indexDir` the first batch's survivors
+    * BUILD it (sidecar metadata written so a restarted query re-opens
+    * without a build job). Pre-seed by running minhashIndexBuild over an
+    * existing corpus at `indexDir` first.
+    *
+    * Crash ordering is output-then-index, like the exact sink: a replayed
+    * batch may duplicate output rows (at-least-once, standard foreachBatch
+    * semantics) but duplicated index segments cannot change later survivor
+    * sets — hits ride a dropDuplicates + anti-join. Within the index
+    * append, sigs land before banded rows (see minhashIndexAppend). */
+  def nearDupDedupSink(stream: DataFrame, textCol: String, idCol: String,
+                       indexDir: String, outDir: String, checkpoint: String,
+                       threshold: Double = 0.7, n: Int = 3, k: Int = 64,
+                       bands: Int = 16, md5: Boolean = false,
+                       slots: Int = graft.operators.Dedup.IndexSlots,
+                       maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, Similarity}
+    // index handle, scoped to this query (foreachBatch runs sequentially)
+    var idx: Dedup.MinHashIndex = null
+    writeBatches(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      if (idx == null)
+        idx = Similarity.readMeta[Dedup.MinHashIndex](spark, indexDir).orNull
+      val afterCorpus =
+        if (idx == null) batch
+        else Dedup.minhashDedupFilter(idx, batch, threshold, maxBucket)
+      // within-batch near-dedup: keep each cluster's smallest id
+      val pairs =
+        if (md5) Dedup.minhashPairsMd5(afterCorpus, textCol, idCol,
+          n = n, k = k, bands = bands, threshold = threshold,
+          maxBucket = maxBucket)
+        else Dedup.minhashPairs(afterCorpus, textCol, idCol,
+          n = n, k = k, bands = bands, threshold = threshold,
+          maxBucket = maxBucket)
+      val nonReps = Dedup.clusters(pairs)
+        .filter(col("cl") =!= col("id")).select(col("id").as(idCol))
+      val survivors = afterCorpus.join(nonReps, Seq(idCol), "left_anti")
+        .localCheckpoint() // one computation feeds output AND index append
+      if (!survivors.isEmpty) {
+        survivors.write.mode("append").parquet(outDir)
+        if (idx == null) {
+          idx = Dedup.minhashIndexBuild(survivors, textCol, idCol, indexDir,
+            n, k, bands, md5, slots)
+          Similarity.writeMeta(spark, indexDir, idx)
+        } else Dedup.minhashIndexAppend(idx, survivors)
+      }
+    }
+  }
 }

@@ -315,4 +315,62 @@ class StreamingSpec extends SparkSpec {
     assert(stats2.builds == 2L && stats2.merges == 1L && stats2.expected == 6L,
       s"seed + one capacity rebuild + one merge expected, got $stats2")
   }
+
+  test("nearDupDedupSink: index accumulates across batches; restart re-opens it") {
+    val spark2 = spark
+    import spark2.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_neardup_spec").toString
+    // near-dup family: long shared prefix, tiny tail edits (minhash
+    // est-jaccard ~0.9); textB/C/D are disjoint vocabularies
+    def doc(base: String, tail: String) =
+      (1 to 40).map(i => s"$base$i").mkString(" ") + " " + tail
+    val tA = doc("alpha", "zero"); val tA2 = doc("alpha", "one")
+    val tA3 = doc("alpha", "two")
+    val tB = doc("beta", "zero"); val tB2 = doc("beta", "one")
+    val tC = doc("gamma", "zero"); val tD = doc("delta", "zero")
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.nearDupDedupSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", threshold = 0.5, slots = 4,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps the index: within-batch near-dups of tA keep 1
+      mem.addData((1L, tA), (10L, tA2), (2L, tB))
+      q.processAllAvailable()
+      // batch 2: tA3 is a near-dup of the ACCEPTED corpus (index probe);
+      // tC is fresh
+      mem.addData((20L, tA3), (3L, tC))
+      q.processAllAvailable()
+      // batch 3: near-dups of batches 1 AND 2 — state accumulated across
+      // batches via index appends, not just the previous batch
+      mem.addData((30L, tB2), (31L, doc("gamma", "nine")), (4L, tD))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L),
+      s"survivors must be one representative per near-dup family, got $out")
+    // occ sidecar accumulated delta rows from the appends
+    assert(spark.read.parquet(s"$work/idx/occ")
+      .groupBy("band", "bucket").count().count() > 0)
+
+    // restart: a NEW query (fresh handle) over the same index dir must
+    // RE-OPEN via the sidecar and keep screening against the full corpus
+    val mem2 = MemoryStream[(Long, String)](spark)
+    val q2 = StreamOps.nearDupDedupSink(
+      mem2.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out2",
+      checkpoint = s"$work/ckpt2", threshold = 0.5, slots = 4,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((40L, doc("alpha", "forty")), (5L, doc("epsilon", "zero")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = spark.read.parquet(s"$work/out2")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out2 == Seq(5L),
+      s"restarted sink must re-open the index and screen, got $out2")
+  }
 }
