@@ -140,7 +140,7 @@ object Similarity {
     * `t · 2^planes + b` — unique since a sign bucket has exactly `planes`
     * bits. One scalar partition column prunes cleanly (an isin list),
     * where the (t, b) struct would need per-pair AND/OR pushdown. */
-  private def tbKey(planes: Int)(t: Column, b: Column): Column =
+  private[graft] def tbKey(planes: Int)(t: Column, b: Column): Column =
     t.cast("long") * (1L << planes) + b
 
   /** Prebuilt multi-table LSH index: corpus exploded to one row per
@@ -340,6 +340,38 @@ object Similarity {
         array_max(centScorer(spark, cents)(col("_cv"))).getField("cid"))
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
     IvfIndex(path, idCol, vecCol, nlist, kmeansIters, cents, assigned.schema)
+  }
+
+  /** Append a new segment to a prebuilt IVF index: one assignment pass
+    * against the index's FROZEN centroids, written into the same cid
+    * partitions — probes see the segment immediately, no rebuild job.
+    * Frozen centroids are the standard IVF trade for incremental ingest;
+    * rebuild ([[ivfBuild]]) when corpus drift degrades recall. A replayed
+    * (duplicate) append cannot change probe answers: rescoreTopK dedups
+    * per (query, neighbor) before ranking. */
+  def ivfAppend(index: IvfIndex, segment: DataFrame): Unit = {
+    val spark = segment.sparkSession
+    segment.select(col(index.idCol).as("neighbor_id"),
+        col(index.vecCol).as("_cv"))
+      .withColumn("cid",
+        array_max(centScorer(spark, index.centroids)(col("_cv"))).getField("cid"))
+      .write.mode("append").partitionBy("cid").parquet(index.path)
+  }
+
+  /** Append a new segment to a prebuilt LSH index: bucketed against the
+    * same deterministic plane families, appended into the (table, bucket)
+    * partitions. Same replay tolerance as [[ivfAppend]]. */
+  def lshAppend(index: LshIndex, segment: DataFrame): Unit = {
+    val buckets = (0 until index.tables).map(t =>
+      struct(lit(t).as("t"),
+        lshBucket(col(index.vecCol), index.planes, index.dim, t).as("b")))
+    segment.select(col(index.idCol).as("neighbor_id"),
+        col(index.vecCol).as("_cv"),
+        explode(array(buckets: _*)).as("_bucket"))
+      .withColumn("_tb",
+        tbKey(index.planes)(col("_bucket.t"), col("_bucket.b")))
+      .drop("_bucket")
+      .write.mode("append").partitionBy("_tb").parquet(index.path)
   }
 
   /** Probe a prebuilt IVF index. The read is schema-pinned (partition-column

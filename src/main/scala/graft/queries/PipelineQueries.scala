@@ -19,13 +19,13 @@ object PipelineQueries {
        |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
        |  (x, y) -> x + y)""".stripMargin
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Oracle-SQL fragment: the LSH sign buckets of [[Similarity.lshBucket]] —
     * md5-derived plane grid recomputed in SQL, per-vector sign bits, bucket
     * string per (vector, table). Expects a CTE `v(vec_id, e)` in scope. */
-  private def lshBucketsSql(planes: Int, dim: Int, tables: Int): String =
+  private[queries] def lshBucketsSql(planes: Int, dim: Int, tables: Int): String =
     s"""pc AS (SELECT p, list(c ORDER BY i) AS pl FROM (
        |    SELECT tp.p, ti.i,
        |      CAST(list_reduce(list_transform(range(1, 16), j ->

@@ -281,6 +281,89 @@ object StreamQueries {
             WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.id = s.id)
             ORDER BY doc_id"""))
 
+  /** Streaming EMBEDDING ingestion with cosine near-dup screening
+    * (StreamOps.annIngestSink) against a pre-seeded prebuilt LSH index:
+    * corpus = vec_id < 160 built as an index, vec_id ≥ 160 streamed as one
+    * micro-batch — survivors share no sign bucket at cosine ≥ 0.4 with the
+    * corpus at cosine >= 0.4 AND are their within-batch cosine-cluster's smallest id. The
+    * oracle recomputes the deterministic hyperplanes, both capped bucket
+    * joins and the recursive cluster closure. Cross-batch accumulation is
+    * spec'd in StreamingSpec. */
+  val q_stream_ann_ingest = Q(
+    "q_stream_ann_ingest",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      val spark2 = s
+      import spark2.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft_ann_sink").toString
+      val idx = graft.operators.Similarity.lshBuild(
+        e.filter(col("vec_id") < 160), "vec_id", "embedding",
+        planes = 4, dim = 64, path = s"$work/idx")
+      graft.operators.Similarity.writeMeta(s, s"$work/idx", idx)
+      val batch = e.filter(col("vec_id") >= 160)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      val mem = MemoryStream[(Long, Array[Float])](s)
+      val q = StreamOps.annIngestSink(
+        mem.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        indexDir = s"$work/idx", outDir = s"$work/out",
+        checkpoint = s"$work/ckpt", threshold = 0.4, planes = 4, dim = 64,
+        trigger = Trigger.ProcessingTime(0))
+      try {
+        mem.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      GTable(s.read.parquet(s"$work/out").select("vec_id"))
+        .order(GTable.orderKeys(Seq("vec_id")))
+        .result
+    },
+    Some(s"""WITH RECURSIVE v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          ${PipelineQueries.lshBucketsSql(planes = 4, dim = 64, tables = 8)},
+          buckcorp AS (SELECT * FROM buck WHERE vec_id < 160),
+          buckbatch AS (SELECT * FROM buck WHERE vec_id >= 160),
+          hotc AS (SELECT t, bucket FROM buckcorp GROUP BY t, bucket
+            HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          buckcorpc AS (SELECT buckcorp.* FROM buckcorp
+            WHERE NOT EXISTS (SELECT 1 FROM hotc h
+              WHERE h.t = buckcorp.t AND h.bucket = buckcorp.bucket)),
+          xhits AS (SELECT DISTINCT b.vec_id FROM buckbatch b
+            JOIN buckcorpc c ON b.t = c.t AND b.bucket = c.bucket
+            JOIN v v1 ON v1.vec_id = b.vec_id
+            JOIN v v2 ON v2.vec_id = c.vec_id
+            WHERE ${PipelineQueries.cosSql("v1.e", "v2.e")} >= 0.4),
+          surv0 AS (SELECT vec_id FROM v WHERE vec_id >= 160
+            AND vec_id NOT IN (SELECT vec_id FROM xhits)),
+          bsurv AS (SELECT bb.* FROM buckbatch bb
+            WHERE EXISTS (SELECT 1 FROM surv0 s WHERE s.vec_id = bb.vec_id)),
+          hotw AS (SELECT t, bucket FROM bsurv GROUP BY t, bucket
+            HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          bsurvc AS (SELECT bsurv.* FROM bsurv
+            WHERE NOT EXISTS (SELECT 1 FROM hotw h
+              WHERE h.t = bsurv.t AND h.bucket = bsurv.bucket)),
+          wcand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+            FROM bsurvc a JOIN bsurvc b
+            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          wpairs AS (SELECT id1, id2 FROM wcand
+            JOIN v v1 ON v1.vec_id = wcand.id1
+            JOIN v v2 ON v2.vec_id = wcand.id2
+            WHERE ${PipelineQueries.cosSql("v1.e", "v2.e")} >= 0.4),
+          edges AS (SELECT id1 AS a, id2 AS b FROM wpairs
+                    UNION SELECT id2, id1 FROM wpairs),
+          nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(src, dst) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+          dupes AS (SELECT src AS id FROM reach
+            GROUP BY src HAVING src <> min(dst))
+          SELECT s.vec_id FROM surv0 s
+          WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.id = s.vec_id)
+          ORDER BY vec_id"""))
+
   def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session, q_stream_join,
-    q_stream_dedup, q_stream_micro, q_stream_dedup_incr, q_stream_dedup_neardup)
+    q_stream_dedup, q_stream_micro, q_stream_dedup_incr, q_stream_dedup_neardup,
+    q_stream_ann_ingest)
 }

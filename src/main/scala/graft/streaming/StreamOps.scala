@@ -343,13 +343,95 @@ object StreamOps {
         .filter(col("cl") =!= col("id")).select(col("id").as(idCol))
       val survivors = afterCorpus.join(nonReps, Seq(idCol), "left_anti")
         .localCheckpoint() // one computation feeds output AND index append
+      // output is written even when empty (the sink dir must exist after a
+      // fully-screened batch); index build/append only has work otherwise
+      survivors.write.mode("append").parquet(outDir)
       if (!survivors.isEmpty) {
-        survivors.write.mode("append").parquet(outDir)
         if (idx == null) {
           idx = Dedup.minhashIndexBuild(survivors, textCol, idCol, indexDir,
             n, k, bands, md5, slots)
           Similarity.writeMeta(spark, indexDir, idx)
         } else Dedup.minhashIndexAppend(idx, survivors)
+      }
+    }
+  }
+
+  /** Streaming EMBEDDING ingestion with cosine near-dup screening — the
+    * vector analog of [[nearDupDedupSink]], off a prebuilt LSH index:
+    * per micro-batch,
+    *
+    *   1. batch vectors sharing a sign bucket with an ACCEPTED vector at
+    *      cosine ≥ `threshold` are dropped (the index read is pruned to
+    *      the batch's (table, bucket) keys; index-side bucket occupancy is
+    *      capped like lshCosinePairs so corpus boilerplate cannot make a
+    *      tick quadratic),
+    *   2. survivors are near-deduped within the batch (cluster
+    *      representatives over lshCosinePairs),
+    *   3. written to `outDir`, and
+    *   4. appended to the index ([[graft.operators.Similarity.lshAppend]]).
+    *
+    * Bootstrap builds the index from batch one (sidecar re-open on
+    * restart); pre-seed with lshBuild + writeMeta over an existing corpus.
+    * Crash ordering output-then-index; replayed appends cannot change
+    * later survivor sets (hits ride dropDuplicates + anti-join). */
+  def annIngestSink(stream: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, outDir: String, checkpoint: String,
+                    threshold: Double, planes: Int, dim: Int,
+                    tables: Int = 8,
+                    maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket,
+                    maxPruneKeys: Int = 2048,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, Similarity}
+    var idx: Similarity.LshIndex = null
+    writeBatches(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      if (idx == null)
+        idx = Similarity.readMeta[Similarity.LshIndex](spark, indexDir).orNull
+      val afterCorpus =
+        if (idx == null) batch
+        else {
+          val buckets = (0 until idx.tables).map(t =>
+            struct(lit(t).as("t"), Similarity.lshBucket(col(vecCol),
+              idx.planes, idx.dim, t).as("b")))
+          val qb = batch.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
+              explode(array(buckets: _*)).as("_bucket"))
+            .withColumn("_tb", Similarity.tbKey(idx.planes)(
+              col("_bucket.t"), col("_bucket.b")))
+            .select("_qid", "_qv", "_tb")
+          val tbs = qb.select("_tb").distinct()
+            .limit(maxPruneKeys + 1).collect().map(_.getLong(0))
+          val cb0 = spark.read.schema(idx.schema).parquet(idx.path)
+          val cb1 =
+            if (tbs.length <= maxPruneKeys) cb0.filter(col("_tb").isin(tbs: _*))
+            else cb0
+          // index-side occupancy cap (complete per _tb partition even
+          // after pruning, since _tb IS the bucket key)
+          val cb = if (maxBucket <= 0) cb1 else {
+            val hot = cb1.groupBy("_tb").agg(count(lit(1)).as("_n"))
+              .filter(col("_n") > maxBucket).select("_tb")
+            cb1.join(broadcast(hot), Seq("_tb"), "left_anti")
+          }
+          val hits = cb.join(qb, Seq("_tb"))
+            .filter(Similarity.cosineFast(spark)(col("_qv"), col("_cv"))
+              >= threshold)
+            .select(col("_qid").as(idCol)).dropDuplicates()
+          batch.join(hits, Seq(idCol), "left_anti")
+        }
+      val pairs = Similarity.lshCosinePairs(afterCorpus, idCol, vecCol,
+        threshold, planes, dim, tables, maxBucket)
+      val nonReps = Dedup.clusters(pairs)
+        .filter(col("cl") =!= col("id")).select(col("id").as(idCol))
+      val survivors = afterCorpus.join(nonReps, Seq(idCol), "left_anti")
+        .localCheckpoint()
+      survivors.write.mode("append").parquet(outDir)
+      if (!survivors.isEmpty) {
+        if (idx == null) {
+          idx = Similarity.lshBuild(survivors, idCol, vecCol, planes, dim,
+            indexDir, tables)
+          Similarity.writeMeta(spark, indexDir, idx)
+        } else Similarity.lshAppend(idx, survivors)
       }
     }
   }

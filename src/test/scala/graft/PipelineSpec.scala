@@ -587,6 +587,39 @@ class PipelineSpec extends SparkSpec {
     assert(surv == batchIds -- got.map(_._1), "filter disagrees with probe hits")
   }
 
+  test("ivfAppend/lshAppend: appended segments are probe-visible; replayed appends change nothing") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_append").toString
+    val a = embs.filter(col("vec_id") % 2 === 0)
+    val b = embs.filter(col("vec_id") % 2 === 1)
+    val queries = b.filter(col("vec_id") < 7)
+
+    val ivf = Similarity.ivfBuild(a, "vec_id", "embedding", nlist = 8,
+      path = s"$dir/ivf")
+    Similarity.ivfAppend(ivf, b)
+    assert(spark.read.parquet(s"$dir/ivf").count() == embs.count(),
+      "index must hold built + appended vectors exactly once")
+    // nprobe = nlist makes the probe exhaustive over clusters, so the
+    // appended index must reproduce brute force over the FULL corpus
+    val p1 = Similarity.ivfProbe(ivf, queries, k = 5, nprobe = 8)
+    assert(key(p1) == key(Similarity.bruteForceTopK(embs, queries,
+      "vec_id", "embedding", 5)), "appended vectors must be probe-visible")
+    // replayed append: duplicated rows, identical answers
+    Similarity.ivfAppend(ivf, b)
+    assert(key(Similarity.ivfProbe(ivf, queries, k = 5, nprobe = 8)) == key(p1))
+
+    val lsh = Similarity.lshBuild(a, "vec_id", "embedding", planes = 4,
+      dim = 64, path = s"$dir/lsh")
+    Similarity.lshAppend(lsh, b)
+    val l1 = Similarity.lshProbe(lsh, queries, k = 5)
+    assert(key(l1) == key(Similarity.lshTopK(embs, queries, "vec_id",
+      "embedding", k = 5, planes = 4, dim = 64)),
+      "appended LSH segment must reproduce the full-corpus bucketed answer")
+    Similarity.lshAppend(lsh, b)
+    assert(key(Similarity.lshProbe(lsh, queries, k = 5)) == key(l1))
+  }
+
   test("minhashIndexFor lifecycle: cache hit, re-open without rebuild, fingerprint invalidation") {
     val base = java.nio.file.Files.createTempDirectory("graft_mh_for_spec").toString
     val before = Dedup.minhashBuildCount.get
