@@ -772,6 +772,33 @@ object Dedup {
     } finally sig.unpersist(blocking = false)
   }
 
+  /** Compact the occupancy sidecar: append-heavy ingestion
+    * ([[minhashIndexAppend]], the streaming sinks) leaves one delta file
+    * per batch; this rewrites `occ/` as one aggregated row per
+    * (band, bucket). Maintenance-only — probes aggregate occ either way,
+    * so compaction never changes answers; it bounds the file count and
+    * the probe's aggregation input. Swap protocol: the aggregate lands in
+    * `occ_tmp`, then old→`occ_old`, tmp→`occ`, old deleted — a crash
+    * leaves one complete directory (re-run the compaction; a leftover
+    * `occ_old`/`occ_tmp` is overwritten, never read by probes). */
+  def minhashIndexCompact(index: MinHashIndex): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val occPath = s"${index.path}/occ"
+    spark.read.schema(index.occSchema).parquet(occPath)
+      .groupBy("band", "bucket").agg(sum("count").cast("long").as("count"))
+      .write.mode("overwrite").parquet(s"${index.path}/occ_tmp")
+    val fs = new org.apache.hadoop.fs.Path(occPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val occ = new org.apache.hadoop.fs.Path(occPath)
+    val old = new org.apache.hadoop.fs.Path(s"${index.path}/occ_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"${index.path}/occ_tmp")
+    fs.delete(old, true)
+    if (!fs.rename(occ, old) || !fs.rename(tmp, occ))
+      throw new java.io.IOException(
+        s"minhashIndexCompact: directory swap failed under ${index.path}")
+    fs.delete(old, true)
+  }
+
   /** Ingestion-side survivor set: batch rows with NO near-duplicate in
     * the corpus index (the near-dup analog of [[exactIncremental]]). */
   def minhashDedupFilter(index: MinHashIndex, batch: DataFrame,

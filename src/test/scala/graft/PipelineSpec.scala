@@ -620,6 +620,30 @@ class PipelineSpec extends SparkSpec {
     assert(key(Similarity.lshProbe(lsh, queries, k = 5)) == key(l1))
   }
 
+  test("minhashIndexCompact: occ deltas aggregate to one row per bucket; probe answers unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_compact").toString
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val seg1 = docs.filter(col("doc_id") % 3 === 1)
+    val seg2 = docs.filter(col("doc_id") % 3 === 2).limit(20)
+    val idx = Dedup.minhashIndexBuild(corpus, "text", "doc_id", path = dir,
+      slots = 4)
+    Dedup.minhashIndexAppend(idx, seg1)
+    Dedup.minhashIndexAppend(idx, seg1) // replayed append: extra deltas
+    val probeBefore = Dedup.minhashDedupAgainst(idx, seg2, threshold = 0.5)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rowsBefore = spark.read.parquet(s"$dir/occ").count()
+    Dedup.minhashIndexCompact(idx)
+    val occ = spark.read.parquet(s"$dir/occ")
+    assert(occ.count() < rowsBefore, "compaction must shrink the delta rows")
+    assert(occ.groupBy("band", "bucket").count().filter(col("count") > 1)
+      .isEmpty, "one aggregated row per (band, bucket) after compaction")
+    val probeAfter = Dedup.minhashDedupAgainst(idx, seg2, threshold = 0.5)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeAfter == probeBefore, "compaction must not change answers")
+  }
+
   test("minhashIndexFor lifecycle: cache hit, re-open without rebuild, fingerprint invalidation") {
     val base = java.nio.file.Files.createTempDirectory("graft_mh_for_spec").toString
     val before = Dedup.minhashBuildCount.get
