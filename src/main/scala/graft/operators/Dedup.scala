@@ -587,6 +587,38 @@ object Dedup {
       sigSchema: org.apache.spark.sql.types.StructType,
       occSchema: org.apache.spark.sql.types.StructType)
 
+  /** Occupancy-sidecar segment markers: `_seg` tags each delta with the
+    * segment that produced it (`__base__` for the build, the caller's
+    * deterministic id for streaming appends, a fresh UUID for ad-hoc ones);
+    * compaction folds live rows into one `__agg__` row per bucket and keeps
+    * consumed segment ids as zero-count `band = -1` marker rows so replayed
+    * appends stay skippable even after their deltas were merged away. */
+  private val BaseSeg = "__base__"
+  private val AggSeg = "__agg__"
+
+  /** Canonical occupancy schema: pre-round-8 sidecars lack `_seg`; reading
+    * old files under the extended schema yields null `_seg` (harmless — a
+    * null-seg row just never matches a replay check). */
+  private def occSchemaOf(index: MinHashIndex): org.apache.spark.sql.types.StructType =
+    if (index.occSchema.fieldNames.contains("_seg")) index.occSchema
+    else index.occSchema.add("_seg", org.apache.spark.sql.types.StringType)
+
+  /** Typed empty-bucket literal for marker rows (bucket is a string for the
+    * md5 family, an xxhash64 long otherwise). */
+  private def markerBucket(index: MinHashIndex): Column =
+    index.occSchema("bucket").dataType match {
+      case org.apache.spark.sql.types.StringType => lit("")
+      case _ => lit(0L)
+    }
+
+  /** Live occupancy rows of an index (markers excluded), swap-recovered. */
+  private def occLive(spark: org.apache.spark.sql.SparkSession,
+                      index: MinHashIndex): DataFrame = {
+    IndexMaint.recoverSwap(spark, s"${index.path}/occ")
+    spark.read.schema(occSchemaOf(index)).parquet(s"${index.path}/occ")
+      .filter(col("band") >= 0)
+  }
+
   private def signaturesFor(df: DataFrame, textCol: String, idCol: String,
                             n: Int, k: Int, md5: Boolean): DataFrame =
     if (md5) md5Signatures(df, textCol, idCol, n, k)
@@ -641,8 +673,11 @@ object Dedup {
         // bucket-occupancy histogram as a build-time sidecar: the cap's
         // hot-bucket list is a property of the INDEX, so the per-probe
         // groupBy over the banded stream (the dominant probe cost measured
-        // in the round-7 soak) moves here and runs once
+        // in the round-7 soak) moves here and runs once. Rows are keyed by
+        // the SEGMENT that produced them (`_seg`) so a replayed streaming
+        // append is detectable and idempotent — see [[minhashIndexAppend]].
         val occ = banded.groupBy("band", "bucket").count()
+          .withColumn("_seg", lit(BaseSeg))
         occ.write.mode("overwrite").parquet(s"$path/occ")
         val sigs = sig.withColumn("_sp",
           pmod(xxhash64(col("id").cast("string")), lit(slots)))
@@ -693,6 +728,7 @@ object Dedup {
           pmod(xxhash64(col("bucket").cast("string")), lit(index.slots)))
       val keys = bb.select("_bb").distinct()
         .limit(maxPruneKeys + 1).collect().map(_.getLong(0))
+      IndexMaint.recoverSwap(spark, s"${index.path}/banded")
       val corpusBanded0 = spark.read.schema(index.bandedSchema)
         .parquet(s"${index.path}/banded")
       val corpusBanded =
@@ -707,9 +743,14 @@ object Dedup {
         if (maxBucket <= 0) corpusBanded
         else {
           // aggregate: appends ([[minhashIndexAppend]]) land as occupancy
-          // DELTA rows, so the cap sees build + every appended segment
-          val hot = spark.read.schema(index.occSchema)
-            .parquet(s"${index.path}/occ")
+          // DELTA rows, so the cap sees build + every appended segment.
+          // Deltas are deduped per (band, bucket, _seg) first: a replayed
+          // append can never double-count a bucket past the cap and shrink
+          // the candidate set (round-7 ADVICE) — max() is belt-and-braces,
+          // the append itself already skips seen segments.
+          val hot = occLive(spark, index)
+            .groupBy(col("band"), col("bucket"), col("_seg"))
+            .agg(max("count").as("count"))
             .groupBy("band", "bucket").agg(sum("count").as("count"))
             .filter(col("count") > maxBucket).select("band", "bucket")
           corpusBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
@@ -723,6 +764,7 @@ object Dedup {
         val sp = cand.select(pmod(xxhash64(col("corpus_id").cast("string")),
             lit(index.slots)).as("_sp"))
           .distinct().collect().map(_.getLong(0))
+        IndexMaint.recoverSwap(spark, s"${index.path}/sigs")
         val cs = spark.read.schema(index.sigSchema)
           .parquet(s"${index.path}/sigs")
           .filter(col("_sp").isin(sp: _*))
@@ -745,12 +787,43 @@ object Dedup {
     * signatures and banded rows land in the SAME slot layout (new files
     * under the existing partition dirs) and its occupancy lands as DELTA
     * rows that probes aggregate — so the cap sees build + every append.
-    * Write order is sigs → banded → occ: a crash after sigs alone leaves
-    * harmless unused signatures, where banded-without-sigs would silently
-    * drop candidates at the verification join. A replayed (duplicate)
-    * append cannot change [[minhashDedupFilter]]'s survivor set: hits ride
-    * a dropDuplicates + anti-join, so duplicated index rows are absorbed. */
-  def minhashIndexAppend(index: MinHashIndex, segment: DataFrame): Unit = {
+    *
+    * `segmentId`, when given, must be DETERMINISTIC per logical segment
+    * (the streaming sinks pass their micro-batch id): an append whose
+    * `_seg` already appears in the occupancy sidecar is a replay and is
+    * skipped wholesale, so replays can neither duplicate index rows nor
+    * inflate a bucket past the cap (which would silently shrink later
+    * candidate sets). Without a `segmentId` (ad-hoc use) a fresh UUID is
+    * used — appending the same frame twice then really does index it
+    * twice, and the occupancy honestly counts the doubled rows.
+    *
+    * Crash ordering (occ is written LAST): sigs → banded → occ. A crash
+    * after sigs alone leaves harmless unused signatures (banded-without-
+    * sigs would silently drop candidates at the verification join); a
+    * crash between banded and occ leaves banded rows the cap undercounts —
+    * a transient PERFORMANCE window only (an under-capped hot bucket),
+    * repaired by the replay, which finds no `_seg` row and re-runs the
+    * whole append. The reverse order (occ first) would instead overcount
+    * and could wrongly cap a bucket — a correctness window — so the
+    * undercount direction is the deliberate choice. */
+  def minhashIndexAppend(index: MinHashIndex, segment: DataFrame,
+                         segmentId: String = null): Unit = {
+    val spark = segment.sparkSession
+    val occPath = s"${index.path}/occ"
+    IndexMaint.recoverSwap(spark, occPath)
+    val segId = Option(segmentId).getOrElse(
+      "seg-" + java.util.UUID.randomUUID().toString)
+    if (segmentId != null) {
+      val fs = new org.apache.hadoop.fs.Path(occPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(occPath)) &&
+          !spark.read.schema(occSchemaOf(index)).parquet(occPath)
+            .filter(col("_seg") === segId).isEmpty) {
+        log.info(s"minhashIndexAppend: segment $segId already indexed " +
+          s"under ${index.path} — replay skipped")
+        return
+      }
+    }
     val r = index.k / index.bands
     val sig = signaturesFor(segment, index.textCol, index.idCol,
       index.n, index.k, index.md5).persist()
@@ -767,36 +840,66 @@ object Dedup {
         banded.write.mode("append").partitionBy("_bb")
           .parquet(s"${index.path}/banded")
         banded.groupBy("band", "bucket").count()
-          .write.mode("append").parquet(s"${index.path}/occ")
+          .withColumn("_seg", lit(segId))
+          .write.mode("append").parquet(occPath)
       } finally banded.unpersist(blocking = false)
     } finally sig.unpersist(blocking = false)
   }
 
-  /** Compact the occupancy sidecar: append-heavy ingestion
-    * ([[minhashIndexAppend]], the streaming sinks) leaves one delta file
-    * per batch; this rewrites `occ/` as one aggregated row per
-    * (band, bucket). Maintenance-only — probes aggregate occ either way,
-    * so compaction never changes answers; it bounds the file count and
-    * the probe's aggregation input. Swap protocol: the aggregate lands in
-    * `occ_tmp`, then old→`occ_old`, tmp→`occ`, old deleted — a crash
-    * leaves one complete directory (re-run the compaction; a leftover
-    * `occ_old`/`occ_tmp` is overwritten, never read by probes). */
-  def minhashIndexCompact(index: MinHashIndex): Unit = {
+  /** Compact an index that append-heavy ingestion has fragmented (one
+    * occupancy delta file — and with `full`, one banded/sigs segment pair —
+    * per micro-batch): probes and appends pay that file count as a listing
+    * tax on every tick, the classic streaming small-file problem.
+    *
+    *  - default (occ only): rewrites `occ/` as one aggregated row per
+    *    (band, bucket) plus zero-count `band = -1` MARKER rows preserving
+    *    every consumed segment id, so a replayed append is still detected
+    *    after its delta was merged away.
+    *  - `full = true`: additionally rewrites `banded/` and `sigs/`
+    *    (duplicate rows from crash-replay windows dropped, one file per
+    *    slot partition) and recomputes occ exactly from the compacted
+    *    banding — the steady-state maintenance the streaming sinks trigger
+    *    via their `compactFiles` threshold.
+    *
+    * Never changes answers — probes aggregate occ and dedup candidates
+    * either way. Each directory moves via [[IndexMaint.swapRewrite]]
+    * (tmp → rename → rename); a crash in the one non-atomic window is
+    * healed by [[IndexMaint.recoverSwap]] at every entry point (probe,
+    * append, compaction re-run), closing the round-7 ADVICE gap where a
+    * torn swap stranded probes on a missing `occ/`. */
+  def minhashIndexCompact(index: MinHashIndex, full: Boolean = false): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val occPath = s"${index.path}/occ"
-    spark.read.schema(index.occSchema).parquet(occPath)
-      .groupBy("band", "bucket").agg(sum("count").cast("long").as("count"))
-      .write.mode("overwrite").parquet(s"${index.path}/occ_tmp")
-    val fs = new org.apache.hadoop.fs.Path(occPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val occ = new org.apache.hadoop.fs.Path(occPath)
-    val old = new org.apache.hadoop.fs.Path(s"${index.path}/occ_old")
-    val tmp = new org.apache.hadoop.fs.Path(s"${index.path}/occ_tmp")
-    fs.delete(old, true)
-    if (!fs.rename(occ, old) || !fs.rename(tmp, occ))
-      throw new java.io.IOException(
-        s"minhashIndexCompact: directory swap failed under ${index.path}")
-    fs.delete(old, true)
+    IndexMaint.recoverSwap(spark, occPath)
+    if (full) {
+      IndexMaint.recoverSwap(spark, s"${index.path}/banded")
+      IndexMaint.recoverSwap(spark, s"${index.path}/sigs")
+      IndexMaint.swapRewrite(spark, s"${index.path}/banded",
+        spark.read.schema(index.bandedSchema)
+          .parquet(s"${index.path}/banded").dropDuplicates(),
+        Seq("_bb"))
+      IndexMaint.swapRewrite(spark, s"${index.path}/sigs",
+        spark.read.schema(index.sigSchema)
+          .parquet(s"${index.path}/sigs").dropDuplicates(),
+        Seq("_sp"))
+    }
+    val rows = spark.read.schema(occSchemaOf(index)).parquet(occPath)
+    val segs = rows.select("_seg").filter(col("_seg").isNotNull).distinct()
+    val live =
+      if (full)
+        // recomputed exactly from the deduplicated banding — any raw-row
+        // overcount from a crash-replay window is corrected here
+        spark.read.schema(index.bandedSchema).parquet(s"${index.path}/banded")
+          .groupBy("band", "bucket").count()
+      else
+        rows.filter(col("band") >= 0)
+          .groupBy(col("band"), col("bucket"), col("_seg"))
+          .agg(max("count").as("count"))
+          .groupBy("band", "bucket").agg(sum("count").cast("long").as("count"))
+    val occNew = live.withColumn("_seg", lit(AggSeg))
+      .unionByName(segs.select(lit(-1).cast("int").as("band"),
+        markerBucket(index).as("bucket"), lit(0L).as("count"), col("_seg")))
+    IndexMaint.swapRewrite(spark, occPath, occNew, Seq.empty)
   }
 
   /** Ingestion-side survivor set: batch rows with NO near-duplicate in

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Maintenance plumbing shared by the prebuilt-index families (MinHash band
+  * index, LSH/IVF ANN indexes, the streaming sinks' hash-state dirs): torn
+  * directory-swap recovery, the swap protocol itself, and the data-file
+  * census the sinks use as their compaction trigger.
+  *
+  * All index/state compaction in this engine follows one protocol: the
+  * rewritten tree lands in `path_tmp` (with any sidecar already inside),
+  * then `path` → `path_old`, `path_tmp` → `path`, `path_old` deleted. The
+  * only non-atomic window is between the two renames — [[recoverSwap]]
+  * closes it at every entry point, so a crash anywhere leaves a readable
+  * tree (round-7 ADVICE: the previous occ-only swap could strand probes on
+  * a missing directory).
+  */
+private[graft] object IndexMaint {
+
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Recover a torn swap: if `path` is missing but `path_old` exists, the
+    * crash hit between the two renames — rename the old tree back. The
+    * pre-compaction tree is answer-equivalent (compaction never changes
+    * answers), so recovery is just "re-expose it"; the orphaned `path_tmp`
+    * is overwritten by the next compaction. Call before ANY read of a
+    * swappable tree (probes, appends, compaction re-runs, sink restarts). */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsFor(spark, path)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+  }
+
+  /** Replace the tree at `path` with `rows` via the swap protocol.
+    * `beforeSwap(tmpPath)` runs after the tmp tree is complete and before
+    * the renames — index sidecars are re-written there so the new tree is
+    * never exposed meta-less. `rows` may (and usually does) read from
+    * `path` itself: the write to tmp materializes it while the source tree
+    * is still intact. */
+  def swapRewrite(spark: SparkSession, path: String, rows: DataFrame,
+                  parts: Seq[String],
+                  beforeSwap: String => Unit = _ => ()): Unit = {
+    recoverSwap(spark, path)
+    val tmp = s"${path}_tmp"
+    val w = rows.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
+    beforeSwap(tmp)
+    val (fs, p) = fsFor(spark, path)
+    val oldP = new org.apache.hadoop.fs.Path(s"${path}_old")
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(oldP, true)
+    if (!fs.rename(p, oldP) || !fs.rename(tmpP, p))
+      throw new java.io.IOException(
+        s"swapRewrite: directory swap failed under $path")
+    fs.delete(oldP, true)
+  }
+
+  /** Count of data files under `path` (recursive; `_`/`.`-prefixed
+    * bookkeeping excluded). The streaming sinks compare this against their
+    * `compactFiles` threshold each batch — one listing per tick, which is
+    * exactly the listing the next probe would pay anyway, and bounded once
+    * compaction keeps the census under the threshold. */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val (fs, p) = fsFor(spark, path)
+    if (!fs.exists(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+}

@@ -169,6 +169,7 @@ object Similarity {
 
   def lshProbe(index: LshIndex, queries: DataFrame, k: Int): DataFrame = {
     val spark = queries.sparkSession
+    IndexMaint.recoverSwap(spark, index.path)
     val buckets = (0 until index.tables).map(t =>
       struct(lit(t).as("t"),
         lshBucket(col(index.vecCol), index.planes, index.dim, t).as("b")))
@@ -374,6 +375,30 @@ object Similarity {
       .write.mode("append").partitionBy("_tb").parquet(index.path)
   }
 
+  /** Compact a prebuilt LSH index fragmented by per-batch [[lshAppend]]s:
+    * duplicate rows from crash-replay windows dropped, one file per `_tb`
+    * partition, sidecar re-written inside the new tree before the swap so
+    * a restarted query never re-opens a meta-less index. Answer-preserving
+    * (probes dedup candidates anyway); bounds the probe's file-listing tax
+    * after long ingestion runs. */
+  def lshCompact(index: LshIndex): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    IndexMaint.recoverSwap(spark, index.path)
+    IndexMaint.swapRewrite(spark, index.path,
+      spark.read.schema(index.schema).parquet(index.path).dropDuplicates(),
+      Seq("_tb"), tmp => writeMeta(spark, tmp, index))
+  }
+
+  /** Compact a prebuilt IVF index (see [[lshCompact]] — same protocol,
+    * `cid`-partitioned). */
+  def ivfCompact(index: IvfIndex): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    IndexMaint.recoverSwap(spark, index.path)
+    IndexMaint.swapRewrite(spark, index.path,
+      spark.read.schema(index.schema).parquet(index.path).dropDuplicates(),
+      Seq("cid"), tmp => writeMeta(spark, tmp, index))
+  }
+
   /** Probe a prebuilt IVF index. The read is schema-pinned (partition-column
     * type inference must not drift from the build's LongType cid) and
     * filtered to the probed cid set BEFORE any join, so only those cluster
@@ -381,6 +406,7 @@ object Similarity {
   def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int,
                nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
+    IndexMaint.recoverSwap(spark, index.path)
     val probes = probeFrame(spark, queries, index.idCol, index.vecCol,
       index.centroids, nprobe)
     // queries are small by contract (they broadcast); their probed cid set
@@ -537,6 +563,8 @@ object Similarity {
   private[graft] def readMeta[T](spark: org.apache.spark.sql.SparkSession,
                           path: String): Option[T] =
     try {
+      // heal a torn compaction swap first: `path` may be mid-rename
+      IndexMaint.recoverSwap(spark, path)
       val p = new org.apache.hadoop.fs.Path(s"$path/$MetaFile")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) None

@@ -284,8 +284,8 @@ object StreamQueries {
   /** Streaming EMBEDDING ingestion with cosine near-dup screening
     * (StreamOps.annIngestSink) against a pre-seeded prebuilt LSH index:
     * corpus = vec_id < 160 built as an index, vec_id ≥ 160 streamed as one
-    * micro-batch — survivors share no sign bucket at cosine ≥ 0.4 with the
-    * corpus at cosine >= 0.4 AND are their within-batch cosine-cluster's smallest id. The
+    * micro-batch — survivors share no sign bucket with a corpus vector at
+    * cosine ≥ 0.4, AND are their within-batch cosine-cluster's smallest id. The
     * oracle recomputes the deterministic hyperplanes, both capped bucket
     * joins and the recursive cluster closure. Cross-batch accumulation is
     * spec'd in StreamingSpec. */

@@ -166,6 +166,23 @@ object StreamOps {
   def bloomScreenStats(checkpoint: String): Option[BloomScreenStats] =
     bloomStatsMap.get(checkpoint)
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Bootstrap sanity for the index-backed sinks: an index dir that holds
+    * DATA but no readable sidecar is a pre-seeded corpus missing its
+    * `Similarity.writeMeta` step (or a torn build) — rebuilding over it
+    * with mode(overwrite) would silently discard all its dedup state
+    * (round-7 ADVICE), so refuse loudly instead. Recover by writing the
+    * sidecar (pre-seed case) or deleting the directory (torn build). */
+  private def requireCleanBootstrap(spark: SparkSession, dir: String,
+                                    sink: String): Unit =
+    if (graft.operators.IndexMaint.dataFileCount(spark, dir) > 0)
+      throw new IllegalStateException(
+        s"$sink: index dir $dir contains data but no readable sidecar. " +
+        "Pre-seeded indexes must write their sidecar (Similarity.writeMeta) " +
+        "after the build; refusing to overwrite the existing trees. " +
+        "Write the sidecar, or delete the directory to bootstrap fresh.")
+
   /** Streaming incremental-ingestion dedup: a foreachBatch loop whose
     * corpus hash-set state UPDATES between micro-batches — the piece
     * [[graft.operators.Dedup.exactIncremental]] (batch vs a STATIC corpus)
@@ -199,11 +216,15 @@ object StreamOps {
     *
     * Scale: only 8-byte hashes + ids ride every join and the persisted
     * state; batch text is projected once and never shuffled. The state dir
-    * grows by one small file per batch — compact it offline when file
-    * count matters. Write ORDER is output-then-hashes: a crash between the
-    * two replays the batch (at-least-once output, standard foreachBatch
-    * semantics) — hashes-first would instead make the replayed batch
-    * anti-join against ITS OWN hashes and silently drop everything.
+    * grows by one small file per batch; `compactFiles > 0` bounds it — when
+    * the file census crosses the threshold the batch ends by rewriting
+    * `hashDir` as its distinct hash set (set-preserving, so screening and
+    * Bloom rebuilds are unchanged) via the swap protocol, and a torn swap
+    * is healed at the next batch's read. Write ORDER is output-then-hashes:
+    * a crash between the two replays the batch (at-least-once output,
+    * standard foreachBatch semantics) — hashes-first would instead make the
+    * replayed batch anti-join against ITS OWN hashes and silently drop
+    * everything.
     *
     * Pass `hashDir` pre-seeded (e.g. `Dedup.exact` hashes of an existing
     * corpus) to dedup a stream against historical data from batch one. */
@@ -211,6 +232,7 @@ object StreamOps {
                            hashDir: String, outDir: String, checkpoint: String,
                            normalized: Boolean = false,
                            bloomExpected: Long = 0, bloomFpp: Double = 0.01,
+                           compactFiles: Int = 0,
                            trigger: org.apache.spark.sql.streaming.Trigger =
                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -225,6 +247,7 @@ object StreamOps {
       val spark = batch.sparkSession
       import graft.operators.Dedup
       val keyed = batch.withColumn("_gq_h", Dedup.classKey(col(textCol), normalized))
+      graft.operators.IndexMaint.recoverSwap(spark, hashDir)
       val fs = new org.apache.hadoop.fs.Path(hashDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val seen: Option[DataFrame] =
@@ -285,6 +308,12 @@ object StreamOps {
         }
         bloomStatsMap(checkpoint) = BloomScreenStats(builds, merges, items, expected)
       }
+      if (compactFiles > 0 &&
+          graft.operators.IndexMaint.dataFileCount(spark, hashDir) > compactFiles) {
+        log.info(s"incrementalDedupSink: compacting hash state at $hashDir")
+        graft.operators.IndexMaint.swapRewrite(spark, hashDir,
+          spark.read.parquet(hashDir).distinct(), Seq.empty)
+      }
     }
   }
 
@@ -304,30 +333,44 @@ object StreamOps {
     *
     * Bootstrap: with no index at `indexDir` the first batch's survivors
     * BUILD it (sidecar metadata written so a restarted query re-opens
-    * without a build job). Pre-seed by running minhashIndexBuild over an
-    * existing corpus at `indexDir` first.
+    * without a build job). Pre-seed over an existing corpus by running
+    * `Dedup.minhashIndexBuild(corpus, ..., path = indexDir)` AND writing
+    * the sidecar the restart re-open needs:
+    * `Similarity.writeMeta(spark, indexDir, idx)` — without it the dir is
+    * indistinguishable from a torn build, and the sink REFUSES to
+    * bootstrap over it rather than silently mode(overwrite)-ing the
+    * pre-seeded corpus state away.
     *
     * Crash ordering is output-then-index, like the exact sink: a replayed
     * batch may duplicate output rows (at-least-once, standard foreachBatch
-    * semantics) but duplicated index segments cannot change later survivor
-    * sets — hits ride a dropDuplicates + anti-join. Within the index
-    * append, sigs land before banded rows (see minhashIndexAppend). */
+    * semantics) and its index append is a NO-OP (the append is keyed by
+    * the deterministic batch id and skipped when already present), so
+    * replays cannot inflate bucket occupancy past the cap. Within the
+    * append, sigs land before banded rows (see minhashIndexAppend).
+    *
+    * `compactFiles > 0` bounds long-run index fragmentation: when the
+    * index's data-file census crosses the threshold, the batch ends with
+    * `minhashIndexCompact(full = true)` — answers unchanged, the next
+    * probe's listing tax reset. */
   def nearDupDedupSink(stream: DataFrame, textCol: String, idCol: String,
                        indexDir: String, outDir: String, checkpoint: String,
                        threshold: Double = 0.7, n: Int = 3, k: Int = 64,
                        bands: Int = 16, md5: Boolean = false,
                        slots: Int = graft.operators.Dedup.IndexSlots,
                        maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket,
+                       compactFiles: Int = 0,
                        trigger: org.apache.spark.sql.streaming.Trigger =
                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, Similarity}
     // index handle, scoped to this query (foreachBatch runs sequentially)
     var idx: Dedup.MinHashIndex = null
-    writeBatches(stream, checkpoint, trigger) { (batch, _) =>
+    writeBatches(stream, checkpoint, trigger) { (batch, batchId) =>
       val spark = batch.sparkSession
-      if (idx == null)
+      if (idx == null) {
         idx = Similarity.readMeta[Dedup.MinHashIndex](spark, indexDir).orNull
+        if (idx == null) requireCleanBootstrap(spark, indexDir, "nearDupDedupSink")
+      }
       val afterCorpus =
         if (idx == null) batch
         else Dedup.minhashDedupFilter(idx, batch, threshold, maxBucket)
@@ -351,7 +394,13 @@ object StreamOps {
           idx = Dedup.minhashIndexBuild(survivors, textCol, idCol, indexDir,
             n, k, bands, md5, slots)
           Similarity.writeMeta(spark, indexDir, idx)
-        } else Dedup.minhashIndexAppend(idx, survivors)
+        } else Dedup.minhashIndexAppend(idx, survivors,
+          segmentId = s"batch-$batchId")
+      }
+      if (compactFiles > 0 && idx != null &&
+          graft.operators.IndexMaint.dataFileCount(spark, indexDir) > compactFiles) {
+        log.info(s"nearDupDedupSink: compacting index at $indexDir")
+        Dedup.minhashIndexCompact(idx, full = true)
       }
     }
   }
@@ -371,15 +420,23 @@ object StreamOps {
     *   4. appended to the index ([[graft.operators.Similarity.lshAppend]]).
     *
     * Bootstrap builds the index from batch one (sidecar re-open on
-    * restart); pre-seed with lshBuild + writeMeta over an existing corpus.
-    * Crash ordering output-then-index; replayed appends cannot change
-    * later survivor sets (hits ride dropDuplicates + anti-join). */
+    * restart); pre-seed with lshBuild + writeMeta over an existing corpus
+    * (writeMeta is REQUIRED — a data-bearing dir without a sidecar is
+    * refused rather than overwritten, like [[nearDupDedupSink]]).
+    * Crash ordering output-then-index; a replayed append duplicates index
+    * rows but cannot change later survivor sets: candidate hits dedup per
+    * query id, and the occupancy cap counts DISTINCT corpus ids per
+    * bucket, so duplicated rows can never push a bucket over the cap and
+    * silently shrink the candidate set. `compactFiles > 0` rewrites the
+    * index (duplicates dropped, one file per bucket partition) when its
+    * file census crosses the threshold. */
   def annIngestSink(stream: DataFrame, idCol: String, vecCol: String,
                     indexDir: String, outDir: String, checkpoint: String,
                     threshold: Double, planes: Int, dim: Int,
                     tables: Int = 8,
                     maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket,
                     maxPruneKeys: Int = 2048,
+                    compactFiles: Int = 0,
                     trigger: org.apache.spark.sql.streaming.Trigger =
                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -387,8 +444,10 @@ object StreamOps {
     var idx: Similarity.LshIndex = null
     writeBatches(stream, checkpoint, trigger) { (batch, _) =>
       val spark = batch.sparkSession
-      if (idx == null)
+      if (idx == null) {
         idx = Similarity.readMeta[Similarity.LshIndex](spark, indexDir).orNull
+        if (idx == null) requireCleanBootstrap(spark, indexDir, "annIngestSink")
+      }
       val afterCorpus =
         if (idx == null) batch
         else {
@@ -402,14 +461,19 @@ object StreamOps {
             .select("_qid", "_qv", "_tb")
           val tbs = qb.select("_tb").distinct()
             .limit(maxPruneKeys + 1).collect().map(_.getLong(0))
+          graft.operators.IndexMaint.recoverSwap(spark, idx.path)
           val cb0 = spark.read.schema(idx.schema).parquet(idx.path)
           val cb1 =
             if (tbs.length <= maxPruneKeys) cb0.filter(col("_tb").isin(tbs: _*))
             else cb0
           // index-side occupancy cap (complete per _tb partition even
-          // after pruning, since _tb IS the bucket key)
+          // after pruning, since _tb IS the bucket key). DISTINCT ids, not
+          // raw rows: replayed appends duplicate rows, and a raw count
+          // would let a replay push a bucket over the cap and change the
+          // survivor set (round-7 ADVICE).
           val cb = if (maxBucket <= 0) cb1 else {
-            val hot = cb1.groupBy("_tb").agg(count(lit(1)).as("_n"))
+            val hot = cb1.groupBy("_tb")
+              .agg(countDistinct(col("neighbor_id")).as("_n"))
               .filter(col("_n") > maxBucket).select("_tb")
             cb1.join(broadcast(hot), Seq("_tb"), "left_anti")
           }
@@ -432,6 +496,11 @@ object StreamOps {
             indexDir, tables)
           Similarity.writeMeta(spark, indexDir, idx)
         } else Similarity.lshAppend(idx, survivors)
+      }
+      if (compactFiles > 0 && idx != null &&
+          graft.operators.IndexMaint.dataFileCount(spark, indexDir) > compactFiles) {
+        log.info(s"annIngestSink: compacting index at $indexDir")
+        Similarity.lshCompact(idx)
       }
     }
   }

@@ -632,16 +632,125 @@ class PipelineSpec extends SparkSpec {
     val probeBefore = Dedup.minhashDedupAgainst(idx, seg2, threshold = 0.5)
       .select("batch_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val rowsBefore = spark.read.parquet(s"$dir/occ").count()
+    val rowsBefore = spark.read.parquet(s"$dir/occ")
+      .filter(col("band") >= 0).count()
     Dedup.minhashIndexCompact(idx)
-    val occ = spark.read.parquet(s"$dir/occ")
+    val occ = spark.read.parquet(s"$dir/occ").filter(col("band") >= 0)
     assert(occ.count() < rowsBefore, "compaction must shrink the delta rows")
     assert(occ.groupBy("band", "bucket").count().filter(col("count") > 1)
       .isEmpty, "one aggregated row per (band, bucket) after compaction")
+    // consumed segment ids survive as band = -1 markers
+    assert(spark.read.parquet(s"$dir/occ").filter(col("band") < 0).count() > 0,
+      "compaction must keep segment markers for replay detection")
     val probeAfter = Dedup.minhashDedupAgainst(idx, seg2, threshold = 0.5)
       .select("batch_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(probeAfter == probeBefore, "compaction must not change answers")
+  }
+
+  test("minhashIndexAppend replay idempotency: deterministic segment id skips, even after compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_replay").toString
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val seg = docs.filter(col("doc_id") % 3 === 1)
+    val probe = docs.filter(col("doc_id") % 3 === 2).limit(20)
+    val idx = Dedup.minhashIndexBuild(corpus, "text", "doc_id",
+      path = dir, slots = 4)
+    def hits() = Dedup.minhashDedupAgainst(idx, probe, threshold = 0.5)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.minhashIndexAppend(idx, seg, segmentId = "batch-1")
+    val banded1 = spark.read.parquet(s"$dir/banded").count()
+    val occ1 = spark.read.parquet(s"$dir/occ").count()
+    val hits1 = hits()
+    // replayed append (same deterministic id): a wholesale no-op
+    Dedup.minhashIndexAppend(idx, seg, segmentId = "batch-1")
+    assert(spark.read.parquet(s"$dir/banded").count() == banded1,
+      "replayed append must not duplicate banded rows")
+    assert(spark.read.parquet(s"$dir/occ").count() == occ1,
+      "replayed append must not add occupancy deltas")
+    assert(hits() == hits1)
+    // full compaction folds the delta away but keeps its marker: a LATE
+    // replay (post-compaction) is still detected and skipped
+    Dedup.minhashIndexCompact(idx, full = true)
+    val bandedC = spark.read.parquet(s"$dir/banded").count()
+    assert(bandedC == banded1, "no duplicates existed, so full compaction preserves rows")
+    Dedup.minhashIndexAppend(idx, seg, segmentId = "batch-1")
+    assert(spark.read.parquet(s"$dir/banded").count() == bandedC,
+      "post-compaction replay must still be skipped via the segment marker")
+    assert(hits() == hits1, "answers stable across replay + compaction")
+  }
+
+  test("minhashIndexCompact(full) dedupes crash-window duplicates; torn swap heals at the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_full").toString
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val seg = docs.filter(col("doc_id") % 3 === 1)
+    val probe = docs.filter(col("doc_id") % 3 === 2).limit(20)
+    val idx = Dedup.minhashIndexBuild(corpus, "text", "doc_id",
+      path = dir, slots = 4)
+    def hits() = Dedup.minhashDedupAgainst(idx, probe, threshold = 0.5)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ad-hoc double append (no segment id): raw duplicate rows land — the
+    // crash-mid-append replay shape
+    Dedup.minhashIndexAppend(idx, seg)
+    Dedup.minhashIndexAppend(idx, seg)
+    val before = hits()
+    val rawRows = spark.read.parquet(s"$dir/banded").count()
+    val distinctRows = spark.read.parquet(s"$dir/banded").distinct().count()
+    assert(rawRows > distinctRows, "fixture must contain duplicate banded rows")
+    Dedup.minhashIndexCompact(idx, full = true)
+    assert(spark.read.parquet(s"$dir/banded").count() == distinctRows,
+      "full compaction must drop duplicated banded rows")
+    assert(spark.read.parquet(s"$dir/sigs").count() ==
+      spark.read.parquet(s"$dir/sigs").distinct().count(),
+      "full compaction must drop duplicated signature rows")
+    assert(hits() == before, "full compaction must not change answers")
+    // torn swap: simulate a crash between the two renames (occ missing,
+    // occ_old present) — the next probe heals it via recoverSwap
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/occ"),
+      new org.apache.hadoop.fs.Path(s"$dir/occ_old")))
+    assert(hits() == before, "probe must heal a torn occ swap and answer")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/occ")),
+      "recovery must have renamed occ_old back")
+    // and the same for a torn banded swap
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/banded"),
+      new org.apache.hadoop.fs.Path(s"$dir/banded_old")))
+    assert(hits() == before, "probe must heal a torn banded swap and answer")
+  }
+
+  test("lshCompact/ivfCompact: replay duplicates dropped, answers and sidecar preserved") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_compact").toString
+    val a = embs.filter(col("vec_id") % 2 === 0)
+    val b = embs.filter(col("vec_id") % 2 === 1)
+    val queries = b.filter(col("vec_id") < 7)
+
+    val ivf = Similarity.ivfBuild(a, "vec_id", "embedding", nlist = 8,
+      path = s"$dir/ivf")
+    Similarity.ivfAppend(ivf, b)
+    Similarity.ivfAppend(ivf, b) // replay: duplicate rows
+    val p1 = key(Similarity.ivfProbe(ivf, queries, k = 5, nprobe = 8))
+    Similarity.ivfCompact(ivf)
+    assert(spark.read.parquet(s"$dir/ivf").count() == embs.count(),
+      "ivfCompact must fold replayed rows back to one per vector")
+    assert(key(Similarity.ivfProbe(ivf, queries, k = 5, nprobe = 8)) == p1)
+    assert(Similarity.readMeta[Similarity.IvfIndex](spark, s"$dir/ivf").nonEmpty,
+      "compaction must carry the sidecar into the new tree")
+
+    val lsh = Similarity.lshBuild(a, "vec_id", "embedding", planes = 4,
+      dim = 64, path = s"$dir/lsh")
+    Similarity.lshAppend(lsh, b)
+    Similarity.lshAppend(lsh, b)
+    val l1 = key(Similarity.lshProbe(lsh, queries, k = 5))
+    Similarity.lshCompact(lsh)
+    assert(spark.read.parquet(s"$dir/lsh").count() ==
+      spark.read.parquet(s"$dir/lsh").distinct().count(),
+      "lshCompact must drop replayed duplicate rows")
+    assert(key(Similarity.lshProbe(lsh, queries, k = 5)) == l1)
+    assert(Similarity.readMeta[Similarity.LshIndex](spark, s"$dir/lsh").nonEmpty)
   }
 
   test("minhashIndexFor lifecycle: cache hit, re-open without rebuild, fingerprint invalidation") {

@@ -418,4 +418,158 @@ class StreamingSpec extends SparkSpec {
     assert(out2 == Seq(5L),
       s"restarted ANN sink must re-open the index and screen, got $out2")
   }
+
+  test("incrementalDedupSink long run (50 ticks): hashDir compaction bounds the file census; answers unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.IndexMaint
+    val work = java.nio.file.Files.createTempDirectory("graft_incr_long").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.incrementalDedupSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      hashDir = s"$work/hashes", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", compactFiles = 20,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      (1 to 50).foreach { i =>
+        // one fresh text per tick, plus a duplicate of tick 1's text from
+        // tick 2 on — the duplicate must be screened by accumulated state
+        val fresh = (i.toLong, s"unique document $i with words ${i * 7} ${i * 13}")
+        if (i == 1) mem.addData(fresh)
+        else mem.addData(fresh, (1000L + i, s"unique document 1 with words 7 13"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == (1L to 50L).toSeq,
+      s"50 fresh survivors expected, duplicates screened; got ${out.size} ids")
+    // without compaction the state dir would hold ≥50 files (one+ per
+    // tick); the census must stay bounded near the threshold instead
+    val census = IndexMaint.dataFileCount(spark, s"$work/hashes")
+    assert(census <= 25, s"hashDir census must stay bounded, got $census files")
+  }
+
+  test("nearDupDedupSink long run (50 ticks): index compaction bounds the census; screening unchanged; restart works") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.IndexMaint
+    val work = java.nio.file.Files.createTempDirectory("graft_neardup_long").toString
+    def doc(base: String, tail: String) =
+      (1 to 40).map(i => s"$base$i").mkString(" ") + " " + tail
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.nearDupDedupSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", threshold = 0.5, slots = 4,
+      compactFiles = 220, trigger = Trigger.ProcessingTime(0))
+    try {
+      (1 to 50).foreach { i =>
+        // a fresh vocabulary family per tick; every 5th tick also replays
+        // a near-dup of family 1 (accepted at tick 1) — must be screened
+        // by the accumulated index no matter how many ticks have passed
+        val fresh = (i.toLong, doc(s"v$i-", "zero"))
+        if (i % 5 == 0) mem.addData(fresh, (1000L + i, doc("v1-", s"tail$i")))
+        else mem.addData(fresh)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == (1L to 50L).toSeq,
+      s"one survivor per family; near-dup replays screened — got $out")
+    // un-compacted, 50 ticks × (banded partitions + sigs + occ) ≈ 900+
+    // files; the census must stay bounded near the threshold
+    val census = IndexMaint.dataFileCount(spark, s"$work/idx")
+    assert(census <= 300, s"index census must stay bounded, got $census files")
+    // a restarted sink over the compacted index still screens correctly
+    val mem2 = MemoryStream[(Long, String)](spark)
+    val q2 = StreamOps.nearDupDedupSink(
+      mem2.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out2",
+      checkpoint = s"$work/ckpt2", threshold = 0.5, slots = 4,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((2000L, doc("v17-", "other")), (60L, doc("w60-", "zero")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = spark.read.parquet(s"$work/out2")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out2 == Seq(60L),
+      s"restart over the compacted index must keep screening, got $out2")
+  }
+
+  test("annIngestSink: distinct-id occupancy cap is immune to replayed appends; compaction dedups the tree") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.{IndexMaint, Similarity}
+    val work = java.nio.file.Files.createTempDirectory("graft_annsink_replay").toString
+    def vec(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.01f); a(i) = 1f; a
+    }
+    // pre-seeded corpus: 30 identical vectors → ONE bucket per table with
+    // 30 DISTINCT ids; a replayed append doubles its raw rows to 60
+    val corpus = (1L to 30L).map(i => (i, vec(0))).toDF("id", "vec")
+    val idx = Similarity.lshBuild(corpus, "id", "vec", planes = 4, dim = 64,
+      path = s"$work/idx")
+    Similarity.writeMeta(spark, s"$work/idx", idx)
+    Similarity.lshAppend(idx, corpus) // replayed append: duplicate rows
+    // maxBucket = 40: 30 distinct ids ≤ 40 (bucket live), but the 60+ raw
+    // rows would trip a raw-count cap and wrongly un-screen the batch
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamOps.annIngestSink(
+      mem.toDF.toDF("id", "vec"), "id", "vec",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", threshold = 0.9, planes = 4, dim = 64,
+      maxBucket = 40, compactFiles = 1, trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((100L, vec(0)), (101L, vec(7)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(101L),
+      s"duplicate of the replay-doubled corpus bucket must still be screened, got $out")
+    // compactFiles = 1 forced a compaction: the replayed duplicates are gone
+    val rows = spark.read.parquet(s"$work/idx")
+    assert(rows.count() == rows.dropDuplicates("neighbor_id", "_tb").count(),
+      "compaction must fold replayed index rows")
+    assert(Similarity.readMeta[Similarity.LshIndex](spark, s"$work/idx").nonEmpty,
+      "compaction must preserve the sidecar")
+  }
+
+  test("index-backed sinks refuse to bootstrap over a data-bearing dir without a sidecar") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.Similarity
+    val work = java.nio.file.Files.createTempDirectory("graft_bootstrap_guard").toString
+    def vec(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.01f); a(i) = 1f; a
+    }
+    // pre-seed WITHOUT writeMeta — the round-7 ADVICE footgun: the old
+    // bootstrap would silently mode(overwrite) this corpus state away
+    val corpus = (1L to 5L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    Similarity.lshBuild(corpus, "id", "vec", planes = 4, dim = 64,
+      path = s"$work/idx")
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamOps.annIngestSink(
+      mem.toDF.toDF("id", "vec"), "id", "vec",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", threshold = 0.9, planes = 4, dim = 64,
+      trigger = Trigger.ProcessingTime(0))
+    val err = intercept[Exception] {
+      try {
+        mem.addData((100L, vec(0)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("refusing")),
+      s"expected the bootstrap-refusal error, got: ${messages(err).mkString(" | ")}")
+    // the pre-seeded tree is intact (nothing was overwritten)
+    assert(spark.read.parquet(s"$work/idx").count() == 5L * 8,
+      "refusal must leave the pre-seeded index untouched")
+  }
 }
