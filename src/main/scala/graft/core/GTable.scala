@@ -715,10 +715,22 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     * cluster scale a 3-key ranking runs on 3 cores no matter how many
     * executors exist — while [[rankings]] range-partitions and merges
     * boundary stats, paying fixed cost for parallelism that only wins on
-    * big inputs (measured single-node crossover ≈ ×16 sf0.1 ≈ 10M rows —
-    * BASELINE.md). This entry point picks per-plan: [[rankings]] when the
-    * estimated row count reaches `spark.graft.rankings.flipRows` (default
-    * 10M), the plain window otherwise, so callers need not know both.
+    * big inputs. This entry point picks per-plan: [[rankings]] when the
+    * estimated row count reaches the flip threshold, the plain window
+    * otherwise, so callers need not know both.
+    *
+    * The threshold derives from the CLUSTER, not a constant (round-7
+    * verdict): with per-core rate c, K window tasks and P total cores, the
+    * window runs in rows/(c·K), the distributed plan in rows/(c·P) plus a
+    * fixed stats/merge overhead F — so the crossover is
+    * `rows* = F·c / (1/K − 1/P)`. RankFlipProbe measured rows* ≈ 7.2M at
+    * P = 32 on the ×12 corpus's 3-key ranking, giving F·c ≈ 2.2M per-core
+    * row-equivalents (`spark.graft.rankings.perCoreRows`); K is unknown
+    * pre-execution, so a conservative `spark.graft.rankings.assumedKeys`
+    * (default 4 — at P = 32 the formula then lands on the measured ~10M)
+    * stands in. More cores ⇒ a LOWER flip (the distributed plan's
+    * advantage grows); P ≤ K ⇒ never flip (the window already uses every
+    * core). `spark.graft.rankings.flipRows` remains the explicit override.
     */
   def rankingsAuto(partKeys: Seq[String], orderCols: Seq[Column],
                    desc: Seq[Boolean] = Nil,
@@ -726,9 +738,18 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
                    denseRank: Option[String] = None,
                    percentRank: Option[String] = None,
                    ntile: Option[(Int, String)] = None): GTable = {
-    val flipRows = df.sparkSession.conf
-      .getOption("spark.graft.rankings.flipRows").map(_.toLong)
-      .getOrElse(10000000L)
+    val conf = df.sparkSession.conf
+    val flipRows = conf.getOption("spark.graft.rankings.flipRows")
+      .map(_.toLong).getOrElse {
+        val p = conf.getOption("spark.graft.rankings.parallelism").map(_.toInt)
+          .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+        val perCore = conf.getOption("spark.graft.rankings.perCoreRows")
+          .map(_.toLong).getOrElse(2200000L)
+        val kAssumed = conf.getOption("spark.graft.rankings.assumedKeys")
+          .map(_.toInt).getOrElse(4)
+        if (p <= kAssumed) Long.MaxValue
+        else (perCore / (1.0 / kAssumed - 1.0 / p)).toLong
+      }
     // leaf nodes without stats (LogicalRDD after a localCheckpoint, some
     // views) default sizeInBytes to spark.sql.defaultSizeInBytes =
     // Long.MaxValue — "unknown", not "huge". Unknown size keeps the plain

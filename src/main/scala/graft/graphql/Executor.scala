@@ -1373,6 +1373,34 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     Json.obj(wanted.map(cf => cf.outName -> resolveOneColumn(pruned, cf)))
   }
 
+  /** Driver-materialization guard for value-returning column leaves
+    * (`values`/`dropNull`/`fillNull`/`length`/`distinct`): these collect
+    * the ENTIRE column to the driver — reference parity (models.py
+    * serves full columns too), but the reference runs single-node where
+    * the data already fits, while this engine's roots can be 100 TB. With
+    * `spark.graft.serve.maxValues` (or env `GRAFT_SERVE_MAX_VALUES`) set,
+    * a leaf past the cap becomes a clear GraphQL error telling the caller
+    * to slice — a 4xx instead of a driver OOM. Unset = unlimited
+    * (parity). Implemented as limit(cap+1): the driver never holds more
+    * than cap+1 rows even while deciding to refuse. */
+  private def serveCap(df: org.apache.spark.sql.DataFrame): Option[Long] =
+    df.sparkSession.conf.getOption("spark.graft.serve.maxValues")
+      .orElse(sys.env.get("GRAFT_SERVE_MAX_VALUES"))
+      .map(_.toLong).filter(_ > 0)
+
+  private def cappedCollect(df: org.apache.spark.sql.DataFrame,
+                            leaf: String): Array[org.apache.spark.sql.Row] =
+    serveCap(df) match {
+      case Some(cap) =>
+        val rows = df.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
+        if (rows.length > cap) throw new IllegalArgumentException(
+          s"'$leaf' would materialize more than $cap rows on the driver " +
+          s"(spark.graft.serve.maxValues=$cap); add slice/limit before the " +
+          "column selection, or raise the cap")
+        rows
+      case None => df.collect()
+    }
+
   /** Reference-style typed-column GraphQL type name (models.py's
     * IntColumn/LongColumn/FloatColumn/…) — the target of inline-fragment
     * type conditions on column selections. */
@@ -1452,7 +1480,8 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         if (pruned.isSorted) pruned.df
         else if (hasRid) pruned.df.orderBy(col(Natural.rid))
         else pruned.df
-      ordered.select(extra(c).as("_v")).collect().map(_.get(0)).toSeq
+      cappedCollect(ordered.select(extra(c).as("_v")), cf.name)
+        .map(_.get(0)).toSeq
     }
     val parts = leafs.map { l =>
       l.outName -> (l.name match {
@@ -1487,8 +1516,9 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case "distinct" =>
           // the reference's Set: distinct values + counts pair
           // (models.py:86-98) — one value_counts aggregation
-          val vc = Natural.strip(pruned.df).groupBy(c).agg(count(lit(1)).as("n"))
-            .orderBy(c).collect()
+          val vc = cappedCollect(
+            Natural.strip(pruned.df).groupBy(c).agg(count(lit(1)).as("n"))
+              .orderBy(c), s"${cf.name}.distinct")
           Json.obj(l.sels.map(s => s.outName -> (s.name match {
             case "values" => Json.write(vc.map(_.get(0)).toSeq)
             case "counts" => Json.write(vc.map(_.getLong(1)).toSeq)

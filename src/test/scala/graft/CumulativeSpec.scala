@@ -69,6 +69,36 @@ class CumulativeSpec extends SparkSpec {
     assert(below.exceptAll(above).count() == 0)
   }
 
+  test("rankingsAuto default flip derives from parallelism: P <= assumedKeys never flips; big P flips early; flipRows overrides") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ordCols = Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val desc = Seq(true, false, false)
+    def plan(): String =
+      GTable(li).rankingsAuto(Seq("l_returnflag"), ordCols, desc,
+          rowNumber = Some("rn0"))
+        .result.queryExecution.executedPlan.toString
+    try {
+      // P ≤ assumedKeys: the window path already uses every core — the
+      // derived threshold is ∞ and the plain window always wins
+      spark.conf.set("spark.graft.rankings.parallelism", "2")
+      assert(plan().contains("Window"),
+        "P <= assumedKeys must keep the plain window")
+      // many cores + cheap per-core budget: the derived crossover lands in
+      // single-digit rows, so even the fixture flips to the distributed plan
+      spark.conf.set("spark.graft.rankings.parallelism", "10000")
+      spark.conf.set("spark.graft.rankings.perCoreRows", "1")
+      assert(!plan().contains("Window"),
+        "high parallelism must flip to the distributed rankings")
+      // the explicit flipRows config still overrides the derivation
+      spark.conf.set("spark.graft.rankings.flipRows", "1000000000")
+      assert(plan().contains("Window"), "flipRows override must win")
+    } finally {
+      spark.conf.unset("spark.graft.rankings.parallelism")
+      spark.conf.unset("spark.graft.rankings.perCoreRows")
+      spark.conf.unset("spark.graft.rankings.flipRows")
+    }
+  }
+
   test("rankingsAuto treats unknown plan size as small, not huge") {
     // an RDD-backed frame has no stats: sizeInBytes defaults to
     // spark.sql.defaultSizeInBytes (Long.MaxValue) — that must read as

@@ -113,6 +113,35 @@ class GraphQLSpec extends SparkSpec {
     assert(sdl.contains("l_orderkey: BigInt"))
   }
 
+  test("serve cap: values-class leaves past spark.graft.serve.maxValues error with slice guidance") {
+    spark.conf.set("spark.graft.serve.maxValues", "10")
+    try {
+      val e = intercept[IllegalArgumentException](service.execute(
+        "{ lineitem { columns { l_orderkey { values } } } }"))
+      assert(e.getMessage.contains("slice") && e.getMessage.contains("10"),
+        s"cap error must instruct slicing, got: ${e.getMessage}")
+      // distinct Set leaves materialize the group list — same guard
+      intercept[IllegalArgumentException](service.execute(
+        "{ lineitem { columns { l_orderkey { distinct { values } } } } }"))
+      // aggregates never materialize rows: unaffected by the cap
+      assert(service.execute(
+        "{ lineitem { columns { l_quantity { sum } } } }").contains("sum"))
+      // an explicit slice under the cap serves normally
+      val ok = service.execute(
+        "{ lineitem { slice(offset: 0, limit: 5) { columns { l_orderkey { values } } } } }")
+      assert(""""values":\[(-?\d+,){4}-?\d+\]""".r.findFirstIn(ok).nonEmpty,
+        s"sliced values must serve under the cap: $ok")
+      // under-cap answers are byte-identical to the uncapped ones
+      spark.conf.set("spark.graft.serve.maxValues", "1000")
+      def noTiming(s: String) = s.replaceAll(""""timing_ms":\{[^}]*\}""", "")
+      val capped = service.execute("{ nation { columns { n_nationkey { values } } } }")
+      spark.conf.unset("spark.graft.serve.maxValues")
+      val uncapped = service.execute("{ nation { columns { n_nationkey { values } } } }")
+      assert(noTiming(capped) == noTiming(uncapped),
+        "a cap above the row count must change nothing")
+    } finally spark.conf.unset("spark.graft.serve.maxValues")
+  }
+
   test("unknown table and field produce errors") {
     intercept[IllegalArgumentException](service.execute("{ nope { count } }"))
     intercept[IllegalArgumentException](service.execute("{ nation { bogus } }"))

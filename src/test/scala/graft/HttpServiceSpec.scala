@@ -103,6 +103,20 @@ class HttpServiceSpec extends SparkSpec {
     assert(r405.statusCode() == 405)
   }
 
+  test("serve cap over HTTP: an over-cap values leaf is a 200 error envelope, not a buffered dump") {
+    spark.conf.set("spark.graft.serve.maxValues", "10")
+    try {
+      val r = post("""{"query": "{ lineitem { columns { l_orderkey { values } } } }"}""")
+      assert(r.statusCode() == 200, "execution errors stay 200 envelopes")
+      assert(r.body().contains(""""errors"""") && r.body().contains("slice"),
+        s"expected the cap error envelope, got: ${r.body().take(200)}")
+      // a sliced request under the cap serves data as usual
+      val ok = post("""{"query": "{ lineitem { slice(offset: 0, limit: 3) { columns { l_orderkey { values } } } } }"}""")
+      assert(ok.statusCode() == 200 && ok.body().contains(""""values":["""
+        ) && !ok.body().contains(""""errors""""))
+    } finally spark.conf.unset("spark.graft.serve.maxValues")
+  }
+
   test("concurrent requests serve correct independent results") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
