@@ -740,11 +740,15 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case "LSH" =>
           val planes = intArg(f, "planes").getOrElse(4)
           val tables = intArg(f, "tables").getOrElse(8)
+          // query-side multiprobe (probes extra buckets per table) defaults
+          // ON for serving: recall@5 0.66 → 0.98 at unchanged index size
+          // (PipelineSpec); probes: 0 restores single-bucket probing
+          val probes = intArg(f, "probes").getOrElse(2)
           val dim = intArg(f, "dim").getOrElse(
             corpus.select(size(col(on))).head.getInt(0))
           val idx = sim.lshIndexFor(corpus, corpusKeyOf(corpus), id, on,
             planes, dim, annIndexDir, tables)
-          sim.lshProbe(idx, queries, k)
+          sim.lshProbe(idx, queries, k, probes)
         case other => throw new IllegalArgumentException(
           s"nearest method: must be BRUTE, IVF or LSH, got \"$other\"")
       }

@@ -108,21 +108,69 @@ object Similarity {
     bits.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1).bitwiseOR(b))
   }
 
+  /** Query-side MULTIPROBE bucket list for one LSH table: the base sign
+    * bucket plus, for the `probes` hyperplanes with the smallest |dot|
+    * (the most marginal sign decisions — ties break to the lower plane
+    * index), the bucket with that plane's bit flipped. The standard
+    * serving-tier recall lift (Lv et al., multi-probe LSH): a true
+    * neighbor that fell just across one marginal hyperplane is found in a
+    * neighboring bucket, at zero index growth — the cost moves to the
+    * QUERY side (1 + probes buckets probed per table) instead of building
+    * more tables. Queries are small by contract, so the per-plane dot
+    * recomputation (interpreted HOFs) stays off the corpus hot path;
+    * the corpus side always uses the fused [[lshBucket]]. */
+  def lshProbeBuckets(vec: Column, planes: Int, dim: Int, table: Int,
+                      probes: Int): Column = {
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, planes] (got $probes, planes = $planes)")
+    val dots = (0 until planes).map { pi =>
+      val plane = typedLit((0 until dim).map(i =>
+        planeComponent(table * planes + pi, i)).toArray)
+      aggregate(zip_with(vec, plane, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val base = dots.foldLeft(lit(0L))((acc, d) =>
+      shiftleft(acc, 1).bitwiseOR(when(d >= 0, lit(1L)).otherwise(lit(0L))))
+    if (probes == 0) array(base)
+    else {
+      // (|dot|, plane index, bit mask) sorted ascending: most marginal
+      // planes first; the fold above puts plane pi at bit (planes-1-pi)
+      val cands = array(dots.zipWithIndex.map { case (d, pi) =>
+        struct(abs(d).as("a"), lit(pi).as("pi"),
+          lit(1L << (planes - 1 - pi)).as("m"))
+      }: _*)
+      val masks = slice(array_sort(cands), 1, probes)
+      concat(array(base), transform(masks, s => base.bitwiseXOR(s.getField("m"))))
+    }
+  }
+
   /** ANN via multi-table LSH: `tables` independent plane families; queries
     * probe their bucket in every table (recall 1-(1-p^planes)^tables); the
     * candidate union is deduped then exactly re-scored. Candidates drop from
     * |corpus| to ~tables·|corpus|/2^planes — the knob trading recall for
     * scan fraction at 100 TB. Corpus bucketing is a narrow projection
-    * (write-time amortizable as a bucketed table). */
+    * (write-time amortizable as a bucketed table). `probes > 0` adds
+    * query-side multiprobe ([[lshProbeBuckets]]): 1 + probes buckets per
+    * table, recall up at the same index. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int, dim: Int,
-              tables: Int = 8): DataFrame = {
+              tables: Int = 8, probes: Int = 0): DataFrame = {
     val buckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col(vecCol), planes, dim, t).as("b")))
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       explode(array(buckets: _*)).as("_bucket"))
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      explode(array(buckets: _*)).as("_bucket"))
+    val qb =
+      if (probes == 0)
+        // fused fast path, bit-identical to the multiprobe base bucket
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+          explode(array(buckets: _*)).as("_bucket"))
+      else {
+        val qBuckets = (0 until tables).map(t =>
+          transform(lshProbeBuckets(col(vecCol), planes, dim, t, probes),
+            b => struct(lit(t).as("t"), b.as("b"))))
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+          explode(flatten(array(qBuckets: _*))).as("_bucket"))
+      }
     val cand = cb.join(broadcast(qb), Seq("_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "_qv", "neighbor_id", "_cv")
@@ -167,15 +215,22 @@ object Similarity {
     LshIndex(path, idCol, vecCol, planes, dim, tables, rows.schema)
   }
 
-  def lshProbe(index: LshIndex, queries: DataFrame, k: Int): DataFrame = {
+  def lshProbe(index: LshIndex, queries: DataFrame, k: Int,
+               probes: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     IndexMaint.recoverSwap(spark, index.path)
-    val buckets = (0 until index.tables).map(t =>
-      struct(lit(t).as("t"),
-        lshBucket(col(index.vecCol), index.planes, index.dim, t).as("b")))
+    val buckets = (0 until index.tables).map { t =>
+      if (probes == 0)
+        array(struct(lit(t).as("t"),
+          lshBucket(col(index.vecCol), index.planes, index.dim, t).as("b")))
+      else
+        transform(
+          lshProbeBuckets(col(index.vecCol), index.planes, index.dim, t, probes),
+          b => struct(lit(t).as("t"), b.as("b")))
+    }
     val qb = queries.select(col(index.idCol).as("query_id"),
         col(index.vecCol).as("_qv"),
-        explode(array(buckets: _*)).as("_bucket"))
+        explode(flatten(array(buckets: _*))).as("_bucket"))
       .withColumn("_tb",
         tbKey(index.planes)(col("_bucket.t"), col("_bucket.b")))
       .select("query_id", "_qv", "_tb")

@@ -705,6 +705,26 @@ object GqlQueries {
       "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
     PipelineQueries.q_ann_ivf_prebuilt.oracle)
 
+  /** Served LSH ANN through `nearest(method: "LSH")` — exercises the
+    * serving default of query-side multiprobe (probes = 2, recall@5 0.98
+    * vs 0.66 single-bucket) against the prebuilt cached index; adjudicated
+    * by the same multiprobe-recomputing oracle as q_ann_lsh. */
+  val q_gql_ann_lsh = Q(
+    "q_gql_ann_lsh",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: embeddings {
+           n: nearest(on: "embedding", id: "vec_id",
+                      ids: [0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
+                      k: 5, method: "LSH", planes: 4, tables: 8) {
+             p: project(columns: [
+                   {alias: "score_r", numeric: {round: [{name: "score"}, {value: 9}]}}]) {
+               o: order(by: ["query_id", "rank"]) {
+                 c: columns { query_id { values } neighbor_id { values }
+                              score: score_r { values } rank { values } } } } } } }""",
+      Seq("t", "n", "p", "o", "c"),
+      "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
+    PipelineQueries.q_ann_lsh.oracle)
+
   /** Map columns served as JSON scalars (spark.graft.schema.mapAsJson;
     * parity default drops them like the reference) — the sql root builds a
     * map from plain columns, the service serializes it to_json, and DuckDB
@@ -837,5 +857,5 @@ object GqlQueries {
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
-    q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_map)
+    q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh, q_gql_map)
 }

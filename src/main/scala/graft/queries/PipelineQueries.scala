@@ -35,12 +35,34 @@ object PipelineQueries {
        |        (a, b) -> a * 16 + b) % 1000000 AS DOUBLE) / 1000000.0 - 0.5 AS c
        |    FROM range(0, ${tables * planes}) tp(p), range(0, $dim) ti(i))
        |  GROUP BY p),
-       |bits AS (SELECT v.vec_id, pc.p,
-       |    CASE WHEN ${dotSql("v.e", "pc.pl")} >= 0 THEN 1 ELSE 0 END AS bit
-       |  FROM v, pc),
+       |bits AS (SELECT vec_id, p, d, CASE WHEN d >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM (SELECT v.vec_id, pc.p, ${dotSql("v.e", "pc.pl")} AS d
+       |        FROM v, pc)),
        |buck AS (SELECT vec_id, p // $planes AS t,
        |    array_to_string(list(bit ORDER BY p), '') AS bucket
        |  FROM bits GROUP BY vec_id, p // $planes)""".stripMargin
+
+  /** Query-side multiprobe bucket CTE (`qbuck`): base bucket plus, for the
+    * `probes` planes with the smallest |dot| per (query, table) — ties to
+    * the lower plane index, mirroring Similarity.lshProbeBuckets — the
+    * bucket string with that plane's bit flipped. Assumes the
+    * [[lshBucketsSql]] CTEs (`bits`, `buck`) precede it. */
+  private[queries] def lshMultiprobeSql(planes: Int, probes: Int,
+                                        queryPred: String): String =
+    s"""qsel AS (SELECT vec_id FROM v WHERE $queryPred),
+       |qflips AS (SELECT b.vec_id, b.p // $planes AS t, b.p % $planes AS pos,
+       |    b.bit,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.p // $planes
+       |      ORDER BY abs(b.d), b.p) AS fr
+       |  FROM bits b JOIN qsel USING (vec_id)),
+       |qbuck AS (
+       |  SELECT b.vec_id, b.t, b.bucket FROM buck b JOIN qsel USING (vec_id)
+       |  UNION ALL
+       |  SELECT f.vec_id, f.t,
+       |    substr(bk.bucket, 1, f.pos) || CAST(1 - f.bit AS VARCHAR) ||
+       |      substr(bk.bucket, f.pos + 2) AS bucket
+       |  FROM qflips f JOIN buck bk ON bk.vec_id = f.vec_id AND bk.t = f.t
+       |  WHERE f.fr <= $probes)""".stripMargin
 
   /** Exact dedup: representative doc per identical text (hash-groupBy). */
   val q_dedup_exact = Q(
@@ -432,28 +454,32 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
-  /** LSH-bucketed ANN (8 hyperplanes) — rows-only; recall vs brute force
-    * asserted in PipelineSpec. */
+  /** LSH-bucketed ANN (8 tables × 4 hyperplanes) with query-side
+    * MULTIPROBE (probes = 2): each query also probes the two neighboring
+    * buckets across its most marginal hyperplanes per table — recall@5
+    * 0.66 → 0.98 on this corpus (PipelineSpec) at unchanged index size.
+    * Fully adjudicated: the oracle recomputes the md5-derived planes, the
+    * per-plane dots, the flip ranking (smallest |dot| first), the probe
+    * bucket union, exact re-score and top-k ranking. */
   val q_ann_lsh = Q(
     "q_ann_lsh",
     (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
       GTable(Similarity.lshTopK(e, queries, "vec_id", "embedding", k = 5,
-          planes = 4, dim = 64, tables = 8))
+          planes = 4, dim = 64, tables = 8, probes = 2))
         .project("score" -> round(col("score"), 9))
         .order(GTable.orderKeys(Seq("query_id", "rank")))
         .result
     },
-    // full adjudication: the oracle recomputes the md5-derived planes, sign
-    // buckets, candidate union, exact re-score and top-k ranking
     Some(s"""WITH v AS (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings),
           ${lshBucketsSql(planes = 4, dim = 64, tables = 8)},
+          ${lshMultiprobeSql(planes = 4, probes = 2, "vec_id < 10")},
           cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-            FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
-            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+            FROM qbuck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.vec_id <> c.vec_id),
           scored AS (SELECT query_id, neighbor_id,
               ${cosSql("qv.e", "cv.e")} AS score
             FROM cand JOIN v qv ON cand.query_id = qv.vec_id
@@ -593,7 +619,8 @@ object PipelineQueries {
           FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
 
   /** LSH ANN against a PREBUILT (table, bucket)-partitioned index — same
-    * parameters and oracle as [[q_ann_lsh]]. */
+    * parameters (incl. multiprobe probes = 2) and oracle as [[q_ann_lsh]];
+    * the probe reads only the multiprobe bucket partitions. */
   val q_ann_lsh_prebuilt = Q(
     "q_ann_lsh_prebuilt",
     (s, dir) => {
@@ -601,7 +628,7 @@ object PipelineQueries {
       val queries = e.filter(col("vec_id") < 10)
       val idx = Similarity.lshIndexFor(e, corpusKey = dir, "vec_id", "embedding",
         planes = 4, dim = 64, baseDir = annDir(dir))
-      GTable(Similarity.lshProbe(idx, queries, k = 5))
+      GTable(Similarity.lshProbe(idx, queries, k = 5, probes = 2))
         .project("score" -> round(col("score"), 9))
         .order(GTable.orderKeys(Seq("query_id", "rank")))
         .result
@@ -610,9 +637,10 @@ object PipelineQueries {
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings),
           ${lshBucketsSql(planes = 4, dim = 64, tables = 8)},
+          ${lshMultiprobeSql(planes = 4, probes = 2, "vec_id < 10")},
           cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-            FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
-            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+            FROM qbuck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.vec_id <> c.vec_id),
           scored AS (SELECT query_id, neighbor_id,
               ${cosSql("qv.e", "cv.e")} AS score
             FROM cand JOIN v qv ON cand.query_id = qv.vec_id

@@ -306,6 +306,53 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3)
   }
 
+  test("multiprobe LSH lifts recall@5 to >= 0.85 at unchanged index size; prebuilt probe agrees") {
+    val q = embs.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      bf.intersect(got).size.toDouble / bf.size
+    }
+    val r0 = recallOf(Similarity.lshTopK(embs, q, "vec_id", "embedding", 5,
+      planes = 4, dim = 64, tables = 8))
+    val mp = Similarity.lshTopK(embs, q, "vec_id", "embedding", 5,
+      planes = 4, dim = 64, tables = 8, probes = 2)
+    val r2 = recallOf(mp)
+    info(s"recall@5: probes=0 → $r0, probes=2 → $r2")
+    assert(r2 > r0, "multiprobe must strictly improve worst-case recall")
+    assert(r2 >= 0.85, s"multiprobe recall@5 $r2 under the 0.85 serving bar")
+    // the prebuilt-index probe takes the same multiprobe bucket set: must
+    // reproduce the on-the-fly answer exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_mp_idx").toString
+    val idx = Similarity.lshBuild(embs, "vec_id", "embedding", planes = 4,
+      dim = 64, path = dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(key(Similarity.lshProbe(idx, q, k = 5, probes = 2)) == key(mp),
+      "prebuilt multiprobe must equal the on-the-fly multiprobe")
+    // multiprobe widens the probed partition set but must still prune:
+    // ≤ queries·tables·(1+probes) buckets, not the whole index
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+    }.flatten
+    val q3 = embs.filter(col("vec_id") < 3)
+    val probed = Similarity.lshProbe(idx, q3, k = 5, probes = 2)
+    probed.collect()
+    val read = scans(probed.queryExecution.executedPlan)
+      .find(_.toString.contains("graft_mp_idx")).get.metrics("numFiles").value
+    val all = spark.read.parquet(dir).inputFiles.length
+    info(s"multiprobe probe (3 queries) read $read of $all index files")
+    assert(read > 0 && read < all,
+      "multiprobe probe must still prune the index read")
+  }
+
   test("IVF ANN recall vs brute force top-5") {
     val q = embs.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
