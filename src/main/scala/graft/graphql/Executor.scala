@@ -95,7 +95,11 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
               operationName: Option[String]): String = {
     val doc = Parser.parse(query, variables, operationName)
     val timings = Seq.newBuilder[(String, String)]
-    val out = doc.sels.map { f =>
+    // capture occupancy-cap activations during this request: silent
+    // candidate drops (hot-bucket exclusion in the near-dup/ANN tiers)
+    // surface as extensions.cap_drops so a serving client can notice
+    // recall loss without grepping driver logs
+    val (out, capDrops) = graft.operators.Dedup.collectCapDrops(doc.sels.map { f =>
       if (f.name == "__typename") {
         // clients (Apollo) inject __typename for cache normalization —
         // it must answer, never error
@@ -155,12 +159,21 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
         r
       }
-    }
+    })
+    val capJson =
+      if (capDrops.forall(d => d.buckets == 0 && d.rows == 0)) Seq.empty
+      else Seq("cap_drops" -> Json.obj(
+        capDrops.groupBy(_.op).toSeq.sortBy(_._1).map { case (op, ds) =>
+          op -> Json.obj(Seq(
+            "buckets" -> ds.map(_.buckets).sum.toString,
+            "rows" -> ds.map(_.rows).sum.toString))
+        }))
     // per-root resolver durations (reference's Apollo-tracing-style metrics,
     // middleware.py:22-38)
     Json.obj(Seq(
       "data" -> Json.obj(out),
-      "extensions" -> Json.obj(Seq("timing_ms" -> Json.obj(timings.result())))))
+      "extensions" -> Json.obj(
+        Seq("timing_ms" -> Json.obj(timings.result())) ++ capJson)))
   }
 
   /** SDL reflection (reference `_service { sdl }`); tables with configured
@@ -696,11 +709,13 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case other => throw new IllegalArgumentException(
           s"nearDedup threshold: must be a number, got $other")
       }.getOrElse(0.5)
+      val maxBucket = intArg(f, "maxBucket")
+        .getOrElse(graft.operators.Dedup.DefaultMaxBucket)
       val pairs = strArg(f, "hash").getOrElse("xx") match {
         case "md5" => graft.operators.Dedup.minhashPairsMd5(
-          t.result, on, id, n, k, bands, threshold)
+          t.result, on, id, n, k, bands, threshold, maxBucket)
         case "xx" => graft.operators.Dedup.minhashPairs(
-          t.result, on, id, n, k, bands, threshold)
+          t.result, on, id, n, k, bands, threshold, maxBucket)
         case other => throw new IllegalArgumentException(
           s"nearDedup hash: must be \"xx\" or \"md5\", got \"$other\"")
       }

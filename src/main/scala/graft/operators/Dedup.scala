@@ -148,23 +148,73 @@ object Dedup {
     * 0` disables the cap for oracle/verification runs. */
   val DefaultMaxBucket = 1000
 
+  /** One cap activation: `buckets` hot (band, bucket) groups dropped,
+    * covering `rows` banded rows. Silent recall loss is the cap's failure
+    * mode (the ×1200 skew soak returned 0 pairs with every bucket hot) —
+    * these counts make it OBSERVABLE: queryable per-op via
+    * [[lastCapDrops]] (ops probes, SoakProbe) and per-request via
+    * [[collectCapDrops]] (GraphQL response `extensions.cap_drops`). */
+  final case class CapDrop(op: String, buckets: Long, rows: Long)
+
+  private val lastDropsMap =
+    new scala.collection.concurrent.TrieMap[String, CapDrop]
+  /** Most recent cap activation per operator (empty counts = cap ran and
+    * dropped nothing). */
+  def lastCapDrops: Map[String, CapDrop] = lastDropsMap.toMap
+
+  private val capListener =
+    new ThreadLocal[scala.collection.mutable.Buffer[CapDrop]]
+
+  /** Capture every cap activation that happens (on this thread — operator
+    * calls are driver-side and synchronous) while `f` runs: the GraphQL
+    * executor wraps request resolution with this and serves the drops in
+    * the response extensions. */
+  private[graft] def collectCapDrops[A](f: => A): (A, Seq[CapDrop]) = {
+    val buf = scala.collection.mutable.Buffer[CapDrop]()
+    capListener.set(buf)
+    try { val r = f; (r, buf.toSeq) } finally capListener.remove()
+  }
+
+  private def recordDrop(d: CapDrop): Unit = {
+    lastDropsMap(d.op) = d
+    Option(capListener.get).foreach(_ += d)
+  }
+
   /** Drop bucket-key groups holding more than `maxBucket` docs.
-    * The hot-bucket list is tiny by construction — broadcast anti-join,
-    * no extra shuffle of the banded stream. Generic over the key columns so
-    * every banded self-join in the engine (MinHash/SimHash bands here,
-    * hyperplane buckets in [[graft.operators.Similarity.lshCosinePairs]])
-    * shares the one cap shape. */
+    * The hot-bucket list is tiny by construction (≤ rows/maxBucket keys) —
+    * it is materialized to the driver, which (a) yields the dropped
+    * bucket/row counts for free ([[CapDrop]] — round-7 verdict: log lines
+    * are not metrics), (b) lets the no-hot-buckets common case return the
+    * input UNTOUCHED (no anti-join in the plan at all), and (c) costs the
+    * same banded-stream aggregation the broadcast build ran anyway.
+    * Generic over the key columns so every banded self-join in the engine
+    * (MinHash/SimHash bands here, hyperplane buckets in
+    * [[graft.operators.Similarity.lshCosinePairs]]) shares the one cap
+    * shape. */
   private[operators] def capBucketsBy(banded: DataFrame, keys: Seq[String],
                                       maxBucket: Int, op: String): DataFrame =
     if (maxBucket <= 0) banded
     else {
-      log.info(s"$op: band-bucket occupancy cap maxBucket=$maxBucket active " +
-        "(oversized buckets are dropped from candidate generation; run exact " +
-        "dedup first — maxBucket=0 disables the cap)")
       val hot = banded.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > maxBucket).select(keys.map(col): _*)
-      banded.join(broadcast(hot), keys, "left_anti")
+        .filter(col("_n") > maxBucket)
+        .collect()
+      val dropped = CapDrop(op, hot.length, hot.map(_.getLong(keys.length)).sum)
+      recordDrop(dropped)
+      if (hot.isEmpty) banded
+      else {
+        log.info(s"$op: occupancy cap maxBucket=$maxBucket dropped " +
+          s"${dropped.buckets} buckets / ${dropped.rows} banded rows from " +
+          "candidate generation (run exact dedup first; maxBucket=0 disables)")
+        val spark = banded.sparkSession
+        val keySchema = org.apache.spark.sql.types.StructType(
+          keys.map(k => banded.schema(k)))
+        val hotDf = spark.createDataFrame(
+          java.util.Arrays.asList(hot.map(r =>
+            org.apache.spark.sql.Row.fromSeq(keys.indices.map(r.get))): _*),
+          keySchema)
+        banded.join(broadcast(hotDf), keys, "left_anti")
+      }
     }
 
   private def capBuckets(banded: DataFrame, maxBucket: Int,
@@ -752,8 +802,21 @@ object Dedup {
             .groupBy(col("band"), col("bucket"), col("_seg"))
             .agg(max("count").as("count"))
             .groupBy("band", "bucket").agg(sum("count").as("count"))
-            .filter(col("count") > maxBucket).select("band", "bucket")
-          corpusBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+            .filter(col("count") > maxBucket)
+            .collect()
+          recordDrop(CapDrop("minhashDedupAgainst", hot.length,
+            hot.map(_.getLong(2)).sum))
+          if (hot.isEmpty) corpusBanded
+          else {
+            log.info(s"minhashDedupAgainst: occupancy cap maxBucket=" +
+              s"$maxBucket dropped ${hot.length} corpus buckets")
+            val keySchema = org.apache.spark.sql.types.StructType(
+              Seq(index.occSchema("band"), index.occSchema("bucket")))
+            val hotDf = spark.createDataFrame(
+              java.util.Arrays.asList(hot.map(r =>
+                org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), keySchema)
+            corpusBanded.join(broadcast(hotDf), Seq("band", "bucket"), "left_anti")
+          }
         }
       val cand0 = bb.select(col("band"), col("bucket"), col("id").as("batch_id"))
         .join(cb.select(col("band"), col("bucket"), col("id").as("corpus_id")),

@@ -45,7 +45,16 @@ private[graft] object IndexMaint {
                   beforeSwap: String => Unit = _ => ()): Unit = {
     recoverSwap(spark, path)
     val tmp = s"${path}_tmp"
-    val w = rows.write.mode("overwrite")
+    // cluster on the partition columns first: each partition dir is then
+    // written by exactly one task → ONE file per dir (the x12 probe
+    // measured 17k files from a plain rewrite vs ~1 per dir clustered) —
+    // the whole point of the compaction. Oversized single files are
+    // bounded by spark.sql.files.maxRecordsPerFile when set.
+    val clustered =
+      if (parts.nonEmpty)
+        rows.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+      else rows
+    val w = clustered.write.mode("overwrite")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
     beforeSwap(tmp)
     val (fs, p) = fsFor(spark, path)

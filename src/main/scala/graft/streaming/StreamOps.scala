@@ -160,7 +160,18 @@ object StreamOps {
     * builds stays at 1 across a multi-batch run — the per-batch O(corpus)
     * rebuild this maintenance loop replaced. */
   final case class BloomScreenStats(builds: Long, merges: Long,
-                                    items: Long, expected: Long)
+                                    items: Long, expected: Long,
+                                    degraded: Boolean = false)
+
+  /** Optimal Bloom bit-array size in BYTES for (expected, fpp) — the same
+    * m = -n·ln(p)/ln²2 sizing spark's BloomFilter.create uses. The filter
+    * is driver-resident AND broadcast per batch, so past a budget the
+    * screen must step aside (the exact anti-join it merely accelerates is
+    * always behind it) instead of OOMing the driver: at 10⁹ docs / fpp
+    * 1e-9 the filter is ~5.6 GB. */
+  private[graft] def bloomBytes(expected: Long, fpp: Double): Long =
+    math.ceil(-expected.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2)) / 8.0).toLong
   private val bloomStatsMap =
     new scala.collection.concurrent.TrieMap[String, BloomScreenStats]
   def bloomScreenStats(checkpoint: String): Option[BloomScreenStats] =
@@ -232,6 +243,7 @@ object StreamOps {
                            hashDir: String, outDir: String, checkpoint: String,
                            normalized: Boolean = false,
                            bloomExpected: Long = 0, bloomFpp: Double = 0.01,
+                           bloomMaxBytes: Long = 0,
                            compactFiles: Int = 0,
                            trigger: org.apache.spark.sql.streaming.Trigger =
                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -243,6 +255,23 @@ object StreamOps {
     var items = 0L
     var builds = 0L
     var merges = 0L
+    // `bloomMaxBytes > 0` budgets the driver-resident (and per-batch
+    // broadcast) filter: a build or capacity-doubling that would exceed it
+    // DEGRADES the screen to the plain exact anti-join — same answers (the
+    // anti-join was always the adjudicator), bounded driver memory. Sticky
+    // per query; visible as BloomScreenStats.degraded.
+    var degraded = false
+    def overBudget(n: Long): Boolean = {
+      val over = bloomMaxBytes > 0 && bloomBytes(n, bloomFpp) > bloomMaxBytes
+      if (over && !degraded) {
+        degraded = true
+        filter = null
+        log.info(s"incrementalDedupSink: bloom screen degraded to the plain " +
+          s"anti-join — sizing for $n items at fpp $bloomFpp needs " +
+          s"${bloomBytes(n, bloomFpp)} bytes > budget $bloomMaxBytes")
+      }
+      over
+    }
     writeBatches(stream, checkpoint, trigger) { (batch, _) =>
       val spark = batch.sparkSession
       import graft.operators.Dedup
@@ -257,7 +286,7 @@ object StreamOps {
         case None => keyed
         case Some(corpus) =>
           val seenH = corpus.select(col("_gq_h")).distinct()
-          if (bloomExpected > 0) {
+          if (bloomExpected > 0 && !degraded && !overBudget(expected)) {
             if (filter == null) {
               // restart / first-batch-over-existing-corpus path: ONE build
               // from the persisted hash state; maintained in place after
@@ -284,21 +313,27 @@ object StreamOps {
       survivors.drop("_gq_h").write.mode("append").parquet(outDir)
       val newH = survivors.select(col("_gq_h")).distinct().localCheckpoint()
       newH.write.mode("append").parquet(hashDir)
-      if (bloomExpected > 0) {
+      if (bloomExpected > 0 && !degraded) {
         val n = newH.count()
         if (filter == null) {
           // very first batch of a fresh corpus: seed from its hashes
-          filter = newH.stat.bloomFilter("_gq_h", expected, bloomFpp)
-          items = n
-          builds += 1
+          if (!overBudget(expected)) {
+            filter = newH.stat.bloomFilter("_gq_h", expected, bloomFpp)
+            items = n
+            builds += 1
+          }
         } else if (items + n > expected) {
           // fpp budget exhausted: one full rebuild at doubled capacity —
-          // amortized across all the batches that fit under the new budget
-          expected = math.max(expected * 2, items + n)
-          filter = spark.read.parquet(hashDir)
-            .stat.bloomFilter("_gq_h", expected, bloomFpp)
-          items += n
-          builds += 1
+          // amortized across all the batches that fit under the new
+          // budget. A doubling past the byte budget degrades instead.
+          val next = math.max(expected * 2, items + n)
+          if (!overBudget(next)) {
+            expected = next
+            filter = spark.read.parquet(hashDir)
+              .stat.bloomFilter("_gq_h", expected, bloomFpp)
+            items += n
+            builds += 1
+          }
         } else {
           // steady state: distributed batch filter (same sizing → bit-
           // compatible) OR'd into the corpus filter on the driver
@@ -306,8 +341,10 @@ object StreamOps {
           items += n
           merges += 1
         }
-        bloomStatsMap(checkpoint) = BloomScreenStats(builds, merges, items, expected)
       }
+      if (bloomExpected > 0)
+        bloomStatsMap(checkpoint) =
+          BloomScreenStats(builds, merges, items, expected, degraded)
       if (compactFiles > 0 &&
           graft.operators.IndexMaint.dataFileCount(spark, hashDir) > compactFiles) {
         log.info(s"incrementalDedupSink: compacting hash state at $hashDir")

@@ -73,6 +73,11 @@ object SoakProbe {
         maxBucket = cap).count()
     }
     println(s"SOAK minhashPairs capped pairs=$mc")
+    // dropped-mass metrics (round-8): the counts behind any recall loss
+    graft.operators.Dedup.lastCapDrops.toSeq.sortBy(_._1).foreach {
+      case (op, d) =>
+        println(s"SOAK capDrops $op: buckets=${d.buckets} rows=${d.rows}")
+    }
     if (!skipUncapped) {
       val nu = timed("lshCosinePairs uncapped") {
         Similarity.lshCosinePairs(embs, "vec_id", "embedding", 0.2,

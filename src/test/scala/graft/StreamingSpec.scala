@@ -316,6 +316,61 @@ class StreamingSpec extends SparkSpec {
       s"seed + one capacity rebuild + one merge expected, got $stats2")
   }
 
+  test("bloom size budget: over-budget screens degrade to the plain anti-join; answers identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (a) budget below even the initial sizing: the screen never builds —
+    // every batch takes the exact anti-join — and answers are unchanged
+    val work = java.nio.file.Files.createTempDirectory("graft_bloom_budget").toString
+    val ckpt = s"$work/ckpt"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.incrementalDedupSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      hashDir = s"$work/hashes", outDir = s"$work/out", checkpoint = ckpt,
+      bloomExpected = 1000, bloomFpp = 0.01, bloomMaxBytes = 16,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"), (10L, "alpha"))
+      q.processAllAvailable()
+      mem.addData((20L, "alpha"), (21L, "beta"), (3L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L), s"degraded screen must not change answers, got $out")
+    val stats = StreamOps.bloomScreenStats(ckpt).get
+    assert(stats.degraded && stats.builds == 0L && stats.merges == 0L,
+      s"expected an immediately-degraded screen with zero builds, got $stats")
+
+    // (b) the seed fits the budget but the capacity-doubling does not:
+    // exactly one build, then a sticky degrade instead of a bigger filter
+    val work2 = java.nio.file.Files.createTempDirectory("graft_bloom_budget2").toString
+    val ckpt2 = s"$work2/ckpt"
+    val seedBytes = StreamOps.bloomBytes(3, 0.01)
+    val doubledBytes = StreamOps.bloomBytes(6, 0.01)
+    assert(seedBytes < doubledBytes)
+    val mem2 = MemoryStream[(Long, String)](spark)
+    val q2 = StreamOps.incrementalDedupSink(
+      mem2.toDF.toDF("id", "text"), "text", "id",
+      hashDir = s"$work2/hashes", outDir = s"$work2/out", checkpoint = ckpt2,
+      bloomExpected = 3, bloomFpp = 0.01, bloomMaxBytes = seedBytes,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((1L, "a"), (2L, "b"))       // seed build: fits budget
+      q2.processAllAvailable()
+      mem2.addData((3L, "c"), (4L, "d"))       // doubling would exceed → degrade
+      q2.processAllAvailable()
+      mem2.addData((5L, "e"), (6L, "a"))       // anti-join only, still dedups
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = spark.read.parquet(s"$work2/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out2 == Seq(1L, 2L, 3L, 4L, 5L), s"got $out2")
+    val stats2 = StreamOps.bloomScreenStats(ckpt2).get
+    assert(stats2.builds == 1L && stats2.degraded,
+      s"seed build then budget degrade expected, got $stats2")
+  }
+
   test("nearDupDedupSink: index accumulates across batches; restart re-opens it") {
     val spark2 = spark
     import spark2.implicits._
