@@ -38,7 +38,8 @@ import GVal._
   */
 final class GraphQLHttpServer(service: GraphQLService,
                               port: Int = 0, threads: Int = 8,
-                              maxBodyBytes: Int = 10 << 20) {
+                              maxBodyBytes: Int = 10 << 20,
+                              chunkBytes: Int = 1 << 20) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool = Executors.newFixedThreadPool(threads)
   server.setExecutor(pool)
@@ -185,12 +186,34 @@ document.getElementById('q').addEventListener('keydown', e => {
       }
     }.toMap
 
+  /** Responses past `chunkBytes` stream with chunked transfer-encoding
+    * instead of one Content-Length'd buffer: the JDK server then flushes
+    * 64 KiB frames as they are written rather than double-buffering the
+    * whole body, so a large (cap-admitted) leaf array reaches the client
+    * incrementally and the socket path stays O(chunk). */
+  private val ChunkSize = 64 << 10
+
   private def respond(ex: HttpExchange, status: Int, contentType: String,
                       body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(status, bytes.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(bytes) finally os.close()
+    if (bytes.length <= chunkBytes) {
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    } else {
+      // length 0 → chunked transfer-encoding (HttpServer contract)
+      ex.sendResponseHeaders(status, 0L)
+      val os = ex.getResponseBody
+      try {
+        var off = 0
+        while (off < bytes.length) {
+          val n = math.min(ChunkSize, bytes.length - off)
+          os.write(bytes, off, n)
+          os.flush()
+          off += n
+        }
+      } finally os.close()
+    }
   }
 }

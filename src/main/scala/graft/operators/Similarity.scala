@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Resolve an `planes = 0` "auto" request to [[planesFor]] of the actual
+    * corpus count — the round-7 soak measured bucket GEOMETRY as
+    * load-bearing as the occupancy cap (an 81× blowup on 4 planes over a
+    * 24k corpus), so right-sizing is the default, not a scaladoc rule. The
+    * count is one metadata-cheap job on a corpus the caller is about to
+    * scan several times anyway; explicit `planes > 0` skips it. */
+  private def resolvePlanes(df: DataFrame, planes: Int, what: String): Int =
+    if (planes > 0) planes
+    else {
+      val p = planesFor(df.count())
+      log.info(s"$what: auto-sized planes=$p via planesFor(corpus count)")
+      p
+    }
+
   /** Sequential dot product of two float vectors as double — composable
     * (pure built-in) form; [[graft.expressions.FloatVectorDot]] is the
     * codegen'd fused form with identical results. */
@@ -202,17 +218,20 @@ object Similarity {
                             planes: Int, dim: Int, tables: Int,
                             schema: org.apache.spark.sql.types.StructType)
 
+  /** `planes = 0` auto-sizes the bucket geometry from the corpus count
+    * ([[resolvePlanes]]). */
   def lshBuild(corpus: DataFrame, idCol: String, vecCol: String,
                planes: Int, dim: Int, path: String,
                tables: Int = 8): LshIndex = {
+    val planes0 = resolvePlanes(corpus, planes, "lshBuild")
     val buckets = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col(vecCol), planes, dim, t).as("b")))
+      struct(lit(t).as("t"), lshBucket(col(vecCol), planes0, dim, t).as("b")))
     val rows = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
         explode(array(buckets: _*)).as("_bucket"))
-      .withColumn("_tb", tbKey(planes)(col("_bucket.t"), col("_bucket.b")))
+      .withColumn("_tb", tbKey(planes0)(col("_bucket.t"), col("_bucket.b")))
       .drop("_bucket")
     rows.write.mode("overwrite").partitionBy("_tb").parquet(path)
-    LshIndex(path, idCol, vecCol, planes, dim, tables, rows.schema)
+    LshIndex(path, idCol, vecCol, planes0, dim, tables, rows.schema)
   }
 
   def lshProbe(index: LshIndex, queries: DataFrame, k: Int,
@@ -684,16 +703,21 @@ object Similarity {
     * banded join quadratic — oversized buckets are dropped before the
     * self-join (run exact dedup first; 0 disables for oracle runs).
     *
-    * Size `planes` with [[planesFor]]: expected occupancy is
+    * `planes = 0` (the recommended default) auto-sizes the geometry with
+    * [[planesFor]] of the actual corpus count: expected occupancy is
     * n / 2^planes per table, and an under-planed corpus makes EVERY
     * bucket quadratic with no skew at all (soak-measured 81× blowup at
     * 24k vectors × 4 planes; see BASELINE.md round-7). */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, planes: Int, dim: Int,
+                     threshold: Double, planes: Int = 0, dim: Int = 0,
                      tables: Int = 8,
                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val planes0 = resolvePlanes(df, planes, "lshCosinePairs")
+    val dim0 = if (dim > 0) dim
+      else df.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
     val buckets = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col(vecCol), planes, dim, t).as("b")))
+      struct(lit(t).as("t"), lshBucket(col(vecCol), planes0, dim0, t).as("b")))
     // candidate generation and dedup ride NARROW (bucket, id) rows — the
     // vectors (dim floats each) are re-joined only for the surviving
     // distinct pairs, exactly like minhashPairs re-joins signatures

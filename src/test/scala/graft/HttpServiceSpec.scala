@@ -103,6 +103,31 @@ class HttpServiceSpec extends SparkSpec {
     assert(r405.statusCode() == 405)
   }
 
+  test("responses past chunkBytes stream with chunked transfer-encoding; small ones keep Content-Length") {
+    // a server with a tiny chunk threshold: any multi-KB leaf array must
+    // arrive chunked (no Content-Length), small results stay buffered
+    val tiny = new GraphQLHttpServer(new GraphQLService(spark, sf),
+      port = 0, chunkBytes = 2048).start()
+    try {
+      val url = s"http://localhost:${tiny.boundPort}/graphql"
+      def postTo(body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val big = postTo("""{"query": "{ documents { columns { text { values } } } }"}""")
+      assert(big.statusCode() == 200)
+      assert(big.body().length > 2048, s"response too small: ${big.body().length}")
+      assert(big.headers().firstValue("Transfer-encoding").orElse("").contains("chunked"),
+        s"expected chunked transfer, headers: ${big.headers().map()}")
+      assert(big.headers().firstValue("Content-length").isEmpty)
+      assert(big.body().endsWith("}}"), "chunked body must arrive complete")
+      val small = postTo("""{"query": "{ nation { count } }"}""")
+      assert(small.headers().firstValue("Content-length").isPresent,
+        "small responses keep the buffered Content-Length path")
+    } finally tiny.stop()
+  }
+
   test("serve cap over HTTP: an over-cap values leaf is a 200 error envelope, not a buffered dump") {
     spark.conf.set("spark.graft.serve.maxValues", "10")
     try {

@@ -303,6 +303,22 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("planes = 0 auto-sizes LSH geometry from the corpus count") {
+    val n = embs.count()
+    val p = Similarity.planesFor(n)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // auto (planes/dim omitted) ≡ explicit planesFor geometry
+    val auto = pairSet(Similarity.lshCosinePairs(embs, "vec_id", "embedding", 0.2))
+    val explicit = pairSet(Similarity.lshCosinePairs(embs, "vec_id", "embedding",
+      0.2, planes = p, dim = 64))
+    assert(auto == explicit, "auto geometry must equal planesFor(count)")
+    val dir = java.nio.file.Files.createTempDirectory("graft_autoplanes").toString
+    val idx = Similarity.lshBuild(embs, "vec_id", "embedding", planes = 0,
+      dim = 64, path = dir)
+    assert(idx.planes == p, s"lshBuild auto planes ${idx.planes} != planesFor $p")
+  }
+
   test("LSH ANN recall vs brute force top-5") {
     val q = embs.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
