@@ -234,28 +234,57 @@ object Similarity {
     LshIndex(path, idCol, vecCol, planes0, dim, tables, rows.schema)
   }
 
+  /** Driver-side probe-bucket list for one query vector and table —
+    * bit-identical to [[lshBucket]]/[[lshProbeBuckets]] (sequential double
+    * accumulation in plane order; flip ranking by (|dot|, plane index)).
+    * Queries are small by contract, so the serving probe computes this in
+    * plain Scala instead of planning ~planes·dim·tables literal doubles
+    * through interpreted HOFs per request. */
+  private[operators] def probeBucketsLocal(vec: Array[Float], planes: Int,
+                                           dim: Int, table: Int,
+                                           probes: Int): Seq[Long] = {
+    val dots = Array.tabulate(planes) { pi =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(dim, vec.length)
+      while (i < n) {
+        acc += vec(i).toDouble * planeComponent(table * planes + pi, i)
+        i += 1
+      }
+      acc
+    }
+    var base = 0L
+    dots.foreach(d => base = (base << 1) | (if (d >= 0) 1L else 0L))
+    val flips = dots.zipWithIndex
+      .sortBy { case (d, pi) => (math.abs(d), pi) }
+      .take(probes)
+      .map { case (_, pi) => base ^ (1L << (planes - 1 - pi)) }
+    base +: flips.toSeq
+  }
+
   def lshProbe(index: LshIndex, queries: DataFrame, k: Int,
                probes: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     IndexMaint.recoverSwap(spark, index.path)
-    val buckets = (0 until index.tables).map { t =>
-      if (probes == 0)
-        array(struct(lit(t).as("t"),
-          lshBucket(col(index.vecCol), index.planes, index.dim, t).as("b")))
-      else
-        transform(
-          lshProbeBuckets(col(index.vecCol), index.planes, index.dim, t, probes),
-          b => struct(lit(t).as("t"), b.as("b")))
+    // queries are small by contract: collect them once, derive every
+    // (table, bucket) probe key driver-side — one job for the query scan,
+    // zero for the key list, no thousands-of-literals plan per request
+    val idType = queries.schema(index.idCol).dataType
+    val vecType = queries.schema(index.vecCol).dataType
+    val qRows = queries.select(col(index.idCol), col(index.vecCol)).collect()
+    val probeRows: Seq[org.apache.spark.sql.Row] = qRows.toSeq.flatMap { r =>
+      val vec = r.getSeq[Float](1).toArray
+      (0 until index.tables).flatMap(t =>
+        probeBucketsLocal(vec, index.planes, index.dim, t, probes).map(b =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1),
+            t.toLong * (1L << index.planes) + b)))
     }
-    val qb = queries.select(col(index.idCol).as("query_id"),
-        col(index.vecCol).as("_qv"),
-        explode(flatten(array(buckets: _*))).as("_bucket"))
-      .withColumn("_tb",
-        tbKey(index.planes)(col("_bucket.t"), col("_bucket.b")))
-      .select("query_id", "_qv", "_tb")
-    // small query set by contract: its bucket keys (≤ |queries|·tables)
-    // prune the index scan statically
-    val tbs = qb.select("_tb").distinct().collect().map(_.getLong(0))
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val qb = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      StructType(Seq(StructField("query_id", idType),
+        StructField("_qv", vecType), StructField("_tb", LongType))))
+    val tbs = probeRows.map(_.getLong(2)).distinct
     val cb = spark.read.schema(index.schema).parquet(index.path)
       .filter(col("_tb").isin(tbs: _*))
     rescoreTopK(spark, cb.join(broadcast(qb), Seq("_tb")), k)
