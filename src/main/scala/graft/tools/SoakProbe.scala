@@ -25,9 +25,9 @@ object SoakProbe {
       case Array("--cap", v) => v.toInt
     }.getOrElse(Dedup.DefaultMaxBucket)
     // hyperplane count scales with corpus size in a real deployment
-    // (buckets ≈ 2^planes per table; pick planes so n / 2^planes stays
-    // well under the occupancy cap for a non-adversarial corpus)
-    val planes = args.sliding(2).collectFirst {
+    // (buckets ≈ 2^planes per table); `--planes 0` exercises the round-8
+    // auto-sizing default (Similarity.planesFor of the corpus count)
+    val planesArg = args.sliding(2).collectFirst {
       case Array("--planes", v) => v.toInt
     }.getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -41,7 +41,11 @@ object SoakProbe {
       "graft.operators", org.apache.logging.log4j.Level.INFO)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
-    println(s"SOAK dir=$sf cap=$cap planes=$planes docs=${docs.count()} embs=${embs.count()}")
+    val planes =
+      if (planesArg > 0) planesArg else Similarity.planesFor(embs.count())
+    println(s"SOAK dir=$sf cap=$cap planes=$planes" +
+      (if (planesArg == 0) " (auto via planesFor)" else "") +
+      s" docs=${docs.count()} embs=${embs.count()}")
 
     def occStats(name: String, occ: DataFrame): Unit = {
       val st = occ.agg(max("count"), avg("count"), count(lit(1))).head
