@@ -725,6 +725,68 @@ object Similarity {
     })
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): quantize the embeddings to
+    * `nlist` k-means cells and compare cosine only WITHIN a cell. The
+    * clustering-based candidate restriction is the alternative to
+    * [[lshCosinePairs]]'s hyperplane buckets — one cell per row (no
+    * ×tables row duplication), at the cost of missing cross-cell
+    * neighbors near cell boundaries (the SemDeDup trade; the paper runs
+    * exactly this within-cluster screen).
+    *
+    * Scale shape: assignment is a per-row fold against the driver-literal
+    * centroids (no join, no ×nlist explosion); the only shuffle is the
+    * cell-keyed self-join, and cells over `maxCell` rows are dropped via
+    * the shared metered occupancy cap (mass-duplicated embeddings make a
+    * cell quadratic — run exact dedup first). Unlike the banded joins,
+    * rows here carry their vector THROUGH the single self-join: each row
+    * appears in exactly one cell, so candidates are already distinct and
+    * a narrow-candidates + re-join plan would pay two extra shuffles for
+    * nothing.
+    *
+    * With `kmeansIters = 0` the centroids are the deterministic
+    * id-ordered sample, making the whole path oracle-recomputable
+    * (q_dedup_semantic); `kmeansIters > 0` adds Lloyd refinement. */
+  def semanticPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int, kmeansIters: Int = 0,
+                    maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val idT = corpus.schema(corpus.schema.fieldIndex(idCol)).dataType
+    if (cents.isEmpty)
+      return corpus.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id1", idT),
+          org.apache.spark.sql.types.StructField("id2", idT),
+          org.apache.spark.sql.types.StructField("cos",
+            org.apache.spark.sql.types.DoubleType))))
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cid",
+        array_max(centScorer(spark, cents)(col("v"))).getField("cid"))
+    val capped = Dedup.capBucketsBy(assigned, Seq("cid"), maxCell,
+      "semanticPairs")
+    capped.as("a").join(capped.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        cosineFast(spark)(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Semantic dedup survivors: [[semanticPairs]] edges → connected
+    * components → keep each component's representative (smallest id)
+    * plus every row that paired with nothing — the
+    * [[Dedup.keepRepresentatives]] shape over semantic edges. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int, kmeansIters: Int = 0,
+                    maxCell: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.keepRepresentatives(corpus,
+      semanticPairs(corpus, idCol, vecCol, threshold, nlist, kmeansIters,
+        maxCell),
+      idCol)
+
   /** `maxBucket` bounds per-(table, bucket) occupancy exactly like the
     * MinHash/SimHash band caps ([[graft.operators.Dedup.DefaultMaxBucket]]):
     * a corpus with dense embedding clusters (mass-duplicated vectors) puts

@@ -21,12 +21,17 @@ object GqlBridge {
   private val services =
     scala.collection.concurrent.TrieMap.empty[String, GraphQLService]
 
-  /** One memoized service per (sf dir, extra roots) — root row-id attach
-    * runs once. `extra` adds hive-root tables (name → path). */
+  /** One memoized service per (sf dir, extra roots, federation keys) —
+    * root row-id attach runs once. `extra` adds hive-root tables
+    * (name → path); `keys` configures federation @key tables. */
   def service(spark: SparkSession, dir: String,
-              extra: Map[String, String] = Map.empty): GraphQLService =
-    services.getOrElseUpdate(dir + extra.toSeq.sorted.mkString("|"),
-      new GraphQLService(spark, dir, extraRoots = extra))
+              extra: Map[String, String] = Map.empty,
+              keys: Map[String, Seq[String]] = Map.empty): GraphQLService =
+    services.getOrElseUpdate(
+      dir + extra.toSeq.sorted.mkString("|") +
+        keys.toSeq.sortBy(_._1).map { case (t, ks) => s"$t:${ks.mkString(",")}" }
+          .mkString("|"),
+      new GraphQLService(spark, dir, extraRoots = extra, keys = keys))
 
   /** Execute `query`, walk `path` (response outNames from `data` to the
     * columns object), and build a DataFrame with schema `ddl`. */
@@ -52,6 +57,40 @@ object GqlBridge {
     val n = columns.headOption.map(_.length).getOrElse(0)
     require(columns.forall(_.length == n), "ragged column arrays")
     val rows = (0 until n).map(i => Row.fromSeq(columns.map(_(i)))).asJava
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Execute a federation `_entities` query and concatenate each resolved
+    * entity's `columns {...}` selection (reached via `innerPath` from the
+    * entity object) into ONE DataFrame — entities answer in representation
+    * order, so the result order is the caller's to make deterministic.
+    * Puts the `_entities` surface under the same DuckDB gate as the rest
+    * of the service (it was spec-only through round 7). */
+  def frameEntities(spark: SparkSession, dir: String, query: String,
+                    innerPath: Seq[String], ddl: String,
+                    keys: Map[String, Seq[String]]): DataFrame = {
+    val resp = service(spark, dir, keys = keys).execute(query)
+    val root = mapper.readTree(resp)
+    val err = Option(root.get("errors"))
+    require(err.isEmpty, s"GraphQL errors: $err")
+    val ents = root.get("data").get("_entities")
+    require(ents != null && ents.isArray, "missing _entities array")
+    val schema = StructType.fromDDL(ddl)
+    val rows = ents.elements().asScala.flatMap { ent =>
+      val colsNode = innerPath.foldLeft(ent) { (n, p) =>
+        require(n != null && n.get(p) != null, s"missing '$p' in entity")
+        n.get(p)
+      }
+      val columns: Seq[Vector[Any]] = schema.fields.toSeq.map { f =>
+        val valuesNode = colsNode.get(f.name).get("values")
+        require(valuesNode != null && valuesNode.isArray,
+          s"column '${f.name}' has no values array")
+        valuesNode.elements().asScala.map(convert(_, f.dataType)).toVector
+      }
+      val n = columns.headOption.map(_.length).getOrElse(0)
+      require(columns.forall(_.length == n), "ragged column arrays")
+      (0 until n).map(i => Row.fromSeq(columns.map(_(i))))
+    }.toSeq.asJava
     spark.createDataFrame(rows, schema)
   }
 

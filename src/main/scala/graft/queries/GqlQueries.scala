@@ -400,24 +400,26 @@ object GqlQueries {
 
   /** project: natural-order cumulatives — served by the DISTRIBUTED block
     * prefix-sum path (GTable.cumulative), not a global window (VERDICT
-    * round 1 "what's wrong" #3). */
+    * round 1 "what's wrong" #3). run_sum rides an integer column so the
+    * gate is exact at ANY amplification (a double cumsum's association
+    * order differs between the block prefix-sum and a sequential window,
+    * and at x12 the ~1e-12 drift crosses round() boundaries); run_max
+    * keeps a double in play (max is association-free). */
   val q_gql_cumsum = Q(
     "q_gql_cumsum",
     (s, dir) => GqlBridge.frame(s, dir,
       """{ t: events {
            p: project(columns: [
-                 {alias: "run_sum_raw", numeric: {cumsum: {name: "value"}}},
+                 {alias: "run_sum", numeric: {cumsum: {name: "user_id"}}},
                  {alias: "run_max", cummax: {name: "value"}}]) {
-             r: project(columns: [
-                 {alias: "run_sum", numeric: {round: [{name: "run_sum_raw"}, {value: 6}]}}]) {
                o: order(by: ["event_id"]) {
                  c: columns { event_id { values } value { values }
-                              run_sum { values } run_max { values } } } } } } }""",
-      Seq("t", "p", "r", "o", "c"),
-      "event_id BIGINT, value DOUBLE, run_sum DOUBLE, run_max DOUBLE"),
+                              run_sum { values } run_max { values } } } } } }""",
+      Seq("t", "p", "o", "c"),
+      "event_id BIGINT, value DOUBLE, run_sum BIGINT, run_max DOUBLE"),
     Some("""WITH t AS (SELECT *, row_number() OVER () rid FROM events)
             SELECT event_id, value,
-            round(sum(value) OVER w, 6) AS run_sum,
+            CAST(sum(user_id) OVER w AS BIGINT) AS run_sum,
             max(value) OVER w AS run_max
             FROM t
             WINDOW w AS (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -425,14 +427,18 @@ object GqlQueries {
 
   /** variables + named fragment through the parser (reference column
     * queries rely on fragments, tests/test_models.py; variables are core
-    * GraphQL). */
+    * GraphQL). The sort covers every projected column: the driver data's
+    * (l_orderkey, l_linenumber) is NOT unique, so a two-key sort leaves
+    * tied rows whose order the engine and the oracle may resolve
+    * differently (seen at x12); with all three keys, tied rows are
+    * byte-identical and any permutation hashes the same. */
   val q_gql_vars_frag = Q(
     "q_gql_vars_frag",
     (s, dir) => GqlBridge.frame(s, dir,
       """query Q($minq: Float = 45.0) {
            t: lineitem {
              f: filter(where: {ge: [{name: "l_quantity"}, {value: $minq}]}) {
-               o: order(by: ["l_orderkey", "l_linenumber"]) { ...Cols } } } }
+               o: order(by: ["l_orderkey", "l_linenumber", "l_quantity"]) { ...Cols } } } }
          fragment Cols on Lineitem {
            c: columns { l_orderkey { values } l_linenumber { values }
                         l_quantity { values } } }""",
@@ -440,7 +446,47 @@ object GqlQueries {
       "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE",
       variables = Map("minq" -> GVal.GFloat(48.0))),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-            WHERE l_quantity >= 48.0 ORDER BY l_orderkey, l_linenumber"""))
+            WHERE l_quantity >= 48.0
+            ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** federation `_entities` resolution by @key (reference
+    * tests/federated.py): each representation resolves to the keyed row;
+    * entities answer in representation order (ascending keys here, so the
+    * oracle's ORDER BY matches). Spec-only through round 7 — this puts the
+    * federation surface under the DuckDB gate. */
+  val q_gql_entities = Q(
+    "q_gql_entities",
+    (s, dir) => GqlBridge.frameEntities(s, dir,
+      """{ _entities(representations: [
+             {__typename: "Nation", n_nationkey: 2},
+             {__typename: "Nation", n_nationkey: 7},
+             {__typename: "Nation", n_nationkey: 14},
+             {__typename: "Nation", n_nationkey: 21}]) {
+           ... on Nation {
+             c: columns { n_nationkey { values } n_name { values }
+                          n_regionkey { values } } } } }""",
+      Seq("c"),
+      "n_nationkey INT, n_name STRING, n_regionkey INT",
+      keys = Map("nation" -> Seq("n_nationkey"))),
+    Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+            WHERE n_nationkey IN (2, 7, 14, 21) ORDER BY n_nationkey"""))
+
+  /** `optional` error isolation (reference interface.py:138-141): the
+    * failing subtree (filter on a nonexistent column) nulls out while the
+    * sibling selection still answers — the gate hashes the surviving
+    * data. Spec-only through round 7. */
+  val q_gql_optional = Q(
+    "q_gql_optional",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: nation {
+           bad: optional {
+             f: filter(where: {eq: [{name: "no_such_column"}, {value: 1}]}) {
+               count } }
+           o: order(by: ["n_nationkey"]) {
+             c: columns { n_nationkey { values } n_name { values } } } } }""",
+      Seq("t", "o", "c"),
+      "n_nationkey INT, n_name STRING"),
+    Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""))
 
   /** explicit order + slice through the service: positions index the SORTED
     * table (reference interface.py:181-183). */
@@ -854,6 +900,7 @@ object GqlQueries {
     q_gql_ntile_lead, q_gql_project, q_gql_cast, q_gql_fillnull,
     q_gql_dropnull, q_gql_union, q_gql_intersect, q_gql_crossjoin,
     q_gql_takefrom, q_gql_sql, q_gql_cumsum, q_gql_vars_frag,
+    q_gql_entities, q_gql_optional,
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,

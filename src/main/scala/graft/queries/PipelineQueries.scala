@@ -525,6 +525,84 @@ object PipelineQueries {
           SELECT id1, id2, round(cos, 9) AS cos FROM scored
           WHERE cos >= 0.2 ORDER BY id1, id2"""))
 
+  /** SemDeDup-style semantic near-dup pairs (within-k-means-cell cosine,
+    * Similarity.semanticPairs): the whole path — deterministic id-ordered
+    * sample centroids, per-row best-cell assignment (ties to the larger
+    * cid), the metered cell-occupancy cap, within-cell pairing and cosine
+    * verify — is recomputed by the oracle, so the clustering-based
+    * candidate restriction itself is adjudicated at any scale. */
+  val q_dedup_semantic = Q(
+    "q_dedup_semantic",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      GTable(Similarity.semanticPairs(e, "vec_id", "embedding",
+          threshold = 0.3, nlist = 64))
+        .project("cos" -> round(col("cos"), 9))
+        .order(GTable.orderKeys(Seq("id1", "id2")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cid, e AS ce FROM v
+            ORDER BY vec_id LIMIT 64),
+          asg AS (SELECT v.vec_id AS id, v.e,
+              (SELECT c.cid FROM cents c
+               ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM v),
+          hot AS (SELECT cid FROM asg GROUP BY cid
+            HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          asgc AS (SELECT * FROM asg
+            WHERE cid NOT IN (SELECT cid FROM hot)),
+          scored AS (SELECT a.id AS id1, b.id AS id2,
+              ${cosSql("a.e", "b.e")} AS cos
+            FROM asgc a JOIN asgc b ON a.cid = b.cid AND a.id < b.id)
+          SELECT id1, id2, round(cos, 9) AS cos FROM scored
+          WHERE cos >= 0.3 ORDER BY id1, id2"""))
+
+  /** Semantic dedup survivors (Similarity.semanticDedup): connected
+    * components over the semantic edges, smallest id survives per
+    * component — the oracle re-derives the fixed point as a recursive
+    * reachability closure over the same recomputed pair set. */
+  val q_dedup_semantic_keep = Q(
+    "q_dedup_semantic_keep",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      GTable(Similarity.semanticDedup(e, "vec_id", "embedding",
+          threshold = 0.3, nlist = 64).select("vec_id", "label"))
+        .order(GTable.orderKeys(Seq("vec_id")))
+        .result
+    },
+    Some(s"""WITH RECURSIVE v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cid, e AS ce FROM v
+            ORDER BY vec_id LIMIT 64),
+          asg AS (SELECT v.vec_id AS id, v.e,
+              (SELECT c.cid FROM cents c
+               ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM v),
+          hot AS (SELECT cid FROM asg GROUP BY cid
+            HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          asgc AS (SELECT * FROM asg
+            WHERE cid NOT IN (SELECT cid FROM hot)),
+          pairs AS (SELECT a.id AS id1, b.id AS id2
+            FROM asgc a JOIN asgc b ON a.cid = b.cid AND a.id < b.id
+            WHERE ${cosSql("a.e", "b.e")} >= 0.3),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                    UNION SELECT id2, id1 FROM pairs),
+          nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(src, dst) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          dupes AS (
+            SELECT src AS id FROM reach GROUP BY src
+            HAVING src != min(dst))
+          SELECT vec_id, label FROM embeddings
+          WHERE vec_id NOT IN (SELECT id FROM dupes)
+          ORDER BY vec_id"""))
+
   /** IVF ANN (coarse quantization + nprobe probing): with the deterministic
     * id-ordered sample centroids the whole path — assignment (ties to the
     * larger cid), nprobe probing, candidate re-score, top-k — is recomputed
@@ -1424,7 +1502,8 @@ object PipelineQueries {
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
     q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5, q_gql_near_dedup,
     q_gql_dedup_against, q_gql_dedup_against_bloom, q_gql_dedup_against_minhash,
-    q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh, q_ann_topk,
+    q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
+    q_dedup_semantic, q_dedup_semantic_keep, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,
     q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,

@@ -64,5 +64,61 @@ object SinkQueries {
               o_orderdate, o_orderpriority
             FROM orders ORDER BY 1, 2, 3, 4, 5, 6"""))
 
-  def all: Seq[Q] = Seq(q_write_roundtrip, q_write_bucketed)
+  /** Out-of-core hive repartitioner round-trip (reference
+    * partition.py:29-77 — its 2-pass batch strategy IS Spark's shuffle):
+    * cluster lineitem by l_returnflag with a secondary sort within
+    * fragments, re-read the hive layout, and hash-match content against
+    * the original. PartitionSpec asserts the fragment layout and
+    * intra-fragment order; this entry puts content identity under the
+    * driver's gate (spec-only through round 7). */
+  val q_repartition_roundtrip = Q(
+    "q_repartition_roundtrip",
+    (s, dir) => {
+      val dest = "/tmp/graft_sink/lineitem_repart_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      written.getOrElseUpdate(dest, {
+        graft.sources.ParquetMeta.repartitionTo(
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+          dest, keys = Seq("l_returnflag"), sortWithin = Seq("l_orderkey"))
+        true
+      })
+      GTable(s.read.parquet(dest)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag").cast("string")))
+        .order(GTable.orderKeys(Seq("l_orderkey", "l_linenumber",
+          "l_quantity", "l_returnflag")))
+        .result
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem ORDER BY 1, 2, 3, 4"""))
+
+  /** JSONL source round-trip: training-data corpora arrive as
+    * line-delimited JSON; the engine reads them through the same
+    * source-agnostic table surface (Tables.loadFormat — schema passed
+    * EXPLICITLY: at 100 TB schema inference is a full extra scan). The
+    * gate writes documents as JSONL through Spark's json sink, re-reads
+    * it, and hash-matches full content — text escaping included —
+    * against the ORIGINAL parquet. SourceFormatsSpec covers csv/orc the
+    * same way; this puts the text-format path under the driver's gate
+    * (spec-only through round 7). */
+  val q_source_jsonl = Q(
+    "q_source_jsonl",
+    (s, dir) => {
+      val dest = "/tmp/graft_sink/documents_jsonl_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val docs = Tables.load(s, dir, "documents")
+      written.getOrElseUpdate(dest, {
+        docs.write.mode("overwrite").json(dest)
+        true
+      })
+      GTable(Tables.loadFormat(s, dest, "json", Some(docs.schema)))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+            ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(q_write_roundtrip, q_write_bucketed,
+    q_repartition_roundtrip, q_source_jsonl)
 }

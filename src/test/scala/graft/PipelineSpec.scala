@@ -111,6 +111,40 @@ class PipelineSpec extends SparkSpec {
     assert(withCap == noCap)
   }
 
+  test("semanticPairs/semanticDedup: dup collapse, subset-of-exact, metered cell cap") {
+    import spark.implicits._
+    val dim = 8
+    val g1 = Array.tabulate(dim)(i => (i + 1).toFloat)
+    val g2 = Array.tabulate(dim)(i => -(i + 1).toFloat)
+    val single = Array.tabulate(dim)(i => if (i % 2 == 0) 1f else -2f)
+    // two exact-duplicate groups + a singleton: dedup keeps min id per
+    // component and the unpaired row
+    val df = Seq((1L, g1), (2L, g1), (3L, g1), (10L, g2), (11L, g2),
+      (20L, single)).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.99, nlist = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L), s"kept $kept")
+    // the within-cell screen only ever REMOVES candidates: semantic pairs
+    // are a subset of exact all-pairs at the same threshold
+    val sem = Similarity.semanticPairs(embs, "vec_id", "embedding", 0.3,
+        nlist = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosinePairs(embs, "vec_id", "embedding", 0.3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact))
+    info(s"semantic pairs: ${sem.size} of ${exact.size} exact (nlist=16)")
+    // a mass-duplicated cell is dropped before the self-join and METERED
+    val skew = ((1L to 500L).map(i => (i, g1)) ++ Seq((1000L, single)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.semanticPairs(skew, "vec_id", "embedding", 0.5,
+      nlist = 2, maxCell = 100)
+    assert(capped.count() == 0)
+    val drop = Dedup.lastCapDrops("semanticPairs")
+    assert(drop.buckets >= 1 && drop.rows >= 500L,
+      s"expected metered cell drop, got $drop")
+  }
+
   test("prebuilt ANN indexes: probe prunes to probed partitions, answers match on-the-fly") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
