@@ -721,6 +721,30 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       }
       resolveTable(GTable(graft.operators.Dedup.keepRepresentatives(
         t.df, pairs, id), denseRid = false), f, None)
+    case "semanticDedup" =>
+      // SemDeDup-style embedding dedup served through the table type:
+      // within-k-means-cell cosine pairs → connected components → each
+      // component's smallest id survives (Similarity.semanticDedup).
+      // kmeansIters: 0 (the default) keeps the deterministic id-ordered
+      // sample centroids so the result is externally reproducible
+      // (q_gql_dedup_semantic); > 0 adds Lloyd refinement
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("semanticDedup needs on: <vector column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("semanticDedup needs id: <key column>"))
+      val threshold = f.arg("threshold").map {
+        case GFloat(d) => d
+        case GInt(i) => i.toDouble
+        case other => throw new IllegalArgumentException(
+          s"semanticDedup threshold: must be a number, got $other")
+      }.getOrElse(0.9)
+      val nlist = intArg(f, "nlist").getOrElse(64)
+      val kmeansIters = intArg(f, "kmeansIters").getOrElse(0)
+      val maxCell = intArg(f, "maxCell")
+        .getOrElse(graft.operators.Dedup.DefaultMaxBucket)
+      resolveTable(GTable(graft.operators.Similarity.semanticDedup(
+        t.result, id, on, threshold, nlist, kmeansIters, maxCell),
+        denseRid = false), f, None)
     case "nearest" =>
       // approximate-nearest-neighbor search served through the table type:
       // queries are corpus rows selected by ids:, dispatched to the exact

@@ -520,6 +520,46 @@ object Similarity {
     rescoreTopK(spark, assigned.join(broadcast(probes), Seq("cid")), k)
   }
 
+  /** Batch-vs-corpus semantic near-dup hits off a prebuilt IVF index —
+    * the incremental SemDeDup step, paralleling
+    * [[graft.operators.Dedup.minhashDedupAgainst]]: each batch row is
+    * assigned to its `nprobe` best cells by a per-row fold against the
+    * index's driver-resident centroids, then compared only against the
+    * corpus vectors stored in THOSE cid partitions (static pruning,
+    * [[ivfProbe]]-style — the corpus is never re-assigned and unprobed
+    * cell directories are never read). `nprobe > 1` recovers boundary
+    * neighbors the single-cell screen would miss, at nprobe× the probed
+    * fraction. Batches are micro-batch-sized by contract (they
+    * broadcast); the corpus side is the scalable one.
+    * Output: (batch_id, corpus_id, cos ≥ threshold), distinct. */
+  def semanticDedupAgainst(index: IvfIndex, batch: DataFrame,
+                           threshold: Double, nprobe: Int = 1): DataFrame = {
+    val spark = batch.sparkSession
+    IndexMaint.recoverSwap(spark, index.path)
+    val probes = probeFrame(spark, batch, index.idCol, index.vecCol,
+      index.centroids, nprobe)
+    val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val corpus = spark.read.schema(index.schema).parquet(index.path)
+      .filter(col("cid").isin(cids: _*))
+    corpus.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineFast(spark)(col("_qv"), col("_cv")))
+      .filter(col("cos") >= threshold)
+      .select(col("query_id").as("batch_id"),
+        col("neighbor_id").as("corpus_id"), col("cos"))
+      .dropDuplicates("batch_id", "corpus_id")
+  }
+
+  /** Ingestion-side survivor set: batch rows with NO semantic duplicate
+    * in the corpus index (the semantic analog of
+    * [[graft.operators.Dedup.minhashDedupFilter]]). */
+  def semanticDedupFilter(index: IvfIndex, batch: DataFrame,
+                          threshold: Double, nprobe: Int = 1): DataFrame = {
+    val hits = semanticDedupAgainst(index, batch, threshold, nprobe)
+      .select(col("batch_id")).dropDuplicates()
+    batch.join(hits, batch(index.idCol) === hits("batch_id"), "left_anti")
+  }
+
   /** L2 norm of a float vector (sequential fold, IEEE-exact). */
   def l2Norm(vec: Column): Column =
     sqrt(aggregate(vec, lit(0.0),

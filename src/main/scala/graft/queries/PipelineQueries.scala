@@ -603,6 +603,101 @@ object PipelineQueries {
           WHERE vec_id NOT IN (SELECT id FROM dupes)
           ORDER BY vec_id"""))
 
+  /** Incremental semantic dedup: batch vs a PREBUILT cid-partitioned IVF
+    * index of the corpus (Similarity.semanticDedupAgainst — the
+    * ingestion-time SemDeDup step: batch rows probe their nprobe best
+    * cells, corpus vectors are read only from those cell partitions,
+    * never re-assigned). Same corpus/batch split as q_dedup_incremental
+    * (corpus = vec_id < 400; batch = the rest plus re-ingested copies of
+    * vec_id < 50, shifted far past any amplified id range — a colliding
+    * batch id would merge two distinct vectors into one oracle probe
+    * partition). The oracle recomputes corpus centroids, corpus
+    * assignment, the batch's nprobe=2 probe ranking and the pruned
+    * cosine screen. */
+  val q_dedup_semantic_incr = Q(
+    "q_dedup_semantic_incr",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") < 400)
+      val batch = e.filter(col("vec_id") >= 400)
+        .select("vec_id", "embedding")
+        .union(e.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      val idx = Similarity.ivfIndexFor(corpus, corpusKey = s"$dir:semincr",
+        "vec_id", "embedding", nlist = 64, baseDir = annDir(dir))
+      GTable(Similarity.semanticDedupAgainst(idx, batch, threshold = 0.3,
+          nprobe = 2))
+        .project("cos" -> round(col("cos"), 9))
+        .order(GTable.orderKeys(Seq("batch_id", "corpus_id")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          corpus AS (SELECT * FROM v WHERE vec_id < 400),
+          cents AS (SELECT vec_id AS cid, e AS ce FROM corpus
+            ORDER BY vec_id LIMIT 64),
+          asg AS (SELECT c0.vec_id AS id, c0.e,
+              (SELECT c.cid FROM cents c
+               ORDER BY ${cosSql("c0.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM corpus c0),
+          batch AS (SELECT vec_id AS id, e FROM v WHERE vec_id >= 400
+            UNION ALL
+            SELECT vec_id + 10000000, e FROM v WHERE vec_id < 50),
+          probes AS (SELECT b.id AS query_id, b.e AS qe, c.cid,
+              row_number() OVER (PARTITION BY b.id
+                ORDER BY ${cosSql("b.e", "c.ce")} DESC, c.cid DESC) AS pr
+            FROM batch b, cents c),
+          hits AS (SELECT DISTINCT p.query_id AS batch_id, a.id AS corpus_id,
+              ${cosSql("p.qe", "a.e")} AS cos
+            FROM (SELECT * FROM probes WHERE pr <= 2) p
+            JOIN asg a USING (cid))
+          SELECT batch_id, corpus_id, round(cos, 9) AS cos FROM hits
+          WHERE cos >= 0.3 ORDER BY batch_id, corpus_id"""))
+
+  /** Semantic dedup served through GraphQL (`semanticDedup(on:, id:,
+    * threshold:, nlist:)` on the table type) — same full relational
+    * oracle as [[q_dedup_semantic_keep]]. */
+  val q_gql_dedup_semantic = Q(
+    "q_gql_dedup_semantic",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: embeddings {
+           d: semanticDedup(on: "embedding", id: "vec_id",
+                            threshold: 0.3, nlist: 64) {
+             o: order(by: ["vec_id"]) {
+               c: columns { vec_id { values } label { values } } } } } }""",
+      Seq("t", "d", "o", "c"),
+      "vec_id BIGINT, label INT"),
+    Some(s"""WITH RECURSIVE v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cid, e AS ce FROM v
+            ORDER BY vec_id LIMIT 64),
+          asg AS (SELECT v.vec_id AS id, v.e,
+              (SELECT c.cid FROM cents c
+               ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM v),
+          hot AS (SELECT cid FROM asg GROUP BY cid
+            HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          asgc AS (SELECT * FROM asg
+            WHERE cid NOT IN (SELECT cid FROM hot)),
+          pairs AS (SELECT a.id AS id1, b.id AS id2
+            FROM asgc a JOIN asgc b ON a.cid = b.cid AND a.id < b.id
+            WHERE ${cosSql("a.e", "b.e")} >= 0.3),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                    UNION SELECT id2, id1 FROM pairs),
+          nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(src, dst) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          dupes AS (
+            SELECT src AS id FROM reach GROUP BY src
+            HAVING src != min(dst))
+          SELECT vec_id, label FROM embeddings
+          WHERE vec_id NOT IN (SELECT id FROM dupes)
+          ORDER BY vec_id"""))
+
   /** IVF ANN (coarse quantization + nprobe probing): with the deterministic
     * id-ordered sample centroids the whole path — assignment (ties to the
     * larger cid), nprobe probing, candidate re-score, top-k — is recomputed
@@ -1503,7 +1598,8 @@ object PipelineQueries {
     q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5, q_gql_near_dedup,
     q_gql_dedup_against, q_gql_dedup_against_bloom, q_gql_dedup_against_minhash,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
-    q_dedup_semantic, q_dedup_semantic_keep, q_ann_topk,
+    q_dedup_semantic, q_dedup_semantic_keep, q_gql_dedup_semantic,
+    q_dedup_semantic_incr, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,
     q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,

@@ -145,6 +145,45 @@ class PipelineSpec extends SparkSpec {
       s"expected metered cell drop, got $drop")
   }
 
+  test("semanticDedupAgainst: prebuilt-index screen prunes partitions; filter keeps clean rows") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import spark.implicits._
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+    }.flatten
+    val corpus = embs.filter(col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semincr").toString
+    val idx = Similarity.ivfBuild(corpus, "vec_id", "embedding", nlist = 32,
+      path = s"$dir/ivf")
+    // batch: 3 exact copies of corpus vectors (re-ingest) + 2 genuinely new
+    val copies = corpus.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val dim = 64
+    val fresh = Seq(
+      (9000L, Array.tabulate(dim)(i => if (i % 3 == 0) 2f else -1f)),
+      (9001L, Array.tabulate(dim)(i => if (i % 5 == 0) -2f else 1f)))
+      .toDF("vec_id", "embedding")
+    val batch = copies.union(fresh)
+    val hits = Similarity.semanticDedupAgainst(idx, batch, threshold = 0.99)
+    val hitPairs = hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((5000L, 0L), (5001L, 1L), (5002L, 2L)).subsetOf(hitPairs),
+      s"copies must hit their originals, got $hitPairs")
+    // the corpus read is pruned to the batch's probed cells
+    val scan = scans(hits.queryExecution.executedPlan)
+      .find(_.toString.contains("ivf")).get
+    val read = scan.metrics("numFiles").value
+    val all = spark.read.parquet(s"$dir/ivf").inputFiles.length
+    assert(read > 0 && read < all,
+      s"semantic screen read $read of $all index files — not pruned")
+    // the filter keeps exactly the clean rows
+    val kept = Similarity.semanticDedupFilter(idx, batch, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(9000L, 9001L), s"kept $kept")
+  }
+
   test("prebuilt ANN indexes: probe prunes to probed partitions, answers match on-the-fly") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
