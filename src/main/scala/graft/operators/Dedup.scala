@@ -175,7 +175,7 @@ object Dedup {
     try { val r = f; (r, buf.toSeq) } finally capListener.remove()
   }
 
-  private def recordDrop(d: CapDrop): Unit = {
+  private[operators] def recordDrop(d: CapDrop): Unit = {
     lastDropsMap(d.op) = d
     Option(capListener.get).foreach(_ += d)
   }

@@ -531,16 +531,33 @@ object Similarity {
     * neighbors the single-cell screen would miss, at nprobe× the probed
     * fraction. Batches are micro-batch-sized by contract (they
     * broadcast); the corpus side is the scalable one.
+    *
+    * `maxCell` drops corpus cells holding more than that many DISTINCT
+    * accepted ids before the screen (metered, [[Dedup.lastCapDrops]] op
+    * "semanticDedupAgainst") — mass-duplicated corpus vectors would
+    * otherwise make every tick that probes their cell quadratic, and
+    * DISTINCT ids (not raw rows) keeps a replayed [[ivfAppend]] from
+    * pushing a cell over the cap and silently changing survivor sets.
     * Output: (batch_id, corpus_id, cos ≥ threshold), distinct. */
   def semanticDedupAgainst(index: IvfIndex, batch: DataFrame,
-                           threshold: Double, nprobe: Int = 1): DataFrame = {
+                           threshold: Double, nprobe: Int = 1,
+                           maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val spark = batch.sparkSession
     IndexMaint.recoverSwap(spark, index.path)
     val probes = probeFrame(spark, batch, index.idCol, index.vecCol,
       index.centroids, nprobe)
     val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
-    val corpus = spark.read.schema(index.schema).parquet(index.path)
+    val corpus0 = spark.read.schema(index.schema).parquet(index.path)
       .filter(col("cid").isin(cids: _*))
+    val corpus = if (maxCell <= 0) corpus0 else {
+      val hot = corpus0.groupBy("cid")
+        .agg(countDistinct(col("neighbor_id")).as("_n"))
+        .filter(col("_n") > maxCell).collect()
+      Dedup.recordDrop(Dedup.CapDrop("semanticDedupAgainst",
+        hot.length, hot.map(_.getLong(1)).sum))
+      if (hot.isEmpty) corpus0
+      else corpus0.filter(!col("cid").isin(hot.map(_.getLong(0)): _*))
+    }
     corpus.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineFast(spark)(col("_qv"), col("_cv")))
@@ -554,8 +571,9 @@ object Similarity {
     * in the corpus index (the semantic analog of
     * [[graft.operators.Dedup.minhashDedupFilter]]). */
   def semanticDedupFilter(index: IvfIndex, batch: DataFrame,
-                          threshold: Double, nprobe: Int = 1): DataFrame = {
-    val hits = semanticDedupAgainst(index, batch, threshold, nprobe)
+                          threshold: Double, nprobe: Int = 1,
+                          maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val hits = semanticDedupAgainst(index, batch, threshold, nprobe, maxCell)
       .select(col("batch_id")).dropDuplicates()
     batch.join(hits, batch(index.idCol) === hits("batch_id"), "left_anti")
   }

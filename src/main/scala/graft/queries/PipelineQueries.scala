@@ -612,8 +612,9 @@ object PipelineQueries {
     * vec_id < 50, shifted far past any amplified id range — a colliding
     * batch id would merge two distinct vectors into one oracle probe
     * partition). The oracle recomputes corpus centroids, corpus
-    * assignment, the batch's nprobe=2 probe ranking and the pruned
-    * cosine screen. */
+    * assignment, the batch's nprobe=2 probe ranking, the hot-cell cap
+    * (distinct-id occupancy > maxCell excluded — inactive on this
+    * corpus, modeled anyway) and the pruned cosine screen. */
   val q_dedup_semantic_incr = Q(
     "q_dedup_semantic_incr",
     (s, dir) => {
@@ -648,10 +649,13 @@ object PipelineQueries {
               row_number() OVER (PARTITION BY b.id
                 ORDER BY ${cosSql("b.e", "c.ce")} DESC, c.cid DESC) AS pr
             FROM batch b, cents c),
+          hotcells AS (SELECT cid FROM asg GROUP BY cid
+            HAVING count(DISTINCT id) > ${graft.operators.Dedup.DefaultMaxBucket}),
           hits AS (SELECT DISTINCT p.query_id AS batch_id, a.id AS corpus_id,
               ${cosSql("p.qe", "a.e")} AS cos
             FROM (SELECT * FROM probes WHERE pr <= 2) p
-            JOIN asg a USING (cid))
+            JOIN asg a USING (cid)
+            WHERE cid NOT IN (SELECT cid FROM hotcells))
           SELECT batch_id, corpus_id, round(cos, 9) AS cos FROM hits
           WHERE cos >= 0.3 ORDER BY batch_id, corpus_id"""))
 

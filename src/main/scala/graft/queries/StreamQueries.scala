@@ -363,7 +363,96 @@ object StreamQueries {
           WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.id = s.vec_id)
           ORDER BY vec_id"""))
 
+  /** Streaming SEMANTIC embedding ingestion (StreamOps.semanticIngestSink)
+    * against a pre-seeded prebuilt IVF index: corpus = vec_id < 160 built
+    * as a 32-cell index, vec_id ≥ 160 streamed as one micro-batch —
+    * survivors have no corpus vector at cosine ≥ 0.4 among their nprobe=2
+    * probed cells AND are their within-batch semantic cluster's smallest
+    * id. The oracle recomputes the corpus centroids and assignment, the
+    * batch's probe ranking, the distinct-id hot-cell cap (inactive here,
+    * modeled anyway), the batch-derived within-batch cells and the
+    * recursive cluster closure. Cross-batch accumulation and restart
+    * re-open are spec'd in StreamingSpec. */
+  val q_stream_semantic = Q(
+    "q_stream_semantic",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      val spark2 = s
+      import spark2.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft_sem_sink").toString
+      val idx = graft.operators.Similarity.ivfBuild(
+        e.filter(col("vec_id") < 160), "vec_id", "embedding",
+        nlist = 32, path = s"$work/idx")
+      graft.operators.Similarity.writeMeta(s, s"$work/idx", idx)
+      val batch = e.filter(col("vec_id") >= 160)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      val mem = MemoryStream[(Long, Array[Float])](s)
+      val q = StreamOps.semanticIngestSink(
+        mem.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        indexDir = s"$work/idx", outDir = s"$work/out",
+        checkpoint = s"$work/ckpt", threshold = 0.4, nlist = 32, nprobe = 2,
+        trigger = Trigger.ProcessingTime(0))
+      try {
+        mem.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      GTable(s.read.parquet(s"$work/out").select("vec_id"))
+        .order(GTable.orderKeys(Seq("vec_id")))
+        .result
+    },
+    Some(s"""WITH RECURSIVE v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          corpus AS (SELECT * FROM v WHERE vec_id < 160),
+          cents AS (SELECT vec_id AS cid, e AS ce FROM corpus
+            ORDER BY vec_id LIMIT 32),
+          asg AS (SELECT c0.vec_id AS id, c0.e,
+              (SELECT c.cid FROM cents c
+               ORDER BY ${PipelineQueries.cosSql("c0.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM corpus c0),
+          batch AS (SELECT vec_id AS id, e FROM v WHERE vec_id >= 160),
+          probes AS (SELECT b.id AS query_id, b.e AS qe, c.cid,
+              row_number() OVER (PARTITION BY b.id
+                ORDER BY ${PipelineQueries.cosSql("b.e", "c.ce")} DESC, c.cid DESC) AS pr
+            FROM batch b, cents c),
+          hotcells AS (SELECT cid FROM asg GROUP BY cid
+            HAVING count(DISTINCT id) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          xhits AS (SELECT DISTINCT p.query_id AS id
+            FROM (SELECT * FROM probes WHERE pr <= 2) p
+            JOIN asg a USING (cid)
+            WHERE cid NOT IN (SELECT cid FROM hotcells)
+              AND ${PipelineQueries.cosSql("p.qe", "a.e")} >= 0.4),
+          surv0 AS (SELECT * FROM batch
+            WHERE id NOT IN (SELECT id FROM xhits)),
+          wcents AS (SELECT id AS cid, e AS ce FROM surv0
+            ORDER BY id LIMIT 32),
+          wasg AS (SELECT s0.id, s0.e,
+              (SELECT c.cid FROM wcents c
+               ORDER BY ${PipelineQueries.cosSql("s0.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM surv0 s0),
+          whot AS (SELECT cid FROM wasg GROUP BY cid
+            HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          wasgc AS (SELECT * FROM wasg
+            WHERE cid NOT IN (SELECT cid FROM whot)),
+          wpairs AS (SELECT a.id AS id1, b.id AS id2
+            FROM wasgc a JOIN wasgc b ON a.cid = b.cid AND a.id < b.id
+            WHERE ${PipelineQueries.cosSql("a.e", "b.e")} >= 0.4),
+          edges AS (SELECT id1 AS a, id2 AS b FROM wpairs
+                    UNION SELECT id2, id1 FROM wpairs),
+          nodes AS (SELECT DISTINCT a AS id FROM edges),
+          reach(src, dst) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+          dupes AS (SELECT src AS id FROM reach
+            GROUP BY src HAVING src <> min(dst))
+          SELECT s0.id AS vec_id FROM surv0 s0
+          WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.id = s0.id)
+          ORDER BY vec_id"""))
+
   def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session, q_stream_join,
     q_stream_dedup, q_stream_micro, q_stream_dedup_incr, q_stream_dedup_neardup,
-    q_stream_ann_ingest)
+    q_stream_ann_ingest, q_stream_semantic)
 }

@@ -541,4 +541,68 @@ object StreamOps {
       }
     }
   }
+
+  /** Streaming SEMANTIC embedding ingestion — the SemDeDup analog of
+    * [[annIngestSink]], off a prebuilt cid-partitioned IVF index: per
+    * micro-batch,
+    *
+    *   1. batch rows with a semantic duplicate among ACCEPTED vectors are
+    *      dropped ([[graft.operators.Similarity.semanticDedupFilter]]:
+    *      each row probes its `nprobe` best cells of the index's frozen
+    *      centroids and reads ONLY those cell partitions; cells holding
+    *      more than `maxCell` distinct accepted ids are dropped from the
+    *      screen, metered),
+    *   2. survivors are semantically deduped within the batch
+    *      ([[graft.operators.Similarity.semanticDedup]] over batch-derived
+    *      sample centroids),
+    *   3. written to `outDir`, and
+    *   4. appended to the index ([[graft.operators.Similarity.ivfAppend]]
+    *      — frozen centroids, the standard IVF incremental-ingest trade).
+    *
+    * Bootstrap builds the index from batch one (sidecar re-open on
+    * restart); pre-seed with ivfBuild + writeMeta over an existing corpus
+    * (writeMeta is REQUIRED — a data-bearing dir without a sidecar is
+    * refused rather than overwritten). Crash ordering output-then-index;
+    * a replayed append duplicates index rows but cannot change later
+    * survivor sets: screen hits dedup per batch id and the cell cap
+    * counts DISTINCT corpus ids. `compactFiles > 0` rewrites the index
+    * (one file per cid partition) when its census crosses the
+    * threshold. */
+  def semanticIngestSink(stream: DataFrame, idCol: String, vecCol: String,
+                         indexDir: String, outDir: String, checkpoint: String,
+                         threshold: Double, nlist: Int, nprobe: Int = 2,
+                         maxCell: Int = graft.operators.Dedup.DefaultMaxBucket,
+                         compactFiles: Int = 0,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    var idx: Similarity.IvfIndex = null
+    writeBatches(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      if (idx == null) {
+        idx = Similarity.readMeta[Similarity.IvfIndex](spark, indexDir).orNull
+        if (idx == null) requireCleanBootstrap(spark, indexDir, "semanticIngestSink")
+      }
+      val afterCorpus =
+        if (idx == null) batch
+        else Similarity.semanticDedupFilter(idx, batch, threshold, nprobe,
+          maxCell)
+      val survivors = Similarity.semanticDedup(afterCorpus, idCol, vecCol,
+          threshold, nlist, kmeansIters = 0, maxCell)
+        .localCheckpoint()
+      survivors.write.mode("append").parquet(outDir)
+      if (!survivors.isEmpty) {
+        if (idx == null) {
+          idx = Similarity.ivfBuild(survivors, idCol, vecCol, nlist, indexDir)
+          Similarity.writeMeta(spark, indexDir, idx)
+        } else Similarity.ivfAppend(idx, survivors)
+      }
+      if (compactFiles > 0 && idx != null &&
+          graft.operators.IndexMaint.dataFileCount(spark, indexDir) > compactFiles) {
+        log.info(s"semanticIngestSink: compacting index at $indexDir")
+        Similarity.ivfCompact(idx)
+      }
+    }
+  }
 }

@@ -474,6 +474,49 @@ class StreamingSpec extends SparkSpec {
       s"restarted ANN sink must re-open the index and screen, got $out2")
   }
 
+  test("semanticIngestSink: cell screen accumulates across batches; restart re-opens the index") {
+    val spark2 = spark
+    import spark2.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_semsink_spec").toString
+    def vec(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.01f); a(i) = 1f; a
+    }
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamOps.semanticIngestSink(
+      mem.toDF.toDF("id", "vec"), "id", "vec",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", threshold = 0.9, nlist = 8,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, vec(0)), (10L, vec(0)), (2L, vec(5)))
+      q.processAllAvailable()
+      mem.addData((20L, vec(0)), (3L, vec(9)))
+      q.processAllAvailable()
+      // duplicates of batches 1 AND 2 — the index accumulated across ticks
+      mem.addData((30L, vec(5)), (31L, vec(9)), (4L, vec(20)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L),
+      s"survivors must be one representative per semantic family, got $out")
+
+    val mem2 = MemoryStream[(Long, Array[Float])](spark)
+    val q2 = StreamOps.semanticIngestSink(
+      mem2.toDF.toDF("id", "vec"), "id", "vec",
+      indexDir = s"$work/idx", outDir = s"$work/out2",
+      checkpoint = s"$work/ckpt2", threshold = 0.9, nlist = 8,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((40L, vec(20)), (5L, vec(33)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = spark.read.parquet(s"$work/out2")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out2 == Seq(5L),
+      s"restarted semantic sink must re-open the index and screen, got $out2")
+  }
+
   test("incrementalDedupSink long run (50 ticks): hashDir compaction bounds the file census; answers unchanged") {
     val spark2 = spark
     import spark2.implicits._
