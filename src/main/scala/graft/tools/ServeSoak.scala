@@ -75,7 +75,9 @@ object ServeSoak {
         o: order(by: ["query_id", "rank"]) {
         columns { query_id { values } neighbor_id { values } rank { values } } } } } }"""),
       "neardedup" -> gq("""{ documents { s: slice(offset: 0, limit: 2000) {
-        d: nearDedup(on: "text", id: "doc_id", threshold: 0.5) { count } } } }"""))
+        d: nearDedup(on: "text", id: "doc_id", threshold: 0.5) { count } } } }"""),
+      "semdedup" -> gq("""{ embeddings { d: semanticDedup(on: "embedding",
+        id: "vec_id", threshold: 0.9, nlist: 64) { count } } }"""))
 
     // single-threaded warm-up: populates the index caches, pins the
     // expected answer per kind
