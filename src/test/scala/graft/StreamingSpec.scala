@@ -548,6 +548,45 @@ class StreamingSpec extends SparkSpec {
     assert(census <= 25, s"hashDir census must stay bounded, got $census files")
   }
 
+  test("semanticIngestSink long run (50 ticks): ivfCompact bounds the census; screening unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.IndexMaint
+    val work = java.nio.file.Files.createTempDirectory("graft_sem_long").toString
+    // a fresh direction per tick; every 5th tick replays a duplicate of
+    // tick 1's vector — must be screened by the accumulated index
+    // spike dims (i, 7i+1 mod 64): the map j = 7i+1 has no symmetric or
+    // fixed point mod 64 (6i ≡ -1 has no even=odd solution), so no two
+    // ticks share BOTH spikes — worst cross-similarity is one shared
+    // spike, cos ≈ 0.5, far under the 0.95 screen
+    def vec(i: Int): Array[Float] = {
+      val a = Array.tabulate(64)(j => ((i * 31 + j * 7) % 13 - 6) * 0.01f)
+      a(i % 64) = 1f; a((i * 7 + 1) % 64) += 0.8f; a
+    }
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamOps.semanticIngestSink(
+      mem.toDF.toDF("id", "vec"), "id", "vec",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", threshold = 0.95, nlist = 8,
+      compactFiles = 30, trigger = Trigger.ProcessingTime(0))
+    try {
+      (1 to 50).foreach { i =>
+        val fresh = (i.toLong, vec(i))
+        if (i % 5 == 0) mem.addData(fresh, (1000L + i, vec(1)))
+        else mem.addData(fresh)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.read.parquet(s"$work/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == (1L to 50L).toSeq,
+      s"50 fresh survivors expected, vector replays screened; got $out")
+    // un-compacted, 50 ticks append one+ file per touched cid partition —
+    // hundreds of files; the census must stay bounded near the threshold
+    val census = IndexMaint.dataFileCount(spark, s"$work/idx")
+    assert(census <= 60, s"IVF census must stay bounded, got $census files")
+  }
+
   test("nearDupDedupSink long run (50 ticks): index compaction bounds the census; screening unchanged; restart works") {
     val spark2 = spark
     import spark2.implicits._
