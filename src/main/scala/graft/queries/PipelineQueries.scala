@@ -157,7 +157,12 @@ object PipelineQueries {
   /** Shared oracle CTE prefix: md5-permutation signatures + banding for
     * every document, ending in `sig(id, sg)` and `banded(id, band,
     * bucket)`. Used by the self-join ([[minhashMd5PairsSql]]) and the
-    * index-probe cross join ([[minhashMd5AgainstSql]]) tails. */
+    * index-probe cross join ([[minhashMd5AgainstSql]]) tails. `sig` and
+    * `banded` are MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    * and the multi-reference tails (the streaming oracle reads sig 4×)
+    * would otherwise recompute the ~shingles×k md5 subtree each time —
+    * at ×12 amplification that parallel recompute OOMs; materialization
+    * is semantically identical and makes it a one-shot. */
   private def minhashMd5BandedSql(k: Int, bands: Int): String = {
     val r = k / bands
     s"""toks AS (
@@ -176,8 +181,8 @@ object PipelineQueries {
        |      (a, b) -> a * 16 + b) AS h
        |  FROM sh, (SELECT unnest(range(0, $k)) AS seed) seeds),
        |mins AS (SELECT id, seed, min(h) AS m FROM hv GROUP BY id, seed),
-       |sig AS (SELECT id, list(m ORDER BY seed) AS sg FROM mins GROUP BY id),
-       |banded AS (SELECT id, band,
+       |sig AS MATERIALIZED (SELECT id, list(m ORDER BY seed) AS sg FROM mins GROUP BY id),
+       |banded AS MATERIALIZED (SELECT id, band,
        |    array_to_string(sg[CAST(band * $r + 1 AS INT) : CAST(band * $r + $r AS INT)],
        |      ',') AS bucket
        |  FROM sig, (SELECT unnest(range(0, $bands)) AS band) bands)""".stripMargin

@@ -110,6 +110,12 @@ def dataset_fingerprint(sf_dir):
 
 def main(out_dir, sf_dir, cache_dir=None, timeout=None, only=None):
     con = duckdb.connect()
+    # e.g. GRAFT_DUCKDB_PRAGMAS="SET threads=8; SET memory_limit='60GB'" —
+    # DuckDB's per-thread operator state makes some x12 oracles OOM at 32
+    # threads but complete (slower, spilling) at 8
+    for p in os.environ.get("GRAFT_DUCKDB_PRAGMAS", "").split(";"):
+        if p.strip():
+            con.execute(p)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
