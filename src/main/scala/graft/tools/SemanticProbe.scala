@@ -81,6 +81,26 @@ object SemanticProbe {
     val compHits = tick("against COMPACTED index")
     println(s"SEMPROBE fragmented hits=$fragHits compacted hits=$compHits " +
       (if (fragHits == compHits) "(EQUAL)" else "(MISMATCH!)"))
+
+    // exact-dedup-first composition — the documented answer for
+    // mass-duplicate corpora (the cap's 0-hits-on-all-hot contract):
+    // byte-identical vectors collapse BEFORE the semantic tier, cells
+    // come back under the cap, and the screen produces real hits again
+    val uniq = timed("exact vector dedup (dropDuplicates on embedding)") {
+      val u = corpus.dropDuplicates("embedding").localCheckpoint()
+      println(s"SEMPROBE unique corpus vectors=${u.count()} of ${corpus.count()}")
+      u
+    }
+    val idx2 = timed("IVF build on uniques") {
+      Similarity.ivfBuild(uniq, "vec_id", "embedding", nlist, s"$dir/ivf_uniq")
+    }
+    val h2 = timed("semantic screen vs exact-deduped corpus") {
+      Similarity.semanticDedupAgainst(idx2, batch, threshold = 0.3,
+        nprobe = 2).count()
+    }
+    val d2 = Dedup.lastCapDrops.get("semanticDedupAgainst")
+      .map(d => s"capDrops cells=${d.buckets} ids=${d.rows}").getOrElse("")
+    println(s"SEMPROBE composed hits=$h2; $d2")
     spark.stop()
   }
 }
