@@ -747,11 +747,15 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         denseRid = false), f, None)
     case "nearest" =>
       // approximate-nearest-neighbor search served through the table type:
-      // queries are corpus rows selected by ids:, dispatched to the exact
-      // broadcast scorer (BRUTE) or to the build-once/probe-many prebuilt
-      // index tier (IVF / LSH — ivfIndexFor/lshIndexFor cache per corpus
-      // content fingerprint, so the first request builds and every later
-      // request probes only its nprobe/bucket partitions)
+      // queries are corpus rows selected by ids:, OR one external
+      // embedding passed as vector: (the serving-tier shape — the query
+      // arrives as a model output, not a corpus row; served under
+      // query_id -1, which no corpus id collides with). Dispatched to
+      // the exact broadcast scorer (BRUTE) or to the build-once/
+      // probe-many prebuilt index tier (IVF / LSH — ivfIndexFor/
+      // lshIndexFor cache per corpus content fingerprint, so the first
+      // request builds and every later request probes only its
+      // nprobe/bucket partitions)
       val on = strArg(f, "on")
         .getOrElse(throw new IllegalArgumentException("nearest needs on: <vector column>"))
       val id = strArg(f, "id")
@@ -763,10 +767,39 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case other => throw new IllegalArgumentException(
           s"nearest ids: must be a list of ids, got $other")
       }
-      if (ids.isEmpty)
-        throw new IllegalArgumentException("nearest needs ids: [<query ids>]")
+      val vecLit: Option[Array[Float]] = f.arg("vector").map {
+        case GList(items) => items.map {
+          case GFloat(d) => d.toFloat
+          case GInt(i) => i.toFloat
+          case other => throw new IllegalArgumentException(
+            s"nearest vector: must be a list of numbers, got $other")
+        }.toArray
+        case other => throw new IllegalArgumentException(
+          s"nearest vector: must be a list of numbers, got $other")
+      }
+      if (ids.isEmpty && vecLit.isEmpty)
+        throw new IllegalArgumentException(
+          "nearest needs ids: [<query ids>] or vector: [<embedding>]")
+      if (ids.nonEmpty && vecLit.nonEmpty)
+        throw new IllegalArgumentException(
+          "nearest takes ids: or vector:, not both")
       val corpus = t.result
-      val queries = corpus.filter(col(id).isin(ids: _*))
+      val queries = vecLit match {
+        case None => corpus.filter(col(id).isin(ids: _*))
+        case Some(v) =>
+          // one literal query row matching the corpus's (id, vector)
+          // column names/types; id -1 cannot collide with corpus ids
+          // (the scorers exclude query_id == neighbor_id matches only)
+          val spark = corpus.sparkSession
+          import org.apache.spark.sql.types._
+          val idT = corpus.schema(corpus.schema.fieldIndex(id)).dataType
+          spark.createDataFrame(
+            java.util.Collections.singletonList(
+              org.apache.spark.sql.Row(-1L, v.toSeq)),
+            StructType(Seq(StructField(id, LongType),
+              StructField(on, ArrayType(FloatType)))))
+            .withColumn(id, col(id).cast(idT))
+      }
       val sim = graft.operators.Similarity
       val out = strArg(f, "method").getOrElse("BRUTE").toUpperCase match {
         case "BRUTE" => sim.bruteForceTopK(corpus, queries, id, on, k)

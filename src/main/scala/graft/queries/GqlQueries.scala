@@ -771,6 +771,42 @@ object GqlQueries {
       "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
     PipelineQueries.q_ann_lsh.oracle)
 
+  /** Served ANN by EXTERNAL query vector (`nearest(vector: [...])`) —
+    * the serving-tier shape where the query embedding arrives from a
+    * model, not a corpus row; served under query_id -1 so no corpus row
+    * is excluded from scoring. BRUTE method keeps the gate exact; the
+    * oracle recomputes top-5 cosine against the same literal. */
+  val q_gql_ann_vector = Q(
+    "q_gql_ann_vector",
+    (s, dir) => GqlBridge.frame(s, dir,
+      s"""{ t: embeddings {
+           n: nearest(on: "embedding", id: "vec_id",
+                      vector: [1, 1${", 0" * 62}],
+                      k: 5, method: "BRUTE") {
+             p: project(columns: [
+                   {alias: "score_r", numeric: {round: [{name: "score"}, {value: 9}]}}]) {
+               o: order(by: ["rank"]) {
+                 c: columns { query_id { values } neighbor_id { values }
+                              score: score_r { values } rank { values } } } } } } }""",
+      Seq("t", "n", "p", "o", "c"),
+      "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          q AS (SELECT CAST(-1 AS BIGINT) AS query_id,
+            list_transform(range(1, 65),
+              i -> CASE WHEN i <= 2 THEN CAST(1 AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE) END) AS qe),
+          scored AS (SELECT query_id, v.vec_id AS neighbor_id,
+              ${PipelineQueries.cosSql("q.qe", "v.e")} AS score
+            FROM v CROSS JOIN q),
+          ranked AS (SELECT query_id, neighbor_id, score,
+              row_number() OVER (ORDER BY score DESC, neighbor_id) AS rn
+            FROM scored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rn AS INT) AS rank
+          FROM ranked WHERE rn <= 5 ORDER BY rank"""))
+
   /** Map columns served as JSON scalars (spark.graft.schema.mapAsJson;
     * parity default drops them like the reference) — the sql root builds a
     * map from plain columns, the service serializes it to_json, and DuckDB
@@ -904,5 +940,6 @@ object GqlQueries {
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
-    q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh, q_gql_map)
+    q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
+    q_gql_ann_vector, q_gql_map)
 }

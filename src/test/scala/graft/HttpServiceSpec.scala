@@ -193,6 +193,29 @@ class HttpServiceSpec extends SparkSpec {
       "a repeat nearest(method: IVF) request must reuse the prebuilt index")
   }
 
+  test("nearest by external vector: a corpus row's own embedding finds it at rank 1") {
+    // fetch row 7's embedding through the service, then query by VALUE —
+    // with query_id -1 the row itself is not excluded, so it must come
+    // back as its own nearest neighbor at cosine 1
+    val rv = post("""{"query": "{ t: embeddings { f: filter(vec_id: {eq: 7}) { c: columns { embedding { values } } } } }"}""")
+    assert(rv.statusCode() == 200, rv.body())
+    val emb = """\[\[(.*?)\]\]""".r.findFirstMatchIn(rv.body())
+      .getOrElse(fail(s"no embedding in ${rv.body().take(200)}")).group(1)
+    val q = s"""{ t: embeddings {
+      n: nearest(on: \\"embedding\\", id: \\"vec_id\\", vector: [$emb],
+                 k: 3, method: \\"BRUTE\\") {
+        o: order(by: [\\"rank\\"]) {
+          c: columns { query_id { values } neighbor_id { values }
+                       score { values } rank { values } } } } } }"""
+    val r = post(s"""{"query": "${q.replace("\n", " ")}"}""")
+    assert(r.statusCode() == 200 && !r.body().contains("\"errors\""), r.body())
+    assert(r.body().contains(""""query_id":{"values":[-1,-1,-1]}"""), r.body().take(300))
+    val firstNeighbor = """"neighbor_id":\{"values":\[(\d+)""".r
+      .findFirstMatchIn(r.body()).map(_.group(1))
+    assert(firstNeighbor.contains("7"),
+      s"row 7's own vector must rank itself first, got ${r.body().take(300)}")
+  }
+
   test("Json.parse round-trips the value grammar") {
     assert(Json.parse("""{"a": [1, 2.5, "x\nя", true, null], "b": {"c": -7}}""") ==
       GObj(Seq(
