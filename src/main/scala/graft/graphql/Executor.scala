@@ -749,8 +749,9 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       // approximate-nearest-neighbor search served through the table type:
       // queries are corpus rows selected by ids:, OR one external
       // embedding passed as vector: (the serving-tier shape — the query
-      // arrives as a model output, not a corpus row; served under
-      // query_id -1, which no corpus id collides with). Dispatched to
+      // arrives as a model output, not a corpus row; served under a NULL
+      // query_id, which cannot equal any corpus id — no reserved-value
+      // collision, no per-request corpus validation). Dispatched to
       // the exact broadcast scorer (BRUTE) or to the build-once/
       // probe-many prebuilt index tier (IVF / LSH — ivfIndexFor/
       // lshIndexFor cache per corpus content fingerprint, so the first
@@ -788,17 +789,19 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case None => corpus.filter(col(id).isin(ids: _*))
         case Some(v) =>
           // one literal query row matching the corpus's (id, vector)
-          // column names/types; id -1 cannot collide with corpus ids
-          // (the scorers exclude query_id == neighbor_id matches only)
+          // column names/types; the id is NULL — the scorers' self-match
+          // exclusion is null-safe (!(query_id <=> neighbor_id)), so a
+          // null query id excludes no corpus row while a corpus row of
+          // ANY id value (including -1) still scores (round-8 ADVICE:
+          // a reserved sentinel silently dropped a real corpus id -1)
           val spark = corpus.sparkSession
           import org.apache.spark.sql.types._
           val idT = corpus.schema(corpus.schema.fieldIndex(id)).dataType
           spark.createDataFrame(
             java.util.Collections.singletonList(
-              org.apache.spark.sql.Row(-1L, v.toSeq)),
-            StructType(Seq(StructField(id, LongType),
+              org.apache.spark.sql.Row(null, v.toSeq)),
+            StructType(Seq(StructField(id, idT),
               StructField(on, ArrayType(FloatType)))))
-            .withColumn(id, col(id).cast(idT))
       }
       val sim = graft.operators.Similarity
       val out = strArg(f, "method").getOrElse("BRUTE").toUpperCase match {

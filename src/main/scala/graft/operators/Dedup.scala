@@ -647,8 +647,10 @@ object Dedup {
   private val AggSeg = "__agg__"
 
   /** Canonical occupancy schema: pre-round-8 sidecars lack `_seg`; reading
-    * old files under the extended schema yields null `_seg` (harmless — a
-    * null-seg row just never matches a replay check). */
+    * old files under the extended schema yields null `_seg`. Null-seg rows
+    * never match a replay check, and [[occTotals]] treats each as an
+    * independent delta (summed, never collapsed into one null-keyed
+    * group) so legacy build+append histories keep their true counts. */
   private def occSchemaOf(index: MinHashIndex): org.apache.spark.sql.types.StructType =
     if (index.occSchema.fieldNames.contains("_seg")) index.occSchema
     else index.occSchema.add("_seg", org.apache.spark.sql.types.StringType)
@@ -667,6 +669,27 @@ object Dedup {
     IndexMaint.recoverSwap(spark, s"${index.path}/occ")
     spark.read.schema(occSchemaOf(index)).parquet(s"${index.path}/occ")
       .filter(col("band") >= 0)
+  }
+
+  /** True per-(band, bucket) occupancy totals over live occ rows. Rows
+    * carrying a segment id are deduped per (band, bucket, _seg) first —
+    * a crash-replay window can land a segment's delta twice, and max (not
+    * sum) of the duplicates keeps the replay idempotent. Legacy pre-_seg
+    * rows surface as null `_seg` under the extended schema; each is a
+    * GENUINE independent delta from a distinct pre-upgrade build/append
+    * job, so they are summed as-is — folding them into the seg groupBy
+    * would collapse a bucket's whole legacy history into one null-keyed
+    * group and take max instead of sum, undercounting occupancy and
+    * silently disabling the hot-bucket cap on pre-upgrade indexes. */
+  private def occTotals(live: DataFrame): DataFrame = {
+    val seg = live.filter(col("_seg").isNotNull)
+      .groupBy(col("band"), col("bucket"), col("_seg"))
+      .agg(max("count").as("count"))
+      .select("band", "bucket", "count")
+    val legacy = live.filter(col("_seg").isNull)
+      .select("band", "bucket", "count")
+    seg.unionByName(legacy)
+      .groupBy("band", "bucket").agg(sum("count").cast("long").as("count"))
   }
 
   private def signaturesFor(df: DataFrame, textCol: String, idCol: String,
@@ -793,15 +816,10 @@ object Dedup {
         if (maxBucket <= 0) corpusBanded
         else {
           // aggregate: appends ([[minhashIndexAppend]]) land as occupancy
-          // DELTA rows, so the cap sees build + every appended segment.
-          // Deltas are deduped per (band, bucket, _seg) first: a replayed
-          // append can never double-count a bucket past the cap and shrink
-          // the candidate set (round-7 ADVICE) — max() is belt-and-braces,
-          // the append itself already skips seen segments.
-          val hot = occLive(spark, index)
-            .groupBy(col("band"), col("bucket"), col("_seg"))
-            .agg(max("count").as("count"))
-            .groupBy("band", "bucket").agg(sum("count").as("count"))
+          // DELTA rows, so the cap sees build + every appended segment;
+          // occTotals dedups replayed segment deltas without collapsing
+          // legacy null-_seg history (round-7 + round-8 ADVICE).
+          val hot = occTotals(occLive(spark, index))
             .filter(col("count") > maxBucket)
             .collect()
           recordDrop(CapDrop("minhashDedupAgainst", hot.length,
@@ -955,10 +973,7 @@ object Dedup {
         spark.read.schema(index.bandedSchema).parquet(s"${index.path}/banded")
           .groupBy("band", "bucket").count()
       else
-        rows.filter(col("band") >= 0)
-          .groupBy(col("band"), col("bucket"), col("_seg"))
-          .agg(max("count").as("count"))
-          .groupBy("band", "bucket").agg(sum("count").cast("long").as("count"))
+        occTotals(rows.filter(col("band") >= 0))
     val occNew = live.withColumn("_seg", lit(AggSeg))
       .unionByName(segs.select(lit(-1).cast("int").as("band"),
         markerBucket(index).as("bucket"), lit(0L).as("count"), col("_seg")))

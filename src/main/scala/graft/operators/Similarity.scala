@@ -59,7 +59,10 @@ object Similarity {
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      // null-safe: an EXTERNAL query (served under a null query_id —
+      // Executor `nearest(vector:)`) excludes no corpus row; plain =!=
+      // would null out and drop every pair
+      .join(broadcast(q), !(col("query_id") <=> col("neighbor_id")))
       .withColumn("score", cosineFast(corpus.sparkSession)(col("_qv"), col("_cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -188,7 +191,8 @@ object Similarity {
           explode(flatten(array(qBuckets: _*))).as("_bucket"))
       }
     val cand = cb.join(broadcast(qb), Seq("_bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      // null-safe: external null-id queries exclude no corpus row
+      .filter(!(col("query_id") <=> col("neighbor_id")))
       .select("query_id", "_qv", "neighbor_id", "_cv")
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.withColumn("score", cosineFast(corpus.sparkSession)(col("_qv"), col("_cv")))
@@ -243,10 +247,16 @@ object Similarity {
   private[operators] def probeBucketsLocal(vec: Array[Float], planes: Int,
                                            dim: Int, table: Int,
                                            probes: Int): Seq[Long] = {
+    // strict, not truncating: silently folding a short/long vector over
+    // min(dim, length) would land it in a DIFFERENT base bucket than the
+    // SQL path (which null-propagates mismatched zips) — a wrong-length
+    // query is a caller bug and must fail loudly (round-8 ADVICE)
+    require(vec.length == dim,
+      s"probeBucketsLocal: query vector has ${vec.length} dims, index has $dim")
     val dots = Array.tabulate(planes) { pi =>
       var acc = 0.0
       var i = 0
-      val n = math.min(dim, vec.length)
+      val n = dim
       while (i < n) {
         acc += vec(i).toDouble * planeComponent(table * planes + pi, i)
         i += 1
@@ -270,20 +280,36 @@ object Similarity {
     // (table, bucket) probe key driver-side — one job for the query scan,
     // zero for the key list, no thousands-of-literals plan per request
     val idType = queries.schema(index.idCol).dataType
-    val vecType = queries.schema(index.vecCol).dataType
     val qRows = queries.select(col(index.idCol), col(index.vecCol)).collect()
     val probeRows: Seq[org.apache.spark.sql.Row] = qRows.toSeq.flatMap { r =>
-      val vec = r.getSeq[Float](1).toArray
+      // element-generic (array<float> OR array<double> query columns —
+      // getSeq[Float] would ClassCastException on doubles, which the SQL
+      // probe path accepted via cast) and length-validated up front so a
+      // mismatched vector errors clearly instead of probing wrong buckets
+      val vec = r.get(1) match {
+        case s: scala.collection.Seq[_] => s.map {
+          case n: java.lang.Number => n.floatValue()
+          case other => throw new IllegalArgumentException(
+            s"lshProbe: non-numeric vector element $other for query id ${r.get(0)}")
+        }.toArray
+        case other => throw new IllegalArgumentException(
+          s"lshProbe: query ${r.get(0)} has no vector (got $other)")
+      }
+      require(vec.length == index.dim,
+        s"lshProbe: query id ${r.get(0)} vector has ${vec.length} dims, " +
+          s"index ${index.path} has ${index.dim}")
+      // carry the CONVERTED float vector (not the raw cell) so _qv always
+      // matches the index's array<float> _cv for the codegen'd rescore
       (0 until index.tables).flatMap(t =>
         probeBucketsLocal(vec, index.planes, index.dim, t, probes).map(b =>
-          org.apache.spark.sql.Row(r.get(0), r.get(1),
+          org.apache.spark.sql.Row(r.get(0), vec.toSeq,
             t.toLong * (1L << index.planes) + b)))
     }
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val qb = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*),
       StructType(Seq(StructField("query_id", idType),
-        StructField("_qv", vecType), StructField("_tb", LongType))))
+        StructField("_qv", ArrayType(FloatType)), StructField("_tb", LongType))))
     val tbs = probeRows.map(_.getLong(2)).distinct
     val cb = spark.read.schema(index.schema).parquet(index.path)
       .filter(col("_tb").isin(tbs: _*))
@@ -380,7 +406,8 @@ object Similarity {
   private def rescoreTopK(spark: org.apache.spark.sql.SparkSession,
                           cand: DataFrame, k: Int): DataFrame = {
     val scored = cand
-      .filter(col("query_id") =!= col("neighbor_id"))
+      // null-safe: external null-id queries exclude no corpus row
+      .filter(!(col("query_id") <=> col("neighbor_id")))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("score", cosineFast(spark)(col("_qv"), col("_cv")))
     val w = org.apache.spark.sql.expressions.Window

@@ -773,9 +773,11 @@ object GqlQueries {
 
   /** Served ANN by EXTERNAL query vector (`nearest(vector: [...])`) —
     * the serving-tier shape where the query embedding arrives from a
-    * model, not a corpus row; served under query_id -1 so no corpus row
-    * is excluded from scoring. BRUTE method keeps the gate exact; the
-    * oracle recomputes top-5 cosine against the same literal. */
+    * model, not a corpus row; served under a NULL query_id (null-safe
+    * self-exclusion in the scorers) so no corpus row — whatever its id
+    * value — is excluded from scoring. BRUTE method keeps the gate
+    * exact; the oracle recomputes top-5 cosine against the same
+    * literal. */
   val q_gql_ann_vector = Q(
     "q_gql_ann_vector",
     (s, dir) => GqlBridge.frame(s, dir,
@@ -793,7 +795,7 @@ object GqlQueries {
     Some(s"""WITH v AS (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings),
-          q AS (SELECT CAST(-1 AS BIGINT) AS query_id,
+          q AS (SELECT CAST(NULL AS BIGINT) AS query_id,
             list_transform(range(1, 65),
               i -> CASE WHEN i <= 2 THEN CAST(1 AS DOUBLE)
                    ELSE CAST(0 AS DOUBLE) END) AS qe),

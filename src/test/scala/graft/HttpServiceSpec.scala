@@ -195,8 +195,9 @@ class HttpServiceSpec extends SparkSpec {
 
   test("nearest by external vector: a corpus row's own embedding finds it at rank 1") {
     // fetch row 7's embedding through the service, then query by VALUE —
-    // with query_id -1 the row itself is not excluded, so it must come
-    // back as its own nearest neighbor at cosine 1
+    // external vectors serve under a NULL query_id (no sentinel value a
+    // corpus id could collide with), so the row itself is not excluded
+    // and must come back as its own nearest neighbor at cosine 1
     val rv = post("""{"query": "{ t: embeddings { f: filter(vec_id: {eq: 7}) { c: columns { embedding { values } } } } }"}""")
     assert(rv.statusCode() == 200, rv.body())
     val emb = """\[\[(.*?)\]\]""".r.findFirstMatchIn(rv.body())
@@ -209,7 +210,7 @@ class HttpServiceSpec extends SparkSpec {
                        score { values } rank { values } } } } } }"""
     val r = post(s"""{"query": "${q.replace("\n", " ")}"}""")
     assert(r.statusCode() == 200 && !r.body().contains("\"errors\""), r.body())
-    assert(r.body().contains(""""query_id":{"values":[-1,-1,-1]}"""), r.body().take(300))
+    assert(r.body().contains(""""query_id":{"values":[null,null,null]}"""), r.body().take(300))
     val firstNeighbor = """"neighbor_id":\{"values":\[(\d+)""".r
       .findFirstMatchIn(r.body()).map(_.group(1))
     assert(firstNeighbor.contains("7"),

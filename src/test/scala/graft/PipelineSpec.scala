@@ -455,6 +455,46 @@ class PipelineSpec extends SparkSpec {
       "multiprobe probe must still prune the index read")
   }
 
+  test("external null-id ANN query: no corpus row excluded (even id -1); probe validates dims, accepts double arrays") {
+    import org.apache.spark.sql.types._
+    // corpus holding a REAL row at id -1 (the value round-8 reserved as
+    // the external-query sentinel — it must score like any other row now)
+    val corpus = embs.withColumn("vec_id",
+      when(col("vec_id") === 7, lit(-1L)).otherwise(col("vec_id")))
+    val emb = corpus.filter(col("vec_id") === -1L).select("embedding")
+      .head.getSeq[Float](0)
+    val q = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(null, emb)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(bf.length == 3 && bf.forall(_.isNullAt(0)),
+      "external query must serve under a null query_id")
+    assert(bf.head.getLong(1) == -1L && math.abs(bf.head.getDouble(2) - 1.0) < 1e-5,
+      s"corpus row id -1 must rank itself first, got ${bf.mkString(",")}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_null_q").toString
+    val idx = Similarity.lshBuild(corpus, "vec_id", "embedding", planes = 4,
+      dim = 64, path = dir)
+    val lp = Similarity.lshProbe(idx, q, k = 3, probes = 2).orderBy("rank").collect()
+    assert(lp.nonEmpty && lp.forall(_.isNullAt(0)) && lp.head.getLong(1) == -1L,
+      s"prebuilt probe must score the id -1 row for a null-id query, got ${lp.mkString(",")}")
+    // array<double> query columns probe identically (generic element
+    // conversion — round-8's getSeq[Float] threw ClassCastException)
+    val qd = q.withColumn("embedding",
+      transform(col("embedding"), x => x.cast("double")))
+    val lpd = Similarity.lshProbe(idx, qd, k = 3, probes = 2).orderBy("rank").collect()
+    assert(lpd.map(r => (r.getLong(1), r.getInt(3))).toSeq ==
+      lp.map(r => (r.getLong(1), r.getInt(3))).toSeq,
+      "double-element query vectors must reproduce the float answer")
+    // a wrong-length vector errors loudly instead of probing wrong buckets
+    val bad = q.withColumn("embedding", slice(col("embedding"), 1, 10))
+    val err = intercept[IllegalArgumentException](
+      Similarity.lshProbe(idx, bad, k = 3))
+    assert(err.getMessage.contains("dims"), err.getMessage)
+  }
+
   test("IVF ANN recall vs brute force top-5") {
     val q = embs.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
@@ -795,6 +835,37 @@ class PipelineSpec extends SparkSpec {
       .select("batch_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(probeAfter == probeBefore, "compaction must not change answers")
+  }
+
+  test("legacy pre-_seg occ sidecar: null-_seg deltas are summed per bucket, not collapsed to max") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_legacy").toString
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val seg = docs.filter(col("doc_id") % 3 === 1)
+    val idx = Dedup.minhashIndexBuild(corpus, "text", "doc_id", path = dir,
+      slots = 4)
+    Dedup.minhashIndexAppend(idx, seg)
+    // true totals while every delta still carries its segment id
+    val expect = spark.read.parquet(s"$dir/occ").filter(col("band") >= 0)
+      .groupBy("band", "bucket").agg(sum("count").as("count"))
+      .collect().map(r => ((r.get(0), r.get(1)), r.getLong(2))).toMap
+    assert(spark.read.parquet(s"$dir/occ").filter(col("band") >= 0).count() >
+        expect.size,
+      "fixture must hold buckets with multiple delta rows or the test is vacuous")
+    // simulate a pre-upgrade sidecar: same delta rows, no _seg column —
+    // reading under the extended schema yields null _seg on every row
+    val legacySchema = org.apache.spark.sql.types.StructType(Seq(
+      idx.occSchema("band"), idx.occSchema("bucket"), idx.occSchema("count")))
+    val legacyRows = spark.read.parquet(s"$dir/occ").filter(col("band") >= 0)
+      .select("band", "bucket", "count").collect()
+    spark.createDataFrame(java.util.Arrays.asList(legacyRows: _*), legacySchema)
+      .write.mode("overwrite").parquet(s"$dir/occ")
+    // non-full compaction persists occTotals — the legacy deltas must SUM
+    Dedup.minhashIndexCompact(idx)
+    val got = spark.read.parquet(s"$dir/occ").filter(col("band") >= 0)
+      .collect().map(r => ((r.get(0), r.get(1)), r.getLong(2))).toMap
+    assert(got == expect,
+      s"legacy null-_seg deltas must aggregate to the same totals as " +
+        s"segmented deltas (got ${got.size} buckets vs ${expect.size})")
   }
 
   test("minhashIndexAppend replay idempotency: deterministic segment id skips, even after compaction") {

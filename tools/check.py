@@ -34,8 +34,29 @@ table — semantically identical for every use in this repo (reach is only
 ever consumed through GROUP BY src / min(dst)), linear instead of
 quadratic in component size.
 """
-import hashlib, json, math, os, sys, threading
+import hashlib, json, math, os, re, sys, threading
 import duckdb
+
+
+def closure_supported(sql):
+    """The union-find substitution binds `reach` to ONE (node, min-reachable
+    root) row per node — valid only when every consumer of `reach` is the
+    GROUP BY src / min(dst) shape the repo's closure oracles use. A future
+    oracle consuming reach differently (e.g. counting reachable pairs) must
+    NOT be silently adjudicated against the substituted table: detect the
+    shape first; callers fall back to the original recursive SQL otherwise."""
+    start = sql.index("reach(src, dst) AS (")
+    i = start + len("reach(src, dst) AS (")
+    depth = 1
+    while depth:
+        c = sql[i]
+        depth += (c == "(") - (c == ")")
+        i += 1
+    outside = sql[:start] + sql[i:]
+    refs = re.findall(r"\breach\b", outside, re.I)
+    from_refs = re.findall(r"\bfrom\s+reach\b", outside, re.I)
+    return ("min(dst)" in outside.lower()
+            and len(refs) > 0 and len(refs) == len(from_refs))
 
 
 def closure_fallback(con, sql):
@@ -149,9 +170,14 @@ def main(out_dir, sf_dir, cache_dir=None, timeout=None, only=None):
                 try:
                     run_sql = sql
                     if "reach(src, dst) AS (" in sql:
-                        print(f"note {name}: reachability closure via exact "
-                              "union-find (edges stay SQL-derived)")
-                        run_sql = closure_fallback(con, sql)
+                        if closure_supported(sql):
+                            print(f"note {name}: reachability closure via exact "
+                                  "union-find (edges stay SQL-derived)")
+                            run_sql = closure_fallback(con, sql)
+                        else:
+                            print(f"note {name}: reach CTE consumed outside the "
+                                  "supported GROUP BY src / min(dst) shape — "
+                                  "running the ORIGINAL recursive SQL")
                     if cache_file:
                         con.execute(f"CREATE OR REPLACE TEMP TABLE _exp AS {run_sql}")
                         exp = con.execute("SELECT * FROM _exp").fetchall()
