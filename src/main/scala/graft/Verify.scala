@@ -10,8 +10,10 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GRAFT_MASTER=local-cluster[N,c,m] runs the whole registry against
+    // real separate executor JVMs (see graft.Master) — the distributed-
+    // runtime gate; default stays single-JVM local[cpus]
+    val spark = Master.configure(SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

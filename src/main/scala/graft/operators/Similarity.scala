@@ -334,21 +334,13 @@ object Similarity {
     * Empty clusters keep their previous centroid. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, iters: Int): Array[(Long, Array[Float])] = {
-    val spark = corpus.sparkSession
     var cents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     for (_ <- 1 to iters) {
-      val centArr = array(cents.map { case (cid, cv) =>
-        struct(typedLit(cid).as("cid"), typedLit(cv).as("cv")) }: _*)
-      def scored(vec: Column): Column =
-        transform(centArr, c => struct(
-          cosineFast(spark)(vec, c.getField("cv")).as("sim"),
-          c.getField("cid").as("cid")))
-      val dims = corpus
-        .select(array_max(scored(col(vecCol))).getField("cid").as("cid"),
-          posexplode(col(vecCol)))
+      val dims = withAssignedCid(corpus, col(vecCol), cents, "cid")
+        .select(col("cid"), posexplode(col(vecCol)))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .collect()
@@ -390,16 +382,77 @@ object Similarity {
       c.getField("cid").as("cid")))
   }
 
+  /** Plan budget for literal centroid embedding, in FLOATS (nlist × dim).
+    * Below it [[centScorer]]'s plan-literal array is fastest (no join at
+    * all); above it the literals would bloat the PLAN itself — codegen,
+    * plan broadcast and every explain pay nlist·dim constants (SemDeDup
+    * at paper scale runs 10⁴-10⁵ clusters ≈ 150 MB of plan at dim 768) —
+    * so assignment switches to [[withCentScores]]' broadcast-DATA path. */
+  private[operators] def centroidLiteralBudget(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.ann.centroidLiteralBudget")
+      .map(_.toLong).getOrElse(8192L)
+
+  /** Attach `outCol` = the [[centScorer]] (sim, cid) array to every row of
+    * `df`, choosing transport by [[centroidLiteralBudget]]:
+    *
+    *  - below budget: plan-literal fold (identical to round-8 behavior);
+    *  - above budget: the centroids travel as ONE broadcast DATA row
+    *    (array<struct<cid, cv>>) crossJoined onto the frame — a
+    *    BroadcastNestedLoopJoin against a 1-row build side, so the plan
+    *    stays O(1) literals, the payload moves over broadcast transport
+    *    (torrent-compressed, not re-parsed per task), and the per-row
+    *    fold math is EXPRESSION-IDENTICAL to the literal path (specs
+    *    assert equality; the gate runs the broadcast path at nlist=256).
+    *
+    * Still O(nlist·dim) compute per row — inherent to flat IVF
+    * assignment; at paper-scale nlist pair this with a coarser first-level
+    * quantizer (build two stacked indexes) or raise nprobe economics. */
+  private[operators] def withCentScores(df: DataFrame, vec: Column,
+                                        cents: Array[(Long, Array[Float])],
+                                        outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val floats = cents.length.toLong *
+      cents.headOption.map(_._2.length).getOrElse(0)
+    if (floats <= centroidLiteralBudget(spark))
+      df.withColumn(outCol, centScorer(spark, cents)(vec))
+    else {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("_cents", ArrayType(
+        StructType(Seq(StructField("cid", LongType),
+          StructField("cv", ArrayType(FloatType))))))))
+      val row = org.apache.spark.sql.Row(
+        cents.toSeq.map { case (cid, cv) =>
+          org.apache.spark.sql.Row(cid, cv.toSeq) })
+      val centsDf = spark.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
+      df.crossJoin(broadcast(centsDf))
+        .withColumn(outCol, transform(col("_cents"), c => struct(
+          cosineFast(spark)(vec, c.getField("cv")).as("sim"),
+          c.getField("cid").as("cid"))))
+        .drop("_cents")
+    }
+  }
+
+  /** [[withCentScores]] + keep only the best cell id as `outCol`. */
+  private[operators] def withAssignedCid(df: DataFrame, vec: Column,
+                                         cents: Array[(Long, Array[Float])],
+                                         outCol: String): DataFrame =
+    withCentScores(df, vec, cents, "_centScores")
+      .withColumn(outCol, array_max(col("_centScores")).getField("cid"))
+      .drop("_centScores")
+
   /** Query → its nprobe best centroid lists: sort desc + slice + explode —
     * fan-out is ×nprobe (not ×nlist), no window. */
   private def probeFrame(spark: org.apache.spark.sql.SparkSession,
                          queries: DataFrame, idCol: String, vecCol: String,
                          cents: Array[(Long, Array[Float])],
                          nprobe: Int): DataFrame =
-    queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    withCentScores(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+        col("_qv"), cents, "_sc")
       .withColumn("_probe",
-        explode(slice(reverse(array_sort(centScorer(spark, cents)(col("_qv")))),
-          1, nprobe)))
+        explode(slice(reverse(array_sort(col("_sc"))), 1, nprobe)))
       .select(col("query_id"), col("_qv"), col("_probe").getField("cid").as("cid"))
 
   /** Exact re-score + per-query top-k over a candidate set. */
@@ -422,10 +475,12 @@ object Similarity {
               vecCol: String, k: Int, nlist: Int, nprobe: Int,
               kmeansIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    // Assignment is a per-row fold against the driver-literal centroids —
-    // NO crossJoin, NO ×nlist row explosion riding a shuffle, NO window
-    // (VERDICT round 1 "what's wrong" #6); the only corpus shuffle left is
-    // the candidate join itself. For build-once/probe-many serving use
+    // Assignment is a per-row fold against the centroids — NO ×nlist row
+    // explosion riding a shuffle, NO window (VERDICT round 1 "what's
+    // wrong" #6); the only corpus shuffle left is the candidate join
+    // itself. Centroid transport is budget-dispatched ([[withCentScores]]):
+    // plan literals below [[centroidLiteralBudget]], one broadcast data
+    // row above it. For build-once/probe-many serving use
     // [[ivfBuild]]/[[ivfProbe]], which amortize assignment via
     // partitionBy(cid) storage.
     val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
@@ -437,9 +492,9 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           lit(0.0).as("score"), lit(0).as("rank"))
         .limit(0)
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .withColumn("cid",
-        array_max(centScorer(spark, cents)(col("_cv"))).getField("cid"))
+    val assigned = withAssignedCid(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+      col("_cv"), cents, "cid")
     val probes = probeFrame(spark, queries, idCol, vecCol, cents, nprobe)
     rescoreTopK(spark, assigned.join(broadcast(probes), Seq("cid")), k)
   }
@@ -463,12 +518,11 @@ object Similarity {
     * assignment against driver-literal centroids, written cid-partitioned. */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
                nlist: Int, path: String, kmeansIters: Int = 0): IvfIndex = {
-    val spark = corpus.sparkSession
     val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
     require(cents.nonEmpty, "ivfBuild: empty corpus has no centroids")
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .withColumn("cid",
-        array_max(centScorer(spark, cents)(col("_cv"))).getField("cid"))
+    val assigned = withAssignedCid(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+      col("_cv"), cents, "cid")
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
     IvfIndex(path, idCol, vecCol, nlist, kmeansIters, cents, assigned.schema)
   }
@@ -481,11 +535,10 @@ object Similarity {
     * (duplicate) append cannot change probe answers: rescoreTopK dedups
     * per (query, neighbor) before ranking. */
   def ivfAppend(index: IvfIndex, segment: DataFrame): Unit = {
-    val spark = segment.sparkSession
-    segment.select(col(index.idCol).as("neighbor_id"),
-        col(index.vecCol).as("_cv"))
-      .withColumn("cid",
-        array_max(centScorer(spark, index.centroids)(col("_cv"))).getField("cid"))
+    withAssignedCid(
+        segment.select(col(index.idCol).as("neighbor_id"),
+          col(index.vecCol).as("_cv")),
+        col("_cv"), index.centroids, "cid")
       .write.mode("append").partitionBy("cid").parquet(index.path)
   }
 
@@ -820,8 +873,9 @@ object Similarity {
     * neighbors near cell boundaries (the SemDeDup trade; the paper runs
     * exactly this within-cluster screen).
     *
-    * Scale shape: assignment is a per-row fold against the driver-literal
-    * centroids (no join, no ×nlist explosion); the only shuffle is the
+    * Scale shape: assignment is a per-row fold against the centroids
+    * (budget-dispatched literal/broadcast transport, [[withCentScores]];
+    * no ×nlist explosion); the only shuffle is the
     * cell-keyed self-join, and cells over `maxCell` rows are dropped via
     * the shared metered occupancy cap (mass-duplicated embeddings make a
     * cell quadratic — run exact dedup first). Unlike the banded joins,
@@ -847,10 +901,9 @@ object Similarity {
           org.apache.spark.sql.types.StructField("id2", idT),
           org.apache.spark.sql.types.StructField("cos",
             org.apache.spark.sql.types.DoubleType))))
-    val assigned = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("cid",
-        array_max(centScorer(spark, cents)(col("v"))).getField("cid"))
+    val assigned = withAssignedCid(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+      col("v"), cents, "cid")
     val capped = Dedup.capBucketsBy(assigned, Seq("cid"), maxCell,
       "semanticPairs")
     capped.as("a").join(capped.as("b"),

@@ -565,6 +565,42 @@ object PipelineQueries {
           SELECT id1, id2, round(cos, 9) AS cos FROM scored
           WHERE cos >= 0.3 ORDER BY id1, id2"""))
 
+  /** Same semantic-pair path at nlist=256 — 256 cells × 64 dims =
+    * 16,384 floats, ABOVE the default centroidLiteralBudget (8,192), so
+    * this gate runs the broadcast-DATA centroid transport
+    * (Similarity.withCentScores' crossJoin(broadcast) arm) end-to-end
+    * against the same fully-recomputed SQL oracle. The literal arm stays
+    * covered by q_dedup_semantic (nlist=64); PipelineSpec asserts the two
+    * arms are result-identical at equal nlist. */
+  val q_dedup_semantic_bcast = Q(
+    "q_dedup_semantic_bcast",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      GTable(Similarity.semanticPairs(e, "vec_id", "embedding",
+          threshold = 0.3, nlist = 256))
+        .project("cos" -> round(col("cos"), 9))
+        .order(GTable.orderKeys(Seq("id1", "id2")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cid, e AS ce FROM v
+            ORDER BY vec_id LIMIT 256),
+          asg AS (SELECT v.vec_id AS id, v.e,
+              (SELECT c.cid FROM cents c
+               ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM v),
+          hot AS (SELECT cid FROM asg GROUP BY cid
+            HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          asgc AS (SELECT * FROM asg
+            WHERE cid NOT IN (SELECT cid FROM hot)),
+          scored AS (SELECT a.id AS id1, b.id AS id2,
+              ${cosSql("a.e", "b.e")} AS cos
+            FROM asgc a JOIN asgc b ON a.cid = b.cid AND a.id < b.id)
+          SELECT id1, id2, round(cos, 9) AS cos FROM scored
+          WHERE cos >= 0.3 ORDER BY id1, id2"""))
+
   /** Semantic dedup survivors (Similarity.semanticDedup): connected
     * components over the semantic edges, smallest id survives per
     * component — the oracle re-derives the fixed point as a recursive
@@ -1607,8 +1643,8 @@ object PipelineQueries {
     q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5, q_gql_near_dedup,
     q_gql_dedup_against, q_gql_dedup_against_bloom, q_gql_dedup_against_minhash,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
-    q_dedup_semantic, q_dedup_semantic_keep, q_gql_dedup_semantic,
-    q_dedup_semantic_incr, q_ann_topk,
+    q_dedup_semantic, q_dedup_semantic_bcast, q_dedup_semantic_keep,
+    q_gql_dedup_semantic, q_dedup_semantic_incr, q_ann_topk,
     q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,
     q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,

@@ -495,6 +495,24 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("dims"), err.getMessage)
   }
 
+  test("centroid broadcast arm reproduces the literal arm exactly (pairs + topk + kmeans)") {
+    def semPairs() = Similarity.semanticPairs(embs, "vec_id", "embedding",
+        threshold = 0.3, nlist = 16)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ivf() = Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val (pLit, iLit) = (semPairs(), ivf()) // 16×64 floats → literal arm
+    spark.conf.set("spark.graft.ann.centroidLiteralBudget", "0")
+    try {
+      assert(semPairs() == pLit,
+        "broadcast-transport semantic pairs must equal the literal arm")
+      assert(ivf() == iLit,
+        "broadcast-transport IVF top-k (incl. Lloyd refinement) must equal the literal arm")
+    } finally spark.conf.unset("spark.graft.ann.centroidLiteralBudget")
+  }
+
   test("IVF ANN recall vs brute force top-5") {
     val q = embs.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)

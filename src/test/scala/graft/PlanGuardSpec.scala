@@ -65,6 +65,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(blooms.nonEmpty, "expected a BloomFilterMightContain screen in the plan")
   }
 
+  test("above-budget centroid assignment embeds no array literals in the plan") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.ArrayType
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    def arrayLits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case l: Literal if l.dataType.isInstanceOf[ArrayType] => l })
+      }.flatten.size
+    // nlist=256 × dim 64 = 16,384 floats > the default 8,192 budget: the
+    // centroids must travel as broadcast DATA — zero array literals in
+    // the plan (paper-scale nlist would otherwise embed ~150 MB of plan)
+    val bcast = graft.operators.Similarity.ivfTopK(embs, embs.limit(3),
+      "vec_id", "embedding", k = 3, nlist = 256, nprobe = 2)
+    assert(arrayLits(bcast) == 0,
+      s"broadcast-arm plan still carries ${arrayLits(bcast)} array literals")
+    // nlist=16 stays on the literal arm (fastest at small nlist)
+    val lit = graft.operators.Similarity.ivfTopK(embs, embs.limit(3),
+      "vec_id", "embedding", k = 3, nlist = 16, nprobe = 2)
+    assert(arrayLits(lit) >= 1, "small-nlist literal arm disappeared")
+  }
+
   test("the guard itself catches the documented-serial window shape") {
     // q_runs IS the serial reference form — the guard must see it, or the
     // green assertion above proves nothing

@@ -13,8 +13,10 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // GRAFT_MASTER=local-cluster[N,c,m] runs the specs against real
+    // separate executor JVMs (needs `sbt package Test/packageBin` first —
+    // graft.Master ships both jars via spark.jars)
+    val s = Master.configure(SparkSession.builder(), "local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
