@@ -59,6 +59,17 @@ object ServiceMain {
       s"GRAFT_SPARK_CONF must be a JSON object, got $other")
   }
 
+  /** Deployment-entry safety default: the serve cap is ON out of the box
+    * (generous 1M rows/leaf) — a fresh production deployment cannot be
+    * driver-OOM'd by one `values` leaf over a huge root. Embedded use
+    * (GraphQLService directly) stays unlimited for reference parity;
+    * operators override via GRAFT_SERVE_MAX_VALUES / GRAFT_SPARK_CONF
+    * (an explicit spark.graft.serve.maxValues wins; "0" disables). */
+  private[graft] def applyServeCapDefault(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.graft.serve.maxValues").exists(_.nonEmpty)
+        && !sys.env.get("GRAFT_SERVE_MAX_VALUES").exists(_.nonEmpty))
+      spark.conf.set("spark.graft.serve.maxValues", "1000000")
+
   def rootName(path: String): String = {
     val base = path.stripSuffix("/").split('/').last.stripSuffix(".parquet")
     // GraphQL field names can't contain dots/dashes; normalize like the
@@ -87,6 +98,7 @@ object ServiceMain {
       .map(parseSparkConf)
       .map(_.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) })
       .getOrElse(builder).getOrCreate()
+    applyServeCapDefault(spark)
 
     val service = new GraphQLService(spark, sfDir = "", names = Nil,
       extraRoots = Map(name -> path),

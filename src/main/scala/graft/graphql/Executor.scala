@@ -91,15 +91,27 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
   def execute(query: String, variables: Map[String, GVal]): String =
     execute(query, variables, None)
 
+  /** Embedded/spec surface: the fully-rendered response string. */
   def execute(query: String, variables: Map[String, GVal],
-              operationName: Option[String]): String = {
+              operationName: Option[String]): String =
+    executeStream(query, variables, operationName).render
+
+  /** Serving surface: the response as a lazily-rendered fragment tree.
+    * All Spark work (plans, collects, persist scopes, cap checks) runs
+    * EAGERLY here — only the stringification of the already-materialized
+    * leaf value arrays is deferred, so the HTTP layer can pump fragments
+    * straight into chunked transfer frames with O(chunk) serializer
+    * memory and the serve cap's "4xx instead of driver OOM" promise
+    * holds end-to-end. */
+  def executeStream(query: String, variables: Map[String, GVal],
+                    operationName: Option[String]): JsonStream = {
     val doc = Parser.parse(query, variables, operationName)
     val timings = Seq.newBuilder[(String, String)]
     // capture occupancy-cap activations during this request: silent
     // candidate drops (hot-bucket exclusion in the near-dup/ANN tiers)
     // surface as extensions.cap_drops so a serving client can notice
     // recall loss without grepping driver logs
-    val (out, capDrops) = graft.operators.Dedup.collectCapDrops(doc.sels.map { f =>
+    val (out, capDrops) = graft.operators.Dedup.collectCapDrops(doc.sels.map[(String, JsonStream)] { f =>
       if (f.name == "__typename") {
         // clients (Apollo) inject __typename for cache normalization —
         // it must answer, never error
@@ -135,7 +147,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           resolveTable(roots(table)().filter(preds: _*), forType, None)
         }
         timings += (f.outName -> ((System.nanoTime() - t0) / 1e6).round.toString)
-        f.outName -> resolved.mkString("[", ",", "]")
+        f.outName -> JsonStream.arr(resolved)
       } else if (f.name == "sql") {
         // SQL escape hatch as a root field: every table is a view
         // (reference supports raw SQL through its engine; §2.11)
@@ -170,10 +182,10 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         }))
     // per-root resolver durations (reference's Apollo-tracing-style metrics,
     // middleware.py:22-38)
-    Json.obj(Seq(
-      "data" -> Json.obj(out),
-      "extensions" -> Json.obj(
-        Seq("timing_ms" -> Json.obj(timings.result())) ++ capJson)))
+    JsonStream.obj(Seq(
+      "data" -> JsonStream.obj(out),
+      "extensions" -> JsonStream.Frag(Json.obj(
+        Seq("timing_ms" -> Json.obj(timings.result())) ++ capJson))))
   }
 
   /** SDL reflection (reference `_service { sdl }`); tables with configured
@@ -208,13 +220,13 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
 
   private def resolveTable(t: GTable, field: GField,
                            sql: Option[String],
-                           rootPath: Option[String] = None): String = {
+                           rootPath: Option[String] = None): JsonStream = {
     // §4 persist policy: >1 materializing sibling → persist the shared plan
     val consumers = field.sels.count(f =>
       !Set("type", "schema", "toSql").contains(f.name))
     val persisted = consumers > 1
     if (persisted) t.df.persist()
-    try Json.obj(field.sels.map(f => f.outName -> resolveField(t, f, sql, rootPath)))
+    try JsonStream.obj(field.sels.map(f => f.outName -> resolveField(t, f, sql, rootPath)))
     finally if (persisted) { t.df.unpersist(); () }
   }
 
@@ -240,7 +252,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     }
 
   private def resolveField(t: GTable, f: GField, sql: Option[String],
-                           rootPath: Option[String] = None): String = f.name match {
+                           rootPath: Option[String] = None): JsonStream = f.name match {
     // Apollo-style clients inject __typename everywhere; answering the
     // generic table type keeps them working (per-table names appear in the
     // SDL; the operator fold preserves the table type in the reference too)
@@ -959,7 +971,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     * GTable.cumulative (block prefix sums — no global window); on an
     * explicitly sorted table they follow the sort via a window over the sort
     * keys. */
-  private def resolveProject(t: GTable, f: GField, sql: Option[String]): String = {
+  private def resolveProject(t: GTable, f: GField, sql: Option[String]): JsonStream = {
     val items = f.arg("columns").toSeq.flatMap {
       case GList(xs) => xs
       case o: GObj => Seq(o)
@@ -1113,7 +1125,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     * aggregate: {sum: [...], first: [...], quantile: [...], ...}) — the
     * full Aggregates surface (reference inputs.py:206-231). Group order is
     * opt-in (reference orders only when asked, interface.py:233-243). */
-  private def resolveGroup(t: GTable, f: GField, sql: Option[String]): String = {
+  private def resolveGroup(t: GTable, f: GField, sql: Option[String]): JsonStream = {
     val by = strListArg(f, "by")
     val counts = f.arg("counts").collect { case GStr(c) => c }
     // order: names a first-seen position column added to the output, and
@@ -1295,7 +1307,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     * defaults, pairwise adjacency ops, framed/cumulative aggregates. Ops
     * take a list of specs {name, alias, offset, default, preceding,
     * following, range, n}. */
-  private def resolveWindow(t: GTable, f: GField): String = {
+  private def resolveWindow(t: GTable, f: GField): JsonStream = {
     val over = strListArg(f, "over").map(col)
     val byKeys = strListArg(f, "by")
     val w = GWindows.spec(over, GTable.orderKeys(byKeys))
@@ -1446,10 +1458,10 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     * sum/mean/std/var, boolean any/all, array unnest/length, struct
     * names/types, plus type/count/countDistinct. Aggregate leaves batch
     * into ONE df.agg pass per column (no per-leaf jobs). */
-  private def resolveColumns(t: GTable, f: GField): String = {
+  private def resolveColumns(t: GTable, f: GField): JsonStream = {
     val wanted = f.sels
     val pruned = t.select(wanted.map(_.name): _*)
-    Json.obj(wanted.map(cf => cf.outName -> resolveOneColumn(pruned, cf)))
+    JsonStream.obj(wanted.map(cf => cf.outName -> resolveOneColumn(pruned, cf)))
   }
 
   /** Driver-materialization guard for value-returning column leaves
@@ -1501,7 +1513,7 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     }
   }
 
-  private def resolveOneColumn(pruned: GTable, cf: GField): String = {
+  private def resolveOneColumn(pruned: GTable, cf: GField): JsonStream = {
     val c = col(cf.name)
     val dt = pruned.df.schema.find(_.name == cf.name).map(_.dataType)
     val isString = dt.contains(StringType)
@@ -1562,20 +1574,24 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       cappedCollect(ordered.select(extra(c).as("_v")), cf.name)
         .map(_.get(0)).toSeq
     }
-    val parts = leafs.map { l =>
+    val parts = leafs.map[(String, JsonStream)] { l =>
       l.outName -> (l.name match {
         case "type" => Json.quote(dt.map(_.simpleString).getOrElse("unknown"))
-        case "values" => Json.write(orderedRows())
+        // value-array leaves: rows are collected HERE (inside the request
+        // persist scope, under the serve cap) but stringified lazily —
+        // JsonStream.lazyArr renders one element per fragment pull, so a
+        // cap-admitted-but-huge column streams with O(chunk) memory
+        case "values" => JsonStream.lazyArr(orderedRows())
         case "dropNull" =>
           // non-null values in order (reference models.py:122-125)
-          Json.write(orderedRows().filter(_ != null))
+          JsonStream.lazyArr(orderedRows().filter(_ != null))
         case "fillNull" =>
           val v = l.arg("value").map(Exprs.scalaOf)
             .getOrElse(throw new IllegalArgumentException("fillNull needs value:"))
-          Json.write(orderedRows(x => coalesce(x, lit(v))))
+          JsonStream.lazyArr(orderedRows(x => coalesce(x, lit(v))))
         case "length" =>
           // per-row array lengths (reference ArrayColumn.length)
-          Json.write(orderedRows(x => size(x)))
+          JsonStream.lazyArr(orderedRows(x => size(x)))
         case "unnest" =>
           // flattened elements served as a nested column object
           // (reference ArrayColumn.unnest, models.py:227-233)
@@ -1598,16 +1614,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           val vc = cappedCollect(
             Natural.strip(pruned.df).groupBy(c).agg(count(lit(1)).as("n"))
               .orderBy(c), s"${cf.name}.distinct")
-          Json.obj(l.sels.map(s => s.outName -> (s.name match {
-            case "values" => Json.write(vc.map(_.get(0)).toSeq)
-            case "counts" => Json.write(vc.map(_.getLong(1)).toSeq)
-            case "length" => vc.length.toString
+          JsonStream.obj(l.sels.map[(String, JsonStream)](s => s.outName -> (s.name match {
+            case "values" => JsonStream.lazyArr(vc.map(_.get(0)).toSeq)
+            case "counts" => JsonStream.lazyArr(vc.map(_.getLong(1)).toSeq)
+            case "length" => JsonStream.Frag(vc.length.toString)
             case other => throw new IllegalArgumentException(s"unknown Set field '$other'")
           })))
         case _ => Json.write(aggRow.get.getAs[Any](l.outName))
       })
     }
-    Json.obj(parts)
+    JsonStream.obj(parts)
   }
 
   /** row(index) { fields } — selection-driven: only the requested columns

@@ -111,8 +111,12 @@ final class GraphQLHttpServer(service: GraphQLService,
             }
             val opName = get.get("operationName").collect { case GStr(n) => n }
             // execution-level failures are part of the 200 response
-            // envelope, per the GraphQL-over-HTTP spec
-            try respond(ex, 200, "application/json", service.execute(q, vars, opName))
+            // envelope, per the GraphQL-over-HTTP spec. All Spark work runs
+            // inside executeStream (so errors land here, before headers);
+            // only the leaf stringification is deferred into the fragment
+            // pump — respondStream streams it with O(chunk) memory.
+            try respondStream(ex, 200, "application/json",
+              service.executeStream(q, vars, opName).fragments)
             catch { case e: Exception => respond(ex, 200, "application/json", errors(msg(e))) }
           case _ =>
             respond(ex, 400, "application/json", errors("request needs a string 'query'"))
@@ -194,26 +198,48 @@ document.getElementById('q').addEventListener('keydown', e => {
   private val ChunkSize = 64 << 10
 
   private def respond(ex: HttpExchange, status: Int, contentType: String,
-                      body: String): Unit = {
-    val bytes = body.getBytes(UTF_8)
+                      body: String): Unit =
+    respondStream(ex, status, contentType, Iterator.single(body))
+
+  /** Incremental response pump: pulls JSON fragments and writes them out
+    * as they arrive. Small responses (≤ chunkBytes total) buffer and go
+    * Content-Length'd exactly as before; the moment the buffered size
+    * crosses `chunkBytes` the response switches to chunked
+    * transfer-encoding and every subsequent ~64 KiB of fragments is
+    * flushed as its own frame — so the FIRST bytes reach the client while
+    * later rows are still being stringified, and serializer-side memory is
+    * O(chunk) end-to-end (the executor defers leaf stringification;
+    * nothing ever holds the full body). Byte stream is identical to the
+    * old materialize-then-chunk path: same fragments, same order. */
+  private def respondStream(ex: HttpExchange, status: Int,
+                            contentType: String,
+                            frags: Iterator[String]): Unit = {
     ex.getResponseHeaders.set("Content-Type", contentType)
-    if (bytes.length <= chunkBytes) {
-      ex.sendResponseHeaders(status, bytes.length.toLong)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
-    } else {
-      // length 0 → chunked transfer-encoding (HttpServer contract)
-      ex.sendResponseHeaders(status, 0L)
-      val os = ex.getResponseBody
-      try {
-        var off = 0
-        while (off < bytes.length) {
-          val n = math.min(ChunkSize, bytes.length - off)
-          os.write(bytes, off, n)
-          os.flush()
-          off += n
+    val buf = new java.io.ByteArrayOutputStream(math.min(chunkBytes, 1 << 20))
+    var os: java.io.OutputStream = null // non-null once streaming started
+    try {
+      while (frags.hasNext) {
+        buf.write(frags.next().getBytes(UTF_8))
+        if (os == null && buf.size > chunkBytes) {
+          // length 0 → chunked transfer-encoding (HttpServer contract)
+          ex.sendResponseHeaders(status, 0L)
+          os = ex.getResponseBody
         }
-      } finally os.close()
-    }
+        if (os != null && buf.size >= ChunkSize) {
+          buf.writeTo(os)
+          os.flush()
+          buf.reset()
+        }
+      }
+      if (os == null) {
+        val bytes = buf.toByteArray
+        ex.sendResponseHeaders(status, if (bytes.isEmpty) -1L else bytes.length.toLong)
+        os = ex.getResponseBody
+        os.write(bytes)
+      } else if (buf.size > 0) {
+        buf.writeTo(os)
+        os.flush()
+      }
+    } finally if (os != null) os.close()
   }
 }

@@ -227,3 +227,60 @@ object Json {
     }
   }
 }
+
+/** Lazily-rendered JSON response tree: eager string fragments interleaved
+  * with DEFERRED fragment iterators. The executor materializes rows eagerly
+  * (inside the request's persist/cache scope) but defers rendering the big
+  * leaf value arrays — so the HTTP layer can pull fragments straight into
+  * chunked transfer frames and serializer-side memory stays O(chunk)
+  * instead of O(response). `render` collapses the tree for embedded/spec
+  * callers; byte-identical to the streamed concatenation by construction
+  * (same fragments, same order). */
+sealed trait JsonStream {
+  def fragments: Iterator[String]
+  def render: String = {
+    val sb = new java.lang.StringBuilder
+    fragments.foreach(sb.append(_))
+    sb.toString
+  }
+}
+
+object JsonStream {
+  final case class Frag(s: String) extends JsonStream {
+    def fragments: Iterator[String] = Iterator.single(s)
+  }
+  final case class Defer(f: () => Iterator[String]) extends JsonStream {
+    def fragments: Iterator[String] = f()
+  }
+  final case class Cat(parts: Seq[JsonStream]) extends JsonStream {
+    def fragments: Iterator[String] = parts.iterator.flatMap(_.fragments)
+  }
+
+  /** Resolver arms overwhelmingly produce small eager strings; the
+    * companion-scope conversion lets them stay written as strings while
+    * the spine's type is JsonStream. */
+  import scala.language.implicitConversions
+  implicit def fromString(s: String): JsonStream = Frag(s)
+
+  /** Ordered object over stream values (GraphQL selection order). */
+  def obj(fields: Seq[(String, JsonStream)]): JsonStream =
+    Cat(Frag("{") +: fields.zipWithIndex.map { case ((k, v), i) =>
+      Cat(Seq(Frag((if (i == 0) "" else ",") + Json.quote(k) + ":"), v))
+    } :+ Frag("}"))
+
+  def arr(items: Seq[JsonStream]): JsonStream =
+    Cat(Frag("[") +: items.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v else Cat(Seq(Frag(","), v))
+    } :+ Frag("]"))
+
+  /** Deferred JSON array over ALREADY-MATERIALIZED scalar values: nothing
+    * is stringified until the fragment iterator is pulled, one element at
+    * a time — the O(chunk) path for column `values` leaves. The input must
+    * be collected data (never a lazy Spark handle): rendering happens
+    * after the request's persist scope closes. */
+  def lazyArr(values: scala.collection.Seq[Any]): JsonStream =
+    Defer(() => Iterator.single("[") ++
+      values.iterator.zipWithIndex.map { case (v, i) =>
+        (if (i == 0) "" else ",") + Json.write(v)
+      } ++ Iterator.single("]"))
+}

@@ -980,6 +980,67 @@ object Dedup {
     IndexMaint.swapRewrite(spark, occPath, occNew, Seq.empty)
   }
 
+  /** Union two INDEPENDENTLY-BUILT MinHash indexes into a fresh tree at
+    * `destPath` — the per-shard indexing shape a 100 TB corpus needs: each
+    * ingestion shard builds and maintains its own index; a merge produces
+    * the combined serving tree without ever re-reading corpus text or
+    * re-running a signature pass. The hash families are deterministic per
+    * row, so the merged tree answers IDENTICALLY to an index built
+    * monolithically over the union corpus (spec-asserted):
+    *
+    *  - banded/sigs rows union under the same slot layout, clustered to
+    *    one file per slot dir (the merge doubles as a compaction);
+    *  - occupancy totals SUM per (band, bucket) — each side first dedups
+    *    its own replay deltas via [[occTotals]], so the cap over the
+    *    merged index sees the true union occupancy;
+    *  - consumed-segment markers union, so an append replayed against the
+    *    MERGED index is still detected and skipped.
+    *
+    * Sources are read-only (probe them during the merge freely). A doc
+    * indexed in BOTH shards contributes duplicate banded rows — probes
+    * dedup candidates, but its buckets count twice toward the cap; dedup
+    * shard ownership upstream. Re-openable via the standard meta sidecar. */
+  def minhashIndexMerge(a: MinHashIndex, b: MinHashIndex,
+                        destPath: String): MinHashIndex = {
+    require(a.n == b.n && a.k == b.k && a.bands == b.bands &&
+      a.md5 == b.md5 && a.slots == b.slots &&
+      a.textCol == b.textCol && a.idCol == b.idCol,
+      s"minhashIndexMerge: incompatible index families " +
+        s"(n/k/bands/md5/slots/cols must match: $a vs $b)")
+    require(destPath != a.path && destPath != b.path,
+      "minhashIndexMerge: destPath must be a fresh directory")
+    val spark = org.apache.spark.sql.SparkSession.active
+    Seq(a, b).foreach { ix =>
+      IndexMaint.recoverSwap(spark, s"${ix.path}/banded")
+      IndexMaint.recoverSwap(spark, s"${ix.path}/sigs")
+      IndexMaint.recoverSwap(spark, s"${ix.path}/occ")
+    }
+    def rd(ix: MinHashIndex, sub: String,
+           schema: org.apache.spark.sql.types.StructType) =
+      spark.read.schema(schema).parquet(s"${ix.path}/$sub")
+    rd(a, "banded", a.bandedSchema).unionByName(rd(b, "banded", b.bandedSchema))
+      .repartition(col("_bb"))
+      .write.mode("overwrite").partitionBy("_bb").parquet(s"$destPath/banded")
+    rd(a, "sigs", a.sigSchema).unionByName(rd(b, "sigs", b.sigSchema))
+      .repartition(col("_sp"))
+      .write.mode("overwrite").partitionBy("_sp").parquet(s"$destPath/sigs")
+    val occA = rd(a, "occ", occSchemaOf(a))
+    val occB = rd(b, "occ", occSchemaOf(b))
+    val totals = occTotals(occA.filter(col("band") >= 0))
+      .unionByName(occTotals(occB.filter(col("band") >= 0)))
+      .groupBy("band", "bucket").agg(sum("count").cast("long").as("count"))
+      .withColumn("_seg", lit(AggSeg))
+    val markers = occA.select("_seg").unionByName(occB.select("_seg"))
+      .filter(col("_seg").isNotNull && col("_seg") =!= AggSeg).distinct()
+      .select(lit(-1).cast("int").as("band"), markerBucket(a).as("bucket"),
+        lit(0L).as("count"), col("_seg"))
+    totals.unionByName(markers)
+      .write.mode("overwrite").parquet(s"$destPath/occ")
+    val merged = a.copy(path = destPath, occSchema = occSchemaOf(a))
+    Similarity.writeMeta(spark, destPath, merged)
+    merged
+  }
+
   /** Ingestion-side survivor set: batch rows with NO near-duplicate in
     * the corpus index (the near-dup analog of [[exactIncremental]]). */
   def minhashDedupFilter(index: MinHashIndex, batch: DataFrame,

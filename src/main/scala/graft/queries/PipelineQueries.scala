@@ -145,6 +145,36 @@ object PipelineQueries {
             SELECT batch_id, corpus_id, est_jaccard FROM pairs
             ORDER BY batch_id, corpus_id"""))
 
+  /** Two-shard merge gate: the SAME probe as q_dedup_idx_md5, but the
+    * corpus index is built as two independent shard indexes (doc_id < 200
+    * and 200 ≤ doc_id < 400) merged via Dedup.minhashIndexMerge — the
+    * per-shard indexing shape a 100 TB corpus uses. The oracle is the
+    * monolithic recompute over the union corpus: merge correctness IS the
+    * assertion (hash families are deterministic, so merged ≡ monolithic
+    * banding, occupancy and hits). */
+  val q_dedup_idx_merge = Q(
+    "q_dedup_idx_merge",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val base = mhIdxDir(dir) + "_merge"
+      val ia = Dedup.minhashIndexBuild(d.filter(col("doc_id") < 200),
+        "text", "doc_id", path = s"$base/a", n = 3, k = 32, bands = 8,
+        md5 = true, slots = 8)
+      val ib = Dedup.minhashIndexBuild(
+        d.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+        "text", "doc_id", path = s"$base/b", n = 3, k = 32, bands = 8,
+        md5 = true, slots = 8)
+      val merged = Dedup.minhashIndexMerge(ia, ib, s"$base/m")
+      GTable(Dedup.minhashDedupAgainst(merged, d.filter(col("doc_id") >= 400),
+          threshold = 0.5))
+        .order(GTable.orderKeys(Seq("batch_id", "corpus_id")))
+        .result
+    },
+    Some(s"""WITH ${minhashMd5AgainstSql(k = 32, bands = 8, threshold = 0.5,
+              corpusCond = "id < 400", batchCond = "id >= 400")}
+            SELECT batch_id, corpus_id, est_jaccard FROM pairs
+            ORDER BY batch_id, corpus_id"""))
+
   /** Index base dir for the prebuilt-MinHash gate query: per-sf-dir so
     * sf0.01 and sf0.1 runs never share index files. */
   private def mhIdxDir(dir: String): String =
@@ -458,6 +488,49 @@ object PipelineQueries {
               CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
+
+  /** Memory-bound ANN variant (Similarity.quantizedTopK): candidate
+    * ranking on the int8-quantized vectors (4× smaller scan at rest),
+    * float rescore of the top-rerank survivors. Fully adjudicated: the
+    * oracle recomputes the quantization (same cross-engine floor form as
+    * q_embed_quant), the quantized-cosine ranking with its rerank
+    * horizon, and the exact float rescore + top-k. */
+  val q_ann_quant = Q(
+    "q_ann_quant",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      GTable(Similarity.quantizedTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, rerank = 50))
+        .project("score" -> round(col("score"), 9))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          sc AS (SELECT vec_id, e,
+              list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+          q AS (SELECT vec_id, e,
+              list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(greatest(-127, least(127,
+                  CAST(floor(x / scale * 127 + 0.5) AS BIGINT))) AS DOUBLE) END) AS qa
+            FROM sc),
+          cand AS (SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+              ${cosSql("qv.qa", "cv.qa")} AS qs, qv.e AS qe, cv.e AS ce
+            FROM q qv JOIN q cv
+              ON qv.vec_id < 5 AND qv.vec_id <> cv.vec_id),
+          kept AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY qs DESC, neighbor_id) AS qrn
+            FROM cand) WHERE qrn <= 50),
+          rescored AS (SELECT query_id, neighbor_id,
+              ${cosSql("qe", "ce")} AS score FROM kept),
+          ranked AS (SELECT query_id, neighbor_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn
+            FROM rescored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rn AS INT) AS rank
+          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
 
   /** LSH-bucketed ANN (8 tables × 4 hyperplanes) with query-side
     * MULTIPROBE (probes = 2): each query also probes the two neighboring
@@ -1640,11 +1713,12 @@ object PipelineQueries {
             FROM t ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
-    q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5, q_gql_near_dedup,
+    q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5,
+    q_dedup_idx_merge, q_gql_near_dedup,
     q_gql_dedup_against, q_gql_dedup_against_bloom, q_gql_dedup_against_minhash,
     q_dedup_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
     q_dedup_semantic, q_dedup_semantic_bcast, q_dedup_semantic_keep,
-    q_gql_dedup_semantic, q_dedup_semantic_incr, q_ann_topk,
+    q_gql_dedup_semantic, q_dedup_semantic_incr, q_ann_topk, q_ann_quant,
     q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,
     q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,

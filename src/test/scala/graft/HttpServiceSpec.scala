@@ -128,6 +128,80 @@ class HttpServiceSpec extends SparkSpec {
     } finally tiny.stop()
   }
 
+  test("streamed response bytes are identical to the embedded render (cap-admitted large leaf)") {
+    // same query through the incremental socket pump and through the
+    // embedded execute().render path — bytes must match exactly, modulo
+    // the per-run timing extension. Cap set high enough to ADMIT the
+    // leaf: this is the streamed-after-admission path the serve cap's
+    // OOM promise depends on.
+    spark.conf.set("spark.graft.serve.maxValues", "100000")
+    try {
+      val tiny = new GraphQLHttpServer(new GraphQLService(spark, sf),
+        port = 0, chunkBytes = 2048).start()
+      try {
+        val q = "{ documents { columns { text { values } doc_id { values } } } }"
+        val viaHttp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:${tiny.boundPort}/graphql"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(
+              s"""{"query": ${Json.quote(q)}}""", UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(viaHttp.statusCode() == 200)
+        assert(viaHttp.headers().firstValue("Transfer-encoding").orElse("")
+          .contains("chunked"), "large leaf must stream chunked")
+        val direct = new graphql.GraphQLService(spark, sf).execute(q)
+        def scrub(s: String) = s.replaceAll("\"timing_ms\":\\{[^}]*\\}", "")
+        assert(scrub(viaHttp.body()) == scrub(direct),
+          s"streamed bytes diverge from the rendered body " +
+            s"(${viaHttp.body().length} vs ${direct.length} chars)")
+      } finally tiny.stop()
+    } finally spark.conf.unset("spark.graft.serve.maxValues")
+  }
+
+  test("ServiceMain defaults the serve cap ON (1M); explicit configuration wins") {
+    spark.conf.unset("spark.graft.serve.maxValues")
+    try {
+      ServiceMain.applyServeCapDefault(spark)
+      assert(spark.conf.get("spark.graft.serve.maxValues") == "1000000",
+        "deployment entry must default the cap on")
+      // a deployed service under the default cap still serves normal leaves
+      val capped = new GraphQLHttpServer(
+        new GraphQLService(spark, sf), port = 0).start()
+      try {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:${capped.boundPort}/graphql"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(
+              """{"query": "{ nation { columns { n_name { values } } } }"}""",
+              UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 200 && !r.body().contains("\"errors\""), r.body().take(300))
+      } finally capped.stop()
+      // explicit setting (operator override) survives the default pass
+      spark.conf.set("spark.graft.serve.maxValues", "42")
+      ServiceMain.applyServeCapDefault(spark)
+      assert(spark.conf.get("spark.graft.serve.maxValues") == "42")
+    } finally spark.conf.unset("spark.graft.serve.maxValues")
+  }
+
+  test("leaf stringification is lazy: one element per fragment pull, nothing up front") {
+    var touched = 0
+    val vals: Seq[Any] = (1 to 1000).map(i => new AnyRef {
+      override def toString: String = { touched += 1; s"v$i" }
+    })
+    val it = graphql.JsonStream.lazyArr(vals).fragments
+    assert(touched == 0, "no element may stringify before the first pull")
+    assert(it.next() == "[")
+    it.next()
+    assert(touched == 1,
+      s"first fragment pulled, $touched elements stringified — the last " +
+        "row must NOT be serialized before the first chunk can ship")
+    val rest = it.mkString
+    assert(touched == 1000 && rest.endsWith("]"))
+    assert(graphql.JsonStream.lazyArr(Seq(1, 2, 3)).render == "[1,2,3]")
+    assert(graphql.JsonStream.lazyArr(Nil).render == "[]")
+  }
+
   test("serve cap over HTTP: an over-cap values leaf is a 200 error envelope, not a buffered dump") {
     spark.conf.set("spark.graft.serve.maxValues", "10")
     try {

@@ -495,6 +495,48 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("dims"), err.getMessage)
   }
 
+  test("dim-256 embeddings: LSH/IVF recall holds at realistic dimension; quantized probe recalls >= 0.9") {
+    import org.apache.spark.sql.types._
+    // deterministic synthetic fixture at a realistic embedding dimension:
+    // 40 gaussian cluster seeds, 2000 members with sigma-0.15 noise —
+    // every ANN number before round 9 came from the dim-64 table; dot
+    // cost and LSH geometry both change with dimension
+    val dim = 256
+    val rnd = new scala.util.Random(42)
+    val seeds = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 2000).map { i =>
+      val s = seeds(i % 40)
+      val v = Array.tabulate(dim)(d => s(d) + 1.2f * rnd.nextGaussian().toFloat)
+      org.apache.spark.sql.Row(i.toLong, v.toSeq)
+    }
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))).cache()
+    try {
+      val q = df.filter(col("vec_id") < 20)
+      val bf = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(got: org.apache.spark.sql.DataFrame): Double = {
+        val g = got.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        bf.intersect(g).size.toDouble / bf.size
+      }
+      val planes = Similarity.planesFor(2000)
+      val rLsh = recallOf(Similarity.lshTopK(df, q, "vec_id", "embedding", 5,
+        planes = planes, dim = dim, tables = 8, probes = 2))
+      val rIvf = recallOf(Similarity.ivfTopK(df, q, "vec_id", "embedding", 5,
+        nlist = 64, nprobe = 16))
+      val rQuant = recallOf(Similarity.quantizedTopK(df, q, "vec_id",
+        "embedding", 5, rerank = 50))
+      info(f"dim-256 recall@5: lsh(multiprobe)=$rLsh%.2f ivf=$rIvf%.2f quantized=$rQuant%.2f")
+      assert(rLsh >= 0.6, s"dim-256 multiprobe LSH recall $rLsh below bar")
+      assert(rIvf >= 0.6, s"dim-256 IVF recall $rIvf below bar")
+      assert(rQuant >= 0.9,
+        s"int8-quantized probe with float rescore must be near-exact, got $rQuant")
+    } finally { df.unpersist(); () }
+  }
+
   test("centroid broadcast arm reproduces the literal arm exactly (pairs + topk + kmeans)") {
     def semPairs() = Similarity.semanticPairs(embs, "vec_id", "embedding",
         threshold = 0.3, nlist = 16)
@@ -884,6 +926,73 @@ class PipelineSpec extends SparkSpec {
     assert(got == expect,
       s"legacy null-_seg deltas must aggregate to the same totals as " +
         s"segmented deltas (got ${got.size} buckets vs ${expect.size})")
+  }
+
+  test("index merge: shard builds probe identically to the monolithic build; markers survive the merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_merge").toString
+    val shardA = docs.filter(col("doc_id") % 4 === 0)
+    val seg = docs.filter(col("doc_id") % 4 === 1).limit(30)
+    val shardB = docs.filter(col("doc_id") % 4 === 2)
+    val probe = docs.filter(col("doc_id") % 4 === 3).limit(30)
+    def hitsOf(ix: graft.operators.Dedup.MinHashIndex) =
+      Dedup.minhashDedupAgainst(ix, probe, threshold = 0.5)
+        .select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ia = Dedup.minhashIndexBuild(shardA, "text", "doc_id",
+      path = s"$dir/a", slots = 4)
+    Dedup.minhashIndexAppend(ia, seg, segmentId = "seg-1")
+    val ib = Dedup.minhashIndexBuild(shardB, "text", "doc_id",
+      path = s"$dir/b", slots = 4)
+    val merged = Dedup.minhashIndexMerge(ia, ib, s"$dir/m")
+    val mono = Dedup.minhashIndexBuild(
+      shardA.unionByName(seg).unionByName(shardB), "text", "doc_id",
+      path = s"$dir/mono", slots = 4)
+    assert(hitsOf(merged) == hitsOf(mono),
+      "merged shard indexes must answer exactly like the monolithic build")
+    // occupancy totals: merged occ must sum to the monolithic histogram
+    def occTotals(p: String) = spark.read.parquet(s"$p/occ")
+      .filter(col("band") >= 0).groupBy("band", "bucket")
+      .agg(sum("count").as("c")).collect()
+      .map(r => ((r.get(0), r.get(1)), r.getLong(2))).toMap
+    assert(occTotals(s"$dir/m") == occTotals(s"$dir/mono"),
+      "merged occupancy totals must equal the monolithic histogram")
+    // a segment consumed by shard A pre-merge is STILL a detected replay
+    val banded = spark.read.parquet(s"$dir/m/banded").count()
+    Dedup.minhashIndexAppend(merged, seg, segmentId = "seg-1")
+    assert(spark.read.parquet(s"$dir/m/banded").count() == banded,
+      "replay of a pre-merge segment must be skipped via carried markers")
+
+    // IVF: shard A holds every id the monolithic sample would pick, so
+    // merged (B re-assigned into A's centroid space) ≡ monolithic
+    val ids = embs.select("vec_id").orderBy("vec_id").limit(40)
+      .collect().map(_.getLong(0))
+    val cut = ids.last + 1
+    val va = embs.filter(col("vec_id") < cut)
+    val vb = embs.filter(col("vec_id") >= cut)
+    val q = embs.filter(col("vec_id") % 7 === 3).limit(10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val ivfA = Similarity.ivfBuild(va, "vec_id", "embedding", nlist = 8,
+      path = s"$dir/ivf_a")
+    val ivfB = Similarity.ivfBuild(vb, "vec_id", "embedding", nlist = 8,
+      path = s"$dir/ivf_b")
+    val ivfM = Similarity.ivfMerge(ivfA, ivfB, s"$dir/ivf_m")
+    val ivfMono = Similarity.ivfBuild(embs, "vec_id", "embedding", nlist = 8,
+      path = s"$dir/ivf_mono")
+    assert(key(Similarity.ivfProbe(ivfM, q, k = 5, nprobe = 4)) ==
+      key(Similarity.ivfProbe(ivfMono, q, k = 5, nprobe = 4)),
+      "merged IVF shards must probe like the monolithic build")
+    // LSH: deterministic geometry → plain union
+    val lshA = Similarity.lshBuild(va, "vec_id", "embedding", planes = 4,
+      dim = 64, path = s"$dir/lsh_a")
+    val lshB = Similarity.lshBuild(vb, "vec_id", "embedding", planes = 4,
+      dim = 64, path = s"$dir/lsh_b")
+    val lshM = Similarity.lshMerge(lshA, lshB, s"$dir/lsh_m")
+    val lshMono = Similarity.lshBuild(embs, "vec_id", "embedding", planes = 4,
+      dim = 64, path = s"$dir/lsh_mono")
+    assert(key(Similarity.lshProbe(lshM, q, k = 5, probes = 2)) ==
+      key(Similarity.lshProbe(lshMono, q, k = 5, probes = 2)),
+      "merged LSH shards must probe like the monolithic build")
   }
 
   test("minhashIndexAppend replay idempotency: deterministic segment id skips, even after compaction") {
