@@ -732,12 +732,21 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     * advantage grows); P ≤ K ⇒ never flip (the window already uses every
     * core). `spark.graft.rankings.flipRows` remains the explicit override.
     */
-  def rankingsAuto(partKeys: Seq[String], orderCols: Seq[Column],
-                   desc: Seq[Boolean] = Nil,
-                   rowNumber: Option[String] = None, rank: Option[String] = None,
-                   denseRank: Option[String] = None,
-                   percentRank: Option[String] = None,
-                   ntile: Option[(Int, String)] = None): GTable = {
+  /** The dispatch decision [[rankingsAuto]] takes on this plan, exposed so
+    * probes and specs can OBSERVE the flip instead of inferring it from
+    * wall time: (rows used for the decision, flip threshold, flips?).
+    *
+    * The plan-stats estimate divides COMPRESSED parquet bytes by the
+    * UNCOMPRESSED row width, so it errs low by the compression ratio —
+    * measured ~6× on the ×50 soak corpus (est 5.1M vs 30M true rows),
+    * which silently withheld the flip at exactly the scale it exists for.
+    * Rather than bake in a compression-ratio guess, the AMBIGUOUS band
+    * (est < flip ≤ est·maxExpansion, `spark.graft.rankings.maxExpansion`,
+    * default 8) pays one exact count — parquet count() resolves from
+    * row-group metadata, seconds next to the tens-of-seconds ranking the
+    * decision governs — and decides on true rows. Below the band the
+    * plain window proceeds with no extra job. */
+  def rankingsFlip: (Long, Long, Boolean) = {
     val conf = df.sparkSession.conf
     val flipRows = conf.getOption("spark.graft.rankings.flipRows")
       .map(_.toLong).getOrElse {
@@ -758,7 +767,28 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     val stats = df.queryExecution.optimizedPlan.stats
     val unknownSize = stats.rowCount.isEmpty &&
       stats.sizeInBytes >= df.sparkSession.sessionState.conf.defaultSizeInBytes
-    if (!unknownSize && estimatedRows >= flipRows)
+    val est = estimatedRows
+    if (unknownSize || flipRows == Long.MaxValue) (est, flipRows, false)
+    else if (est >= flipRows) (est, flipRows, true)
+    else if (stats.rowCount.isDefined) (est, flipRows, false) // exact already
+    else {
+      val maxExp = conf.getOption("spark.graft.rankings.maxExpansion")
+        .map(_.toDouble).getOrElse(8.0)
+      if (est.toDouble * maxExp < flipRows.toDouble) (est, flipRows, false)
+      else {
+        val exact = df.count()
+        (exact, flipRows, exact >= flipRows)
+      }
+    }
+  }
+
+  def rankingsAuto(partKeys: Seq[String], orderCols: Seq[Column],
+                   desc: Seq[Boolean] = Nil,
+                   rowNumber: Option[String] = None, rank: Option[String] = None,
+                   denseRank: Option[String] = None,
+                   percentRank: Option[String] = None,
+                   ntile: Option[(Int, String)] = None): GTable = {
+    if (rankingsFlip._3)
       rankings(partKeys, orderCols, desc, rowNumber, rank, denseRank,
         percentRank, ntile)
     else {

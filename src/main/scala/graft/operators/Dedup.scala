@@ -741,8 +741,11 @@ object Dedup {
           pmod(xxhash64(col("bucket").cast("string")), lit(slots)))
         .persist()
       try {
-        banded.write.mode("overwrite").partitionBy("_bb")
-          .parquet(s"$path/banded")
+        // clustered write: one file per _bb slot dir (see Similarity
+        // .lshBuild — an unclustered partitionBy write costs tasks × dirs
+        // files); banded stays persisted for the occ pass below
+        banded.repartition(col("_bb")).write.mode("overwrite")
+          .partitionBy("_bb").parquet(s"$path/banded")
         // bucket-occupancy histogram as a build-time sidecar: the cap's
         // hot-bucket list is a property of the INDEX, so the per-probe
         // groupBy over the banded stream (the dominant probe cost measured
@@ -754,7 +757,8 @@ object Dedup {
         occ.write.mode("overwrite").parquet(s"$path/occ")
         val sigs = sig.withColumn("_sp",
           pmod(xxhash64(col("id").cast("string")), lit(slots)))
-        sigs.write.mode("overwrite").partitionBy("_sp").parquet(s"$path/sigs")
+        sigs.repartition(col("_sp"))
+          .write.mode("overwrite").partitionBy("_sp").parquet(s"$path/sigs")
         MinHashIndex(path, textCol, idCol, n, k, bands, md5, slots,
           banded.schema, sigs.schema, occ.schema)
       } finally banded.unpersist(blocking = false)

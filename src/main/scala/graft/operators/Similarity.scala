@@ -234,7 +234,14 @@ object Similarity {
         explode(array(buckets: _*)).as("_bucket"))
       .withColumn("_tb", tbKey(planes0)(col("_bucket.t"), col("_bucket.b")))
       .drop("_bucket")
-    rows.write.mode("overwrite").partitionBy("_tb").parquet(path)
+    // cluster on the partition key: each _tb dir is then written by ONE
+    // task → one file per bucket dir. An unclustered write has every task
+    // writing into every dir — at tables × 2^planes = thousands of dirs
+    // that is ~100k tiny files; the round-9 dim-256 probe measured the
+    // difference as 397 s → seconds for a 100k-vector build, and probes
+    // pay the same census as a listing tax
+    rows.repartition(col("_tb"))
+      .write.mode("overwrite").partitionBy("_tb").parquet(path)
     LshIndex(path, idCol, vecCol, planes0, dim, tables, rows.schema)
   }
 
@@ -523,7 +530,9 @@ object Similarity {
     val assigned = withAssignedCid(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
       col("_cv"), cents, "cid")
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    // clustered write: one file per cid dir (see lshBuild)
+    assigned.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
     IvfIndex(path, idCol, vecCol, nlist, kmeansIters, cents, assigned.schema)
   }
 

@@ -27,6 +27,26 @@ object RankFlipProbe {
       }
       println(f"PROBE $name best=${runs.min}%.2f raw=${runs.map(r => f"$r%.2f").mkString("[", ",", "]")}")
     }
+    // the AUTO dispatch's actual decision at this scale (rankingsFlip is
+    // the exact predicate rankingsAuto branches on) + a timed auto run
+    import org.apache.spark.sql.functions.col
+    val li = graft.core.GTable(graft.core.Tables.load(spark, sf, "lineitem"))
+    val (est, flip, flips) = li.rankingsFlip
+    println(s"PROBE rankingsAuto estimatedRows=$est flipRows=$flip " +
+      s"-> ${if (flips) "DISTRIBUTED" else "WINDOW"}")
+    val autoRuns = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      // the full 5-function shape of q_window_rank, so the auto timing is
+      // apples-to-apples with the window/dist pair above
+      li.rankingsAuto(Seq("l_returnflag"),
+          Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+          desc = Seq(true, false, false), rowNumber = Some("rn0"),
+          rank = Some("rk0"), denseRank = Some("dr0"),
+          percentRank = Some("pr"), ntile = Some((4, "nt0")))
+        .result.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"PROBE rankingsAuto best=${autoRuns.min}%.2f raw=${autoRuns.map(r => f"$r%.2f").mkString("[", ",", "]")}")
     spark.stop()
   }
 }

@@ -84,4 +84,24 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+  test("rankingsFlip dispatch: large known-stats plans flip, small ones keep the window, P<=K never flips") {
+    val big = graft.core.GTable(spark.range(20000000L).toDF("id")
+      .withColumn("k", col("id") % 5))
+    val small = graft.core.GTable(spark.range(1000L).toDF("id"))
+    // the test session runs local[4]: P = 4 <= assumedKeys 4 -> the window
+    // already uses every core, dispatch must NEVER flip
+    assert(!big.rankingsFlip._3, "P <= K must never flip")
+    // at a 32-core profile the 20M-row plan is far past the derived ~10M
+    spark.conf.set("spark.graft.rankings.parallelism", "32")
+    try {
+      val (est, flip, flips) = big.rankingsFlip
+      assert(flips && est >= flip, s"20M rows at P=32 must flip (est=$est flip=$flip)")
+      assert(!small.rankingsFlip._3, "1k rows must keep the plain window")
+      // explicit override wins over the derived threshold
+      spark.conf.set("spark.graft.rankings.flipRows", "100")
+      try assert(small.rankingsFlip._3, "explicit flipRows=100 must flip 1k rows")
+      finally spark.conf.unset("spark.graft.rankings.flipRows")
+    } finally spark.conf.unset("spark.graft.rankings.parallelism")
+  }
+
 }
