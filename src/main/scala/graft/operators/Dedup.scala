@@ -806,12 +806,19 @@ object Dedup {
       val keys = bb.select("_bb").distinct()
         .limit(maxPruneKeys + 1).collect().map(_.getLong(0))
       IndexMaint.recoverSwap(spark, s"${index.path}/banded")
-      val corpusBanded0 = spark.read.schema(index.bandedSchema)
-        .parquet(s"${index.path}/banded")
+      def emptyOf(schema: org.apache.spark.sql.types.StructType) =
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      // pruned probes read EXPLICIT slot dirs (listing ∝ probed slots,
+      // IndexMaint.readPartitions); past maxPruneKeys the degraded full
+      // scan reads the root as before
       val corpusBanded =
         if (keys.length <= maxPruneKeys)
-          corpusBanded0.filter(col("_bb").isin(keys: _*))
-        else corpusBanded0
+          IndexMaint.readPartitions(spark, s"${index.path}/banded",
+              index.bandedSchema, "_bb", keys)
+            .getOrElse(emptyOf(index.bandedSchema))
+        else spark.read.schema(index.bandedSchema)
+          .parquet(s"${index.path}/banded")
       // hot-bucket exclusion off the build-time occupancy sidecar — the
       // histogram is a property of the index, so no per-probe groupBy over
       // the banded stream; the hot list is tiny by construction (broadcast
@@ -850,9 +857,9 @@ object Dedup {
             lit(index.slots)).as("_sp"))
           .distinct().collect().map(_.getLong(0))
         IndexMaint.recoverSwap(spark, s"${index.path}/sigs")
-        val cs = spark.read.schema(index.sigSchema)
-          .parquet(s"${index.path}/sigs")
-          .filter(col("_sp").isin(sp: _*))
+        val cs = IndexMaint.readPartitions(spark, s"${index.path}/sigs",
+            index.sigSchema, "_sp", sp)
+          .getOrElse(emptyOf(index.sigSchema))
         val out = cand
           .join(cs.select(col("id").as("corpus_id"), col("sig").as("sig2")),
             Seq("corpus_id"))

@@ -318,9 +318,26 @@ object Similarity {
       StructType(Seq(StructField("query_id", idType),
         StructField("_qv", ArrayType(FloatType)), StructField("_tb", LongType))))
     val tbs = probeRows.map(_.getLong(2)).distinct
-    val cb = spark.read.schema(index.schema).parquet(index.path)
-      .filter(col("_tb").isin(tbs: _*))
-    rescoreTopK(spark, cb.join(broadcast(qb), Seq("_tb")), k)
+    // explicit probed dirs, not root-read + isin: the FileIndex listing
+    // then costs ∝ probed buckets, not the whole tree (IndexMaint doc)
+    IndexMaint.readPartitions(spark, index.path, index.schema, "_tb", tbs) match {
+      case Some(cb) => rescoreTopK(spark, cb.join(broadcast(qb), Seq("_tb")), k)
+      case None => emptyTopK(spark, idType,
+        index.schema("neighbor_id").dataType)
+    }
+  }
+
+  /** Empty (query_id, neighbor_id, score, rank) frame — the probe answer
+    * when no probed partition exists on disk. */
+  private def emptyTopK(spark: org.apache.spark.sql.SparkSession,
+                        qType: org.apache.spark.sql.types.DataType,
+                        nType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("query_id", qType),
+        StructField("neighbor_id", nType),
+        StructField("score", DoubleType), StructField("rank", IntegerType))))
   }
 
   /** IVF (inverted-file) ANN: the corpus is coarsely quantized to the
@@ -659,9 +676,14 @@ object Similarity {
     // queries are small by contract (they broadcast); their probed cid set
     // is ≤ |queries|·nprobe values — collect it to prune statically
     val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
-    val assigned = spark.read.schema(index.schema).parquet(index.path)
-      .filter(col("cid").isin(cids: _*))
-    rescoreTopK(spark, assigned.join(broadcast(probes), Seq("cid")), k)
+    // explicit probed dirs (see lshProbe): listing ∝ probed cells
+    IndexMaint.readPartitions(spark, index.path, index.schema, "cid", cids) match {
+      case Some(assigned) =>
+        rescoreTopK(spark, assigned.join(broadcast(probes), Seq("cid")), k)
+      case None => emptyTopK(spark,
+        queries.schema(index.idCol).dataType,
+        index.schema("neighbor_id").dataType)
+    }
   }
 
   /** Batch-vs-corpus semantic near-dup hits off a prebuilt IVF index —
@@ -691,8 +713,17 @@ object Similarity {
     val probes = probeFrame(spark, batch, index.idCol, index.vecCol,
       index.centroids, nprobe)
     val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
-    val corpus0 = spark.read.schema(index.schema).parquet(index.path)
-      .filter(col("cid").isin(cids: _*))
+    // explicit probed dirs (see lshProbe): listing ∝ probed cells
+    val corpus0 = IndexMaint.readPartitions(spark, index.path, index.schema,
+        "cid", cids).getOrElse {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("batch_id", batch.schema(index.idCol).dataType),
+          StructField("corpus_id", index.schema("neighbor_id").dataType),
+          StructField("cos", DoubleType))))
+    }
     val corpus = if (maxCell <= 0) corpus0 else {
       val hot = corpus0.groupBy("cid")
         .agg(countDistinct(col("neighbor_id")).as("_n"))
