@@ -362,24 +362,49 @@ object Similarity {
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    for (_ <- 1 to iters) {
-      val dims = withAssignedCid(corpus, col(vecCol), cents, "cid")
-        .select(col("cid"), posexplode(col(vecCol)))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val byCid = dims.groupBy(_.getLong(0))
-      cents = cents.map { case (cid, prev) =>
-        byCid.get(cid) match {
-          case Some(rows) =>
-            val v = prev.clone()
-            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
-            (cid, v)
-          case None => (cid, prev) // empty cluster: keep previous centroid
+    if (iters <= 0 || cents.isEmpty) return cents
+    // Lloyd refinement iterates over a bounded, DETERMINISTIC subsample
+    // (`spark.graft.kmeans.sampleRows`, default 1M) — each iteration is
+    // one pass over the sample, where iterating the corpus would be
+    // `iters` extra FULL scans at 100 TB (round-8 VERDICT watch item).
+    // Sample-based Lloyd is standard practice; the final assignment
+    // (ivfBuild / semanticPairs) still runs over the whole corpus against
+    // the refined centroids. The sample is a hash-mod filter on the id
+    // (xxhash64(id) % D == 0 with D sized from one columnar count) —
+    // narrow, no sort/shuffle, and independent of partition layout, where
+    // an orderBy(id).limit(n) sampler would global-sort the corpus and
+    // TakeOrdered allocates O(n) per task. Corpora at or under the bound
+    // iterate over everything, exactly as before.
+    val sampleRows = corpus.sparkSession.conf
+      .getOption("spark.graft.kmeans.sampleRows").map(_.toLong)
+      .getOrElse(1000000L)
+    val slim = corpus.select(col(idCol), col(vecCol))
+    val total = slim.count()
+    val base = (if (total <= sampleRows) slim
+                else {
+                  val d = (total + sampleRows - 1) / sampleRows
+                  slim.filter(pmod(xxhash64(col(idCol)), lit(d)) === 0)
+                }).persist()
+    try {
+      for (_ <- 1 to iters) {
+        val dims = withAssignedCid(base, col(vecCol), cents, "cid")
+          .select(col("cid"), posexplode(col(vecCol)))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+        val byCid = dims.groupBy(_.getLong(0))
+        cents = cents.map { case (cid, prev) =>
+          byCid.get(cid) match {
+            case Some(rows) =>
+              val v = prev.clone()
+              rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+              (cid, v)
+            case None => (cid, prev) // empty cluster: keep previous centroid
+          }
         }
       }
-    }
-    cents
+      cents
+    } finally { base.unpersist(blocking = false); () }
   }
 
   /** Deterministic coarse centroids: first nlist vectors by id, collected

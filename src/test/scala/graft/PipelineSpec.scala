@@ -555,6 +555,37 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.centroidLiteralBudget")
   }
 
+  test("sample-bounded Lloyd: deterministic under a small sample, recall keeps the bar, full-sample ≡ unbounded") {
+    def cents(): Seq[(Long, Seq[Float])] =
+      Similarity.kmeansCentroids(embs, "vec_id", "embedding", nlist = 16,
+        iters = 3).toSeq.map { case (c, v) => (c, v.toSeq) }
+    val unbounded = cents() // default 1M bound ≥ corpus: full iteration
+    // a sample covering the corpus must change nothing
+    spark.conf.set("spark.graft.kmeans.sampleRows", "1000000000")
+    try assert(cents() == unbounded,
+      "a bound above the corpus size must be a no-op")
+    finally spark.conf.unset("spark.graft.kmeans.sampleRows")
+    // a small bound stays deterministic (same sample, same refinement)
+    // and the refined centroids still clear the recall bar
+    spark.conf.set("spark.graft.kmeans.sampleRows", "60")
+    try {
+      val a = cents()
+      assert(a == cents(), "sample-bounded refinement must be deterministic")
+      assert(a.size == unbounded.size)
+      val q = embs.filter(col("vec_id") < 20)
+      val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = 6, kmeansIters = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = bf.intersect(ivf).size.toDouble / bf.size
+      info(s"IVF recall@5 with Lloyd bounded to 60 sample rows: $recall")
+      assert(recall > 0.3)
+    } finally spark.conf.unset("spark.graft.kmeans.sampleRows")
+  }
+
   test("IVF ANN recall vs brute force top-5") {
     val q = embs.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
