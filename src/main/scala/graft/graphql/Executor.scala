@@ -840,6 +840,64 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           s"nearest method: must be BRUTE, IVF or LSH, got \"$other\"")
       }
       resolveTable(GTable(out, denseRid = false), f, None)
+    case "knnJoin" =>
+      // batch k-NN JOIN: every row of THIS table gets its top-k cosine
+      // neighbors in the named corpus table — the table-shaped
+      // counterpart of `nearest` (whose query side is an id list or one
+      // external vector). method: BRUTE broadcasts the corpus; LSH / IVF
+      // are the big×big shuffle-join scale paths (no broadcast of either
+      // side).
+      val corpusName = strArg(f, "corpus")
+        .getOrElse(throw new IllegalArgumentException("knnJoin needs corpus: <table>"))
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("knnJoin needs on: <vector column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("knnJoin needs id: <key column>"))
+      val k = intArg(f, "k")
+        .getOrElse(throw new IllegalArgumentException("knnJoin needs k:"))
+      val corpusRoot = roots.getOrElse(corpusName,
+        throw new IllegalArgumentException(s"unknown table '$corpusName'"))().result
+      val corpus = f.arg("corpusWhere")
+        .map(w => corpusRoot.filter(Exprs.compile(w))).getOrElse(corpusRoot)
+      val sim = graft.operators.Similarity
+      val joined = strArg(f, "method").getOrElse("BRUTE").toUpperCase match {
+        case "BRUTE" => sim.knnJoinBrute(t.result, corpus, id, on, k)
+        case "LSH" =>
+          val planes = intArg(f, "planes").getOrElse(4)
+          val tables = intArg(f, "tables").getOrElse(8)
+          val probes = intArg(f, "probes").getOrElse(1)
+          val dim = intArg(f, "dim").getOrElse(
+            corpus.select(size(col(on))).head.getInt(0))
+          sim.knnJoinLsh(t.result, corpus, id, on, k, planes, dim,
+            tables, probes)
+        case "IVF" =>
+          val nlist = intArg(f, "nlist").getOrElse(16)
+          val nprobe = intArg(f, "nprobe").getOrElse(6)
+          sim.knnJoinIvf(t.result, corpus, id, on, k, nlist, nprobe)
+        case other => throw new IllegalArgumentException(
+          s"knnJoin method: must be BRUTE, IVF or LSH, got \"$other\"")
+      }
+      resolveTable(GTable(joined, denseRid = false), f, None)
+    case "snapshotDiff" =>
+      // keyed recrawl delta: THIS table is the CURRENT snapshot, diffed
+      // against the named previous-snapshot table (added / removed /
+      // changed per key; compare: restricts the changed test).
+      val oldName = strArg(f, "old")
+        .getOrElse(throw new IllegalArgumentException("snapshotDiff needs old: <table>"))
+      val keys = strListArg(f, "on") match {
+        case Nil => throw new IllegalArgumentException(
+          "snapshotDiff needs on: [<key columns>]")
+        case ks => ks
+      }
+      val compare = strListArg(f, "compare")
+      val oldRoot = roots.getOrElse(oldName,
+        throw new IllegalArgumentException(s"unknown table '$oldName'"))().result
+      val oldDf = f.arg("oldWhere")
+        .map(w => oldRoot.filter(Exprs.compile(w))).getOrElse(oldRoot)
+      val full = f.arg("includeUnchanged").collect {
+        case GBool(b) => b }.getOrElse(false)
+      resolveTable(GTable(graft.operators.Snapshot.diff(
+        oldDf, t.result, keys, compare, full), denseRid = false), f, None)
     case "tfidf" =>
       // per-document top-k terms by tf-idf (keyword extraction)
       val on = strArg(f, "on")

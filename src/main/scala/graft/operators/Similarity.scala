@@ -1119,4 +1119,171 @@ object Similarity {
         cosineFast(df.sparkSession)(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // -------------------------------------------------------------------
+  // k-NN JOIN: per-row top-k neighbors of one TABLE in another.
+  // bruteForceTopK/lshTopK/ivfTopK serve the "small query batch" shape
+  // (the queries are broadcast); a k-NN join is the batch-pipeline shape
+  // — the query side is itself a table (pair a crawl snapshot's documents
+  // with their nearest corpus neighbors, build retrieval training pairs,
+  // k-NN-propagate quality labels), so the LEFT side must never be
+  // broadcast or collected. Output contract matches the ANN family:
+  // (query_id, neighbor_id, score, rank), equal ids excluded.
+  // Reference analog: none (graphique serves single-batch search only);
+  // the join shape follows the standard blocked/banded similarity-join
+  // literature the LSH tiers already cite.
+
+  /** Shared tail: exact per-query top-k over scored candidates. The
+    * rank <= k filter is the InferWindowGroupLimit shape — each task
+    * truncates to k rows per query BEFORE the exchange, and the scored
+    * vectors are column-pruned off the shuffle (only ids + score move). */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("_rn").as("rank"))
+  }
+
+  /** Exact k-NN join: for EVERY `left` row, the top-k cosine neighbors in
+    * `right`. The RIGHT side is broadcast once and the left streams
+    * against it ([[bruteForceTopK]] with the sides' roles swapped), so
+    * the left may be arbitrarily large while the right must fit an
+    * executor (the scan-shape contract; past it, use [[knnJoinLsh]] /
+    * [[knnJoinIvf]]). Each left partition holds every (query, neighbor)
+    * score for its queries, so WindowGroupLimit truncates to k per query
+    * map-side — the exchange carries O(|left|·k) narrow rows, never
+    * |left|·|right|. */
+  def knnJoinBrute(left: DataFrame, right: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    val l = left.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val r = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // null-safe self-exclusion, same contract as the ANN search family
+    val scored = l.join(broadcast(r),
+        !(col("query_id") <=> col("neighbor_id")))
+      .withColumn("score",
+        cosineFast(left.sparkSession)(col("_qv"), col("_cv")))
+    perQueryTopK(scored, k)
+  }
+
+  /** LSH-bucketed k-NN join — the BIG×BIG scale path: both sides hash to
+    * sign buckets with the fused [[lshBucket]], candidates come from a
+    * shuffle join on the (table, bucket) key (NO broadcast on either
+    * side), and only the surviving distinct (query, neighbor) pairs
+    * re-join their vectors for the exact re-score. Candidate volume is
+    * Σ_buckets |left_b|·|right_b| ≈ tables·|left|·|right|/2^planes — the
+    * planes knob trades recall for join fan-in exactly as in [[lshTopK]],
+    * and the right side's bucket occupancy is capped ([[Dedup.capBucketsBy]],
+    * metered as op "knnJoinLsh") so adversarial boilerplate mass cannot
+    * go quadratic. `probes > 0` adds left-side multiprobe (recall up,
+    * 1 + probes buckets per table; the per-plane dots are interpreted
+    * HOFs — linear in |left| but heavier per row than the fused base
+    * bucket, the price of recall without more tables). */
+  def knnJoinLsh(left: DataFrame, right: DataFrame, idCol: String,
+                 vecCol: String, k: Int, planes: Int = 0, dim: Int = 0,
+                 tables: Int = 8, probes: Int = 0,
+                 maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val spark = left.sparkSession
+    val planes0 = resolvePlanes(right, planes, "knnJoinLsh")
+    val dim0 = if (dim > 0) dim
+      else right.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
+    val buckets = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col(vecCol), planes0, dim0, t).as("b")))
+    // candidate generation rides NARROW (bucket, id) rows on both sides —
+    // the vectors re-join only for surviving pairs (minhashPairs shape)
+    val cb = Dedup.capBucketsBy(
+      right.select(col(idCol).as("neighbor_id"),
+        explode(array(buckets: _*)).as("_bucket")),
+      Seq("_bucket"), maxBucket, "knnJoinLsh")
+    val qb =
+      if (probes == 0)
+        left.select(col(idCol).as("query_id"),
+          explode(array(buckets: _*)).as("_bucket"))
+      else {
+        val qBuckets = (0 until tables).map(t =>
+          transform(lshProbeBuckets(col(vecCol), planes0, dim0, t, probes),
+            b => struct(lit(t).as("t"), b.as("b"))))
+        left.select(col(idCol).as("query_id"),
+          explode(flatten(array(qBuckets: _*))).as("_bucket"))
+      }
+    val cand = cb.join(qb, Seq("_bucket"))
+      .filter(!(col("query_id") <=> col("neighbor_id")))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val lv = left.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val rv = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = cand.join(lv, Seq("query_id")).join(rv, Seq("neighbor_id"))
+      .withColumn("score", cosineFast(spark)(col("_qv"), col("_cv")))
+    perQueryTopK(scored, k)
+  }
+
+  /** md5-grid row offset for projection matrices: keeps the projection
+    * family disjoint from every LSH plane family (tables × planes ids
+    * start at 0 and stay far below this), so projecting and then
+    * LSH-bucketing the SAME corpus never reuses correlated hyperplanes. */
+  private[graft] val ProjPlaneBase = 1 << 20
+
+  /** Deterministic random projection of an `array<float>` embedding to
+    * `outDim` dimensions: one fused matrix·vector pass
+    * ([[graft.expressions.MatVec]] — a compiled multiply-add loop, no
+    * per-row array churn) against the same md5-derived plane grid the
+    * LSH tiers use (offset by [[ProjPlaneBase]]), so the projection is
+    * reproducible across sessions AND recomputable in oracle SQL.
+    * Johnson–Lindenstrauss shape: at 100 TB the projection runs at
+    * ingest (dim 768 → 64-128 cuts every downstream ANN/dedup scan and
+    * shuffle by the same factor) and cosine geometry degrades gracefully
+    * (uniform entries; scale factors cancel in cosine). `family` selects
+    * an independent matrix. */
+  def randomProject(df: DataFrame, vecCol: String, as: String,
+                    outDim: Int, dim: Int, family: Int = 0): DataFrame = {
+    require(outDim > 0 && dim > 0, s"need outDim > 0 and dim > 0 (got $outDim, $dim)")
+    val matrix = Array.tabulate(outDim, dim)((p, i) =>
+      planeComponent(ProjPlaneBase + family * outDim + p, i))
+    df.withColumn(as, graft.expressions.LshFunctions.matvec(
+      df.sparkSession, col(vecCol), s"mat_vec_${family}_${outDim}_$dim", matrix))
+  }
+
+  /** Composable reference form of [[randomProject]] (interpreted HOFs) —
+    * spec-asserted element parity with the fused expression on valid
+    * vectors. */
+  def randomProjectComposable(vec: Column, outDim: Int, dim: Int,
+                              family: Int = 0): Column = {
+    val dots = (0 until outDim).map { p =>
+      val row = typedLit((0 until dim).map(i =>
+        planeComponent(ProjPlaneBase + family * outDim + p, i)).toArray)
+      aggregate(zip_with(vec, row, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v).cast("float")
+    }
+    array(dots: _*)
+  }
+
+  /** IVF k-NN join — the clustered BIG×BIG scale path: the right side
+    * assigns each row to its best of `nlist` centroids (budget-dispatched
+    * transport, [[withCentScores]]), the left fans out ×nprobe to its
+    * best cells, and candidates come from a shuffle join on the cell id
+    * (no broadcast of either side — [[ivfTopK]] broadcasts its query
+    * batch; a join's left is a table). Candidate volume is
+    * Σ_cells |left probes_c|·|right_c| — nlist/nprobe trade recall for
+    * fan-in. Centroids derive from the RIGHT side (the corpus being
+    * searched), deterministic id-ordered sample + optional Lloyd. */
+  def knnJoinIvf(left: DataFrame, right: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                 kmeansIters: Int = 0): DataFrame = {
+    val spark = left.sparkSession
+    val cents = coarseCentroids(right, idCol, vecCol, nlist, kmeansIters)
+    if (cents.isEmpty)
+      return right.select(col(idCol).as("neighbor_id"))
+        .crossJoin(left.select(col(idCol).as("query_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0.0).as("score"), lit(0).as("rank"))
+        .limit(0)
+    val assigned = withAssignedCid(
+      right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+      col("_cv"), cents, "cid")
+    val probes = probeFrame(spark, left, idCol, vecCol, cents, nprobe)
+    rescoreTopK(spark, assigned.join(probes, Seq("cid")), k)
+  }
 }

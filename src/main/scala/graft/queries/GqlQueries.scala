@@ -809,6 +809,67 @@ object GqlQueries {
             CAST(rn AS INT) AS rank
           FROM ranked WHERE rn <= 5 ORDER BY rank"""))
 
+  /** Served batch k-NN JOIN (`knnJoin(corpus:, method: "LSH")`): the
+    * query side is a TABLE (here: the vec_id % 20 = 3 slice, built with
+    * served project + filter), not an id list — the serving surface for
+    * "pair every batch row with its corpus neighbors". Same parameters
+    * and fully-recomputing oracle as q_knn_join_lsh (planes, left
+    * multiprobe, the occupancy cap, re-score, top-k). */
+  val q_gql_knn_join = Q(
+    "q_gql_knn_join",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: embeddings {
+           m: project(columns: [
+                 {alias: "m20", mod: [{name: "vec_id"}, {value: 20}]}]) {
+             f: filter(m20: {eq: 3}) {
+               j: knnJoin(corpus: "embeddings", on: "embedding", id: "vec_id",
+                          k: 3, method: "LSH", planes: 4, tables: 8, probes: 1) {
+                 p: project(columns: [
+                       {alias: "score_r", numeric: {round: [{name: "score"}, {value: 9}]}}]) {
+                   o: order(by: ["query_id", "rank"]) {
+                     c: columns { query_id { values } neighbor_id { values }
+                                  score: score_r { values } rank { values } } } } } } } } }""",
+      Seq("t", "m", "f", "j", "p", "o", "c"),
+      "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
+    PipelineQueries.q_knn_join_lsh.oracle)
+
+  /** Served snapshot diff (`snapshotDiff(old:)`): THIS table is the
+    * current snapshot — built with served project (the uppercase text
+    * mutation via ifelse) and filter (drop doc_id % 7) — diffed against
+    * the documents root as the previous snapshot. Exercises the removed
+    * + changed arms (the served surface cannot synthesize brand-new
+    * keys, so `added` stays library-gated via q_snapshot_diff). */
+  val q_gql_snapshot_diff = Q(
+    "q_gql_snapshot_diff",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           m: project(columns: [
+                 {alias: "text", ifelse: [
+                    {eq: [{mod: [{name: "doc_id"}, {value: 5}]}, {value: 0}]},
+                    {string: {upper: {name: "text"}}},
+                    {name: "text"}]},
+                 {alias: "m7", mod: [{name: "doc_id"}, {value: 7}]}]) {
+             f: filter(m7: {ne: 0}) {
+               d: snapshotDiff(old: "documents", on: ["doc_id"], compare: ["text"]) {
+                 o: order(by: ["doc_id"]) {
+                   c: columns { doc_id { values } status { values } } } } } } } }""",
+      Seq("t", "m", "f", "d", "o", "c"),
+      "doc_id BIGINT, status STRING"),
+    Some("""WITH old AS (SELECT doc_id, text FROM documents),
+          cur AS (SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0),
+          j AS (SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+              o.doc_id IS NOT NULL AS in_old, c.doc_id IS NOT NULL AS in_cur,
+              o.text IS DISTINCT FROM c.text AS differs
+            FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+          SELECT doc_id,
+            CASE WHEN NOT in_old THEN 'added'
+                 WHEN NOT in_cur THEN 'removed'
+                 ELSE 'changed' END AS status
+          FROM j WHERE NOT in_old OR NOT in_cur OR differs
+          ORDER BY doc_id"""))
+
   /** Map columns served as JSON scalars (spark.graft.schema.mapAsJson;
     * parity default drops them like the reference) — the sql root builds a
     * map from plain columns, the service serializes it to_json, and DuckDB
@@ -943,5 +1004,5 @@ object GqlQueries {
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
-    q_gql_ann_vector, q_gql_map)
+    q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_snapshot_diff)
 }

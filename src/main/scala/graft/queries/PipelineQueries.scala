@@ -859,6 +859,122 @@ object PipelineQueries {
             CAST(rn AS INT) AS rank
           FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
 
+  /** Exact k-NN JOIN (Similarity.knnJoinBrute): every row of the left
+    * TABLE (vec_id % 20 = 3 — a spread ~5% slice) gets its top-3 cosine
+    * neighbors in the full corpus. The join shape (left streams, right
+    * broadcast, WindowGroupLimit truncation) is PlanGuard/PipelineSpec
+    * territory; the oracle adjudicates the full answer. */
+  val q_knn_join = Q(
+    "q_knn_join",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val left = e.filter(col("vec_id") % 20 === 3)
+      GTable(Similarity.knnJoinBrute(left, e, "vec_id", "embedding", k = 3))
+        .project("score" -> round(col("score"), 9))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          q AS (SELECT vec_id AS query_id, e AS qe FROM v
+            WHERE vec_id % 20 = 3),
+          scored AS (SELECT query_id, v.vec_id AS neighbor_id,
+              ${cosSql("qe", "v.e")} AS score
+            FROM v CROSS JOIN q WHERE v.vec_id <> query_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) rank FROM scored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rank AS INTEGER) AS rank
+          FROM ranked WHERE rank <= 3
+          ORDER BY query_id, rank"""))
+
+  /** LSH-bucketed k-NN join (Similarity.knnJoinLsh, the big×big scale
+    * path): both sides banded to (table, bucket), shuffle-joined on the
+    * bucket key, right-side occupancy capped. Fully adjudicated — planes,
+    * left multiprobe (probes = 1), the occupancy cap, candidate pairing,
+    * exact re-score and top-k are all recomputed by the oracle, so the
+    * banding-based candidate restriction itself is oracle-checked at any
+    * amplification. */
+  val q_knn_join_lsh = Q(
+    "q_knn_join_lsh",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val left = e.filter(col("vec_id") % 20 === 3)
+      GTable(Similarity.knnJoinLsh(left, e, "vec_id", "embedding", k = 3,
+          planes = 4, dim = 64, tables = 8, probes = 1))
+        .project("score" -> round(col("score"), 9))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          ${lshBucketsSql(planes = 4, dim = 64, tables = 8)},
+          hot AS (SELECT t, bucket FROM buck GROUP BY t, bucket
+            HAVING count(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
+          buckc AS (SELECT buck.* FROM buck
+            WHERE NOT EXISTS (SELECT 1 FROM hot h
+              WHERE h.t = buck.t AND h.bucket = buck.bucket)),
+          ${lshMultiprobeSql(planes = 4, probes = 1, "vec_id % 20 = 3")},
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM qbuck q JOIN buckc c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.vec_id <> c.vec_id),
+          scored AS (SELECT query_id, neighbor_id,
+              ${cosSql("qv.e", "cv.e")} AS score
+            FROM cand JOIN v qv ON cand.query_id = qv.vec_id
+                      JOIN v cv ON cand.neighbor_id = cv.vec_id),
+          ranked AS (SELECT query_id, neighbor_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn
+            FROM scored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rn AS INT) AS rank
+          FROM ranked WHERE rn <= 3 ORDER BY query_id, rank"""))
+
+  /** IVF k-NN join (Similarity.knnJoinIvf): right side assigned to its
+    * best of 16 cells, left fans out to its nprobe = 4 best cells,
+    * candidates from the shuffle join on the cell id — assignment,
+    * probing, re-score and top-k all recomputed by the oracle. */
+  val q_knn_join_ivf = Q(
+    "q_knn_join_ivf",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val left = e.filter(col("vec_id") % 20 === 3)
+      GTable(Similarity.knnJoinIvf(left, e, "vec_id", "embedding", k = 3,
+          nlist = 16, nprobe = 4))
+        .project("score" -> round(col("score"), 9))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cid, e AS ce FROM v
+            ORDER BY vec_id LIMIT 16),
+          asg AS (SELECT v.vec_id AS neighbor_id,
+              (SELECT c.cid FROM cents c
+               ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid DESC LIMIT 1) AS cid
+            FROM v),
+          probes AS (SELECT q.vec_id AS query_id, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.e", "c.ce")} DESC, c.cid DESC) AS pr
+            FROM v q, cents c WHERE q.vec_id % 20 = 3),
+          cand AS (SELECT DISTINCT query_id, neighbor_id
+            FROM (SELECT query_id, cid FROM probes WHERE pr <= 4) p
+            JOIN asg USING (cid) WHERE query_id <> neighbor_id),
+          scored AS (SELECT query_id, neighbor_id,
+              ${cosSql("qv.e", "cv.e")} AS score
+            FROM cand JOIN v qv ON cand.query_id = qv.vec_id
+                      JOIN v cv ON cand.neighbor_id = cv.vec_id),
+          ranked AS (SELECT query_id, neighbor_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn
+            FROM scored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rn AS INT) AS rank
+          FROM ranked WHERE rn <= 3 ORDER BY query_id, rank"""))
+
   /** Index base dir for the prebuilt-ANN gate queries: per-sf-dir so the
     * sf0.01 and sf0.1 gate runs never share index files. */
   private def annDir(dir: String): String =
@@ -1712,6 +1828,114 @@ object PipelineQueries {
                 (x, i) -> i = 1 OR x != toks[i - 1]), ' ') AS collapsed
             FROM t ORDER BY doc_id"""))
 
+  /** Oracle-SQL fragment: the md5-derived projection matrix of
+    * [[Similarity.randomProject]] — the [[lshBucketsSql]] grid with the
+    * ProjPlaneBase row offset. Emits `pc(p, pl)`, p in [0, outDim). */
+  private def projGridSql(outDim: Int, dim: Int): String = {
+    val base = graft.operators.Similarity.ProjPlaneBase
+    s"""pc AS (SELECT p, list(c ORDER BY i) AS pl FROM (
+       |    SELECT tp.p, ti.i,
+       |      CAST(list_reduce(list_transform(range(1, 16), j ->
+       |        CAST(strpos('0123456789abcdef',
+       |          substr(md5(CAST(tp.p + $base AS VARCHAR) || ':' ||
+       |            CAST(ti.i AS VARCHAR)),
+       |            CAST(j AS INT), 1)) - 1 AS BIGINT)),
+       |        (a, b) -> a * 16 + b) % 1000000 AS DOUBLE) / 1000000.0 - 0.5 AS c
+       |    FROM range(0, $outDim) tp(p), range(0, $dim) ti(i))
+       |  GROUP BY p)""".stripMargin
+  }
+
+  /** Random projection (Similarity.randomProject, the fused MatVec pass):
+    * embeddings dim 64 → 16, adjudicated PER ELEMENT — the oracle
+    * recomputes the md5 plane grid, the double dot in the same fold
+    * order, and the float cast, so every projected coordinate matches
+    * bit-for-bit before the defensive round. */
+  val q_embed_project = Q(
+    "q_embed_project",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val p = Similarity.randomProject(e, "embedding", "proj",
+        outDim = 16, dim = 64)
+      GTable(p.select(col("vec_id"), posexplode(col("proj")))
+          .select(col("vec_id"), col("pos"),
+            round(col("col").cast("double"), 9).as("val")))
+        .order(GTable.orderKeys(Seq("vec_id", "pos")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          ${projGridSql(outDim = 16, dim = 64)},
+          proj AS (SELECT v.vec_id, pc.p AS pos,
+              CAST(CAST(${dotSql("v.e", "pc.pl")} AS FLOAT) AS DOUBLE) AS d
+            FROM v, pc)
+          SELECT vec_id, CAST(pos AS INT) AS pos, round(d, 9) AS val
+          FROM proj ORDER BY vec_id, pos"""))
+
+  /** Snapshot diff (Snapshot.diff): the keyed added/removed/changed delta
+    * between two corpus snapshots — the current snapshot is a
+    * deterministic mutation of `documents` (drop doc_id % 7, append
+    * " v2" to text where doc_id % 5, re-add doc_id % 11 under shifted
+    * ids), recomputed identically by the oracle, so the full-outer
+    * compare (incl. the null-safe changed test) is adjudicated. */
+  val q_snapshot_diff = Q(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cur = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionAll(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      GTable(graft.operators.Snapshot.diff(d, cur, Seq("doc_id")))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH old AS (SELECT doc_id, text FROM documents),
+          cur AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 0),
+          j AS (SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+              o.doc_id IS NOT NULL AS in_old, c.doc_id IS NOT NULL AS in_cur,
+              o.text IS DISTINCT FROM c.text AS differs
+            FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+          SELECT doc_id,
+            CASE WHEN NOT in_old THEN 'added'
+                 WHEN NOT in_cur THEN 'removed'
+                 ELSE 'changed' END AS status
+          FROM j WHERE NOT in_old OR NOT in_cur OR differs
+          ORDER BY doc_id"""))
+
+  /** Snapshot.changedRows: the new-or-changed CURRENT rows (content
+    * included) — the frame the incremental tiers ingest after a recrawl. */
+  val q_snapshot_changed = Q(
+    "q_snapshot_changed",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cur = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionAll(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      GTable(graft.operators.Snapshot.changedRows(d, cur, Seq("doc_id")))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH old AS (SELECT doc_id, text FROM documents),
+          cur AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 0)
+          SELECT c.doc_id, c.text FROM cur c
+          LEFT JOIN old o ON o.doc_id = c.doc_id
+          WHERE o.doc_id IS NULL OR c.text IS DISTINCT FROM o.text
+          ORDER BY c.doc_id"""))
+
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
     q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5,
     q_dedup_idx_merge, q_gql_near_dedup,
@@ -1720,6 +1944,7 @@ object PipelineQueries {
     q_dedup_semantic, q_dedup_semantic_bcast, q_dedup_semantic_keep,
     q_gql_dedup_semantic, q_dedup_semantic_incr, q_ann_topk, q_ann_quant,
     q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,
+    q_knn_join, q_knn_join_lsh, q_knn_join_ivf,
     q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
     q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,
@@ -1727,5 +1952,5 @@ object PipelineQueries {
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
-    q_l2_normalize)
+    q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project)
 }

@@ -1158,4 +1158,125 @@ class PipelineSpec extends SparkSpec {
     assert(r.forall(x => Set("en", "es", "de")(x.getString(0))))
     assert(r.forall(x => x.getDouble(1) >= 0.0 && x.getDouble(1) <= 1.0))
   }
+
+  private def knnKey(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("knnJoinBrute equals bruteForceTopK with the sides' roles swapped") {
+    val left = embs.filter(col("vec_id") % 20 === 3)
+    val join = Similarity.knnJoinBrute(left, embs, "vec_id", "embedding", k = 4)
+    val search = Similarity.bruteForceTopK(embs, left, "vec_id", "embedding", k = 4)
+    assert(knnKey(join) == knnKey(search), "same exact answer, different plan roles")
+    // every left row is served: k neighbors each (corpus >> k)
+    assert(join.groupBy("query_id").count().filter(col("count") =!= 4).isEmpty,
+      "each query must get exactly k neighbors")
+  }
+
+  test("knnJoinLsh / knnJoinIvf recall vs the exact join; LSH cap meters") {
+    val left = embs.filter(col("vec_id") % 10 === 3)
+    val exact = knnKey(Similarity.knnJoinBrute(left, embs, "vec_id", "embedding", 5))
+    val lsh = knnKey(Similarity.knnJoinLsh(left, embs, "vec_id", "embedding", 5,
+      planes = 4, dim = 64, tables = 8, probes = 1))
+    val ivf = knnKey(Similarity.knnJoinIvf(left, embs, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 8))
+    def recall(approx: Set[(Long, Long, Int)]) = {
+      val e = exact.map(t => (t._1, t._2)); val a = approx.map(t => (t._1, t._2))
+      e.intersect(a).size.toDouble / e.size
+    }
+    info(f"knn-join recall@5: lsh ${recall(lsh)}%.2f ivf ${recall(ivf)}%.2f")
+    assert(recall(lsh) >= 0.5, s"LSH join recall ${recall(lsh)}")
+    assert(recall(ivf) >= 0.5, s"IVF join recall ${recall(ivf)}")
+    // the right-side occupancy cap records its activation (zero here)
+    val (_, drops) = Dedup.collectCapDrops {
+      Similarity.knnJoinLsh(left, embs, "vec_id", "embedding", 3,
+        planes = 4, dim = 64).count()
+    }
+    assert(drops.exists(_.op == "knnJoinLsh"), s"cap must meter, got $drops")
+  }
+
+  test("snapshot diff statuses, default compare columns, changedRows") {
+    import spark.implicits._
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
+      (4L, null.asInstanceOf[String], "w")).toDF("id", "t", "extra")
+    val cur = Seq((1L, "a", "x"), (2L, "B", "y"), (5L, "n", "v"),
+      (4L, null.asInstanceOf[String], "w")).toDF("id", "t", "extra")
+    val d = graft.operators.Snapshot.diff(old, cur, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // 1 unchanged (absent), 2 changed, 3 removed, 5 added; 4's null
+    // compare columns are null-safe-equal → unchanged (absent)
+    assert(d == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // restricting compare to the untouched column hides the change
+    val d2 = graft.operators.Snapshot.diff(old, cur, Seq("id"),
+      compareCols = Seq("extra"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(d2 == Map(3L -> "removed", 5L -> "added"))
+    // includeUnchanged = the full census
+    val census = graft.operators.Snapshot.diff(old, cur, Seq("id"),
+      includeUnchanged = true)
+    assert(census.count() == 5)
+    // changedRows returns the CURRENT content of new-or-changed keys
+    val ch = graft.operators.Snapshot.changedRows(old, cur, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((2L, "B"), (5L, "n")))
+  }
+
+  test("randomProject: fused MatVec matches the composable form; nulls propagate") {
+    import spark.implicits._
+    val p = Similarity.randomProject(embs, "embedding", "proj",
+      outDim = 16, dim = 64)
+      .withColumn("ref",
+        Similarity.randomProjectComposable(col("embedding"), 16, 64))
+    val mism = p.filter(not(forall(zip_with(col("proj"), col("ref"),
+      (a, b) => a === b), x => x))).count()
+    assert(mism == 0, s"$mism rows diverge between fused and composable")
+    // wrong-length and null-element vectors yield a NULL projection
+    val badLen = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("v")
+    assert(Similarity.randomProject(badLen, "v", "p", 4, 64)
+      .filter(col("p").isNull).count() == 1)
+    val withNull = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v")
+    assert(Similarity.randomProject(withNull, "v", "p", 4, 2)
+      .filter(col("p").isNull).count() == 1)
+  }
+
+  test("randomProject preserves CLUSTERED neighborhoods (64 -> 32)") {
+    // the fixture embeddings are near-orthogonal noise (neighbor ranks
+    // there are not JL-stable by construction); real corpora have cluster
+    // structure — synthesize the HighDimProbe shape: 100 clusters, noise
+    // around each seed, so true neighbors are same-cluster and well
+    // separated from the rest
+    def comp(fam: String, a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(lit(fam), a, b), lit(2000000L)) - lit(1000000L)) /
+        lit(1000000.0)
+    val dims = sequence(lit(0), lit(63))
+    val corpus = spark.range(2000L).toDF("vec_id")
+      .withColumn("_c", col("vec_id") % 100)
+      .withColumn("embedding", transform(dims, d =>
+        (comp("seed", col("_c"), d) +
+          lit(0.5) * comp("noise", col("vec_id"), d)).cast("float")))
+      .drop("_c").localCheckpoint(true)
+    val proj = Similarity.randomProject(corpus, "embedding", "proj",
+      outDim = 32, dim = 64).select(col("vec_id"), col("proj"))
+      .localCheckpoint(true)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = knnKey(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 5)).map(t => (t._1, t._2))
+    val low = knnKey(Similarity.bruteForceTopK(proj,
+      proj.filter(col("vec_id") < 20), "vec_id", "proj", 5))
+      .map(t => (t._1, t._2))
+    val recall = exact.intersect(low).size.toDouble / exact.size
+    // identity recall@5 is soft (same-cluster members are near-ties whose
+    // ORDER reshuffles under any projection); the load-bearing property
+    // for the dedup/ANN tiers is CLUSTER preservation — projected
+    // neighbors must come from the query's cluster
+    val sameCluster = low.count { case (q, n) => q % 100 == n % 100 }
+      .toDouble / low.size
+    info(f"projected (64 -> 32): identity recall@5 $recall%.2f, " +
+      f"same-cluster fraction $sameCluster%.2f")
+    assert(sameCluster >= 0.9,
+      s"projection leaked neighbors across clusters: $sameCluster")
+    assert(recall >= 0.3, s"identity recall collapsed entirely: $recall")
+  }
 }

@@ -87,6 +87,51 @@ class PlanGuardSpec extends SparkSpec {
     assert(arrayLits(lit) >= 1, "small-nlist literal arm disappeared")
   }
 
+  test("knnJoin plan shapes: brute broadcasts ONLY the hinted corpus; LSH/IVF joins shuffle, never broadcast a table side") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    val left = embs.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 3)
+    // the fixture is tiny, so Catalyst's size-estimate auto-broadcast would
+    // broadcast EVERYTHING; disable it to see the shapes a 100 TB input
+    // would plan — only explicit broadcast() hints survive
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // brute: the hinted corpus broadcast is the ONLY broadcast join —
+      // the (arbitrarily large) left streams against it
+      val brute = graft.operators.Similarity.knnJoinBrute(left, embs,
+        "vec_id", "embedding", 3).queryExecution.sparkPlan
+      assert(brute.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty,
+        "brute join must broadcast the corpus side (hinted)")
+      // LSH / IVF: big×big — candidate generation and vector re-joins must
+      // plan as shuffle joins; any broadcast join here means a table side
+      // would ship to every executor at scale. (capBucketsBy's hot-list
+      // anti-join broadcast only appears when hot buckets exist — none on
+      // this corpus.)
+      val lsh = graft.operators.Similarity.knnJoinLsh(left, embs,
+        "vec_id", "embedding", 3, planes = 4, dim = 64)
+        .queryExecution.sparkPlan
+      val lshB = lsh.collect {
+        case b: BroadcastHashJoinExec => b
+        case b: BroadcastNestedLoopJoinExec => b }
+      assert(lshB.isEmpty, s"LSH join plans a table-side broadcast: $lshB")
+      assert(lsh.collect { case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j }.nonEmpty,
+        "LSH join lost its shuffle-join candidate generation")
+      val ivf = graft.operators.Similarity.knnJoinIvf(left, embs,
+        "vec_id", "embedding", 3, nlist = 16, nprobe = 4)
+        .queryExecution.sparkPlan
+      val ivfB = ivf.collect {
+        case b: BroadcastHashJoinExec => b
+        case b: BroadcastNestedLoopJoinExec => b }
+      assert(ivfB.isEmpty, s"IVF join plans a table-side broadcast: $ivfB")
+      assert(ivf.collect { case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j }.nonEmpty,
+        "IVF join lost its shuffle-join candidate generation")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("the guard itself catches the documented-serial window shape") {
     // q_runs IS the serial reference form — the guard must see it, or the
     // green assertion above proves nothing
