@@ -51,19 +51,45 @@ object Similarity {
     vdot(spark, a, b) / (sqrt(vdot(spark, a, a)) * sqrt(vdot(spark, b, b)))
   }
 
+  /** Attach the L2 norm (the [[cosineFast]] denominator factor) as a
+    * column — computed once per ROW, before a pair join multiplies the
+    * row out. */
+  private def withNormCol(df: DataFrame, vec: String, as: String): DataFrame = {
+    import graft.expressions.VectorFunctions.{dot => vdot}
+    val spark = df.sparkSession
+    df.withColumn(as, sqrt(vdot(spark, col(vec), col(vec))))
+  }
+
+  /** Cosine with PRE-COMPUTED per-side norms: bit-identical to
+    * [[cosineFast]] (same vdot, same sqrt, same multiply/divide order —
+    * only the evaluation SITE of the two sqrt factors moves from
+    * per-pair to per-row), so every oracle that mirrors cosineFast's
+    * fold keeps matching while the pair hot path runs one dot instead
+    * of three. */
+  private def cosinePreNorm(spark: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column, an: Column, bn: Column): Column = {
+    import graft.expressions.VectorFunctions.{dot => vdot}
+    vdot(spark, a, b) / (an * bn)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (broadcast); corpus is scanned once;
     * per-query top-k via window on the (query-id-partitioned) scored set.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = withNormCol(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+      "_qv", "_qn")
+    val scored = withNormCol(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+        "_cv", "_cn")
       // null-safe: an EXTERNAL query (served under a null query_id —
       // Executor `nearest(vector:)`) excludes no corpus row; plain =!=
       // would null out and drop every pair
       .join(broadcast(q), !(col("query_id") <=> col("neighbor_id")))
-      .withColumn("score", cosineFast(corpus.sparkSession)(col("_qv"), col("_cv")))
+      .withColumn("score", cosinePreNorm(corpus.sparkSession)(
+        col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -176,9 +202,13 @@ object Similarity {
               tables: Int = 8, probes: Int = 0): DataFrame = {
     val buckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col(vecCol), planes, dim, t).as("b")))
-    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      explode(array(buckets: _*)).as("_bucket"))
-    val qb =
+    val cBuckets = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col("_cv"), planes, dim, t).as("b")))
+    val cb = withNormCol(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+      "_cv", "_cn")
+      .withColumn("_bucket", explode(array(cBuckets: _*)))
+    val qb = withNormCol(
       if (probes == 0)
         // fused fast path, bit-identical to the multiprobe base bucket
         queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
@@ -189,13 +219,14 @@ object Similarity {
             b => struct(lit(t).as("t"), b.as("b"))))
         queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
           explode(flatten(array(qBuckets: _*))).as("_bucket"))
-      }
+      }, "_qv", "_qn")
     val cand = cb.join(broadcast(qb), Seq("_bucket"))
       // null-safe: external null-id queries exclude no corpus row
       .filter(!(col("query_id") <=> col("neighbor_id")))
-      .select("query_id", "_qv", "neighbor_id", "_cv")
+      .select("query_id", "_qv", "_qn", "neighbor_id", "_cv", "_cn")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("score", cosineFast(corpus.sparkSession)(col("_qv"), col("_cv")))
+    val scored = cand.withColumn("score", cosinePreNorm(corpus.sparkSession)(
+      col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -498,20 +529,46 @@ object Similarity {
                          cents: Array[(Long, Array[Float])],
                          nprobe: Int): DataFrame =
     withCentScores(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+        withNormCol(
+          queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+          "_qv", "_qn"),
         col("_qv"), cents, "_sc")
       .withColumn("_probe",
         explode(slice(reverse(array_sort(col("_sc"))), 1, nprobe)))
-      .select(col("query_id"), col("_qv"), col("_probe").getField("cid").as("cid"))
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        col("_probe").getField("cid").as("cid"))
 
-  /** Exact re-score + per-query top-k over a candidate set. */
+  /** Exact re-score + per-query top-k over a candidate set. Norm columns
+    * `_qn`/`_cn` are used when the caller attached them per-row upstream
+    * (one dot per pair instead of three) and computed here otherwise —
+    * either way the score is bit-identical to [[cosineFast]].
+    *
+    * `dedup = false` skips the (query, neighbor) dropDuplicates — REQUIRED
+    * for table-scale candidate sets whose pairs are unique by construction
+    * (fresh IVF assignment: each neighbor lives in exactly one cell). The
+    * dedup shuffles every candidate row WITH its two vectors attached; at
+    * 100k×100k / nprobe 8 that is ~3×10⁸ wide rows (~80 GB) and the probe
+    * measured it as a spill-to-death, while without it the wide pairs are
+    * born and scored inside the cid-join stage and only k-truncated narrow
+    * rows reach the window exchange. Index probes keep the dedup: replayed
+    * appends and multi-bucket LSH hits genuinely duplicate pairs there. */
   private def rescoreTopK(spark: org.apache.spark.sql.SparkSession,
-                          cand: DataFrame, k: Int): DataFrame = {
-    val scored = cand
+                          cand: DataFrame, k: Int,
+                          dedup: Boolean = true): DataFrame = {
+    val filtered = cand
       // null-safe: external null-id queries exclude no corpus row
       .filter(!(col("query_id") <=> col("neighbor_id")))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("score", cosineFast(spark)(col("_qv"), col("_cv")))
+    val deduped =
+      if (dedup) filtered.dropDuplicates("query_id", "neighbor_id")
+      else filtered
+    val withN = {
+      val c1 = if (deduped.columns.contains("_qn")) deduped
+               else withNormCol(deduped, "_qv", "_qn")
+      if (c1.columns.contains("_cn")) c1 else withNormCol(c1, "_cv", "_cn")
+    }
+    val scored = withN
+      .withColumn("score", cosinePreNorm(spark)(
+        col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -542,10 +599,14 @@ object Similarity {
           lit(0.0).as("score"), lit(0).as("rank"))
         .limit(0)
     val assigned = withAssignedCid(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+      withNormCol(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+        "_cv", "_cn"),
       col("_cv"), cents, "cid")
     val probes = probeFrame(spark, queries, idCol, vecCol, cents, nprobe)
-    rescoreTopK(spark, assigned.join(broadcast(probes), Seq("cid")), k)
+    // fresh assignment → (query, neighbor) pairs unique by construction
+    rescoreTopK(spark, assigned.join(broadcast(probes), Seq("cid")), k,
+      dedup = false)
   }
 
   /** Prebuilt IVF index: driver-resident centroids plus the corpus
@@ -1158,13 +1219,17 @@ object Similarity {
     * |left|·|right|. */
   def knnJoinBrute(left: DataFrame, right: DataFrame, idCol: String,
                    vecCol: String, k: Int): DataFrame = {
-    val l = left.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val r = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val l = withNormCol(
+      left.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+      "_qv", "_qn")
+    val r = withNormCol(
+      right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+      "_cv", "_cn")
     // null-safe self-exclusion, same contract as the ANN search family
     val scored = l.join(broadcast(r),
         !(col("query_id") <=> col("neighbor_id")))
-      .withColumn("score",
-        cosineFast(left.sparkSession)(col("_qv"), col("_cv")))
+      .withColumn("score", cosinePreNorm(left.sparkSession)(
+        col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     perQueryTopK(scored, k)
   }
 
@@ -1213,10 +1278,15 @@ object Similarity {
       .filter(!(col("query_id") <=> col("neighbor_id")))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val lv = left.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val rv = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val lv = withNormCol(
+      left.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+      "_qv", "_qn")
+    val rv = withNormCol(
+      right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+      "_cv", "_cn")
     val scored = cand.join(lv, Seq("query_id")).join(rv, Seq("neighbor_id"))
-      .withColumn("score", cosineFast(spark)(col("_qv"), col("_cv")))
+      .withColumn("score", cosinePreNorm(spark)(
+        col("_qv"), col("_cv"), col("_qn"), col("_cn")))
     perQueryTopK(scored, k)
   }
 
@@ -1281,9 +1351,13 @@ object Similarity {
           lit(0.0).as("score"), lit(0).as("rank"))
         .limit(0)
     val assigned = withAssignedCid(
-      right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+      withNormCol(
+        right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+        "_cv", "_cn"),
       col("_cv"), cents, "cid")
     val probes = probeFrame(spark, left, idCol, vecCol, cents, nprobe)
-    rescoreTopK(spark, assigned.join(probes, Seq("cid")), k)
+    // fresh assignment → pairs unique by construction; dedup = false keeps
+    // the wide (vector-carrying) candidate rows out of any exchange
+    rescoreTopK(spark, assigned.join(probes, Seq("cid")), k, dedup = false)
   }
 }

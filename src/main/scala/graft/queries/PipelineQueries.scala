@@ -1872,6 +1872,41 @@ object PipelineQueries {
           SELECT vec_id, CAST(pos AS INT) AS pos, round(d, 9) AS val
           FROM proj ORDER BY vec_id, pos"""))
 
+  /** Composition gate: ANN in the PROJECTED space (randomProject 64 → 16,
+    * then exact top-k on the 16-dim vectors) — adjudicates that the
+    * projection output actually composes with the ANN tier's
+    * array<float> contract, coordinate-exact through both hops. */
+  val q_ann_topk_proj = Q(
+    "q_ann_topk_proj",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val p = Similarity.randomProject(e, "embedding", "proj",
+        outDim = 16, dim = 64)
+      GTable(Similarity.bruteForceTopK(p, p.filter(col("vec_id") < 10),
+          "vec_id", "proj", k = 5))
+        .project("score" -> round(col("score"), 9))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          ${projGridSql(outDim = 16, dim = 64)},
+          pv AS (SELECT v.vec_id,
+              list(CAST(CAST(${dotSql("v.e", "pc.pl")} AS FLOAT) AS DOUBLE)
+                ORDER BY pc.p) AS e
+            FROM v, pc GROUP BY v.vec_id),
+          q AS (SELECT vec_id AS query_id, e AS qe FROM pv WHERE vec_id < 10),
+          scored AS (SELECT query_id, pv.vec_id AS neighbor_id,
+              ${cosSql("qe", "pv.e")} AS score
+            FROM pv CROSS JOIN q WHERE pv.vec_id <> query_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) rank FROM scored)
+          SELECT query_id, neighbor_id, round(score, 9) AS score,
+            CAST(rank AS INTEGER) AS rank
+          FROM ranked WHERE rank <= 5
+          ORDER BY query_id, rank"""))
+
   /** Snapshot diff (Snapshot.diff): the keyed added/removed/changed delta
     * between two corpus snapshots — the current snapshot is a
     * deterministic mutation of `documents` (drop doc_id % 7, append
@@ -1952,5 +1987,6 @@ object PipelineQueries {
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
-    q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project)
+    q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project,
+    q_ann_topk_proj)
 }
