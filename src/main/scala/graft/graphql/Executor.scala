@@ -878,6 +878,20 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           s"knnJoin method: must be BRUTE, IVF or LSH, got \"$other\"")
       }
       resolveTable(GTable(joined, denseRid = false), f, None)
+    case "randomProject" =>
+      // deterministic JL projection of an embedding column to outDim
+      // dims (fused MatVec pass), appended as `alias` — ingest-time dim
+      // reduction for the ANN/dedup tiers
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("randomProject needs on: <vector column>"))
+      val outDim = intArg(f, "outDim")
+        .getOrElse(throw new IllegalArgumentException("randomProject needs outDim:"))
+      val alias = strArg(f, "alias").getOrElse("proj")
+      val family = intArg(f, "family").getOrElse(0)
+      val dim = intArg(f, "dim").getOrElse(
+        t.result.select(size(col(on))).head.getInt(0))
+      resolveTable(GTable(graft.operators.Similarity.randomProject(
+        t.result, on, alias, outDim, dim, family), denseRid = false), f, None)
     case "snapshotDiff" =>
       // keyed recrawl delta: THIS table is the CURRENT snapshot, diffed
       // against the named previous-snapshot table (added / removed /

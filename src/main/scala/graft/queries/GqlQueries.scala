@@ -833,6 +833,41 @@ object GqlQueries {
       "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
     PipelineQueries.q_knn_join_lsh.oracle)
 
+  /** Served random projection (`randomProject(on:, outDim:)`): the fused
+    * MatVec pass appended as a served column; three coordinates are
+    * widened to double in the expression tree (× 1.0 — exact float
+    * widening, mirroring the oracle's CAST chain) and adjudicated. */
+  val q_gql_embed_project = Q(
+    "q_gql_embed_project",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: embeddings {
+           r: randomProject(on: "embedding", outDim: 16, alias: "proj") {
+             p: project(columns: [
+                   {alias: "p0", numeric: {round: [
+                      {mul: [{name: ["proj", 0]}, {value: 1.0}]}, {value: 9}]}},
+                   {alias: "p8", numeric: {round: [
+                      {mul: [{name: ["proj", 8]}, {value: 1.0}]}, {value: 9}]}},
+                   {alias: "p15", numeric: {round: [
+                      {mul: [{name: ["proj", 15]}, {value: 1.0}]}, {value: 9}]}}]) {
+               o: order(by: ["vec_id"]) {
+                 c: columns { vec_id { values } p0 { values }
+                              p8 { values } p15 { values } } } } } } }""",
+      Seq("t", "r", "p", "o", "c"),
+      "vec_id BIGINT, p0 DOUBLE, p8 DOUBLE, p15 DOUBLE"),
+    Some(s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+          ${PipelineQueries.projGridSql(outDim = 16, dim = 64)},
+          proj AS (SELECT v.vec_id, pc.p,
+              CAST(CAST(${PipelineQueries.dotSql("v.e", "pc.pl")} AS FLOAT)
+                AS DOUBLE) AS d
+            FROM v, pc)
+          SELECT vec_id,
+            round(max(CASE WHEN p = 0 THEN d END), 9) AS p0,
+            round(max(CASE WHEN p = 8 THEN d END), 9) AS p8,
+            round(max(CASE WHEN p = 15 THEN d END), 9) AS p15
+          FROM proj GROUP BY vec_id ORDER BY vec_id"""))
+
   /** Served snapshot diff (`snapshotDiff(old:)`): THIS table is the
     * current snapshot — built with served project (the uppercase text
     * mutation via ifelse) and filter (drop doc_id % 7) — diffed against
@@ -1004,5 +1039,6 @@ object GqlQueries {
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
-    q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_snapshot_diff)
+    q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_snapshot_diff,
+    q_gql_embed_project)
 }

@@ -14,7 +14,7 @@ object PipelineQueries {
   /** Oracle-SQL builder: sequential double dot fold over two DuckDB DOUBLE
     * lists — the exact mirror of Similarity.dot's left fold (see
     * duckdb list_reduce(list_prepend(...)) parity rule). */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
        |  (x, y) -> x + y)""".stripMargin
@@ -1831,7 +1831,7 @@ object PipelineQueries {
   /** Oracle-SQL fragment: the md5-derived projection matrix of
     * [[Similarity.randomProject]] — the [[lshBucketsSql]] grid with the
     * ProjPlaneBase row offset. Emits `pc(p, pl)`, p in [0, outDim). */
-  private def projGridSql(outDim: Int, dim: Int): String = {
+  private[queries] def projGridSql(outDim: Int, dim: Int): String = {
     val base = graft.operators.Similarity.ProjPlaneBase
     s"""pc AS (SELECT p, list(c ORDER BY i) AS pl FROM (
        |    SELECT tp.p, ti.i,

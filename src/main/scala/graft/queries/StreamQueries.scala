@@ -452,7 +452,58 @@ object StreamQueries {
           WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.id = s0.id)
           ORDER BY vec_id"""))
 
+  /** Streaming snapshot maintenance (StreamOps.snapshotSink): three
+    * upsert micro-batches — batch c carries doc_id % 3 <= c with even
+    * ids' text suffixed " v<c>" — so every status path fires: first-seen
+    * keys are `added`, re-sent even keys are `changed`, re-sent odd keys
+    * are unchanged and must NOT appear in the delta log. compactFiles = 2
+    * forces a mid-run latest-per-key ledger compaction whose answers the
+    * oracle adjudicates unchanged. */
+  val q_stream_snapshot = Q(
+    "q_stream_snapshot",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      val spark2 = s
+      import spark2.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val work = java.nio.file.Files.createTempDirectory("graft_snap_sink").toString
+      val mem = MemoryStream[(Long, String)](s)
+      val q = StreamOps.snapshotSink(
+        mem.toDF.toDF("doc_id", "text"), Seq("doc_id"), Seq("text"),
+        stateDir = s"$work/state", deltaDir = s"$work/delta",
+        checkpoint = s"$work/ckpt", compactFiles = 2,
+        trigger = Trigger.ProcessingTime(0))
+      try {
+        (0 until 3).foreach { c =>
+          val rows = docs.filter(_._1 % 3 <= c).map { case (id, t) =>
+            (id, if (id % 2 == 0) s"$t v$c" else t) }
+          mem.addData(rows.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      GTable(s.read.parquet(s"$work/delta")
+          .select("doc_id", "status", "_batch"))
+        .order(GTable.orderKeys(Seq("_batch", "doc_id")))
+        .result
+    },
+    Some("""SELECT doc_id, status, _batch FROM (
+              SELECT doc_id, 'added' AS status, CAST(0 AS BIGINT) AS _batch
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 'added', 1 FROM documents WHERE doc_id % 3 = 1
+              UNION ALL
+              SELECT doc_id, 'changed', 1 FROM documents
+              WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, 'added', 2 FROM documents WHERE doc_id % 3 = 2
+              UNION ALL
+              SELECT doc_id, 'changed', 2 FROM documents
+              WHERE doc_id % 3 <= 1 AND doc_id % 2 = 0)
+            ORDER BY _batch, doc_id"""))
+
   def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session, q_stream_join,
     q_stream_dedup, q_stream_micro, q_stream_dedup_incr, q_stream_dedup_neardup,
-    q_stream_ann_ingest, q_stream_semantic)
+    q_stream_ann_ingest, q_stream_semantic, q_stream_snapshot)
 }

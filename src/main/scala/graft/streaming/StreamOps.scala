@@ -605,4 +605,140 @@ object StreamOps {
       }
     }
   }
+
+  /** Streaming snapshot maintenance — the streaming counterpart of
+    * [[graft.operators.Snapshot.diff]] for UPSERT feeds (recrawls,
+    * document refreshes): each micro-batch carries keyed upserts; the
+    * sink emits the per-batch DELTA and maintains a current-state ledger.
+    *
+    *   - `deltaDir`: append-only change log — batch columns + `status`
+    *     (`added` | `changed`, matching Snapshot.diff's vocabulary) +
+    *     `_batch`. UNCHANGED rows never leave the batch join and never
+    *     hit disk: at a recrawl's ~1% churn the log is ~1% of the feed.
+    *   - `stateDir`: the NARROW ledger (key columns, 64-bit content hash,
+    *     `_batch`) — content never rides the state, so a state row is
+    *     ~24 bytes regardless of document size, and the per-batch state
+    *     scan is the same 8-bytes-per-key shape the hash-dedup sinks
+    *     proved at ×12. One small file appends per batch; past
+    *     `compactFiles` the ledger is rewritten latest-per-key via the
+    *     IndexMaint swap protocol (torn swaps heal at the next read).
+    *
+    * The changed test is hash equality (xxhash64 over the compare
+    * columns): collision-safe in exactly the way the exact-dedup tier's
+    * classKey already is. The current hash per touched key reduces from
+    * the ledger with max(struct(_batch, hash)) — latest batch wins, and a
+    * REPLAYED batch (at-least-once foreachBatch) re-reduces to the same
+    * struct, so replays re-emit the same delta instead of corrupting
+    * state. Duplicate keys WITHIN a batch reduce to the smallest content
+    * hash (deterministic; upsert feeds are expected keyed). Deletes are
+    * out of scope — tombstones are an upsert with a sentinel payload, and
+    * batch-vs-snapshot removals are [[graft.operators.Snapshot.diff]]'s
+    * job.
+    *
+    * Scale: the ledger is partitioned into `slots` key-hash directories
+    * (the minhash-index slot layout); each batch READS only the slot dirs
+    * its keys hash to (explicit probed dirs via IndexMaint.readPartitions
+    * — bytes AND listing ∝ touched slots, never the whole ledger) and
+    * prunes those rows to its keys with a broadcast semi-join before the
+    * latest-per-key reduction. Size `slots` so batchKeys/corpusKeys ≈
+    * touchedSlots/slots at the target scale. `slots` is a LAYOUT
+    * parameter of the ledger directory, so it is recorded in a sidecar on
+    * first write and ADOPTED on re-open (a mismatched parameter would
+    * otherwise read the wrong slot dirs and silently re-add seen keys);
+    * compaction re-writes the sidecar into the new tree before the swap. */
+  def snapshotSink(stream: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String],
+                   stateDir: String, deltaDir: String, checkpoint: String,
+                   compactFiles: Int = 0, slots: Int = 8,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty, "snapshotSink needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotSink needs compare columns")
+    require(slots > 0, "snapshotSink needs slots > 0")
+    var ledgerSlots = -1 // resolved once per query from the sidecar
+    writeBatches(stream, checkpoint, trigger) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      if (ledgerSlots < 0) {
+        ledgerSlots = graft.operators.Similarity
+          .readMeta[java.lang.Integer](spark, stateDir).map(_.intValue)
+          .getOrElse {
+            graft.operators.Similarity.writeMeta(spark, stateDir, Int.box(slots))
+            slots
+          }
+        if (ledgerSlots != slots)
+          log.info(s"snapshotSink: adopting the ledger's recorded slot " +
+            s"layout $ledgerSlots (parameter was $slots)")
+      }
+      val keyed = batch.withColumn("_gq_ch",
+        xxhash64(compareCols.map(col): _*))
+      // one row per key: smallest content hash wins (deterministic)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col("_gq_ch"))
+      val rep = keyed.withColumn("_gq_rn", row_number().over(w))
+        .filter(col("_gq_rn") === 1).drop("_gq_rn")
+        .withColumn("_gq_slot",
+          pmod(xxhash64(keyCols.map(col): _*), lit(ledgerSlots)))
+        .localCheckpoint() // feeds the slot probe, the join, both writes
+      graft.operators.IndexMaint.recoverSwap(spark, stateDir)
+      val stateSchema = org.apache.spark.sql.types.StructType(
+        keyCols.map(k => batch.schema(k)) ++ Seq(
+          org.apache.spark.sql.types.StructField("_gq_ch",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_batch",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_gq_slot",
+            org.apache.spark.sql.types.LongType)))
+      // ≤ slots values: the touched-slot set is a tiny driver collect
+      val slotVals = rep.select("_gq_slot").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val cur: Option[DataFrame] = graft.operators.IndexMaint
+        .readPartitions(spark, stateDir, stateSchema, "_gq_slot", slotVals)
+        .map { slotRows =>
+          val keys = rep.select(keyCols.map(col): _*).distinct()
+          slotRows
+            .join(broadcast(keys), keyCols, "left_semi")
+            .groupBy(keyCols.map(col): _*)
+            .agg(max(struct(col("_batch"), col("_gq_ch"))).as("_gq_m"))
+            .select(keyCols.map(col) :+
+              col("_gq_m").getField("_gq_ch").as("_gq_prev"): _*)
+        }
+      val delta = (cur match {
+        case None => rep.withColumn("status", lit("added"))
+        case Some(prev) =>
+          rep.join(prev, keyCols, "left_outer")
+            .withColumn("status",
+              when(col("_gq_prev").isNull, lit("added"))
+                .when(col("_gq_prev") =!= col("_gq_ch"), lit("changed")))
+            .filter(col("status").isNotNull)
+            .drop("_gq_prev")
+      }).localCheckpoint() // one computation feeds BOTH writes
+      // write ORDER is delta-then-ledger: a crash between the two replays
+      // the batch against the OLD ledger (duplicate delta rows —
+      // at-least-once, standard foreachBatch); ledger-first would make the
+      // replay see its own hashes and silently emit nothing
+      delta.drop("_gq_ch", "_gq_slot").withColumn("_batch", lit(batchId))
+        .write.mode("append").parquet(deltaDir)
+      // cluster on the slot: one file per touched slot dir per batch
+      delta.select(keyCols.map(col) ++ Seq(col("_gq_ch"),
+          lit(batchId).as("_batch"), col("_gq_slot")): _*)
+        .repartition(col("_gq_slot"))
+        .write.mode("append").partitionBy("_gq_slot").parquet(stateDir)
+      if (compactFiles > 0 &&
+          graft.operators.IndexMaint.dataFileCount(spark, stateDir) > compactFiles) {
+        log.info(s"snapshotSink: compacting state ledger at $stateDir")
+        val latest = spark.read.schema(stateSchema).parquet(stateDir)
+          .groupBy(keyCols.map(col) :+ col("_gq_slot"): _*)
+          .agg(max(struct(col("_batch"), col("_gq_ch"))).as("_gq_m"))
+          .select(keyCols.map(col) ++ Seq(
+            col("_gq_m").getField("_gq_ch").as("_gq_ch"),
+            col("_gq_m").getField("_batch").as("_batch"),
+            col("_gq_slot")): _*)
+        graft.operators.IndexMaint.swapRewrite(spark, stateDir, latest,
+          Seq("_gq_slot"),
+          beforeSwap = tmp => graft.operators.Similarity.writeMeta(
+            spark, tmp, Int.box(ledgerSlots)))
+      }
+    }
+  }
 }

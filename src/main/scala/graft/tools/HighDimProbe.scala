@@ -90,6 +90,44 @@ object HighDimProbe {
         rerank = 50))
     }
     println(f"PROBE quantized recall@5 $rq%.2f")
+
+    // ingest-time random projection (dim -> dim/4): every downstream
+    // scan/shuffle/index shrinks by the same factor; measure what the
+    // dimension cut costs in recall on THIS clustered corpus
+    val outDim = math.max(8, dim / 4)
+    val proj = timed(s"randomProject $dim -> $outDim (corpus + queries)") {
+      Similarity.randomProject(corpus, "embedding", "proj", outDim, dim)
+        .select(col("vec_id"), col("proj")).localCheckpoint(true)
+    }
+    val pq = proj.filter(col("vec_id") < 20)
+    // identity recall is near-meaningless on this corpus (same-cluster
+    // members are cosine near-ties whose ORDER is noise — any projection
+    // reshuffles it); the load-bearing metric for the dedup/ANN tiers is
+    // CLUSTER preservation: do projected neighbors come from the query's
+    // cluster?
+    def sameCluster(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      got.count { case (a, b) => a % clusters == b % clusters }
+        .toDouble / got.length
+    }
+    val nativeSc = sameCluster(
+      Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5))
+    val pb = timed(s"bruteForce over PROJECTED dim=$outDim (20 queries)") {
+      Similarity.bruteForceTopK(proj, pq, "vec_id", "proj", 5)
+        .localCheckpoint(true)
+    }
+    val plsh = timed(s"lshBuild over PROJECTED dim=$outDim") {
+      Similarity.lshBuild(proj, "vec_id", "proj", planes = 0,
+        dim = outDim, path = s"$dir/lsh_proj")
+    }
+    val plp = timed("lshProbe over PROJECTED (20 queries, probes=2)") {
+      Similarity.lshProbe(plsh, pq, k = 5, probes = 2).localCheckpoint(true)
+    }
+    println(f"PROBE projected dim=$outDim same-cluster@5: " +
+      f"brute=${sameCluster(pb)}%.2f lsh=${sameCluster(plp)}%.2f " +
+      f"(native-dim brute ${nativeSc}%.2f); identity recall@5 " +
+      f"brute=${recall(pb)}%.2f (near-ties reshuffle, expected low)")
     spark.stop()
   }
 }

@@ -77,7 +77,18 @@ object ServeSoak {
       "neardedup" -> gq("""{ documents { s: slice(offset: 0, limit: 2000) {
         d: nearDedup(on: "text", id: "doc_id", threshold: 0.5) { count } } } }"""),
       "semdedup" -> gq("""{ embeddings { d: semanticDedup(on: "embedding",
-        id: "vec_id", threshold: 0.9, nlist: 64) { count } } }"""))
+        id: "vec_id", threshold: 0.9, nlist: 64) { count } } }"""),
+      "knnjoin" -> gq("""{ embeddings { m: project(columns: [
+        {alias: "m200", mod: [{name: "vec_id"}, {value: 200}]}]) {
+        f: filter(m200: {eq: 7}) {
+        j: knnJoin(corpus: "embeddings", on: "embedding", id: "vec_id",
+                   k: 3, method: "IVF", nlist: 64, nprobe: 4) { count } } } } }"""),
+      "snapdiff" -> gq("""{ documents { m: project(columns: [
+        {alias: "m7", mod: [{name: "doc_id"}, {value: 7}]}]) {
+        f: filter(m7: {ne: 0}) {
+        d: snapshotDiff(old: "documents", on: ["doc_id"], compare: ["text"]) {
+          g: group(by: ["status"], counts: "n") { o: order(by: ["status"]) {
+          columns { status { values } n { values } } } } } } } } }"""))
 
     // single-threaded warm-up: populates the index caches, pins the
     // expected answer per kind
