@@ -558,6 +558,26 @@ object Dedup {
     df.select(classKey(col(textCol), normalized).as("_h"), col(idCol))
       .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
 
+  /** Exact dedup keeping the BEST row per text class instead of the
+    * smallest id: production pipelines usually keep the highest-quality
+    * duplicate (longest, best language score), not the first-crawled one.
+    * Representative = max `scoreCol`, ties to the smallest id
+    * (deterministic); returns the surviving rows WITH their columns.
+    * The rank <= 1 filter is the WindowGroupLimit shape — each task
+    * truncates to one row per class before the exchange, so a
+    * mass-duplicated class never concentrates its full row set on one
+    * reducer. */
+  def exactBest(df: DataFrame, textCol: String, idCol: String,
+                scoreCol: String, normalized: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_gq_h"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("_gq_h", classKey(col(textCol), normalized))
+      .withColumn("_gq_rn", row_number().over(w))
+      .filter(col("_gq_rn") === 1)
+      .drop("_gq_h", "_gq_rn")
+  }
+
   /** Incremental exact dedup — the production ingestion pattern: keep the
     * rows of a NEW batch whose text is unseen in the existing corpus, and
     * deduplicate within the batch itself (min id per class). Runs without

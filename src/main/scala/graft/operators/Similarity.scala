@@ -1236,16 +1236,28 @@ object Similarity {
   /** LSH-bucketed k-NN join — the BIG×BIG scale path: both sides hash to
     * sign buckets with the fused [[lshBucket]], candidates come from a
     * shuffle join on the (table, bucket) key (NO broadcast on either
-    * side), and only the surviving distinct (query, neighbor) pairs
-    * re-join their vectors for the exact re-score. Candidate volume is
-    * Σ_buckets |left_b|·|right_b| ≈ tables·|left|·|right|/2^planes — the
-    * planes knob trades recall for join fan-in exactly as in [[lshTopK]],
-    * and the right side's bucket occupancy is capped ([[Dedup.capBucketsBy]],
-    * metered as op "knnJoinLsh") so adversarial boilerplate mass cannot
-    * go quadratic. `probes > 0` adds left-side multiprobe (recall up,
-    * 1 + probes buckets per table; the per-plane dots are interpreted
-    * HOFs — linear in |left| but heavier per row than the fused base
-    * bucket, the price of recall without more tables). */
+    * side). Candidate volume is Σ_buckets |left_b|·|right_b| ≈
+    * tables·|left|·|right|/2^planes — the planes knob trades recall for
+    * join fan-in exactly as in [[lshTopK]], and the right side's bucket
+    * occupancy is capped ([[Dedup.capBucketsBy]], metered as op
+    * "knnJoinLsh") so adversarial boilerplate mass cannot go quadratic.
+    *
+    * Pairs are SCORED INSIDE the bucket-join stage (vectors + per-row
+    * norms ride the bucket shuffle — (|L|+|R|)·tables vector rows,
+    * linear) and only narrow (query, neighbor, score) triplets ever
+    * shuffle afterwards: cross-bucket duplicate pairs carry IDENTICAL
+    * scores, so max() under a map-side-combinable groupBy collapses them
+    * without a wide exchange. The first version deduped narrow id pairs
+    * and RE-JOINED both vector sides — that shuffled |pairs| ≈
+    * |L|·tables·occupancy query-vector-carrying rows (~occupancy× the
+    * linear bucket shuffle); under local-cluster[4,8,8192] at 50k×50k it
+    * measured 279.6 s vs this shape's in-stage scoring (netty paid ~28 GB
+    * for what local mode hid in memory-speed shuffle).
+    *
+    * `probes > 0` adds left-side multiprobe (recall up, 1 + probes
+    * buckets per table; the per-plane dots are interpreted HOFs — linear
+    * in |left| but heavier per row than the fused base bucket, the price
+    * of recall without more tables). */
   def knnJoinLsh(left: DataFrame, right: DataFrame, idCol: String,
                  vecCol: String, k: Int, planes: Int = 0, dim: Int = 0,
                  tables: Int = 8, probes: Int = 0,
@@ -1255,39 +1267,37 @@ object Similarity {
     val dim0 = if (dim > 0) dim
       else right.select(size(col(vecCol))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(1)
-    val buckets = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col(vecCol), planes0, dim0, t).as("b")))
-    // candidate generation rides NARROW (bucket, id) rows on both sides —
-    // the vectors re-join only for surviving pairs (minhashPairs shape)
+    val cBuckets = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col("_cv"), planes0, dim0, t).as("b")))
     val cb = Dedup.capBucketsBy(
-      right.select(col(idCol).as("neighbor_id"),
-        explode(array(buckets: _*)).as("_bucket")),
+      withNormCol(
+        right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+        "_cv", "_cn")
+        .withColumn("_bucket", explode(array(cBuckets: _*))),
       Seq("_bucket"), maxBucket, "knnJoinLsh")
-    val qb =
-      if (probes == 0)
-        left.select(col(idCol).as("query_id"),
-          explode(array(buckets: _*)).as("_bucket"))
-      else {
-        val qBuckets = (0 until tables).map(t =>
-          transform(lshProbeBuckets(col(vecCol), planes0, dim0, t, probes),
-            b => struct(lit(t).as("t"), b.as("b"))))
-        left.select(col(idCol).as("query_id"),
-          explode(flatten(array(qBuckets: _*))).as("_bucket"))
-      }
-    val cand = cb.join(qb, Seq("_bucket"))
-      .filter(!(col("query_id") <=> col("neighbor_id")))
-      .select("query_id", "neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
-    val lv = withNormCol(
+    val qBase = withNormCol(
       left.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
       "_qv", "_qn")
-    val rv = withNormCol(
-      right.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
-      "_cv", "_cn")
-    val scored = cand.join(lv, Seq("query_id")).join(rv, Seq("neighbor_id"))
-      .withColumn("score", cosinePreNorm(spark)(
-        col("_qv"), col("_cv"), col("_qn"), col("_cn")))
-    perQueryTopK(scored, k)
+    val qBuckets = (0 until tables).map(t =>
+      if (probes == 0)
+        array(struct(lit(t).as("t"),
+          lshBucket(col("_qv"), planes0, dim0, t).as("b")))
+      else
+        transform(lshProbeBuckets(col("_qv"), planes0, dim0, t, probes),
+          b => struct(lit(t).as("t"), b.as("b"))))
+    val qb = qBase.withColumn("_bucket",
+      explode(flatten(array(qBuckets: _*))))
+    // score in the join stage; only (ids, score) leave it
+    val scored = cb.join(qb, Seq("_bucket"))
+      .filter(!(col("query_id") <=> col("neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePreNorm(spark)(col("_qv"), col("_cv"),
+          col("_qn"), col("_cn")).as("score"))
+    // cross-bucket duplicates have IDENTICAL scores: max() is exact and
+    // partial-aggregates map-side (narrow 24-byte rows on the exchange)
+    val uniq = scored.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("score")).as("score"))
+    perQueryTopK(uniq, k)
   }
 
   /** md5-grid row offset for projection matrices: keeps the projection

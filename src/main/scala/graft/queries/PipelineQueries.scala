@@ -1872,6 +1872,60 @@ object PipelineQueries {
           SELECT vec_id, CAST(pos AS INT) AS pos, round(d, 9) AS val
           FROM proj ORDER BY vec_id, pos"""))
 
+  /** Exact dedup keeping the BEST duplicate (Dedup.exactBest): the
+    * longest doc (n_chars) per text class survives, ties to the smallest
+    * id — the production keep rule (highest-quality duplicate), vs
+    * exact()'s first-crawled. */
+  val q_dedup_best = Q(
+    "q_dedup_best",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Dedup.exactBest(d, "text", "doc_id", "n_chars")
+          .select("doc_id", "n_chars"))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH ranked AS (SELECT doc_id, n_chars, row_number() OVER (
+              PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents)
+            SELECT doc_id, n_chars FROM ranked WHERE rn = 1
+            ORDER BY doc_id"""))
+
+  /** Recrawl pipeline END-TO-END (the composition the snapshot tier
+    * exists for): snapshot diff's changedRows feeds incremental exact
+    * dedup against the OLD corpus — re-added rows whose text the corpus
+    * already holds are screened out, genuinely-new text survives (the
+    * " v2" mutations), deduped within the delta. Both hops fully
+    * recomputed by the oracle. */
+  val q_snapshot_pipeline = Q(
+    "q_snapshot_pipeline",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cur = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionAll(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val delta = graft.operators.Snapshot.changedRows(d, cur, Seq("doc_id"))
+      GTable(Dedup.exactIncremental(delta, d, "text", "doc_id"))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH old AS (SELECT doc_id, text FROM documents),
+          cur AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 0),
+          delta AS (SELECT c.doc_id, c.text FROM cur c
+            LEFT JOIN old o ON o.doc_id = c.doc_id
+            WHERE o.doc_id IS NULL OR c.text IS DISTINCT FROM o.text),
+          unseen AS (SELECT d.* FROM delta d
+            WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = d.text))
+          SELECT min(doc_id) AS doc_id FROM unseen GROUP BY text
+          ORDER BY doc_id"""))
+
   /** Composition gate: ANN in the PROJECTED space (randomProject 64 → 16,
     * then exact top-k on the 16-dim vectors) — adjudicates that the
     * projection output actually composes with the ANN tier's
@@ -1988,5 +2042,5 @@ object PipelineQueries {
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
     q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project,
-    q_ann_topk_proj)
+    q_ann_topk_proj, q_dedup_best, q_snapshot_pipeline)
 }

@@ -21,7 +21,8 @@ object HighDimProbe {
     val dim = args.lift(1).map(_.toInt).getOrElse(256)
     val nlist = args.lift(2).map(_.toInt).getOrElse(256)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // GRAFT_MASTER=local-cluster[...] runs the probe on real executor JVMs
+    val spark = graft.Master.configure(SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -23,7 +23,8 @@ object KnnJoinProbe {
     val nRight = args.lift(1).map(_.toInt).getOrElse(100000)
     val dim = args.lift(2).map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // GRAFT_MASTER=local-cluster[...] runs the probe on real executor JVMs
+    val spark = graft.Master.configure(SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
