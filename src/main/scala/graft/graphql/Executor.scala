@@ -950,6 +950,43 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         d.withColumn(n, c) }.drop("_gq_textstats")
       resolveTable(GTable(out, sortedBy = t.sortedBy, denseRid = t.denseRid),
         f, None)
+    case "qualityScore" =>
+      // fastText-style linear quality-classifier scoring: the model is a
+      // named (idx, weight) table root — at most `dim` rows, broadcast;
+      // appends (score, prob) per document
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("qualityScore needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("qualityScore needs id: <key column>"))
+      val wName = strArg(f, "weights")
+        .getOrElse(throw new IllegalArgumentException("qualityScore needs weights: <table>"))
+      val dim = intArg(f, "dim")
+        .getOrElse(throw new IllegalArgumentException("qualityScore needs dim:"))
+      val bias = doubleArg(f, "bias").getOrElse(0.0)
+      val weights = roots.getOrElse(wName,
+        throw new IllegalArgumentException(s"unknown table '$wName'"))().result
+      resolveTable(GTable(graft.operators.TextAnalysis.scoreLinear(
+        t.result, on, id, weights, dim, bias)), f, None)
+    case "dsirSelect" =>
+      // DSIR importance resampling: Gumbel-top-k of THIS table (the raw
+      // corpus) toward the named target table's hashed-unigram
+      // distribution; targetWhere: restricts the target side
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("dsirSelect needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("dsirSelect needs id: <key column>"))
+      val tgtName = strArg(f, "target")
+        .getOrElse(throw new IllegalArgumentException("dsirSelect needs target: <table>"))
+      val k = intArg(f, "k")
+        .getOrElse(throw new IllegalArgumentException("dsirSelect needs k:"))
+      val dim = intArg(f, "dim").getOrElse(1 << 16)
+      val seed = strArg(f, "seed").getOrElse("0")
+      val tgtRoot = roots.getOrElse(tgtName,
+        throw new IllegalArgumentException(s"unknown table '$tgtName'"))().result
+      val target = f.arg("targetWhere")
+        .map(w => tgtRoot.filter(Exprs.compile(w))).getOrElse(tgtRoot)
+      resolveTable(GTable(graft.operators.TextAnalysis.dsirResample(
+        t.result, target, on, id, dim, k, seed), denseRid = false), f, None)
     case "fingerprint" =>
       // fused rolling-hash document fingerprint projection
       val on = strArg(f, "on")

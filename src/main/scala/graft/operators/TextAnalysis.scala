@@ -412,4 +412,108 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(avg(log(col("_gq_c").cast("double") / total)).as("logprob"))
   }
+
+  /** Hashed unigram feature index: md5-derived (oracle-reproducible in any
+    * engine with md5) bucket of a token into [0, dim). The "f:" domain
+    * prefix keeps this hash family disjoint from the sampling buckets and
+    * the MinHash/LSH md5 families. */
+  def featureIdx(tok: Column, dim: Int): Column =
+    Hashing.md5Long(concat(lit("f:"), tok)) % dim
+
+  /** fastText-style linear quality-classifier SCORING (the model is trained
+    * offline — scoring a trained classifier over the corpus is the pipeline
+    * operator; cf. the GPT-3/CCNet quality-filter recipe). Features are
+    * hashed unigrams; the doc score is the MEAN feature weight (fastText
+    * averages its token features) plus a bias; `prob` is the logistic of
+    * the score.
+    *
+    * `weights`: (idx long, weight double) — a model is at most `dim` rows,
+    * so it broadcasts; absent indices weigh 0. The corpus side is one
+    * linear explode + map-side-combinable mean: no shuffle ever carries
+    * text, and the only exchange is the per-doc aggregation. Output:
+    * (idCol, score, prob). */
+  def scoreLinear(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  idCol: String, weights: org.apache.spark.sql.DataFrame,
+                  dim: Int, bias: Double): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, "scoreLinear needs dim > 0")
+    val feats = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("_gq_t"))
+      .select(col(idCol), featureIdx(col("_gq_t"), dim).as("_gq_idx"))
+    val w = weights.select(col("idx").cast("long").as("_gq_idx"),
+      col("weight").cast("double").as("_gq_w"))
+    feats.join(broadcast(w), Seq("_gq_idx"), "left")
+      .groupBy(idCol)
+      .agg((avg(coalesce(col("_gq_w"), lit(0.0))) + bias).as("score"))
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-doc
+    * lw = Σ_tokens ln(p_target(b)/p_raw(b)) over hashed unigram buckets,
+    * add-one smoothed over the `dim` buckets so unseen buckets stay
+    * finite. Both distributions reduce to `dim`-row broadcast tables
+    * (count every bucket once over each corpus); the raw corpus is then
+    * one linear pass joined against the broadcast log-ratio table — at
+    * 100 TB the target (the small high-quality corpus) is read once and
+    * the raw side never shuffles text. Output: (idCol, lw). */
+  def dsirLogWeights(raw: org.apache.spark.sql.DataFrame,
+                     target: org.apache.spark.sql.DataFrame,
+                     textCol: String, idCol: String,
+                     dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, "dsirLogWeights needs dim > 0")
+    val spark = org.apache.spark.sql.SparkSession.active
+    def bucketCounts(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(tokens(col(textCol))).as("_gq_t"))
+        .select(featureIdx(col("_gq_t"), dim).as("_gq_idx"))
+        .groupBy("_gq_idx").agg(count(lit(1)).as("_gq_c"))
+    val rawB = bucketCounts(raw)
+    val tgtB = bucketCounts(target)
+    // log-ratio over ALL dim buckets (absent → add-one smoothing only);
+    // totals ride along as broadcast 1-row frames, never a driver collect
+    val rawTot = rawB.agg(coalesce(sum("_gq_c"), lit(0L)).as("_gq_rt"))
+    val tgtTot = tgtB.agg(coalesce(sum("_gq_c"), lit(0L)).as("_gq_tt"))
+    val ratio = spark.range(dim).select(col("id").as("_gq_idx"))
+      .join(rawB, Seq("_gq_idx"), "left")
+      .withColumnRenamed("_gq_c", "_gq_cr")
+      .join(tgtB, Seq("_gq_idx"), "left")
+      .withColumnRenamed("_gq_c", "_gq_ct")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("_gq_idx"),
+        (log((coalesce(col("_gq_ct"), lit(0L)) + lit(1)).cast("double") /
+             (col("_gq_tt") + lit(dim)).cast("double")) -
+         log((coalesce(col("_gq_cr"), lit(0L)) + lit(1)).cast("double") /
+             (col("_gq_rt") + lit(dim)).cast("double"))).as("_gq_lr"))
+    raw.select(col(idCol), explode(tokens(col(textCol))).as("_gq_t"))
+      .select(col(idCol), featureIdx(col("_gq_t"), dim).as("_gq_idx"))
+      .join(broadcast(ratio), Seq("_gq_idx"))
+      .groupBy(idCol)
+      .agg(sum(col("_gq_lr")).as("lw"))
+  }
+
+  /** DSIR selection: Gumbel-top-k over the importance log-weights — the
+    * paper's sampling-without-replacement trick (add Gumbel noise
+    * g = −ln(−ln(u)) with u an md5-derived per-doc uniform, take the k
+    * largest lw+g). Deterministic under retries/repartitioning, and
+    * CROSS-ENGINE deterministic by contract: the selection key is
+    * round(lw+g, 6) with the id as tie-break, so an oracle recomputing
+    * the same md5 uniforms ranks identically (raw FP sums differ at
+    * ~1e-12 across engines; the 1e-6 grid puts rank flips 6 orders
+    * below the noise). Runs on the distributed rankings path (global
+    * top-k via GTable.order limit), not a single-task window.
+    * Output: (idCol, lw, gscore) for the k selected docs. */
+  def dsirResample(raw: org.apache.spark.sql.DataFrame,
+                   target: org.apache.spark.sql.DataFrame,
+                   textCol: String, idCol: String, dim: Int, k: Int,
+                   seed: String): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "dsirResample needs k > 0")
+    val lw = dsirLogWeights(raw, target, textCol, idCol, dim)
+    val uMax = 1152921504606846976L // 16^15: md5Long range, so u ∈ (0,1)
+    val u = (Hashing.md5Long(concat(lit(seed + ":"), col(idCol).cast("string")))
+      .cast("double") + lit(0.5)) / lit(uMax.toDouble)
+    val scored = lw.withColumn("gscore",
+      round(col("lw") - log(-log(u)), 6))
+    graft.core.GTable(scored)
+      .order(Seq(col("gscore").desc, col(idCol).asc), limit = Some(k))
+      .result
+  }
 }

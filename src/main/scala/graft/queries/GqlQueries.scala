@@ -1027,6 +1027,59 @@ object GqlQueries {
       "bin BIGINT, n_docs BIGINT, tokens BIGINT, first_id BIGINT, last_id BIGINT"),
     PipelineQueries.q_pack_tokens.oracle)
 
+  /** Served linear quality-classifier scoring (`qualityScore(weights:)`):
+    * the model arrives as an EXTRA parquet root (idx, weight) — exactly
+    * how a production deployment mounts an offline-trained model next to
+    * the corpus roots — and the serving path broadcasts it. Same
+    * deterministic 1024-row model and fully-recomputing oracle as
+    * q_quality_linear. */
+  val q_gql_quality = Q(
+    "q_gql_quality",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val wPath = "/tmp/graft_model1024/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!new java.io.File(wPath).exists()) {
+        s.range(1024).select(col("id").as("idx"),
+            ((col("id") % 997 - 498) / lit(498.0)).as("weight"))
+          .coalesce(1).write.mode("overwrite").parquet(wPath)
+      }
+      GqlBridge.frame(s, dir,
+        """{ t: documents {
+             q: qualityScore(on: "text", id: "doc_id", weights: "model",
+                             dim: 1024, bias: -0.1) {
+               p: project(columns: [
+                     {alias: "score_r", numeric: {round: [{name: "score"}, {value: 4}]}},
+                     {alias: "prob_r", numeric: {round: [{name: "prob"}, {value: 4}]}}]) {
+                 o: order(by: ["doc_id"]) {
+                   c: columns { doc_id { values } score: score_r { values }
+                                prob: prob_r { values } } } } } } }""",
+        Seq("t", "q", "p", "o", "c"),
+        "doc_id BIGINT, score DOUBLE, prob DOUBLE",
+        extra = Map("model" -> wPath))
+    },
+    PipelineQueries.q_quality_linear.oracle)
+
+  /** Served DSIR selection (`dsirSelect(target:, targetWhere:)`): the raw
+    * corpus is THIS table, the target distribution the English slice of
+    * the documents root — same parameters and fully-recomputing oracle
+    * (buckets, smoothing, Gumbel draw, top-k) as q_dsir_sample. */
+  val q_gql_dsir = Q(
+    "q_gql_dsir",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           d: dsirSelect(on: "text", id: "doc_id", target: "documents",
+                         targetWhere: {eq: [{name: "lang"}, {value: "en"}]},
+                         dim: 2048, k: 100, seed: "13") {
+             p: project(columns: [
+                   {alias: "lw_r", numeric: {round: [{name: "lw"}, {value: 4}]}}]) {
+               o: order(by: ["doc_id"]) {
+                 c: columns { doc_id { values } lw: lw_r { values }
+                              gscore { values } } } } } } }""",
+      Seq("t", "d", "p", "o", "c"),
+      "doc_id BIGINT, lw DOUBLE, gscore DOUBLE"),
+    PipelineQueries.q_dsir_sample.oracle)
+
   def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
@@ -1040,5 +1093,5 @@ object GqlQueries {
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
     q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_snapshot_diff,
-    q_gql_embed_project)
+    q_gql_embed_project, q_gql_quality, q_gql_dsir)
 }

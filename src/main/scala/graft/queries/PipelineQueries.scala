@@ -1130,14 +1130,23 @@ object PipelineQueries {
               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens
             FROM documents ORDER BY doc_id"""))
 
+  /** 60-bit md5 fold of an arbitrary SQL string expression — the DuckDB
+    * mirror of Hashing.md5Long (first 15 hex digits folded to a long). */
+  private def md5FoldSql(expr: String): String =
+    s"""(list_reduce(list_transform(range(1, 16), i ->
+       |  CAST(strpos('0123456789abcdef',
+       |    substr(md5($expr), CAST(i AS INT), 1)) - 1
+       |      AS BIGINT)),
+       |  (a, b) -> a * 16 + b))""".stripMargin
+
   /** md5 bucket SQL fragment for the sampling oracles: fold of the first 15
     * hex digits of md5(key) mod `buckets` — mirrors Sampling.hashBucket. */
   private def hashBucketSql(key: String, buckets: Int): String =
-    s"""(list_reduce(list_transform(range(1, 16), i ->
-       |  CAST(strpos('0123456789abcdef',
-       |    substr(md5(coalesce(CAST($key AS VARCHAR), '')), CAST(i AS INT), 1)) - 1
-       |      AS BIGINT)),
-       |  (a, b) -> a * 16 + b) % $buckets)""".stripMargin
+    s"(${md5FoldSql(s"coalesce(CAST($key AS VARCHAR), '')")} % $buckets)"
+
+  /** Hashed unigram feature bucket — mirrors TextAnalysis.featureIdx. */
+  private def featureIdxSql(tokExpr: String, dim: Int): String =
+    s"(${md5FoldSql(s"'f:' || $tokExpr")} % $dim)"
 
   /** Deterministic train/val/test split (80/10/10 by hashed doc id): stable
     * under repartitioning and re-runs, unlike rand() splits. */
@@ -1272,6 +1281,121 @@ object PipelineQueries {
             SELECT doc_id, round(avg(ln(CAST(c AS DOUBLE) / s)), 4) AS logprob
             FROM toks JOIN vocab USING (t), tot
             GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** fastText-style linear quality classifier scoring: hashed unigram
+    * features → broadcast weight lookup → mean weight + bias → logistic.
+    * The model here is a deterministic 1024-row weight table (a real model
+    * is trained offline and arrives the same shape); the oracle recomputes
+    * the feature hash, the lookup and the logistic end-to-end. Rounded at 4
+    * for the same order-sensitive-FP-mean reason as q_doc_logprob. */
+  val q_quality_linear = Q(
+    "q_quality_linear",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val w = s.range(1024).select(col("id").as("idx"),
+        ((col("id") % 997 - 498) / lit(498.0)).as("weight"))
+      GTable(TextAnalysis.scoreLinear(d, "text", "doc_id", w, 1024, -0.1))
+        .project("score" -> round(col("score"), 4),
+                 "prob" -> round(col("prob"), 4))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some(s"""WITH w AS (SELECT g AS idx, ((g % 997) - 498) / 498.0 AS weight
+              FROM range(0, 1024) t(g)),
+            f AS (SELECT doc_id, ${featureIdxSql("t", 1024)} AS idx
+              FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                FROM documents)),
+            sc AS (SELECT doc_id,
+                avg(coalesce(weight, 0.0)) + (-0.1) AS score
+              FROM f LEFT JOIN w USING (idx) GROUP BY doc_id)
+            SELECT doc_id, round(score, 4) AS score,
+              round(1.0 / (1.0 + exp(-score)), 4) AS prob
+            FROM sc ORDER BY doc_id"""))
+
+  /** DSIR importance log-weights (Xie et al. 2023): raw = whole corpus,
+    * target = the English slice; lw = Σ ln(p_target/p_raw) over add-one-
+    * smoothed hashed unigram buckets. Both distributions are dim-row
+    * broadcast tables; the oracle recomputes buckets, smoothing and the
+    * per-doc sum. */
+  val q_dsir_weights = Q(
+    "q_dsir_weights",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(TextAnalysis.dsirLogWeights(d, d.filter(col("lang") === "en"),
+          "text", "doc_id", 2048))
+        .project("lw" -> round(col("lw"), 4))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some(s"""WITH fr AS (SELECT doc_id, ${featureIdxSql("t", 2048)} AS idx
+              FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                FROM documents)),
+            cr AS (SELECT idx, count(*) AS c FROM fr GROUP BY idx),
+            ft AS (SELECT ${featureIdxSql("t", 2048)} AS idx
+              FROM (SELECT
+                unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                FROM documents WHERE lang = 'en')),
+            ct AS (SELECT idx, count(*) AS c FROM ft GROUP BY idx),
+            tot AS (SELECT
+                (SELECT coalesce(sum(c), 0) FROM cr) AS rt,
+                (SELECT coalesce(sum(c), 0) FROM ct) AS tt),
+            ratio AS (SELECT g AS idx,
+                ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) /
+                   CAST(tt + 2048 AS DOUBLE)) -
+                ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE) /
+                   CAST(rt + 2048 AS DOUBLE)) AS lr
+              FROM range(0, 2048) t(g)
+              LEFT JOIN cr ON cr.idx = g LEFT JOIN ct ON ct.idx = g, tot)
+            SELECT doc_id, round(sum(lr), 4) AS lw
+            FROM fr JOIN ratio USING (idx)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** DSIR selection: Gumbel-top-k over the importance weights — md5-derived
+    * per-doc uniforms, selection key round(lw+g, 6) with id tie-break so
+    * both engines rank identically (the raw FP sums differ at ~1e-12;
+    * the 1e-6 grid puts rank flips far below the noise). */
+  val q_dsir_sample = Q(
+    "q_dsir_sample",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(TextAnalysis.dsirResample(d, d.filter(col("lang") === "en"),
+          "text", "doc_id", 2048, k = 100, seed = "13"))
+        .project("lw" -> round(col("lw"), 4))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some(s"""WITH fr AS (SELECT doc_id, ${featureIdxSql("t", 2048)} AS idx
+              FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                FROM documents)),
+            cr AS (SELECT idx, count(*) AS c FROM fr GROUP BY idx),
+            ft AS (SELECT ${featureIdxSql("t", 2048)} AS idx
+              FROM (SELECT
+                unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                FROM documents WHERE lang = 'en')),
+            ct AS (SELECT idx, count(*) AS c FROM ft GROUP BY idx),
+            tot AS (SELECT
+                (SELECT coalesce(sum(c), 0) FROM cr) AS rt,
+                (SELECT coalesce(sum(c), 0) FROM ct) AS tt),
+            ratio AS (SELECT g AS idx,
+                ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) /
+                   CAST(tt + 2048 AS DOUBLE)) -
+                ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE) /
+                   CAST(rt + 2048 AS DOUBLE)) AS lr
+              FROM range(0, 2048) t(g)
+              LEFT JOIN cr ON cr.idx = g LEFT JOIN ct ON ct.idx = g, tot),
+            lw AS (SELECT doc_id, sum(lr) AS lw
+              FROM fr JOIN ratio USING (idx) GROUP BY doc_id),
+            g AS (SELECT doc_id, lw, round(lw - ln(-ln(
+                (CAST(${md5FoldSql("'13:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                  + 0.5) / 1152921504606846976.0)), 6) AS gscore
+              FROM lw),
+            sel AS (SELECT * FROM g
+              ORDER BY gscore DESC, doc_id ASC LIMIT 100)
+            SELECT doc_id, round(lw, 4) AS lw, gscore
+            FROM sel ORDER BY doc_id"""))
 
   /** End-to-end preprocessing pipeline in one composed plan — the
     * 100 TB shape: quality gate (scan-level filter) → exact dedup
@@ -2042,5 +2166,6 @@ object PipelineQueries {
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
     q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project,
-    q_ann_topk_proj, q_dedup_best, q_snapshot_pipeline)
+    q_ann_topk_proj, q_dedup_best, q_snapshot_pipeline,
+    q_quality_linear, q_dsir_weights, q_dsir_sample)
 }

@@ -1279,4 +1279,62 @@ class PipelineSpec extends SparkSpec {
       s"projection leaked neighbors across clusters: $sameCluster")
     assert(recall >= 0.3, s"identity recall collapsed entirely: $recall")
   }
+
+  test("scoreLinear: weights separate docs by token content; empty model scores the bias") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "good great excellent wonderful good great"),
+      (2L, "bad awful terrible horrid bad awful"),
+      (3L, "good bad good bad good bad")).toDF("doc_id", "text")
+    val dim = 1 << 16
+    val vocabW = Seq("good" -> 1.0, "great" -> 1.0, "excellent" -> 1.0,
+      "wonderful" -> 1.0, "bad" -> -1.0, "awful" -> -1.0,
+      "terrible" -> -1.0, "horrid" -> -1.0).toDF("tok", "weight")
+      .select(TextAnalysis.featureIdx(col("tok"), dim).as("idx"), col("weight"))
+    val scored = TextAnalysis.scoreLinear(df, "text", "doc_id", vocabW, dim,
+      bias = 0.0).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every token carries weight ±1 and 2^16 buckets make collisions
+    // vanishingly unlikely for 8 tokens: the means are exactly ±1 / 0
+    assert(math.abs(scored(1L) - 1.0) < 1e-9, s"positive doc: ${scored(1L)}")
+    assert(math.abs(scored(2L) + 1.0) < 1e-9, s"negative doc: ${scored(2L)}")
+    assert(math.abs(scored(3L)) < 1e-9, s"mixed doc: ${scored(3L)}")
+    val empty = Seq.empty[(Long, Double)].toDF("idx", "weight")
+    val biasOnly = TextAnalysis.scoreLinear(df, "text", "doc_id", empty, dim,
+      bias = 0.7).collect()
+    biasOnly.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 0.7) < 1e-9, s"bias-only score $r")
+      // logistic of the score, not of the mean: prob = sigmoid(0.7)
+      assert(math.abs(r.getDouble(2) - 1.0 / (1.0 + math.exp(-0.7))) < 1e-9)
+    }
+  }
+
+  test("dsirResample: selection is enriched toward the target distribution and deterministic") {
+    import spark.implicits._
+    // raw corpus: half "science" docs, half "spam" docs; target: science only
+    val sci = (1L to 60L).map(i =>
+      (i, s"protein enzyme molecule atom electron physics theorem proof lemma axiom sample$i"))
+    val spam = (61L to 120L).map(i =>
+      (i, s"buy cheap pills now click here winner prize casino jackpot offer$i"))
+    val raw = (sci ++ spam).toDF("doc_id", "text")
+    val target = sci.take(20).map { case (i, t) => (i + 9000L, t) }
+      .toDF("doc_id", "text")
+    val picked = TextAnalysis.dsirResample(raw, target, "text", "doc_id",
+      dim = 1 << 14, k = 30, seed = "7")
+    val ids = picked.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 30, s"exactly k selected, got ${ids.size}")
+    val sciFrac = ids.count(_ <= 60L).toDouble / ids.size
+    assert(sciFrac >= 0.8,
+      s"DSIR selection must favor target-like docs, science fraction $sciFrac")
+    // deterministic under repartitioning (Gumbel keys are md5-derived)
+    val again = TextAnalysis.dsirResample(raw.repartition(7), target, "text",
+      "doc_id", dim = 1 << 14, k = 30, seed = "7")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids, "selection must be stable under repartitioning")
+    // a different seed reshuffles the Gumbel draw but keeps the enrichment
+    val other = TextAnalysis.dsirResample(raw, target, "text", "doc_id",
+      dim = 1 << 14, k = 30, seed = "8")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != ids, "seed must matter")
+    assert(other.count(_ <= 60L).toDouble / other.size >= 0.8)
+  }
 }
