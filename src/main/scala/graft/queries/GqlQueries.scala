@@ -1037,22 +1037,23 @@ object GqlQueries {
     "q_gql_quality",
     (s, dir) => {
       import org.apache.spark.sql.functions.{col, lit}
-      val wPath = "/tmp/graft_model1024/" +
+      // path versions the model formula: regenerating after a formula
+      // change must not be skipped by the exists() guard
+      val wPath = "/tmp/graft_model1024_d512/" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       if (!new java.io.File(wPath).exists()) {
         s.range(1024).select(col("id").as("idx"),
-            ((col("id") % 997 - 498) / lit(498.0)).as("weight"))
+            ((col("id") % 997 - 498) / lit(512.0)).as("weight"))
           .coalesce(1).write.mode("overwrite").parquet(wPath)
       }
       GqlBridge.frame(s, dir,
         """{ t: documents {
              q: qualityScore(on: "text", id: "doc_id", weights: "model",
-                             dim: 1024, bias: -0.1) {
+                             dim: 1024, bias: -0.125) {
                p: project(columns: [
-                     {alias: "score_r", numeric: {round: [{name: "score"}, {value: 4}]}},
                      {alias: "prob_r", numeric: {round: [{name: "prob"}, {value: 4}]}}]) {
                  o: order(by: ["doc_id"]) {
-                   c: columns { doc_id { values } score: score_r { values }
+                   c: columns { doc_id { values } score { values }
                                 prob: prob_r { values } } } } } } }""",
         Seq("t", "q", "p", "o", "c"),
         "doc_id BIGINT, score DOUBLE, prob DOUBLE",

@@ -1286,30 +1286,37 @@ object PipelineQueries {
     * features → broadcast weight lookup → mean weight + bias → logistic.
     * The model here is a deterministic 1024-row weight table (a real model
     * is trained offline and arrives the same shape); the oracle recomputes
-    * the feature hash, the lookup and the logistic end-to-end. Rounded at 4
-    * for the same order-sensitive-FP-mean reason as q_doc_logprob. */
+    * the feature hash, the lookup and the logistic end-to-end.
+    *
+    * FP contract: the model is DYADIC (weights k/512, bias −0.125), so the
+    * token-weight sums are exact in IEEE doubles regardless of association
+    * order and the mean + bias is bit-identical across engines — `score`
+    * is compared RAW. A denominator-498 model at ×12 scale proved why:
+    * rational weights make round-half boundary decimals structurally
+    * likely, and Spark rounds half-up where DuckDB rounds half-even
+    * (observed: −0.19375 → −0.1937 vs −0.1938). Only `prob` (libm exp,
+    * ~1-ulp cross-engine noise) keeps a rounding grid. */
   val q_quality_linear = Q(
     "q_quality_linear",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val w = s.range(1024).select(col("id").as("idx"),
-        ((col("id") % 997 - 498) / lit(498.0)).as("weight"))
-      GTable(TextAnalysis.scoreLinear(d, "text", "doc_id", w, 1024, -0.1))
-        .project("score" -> round(col("score"), 4),
-                 "prob" -> round(col("prob"), 4))
+        ((col("id") % 997 - 498) / lit(512.0)).as("weight"))
+      GTable(TextAnalysis.scoreLinear(d, "text", "doc_id", w, 1024, -0.125))
+        .project("prob" -> round(col("prob"), 4))
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
-    Some(s"""WITH w AS (SELECT g AS idx, ((g % 997) - 498) / 498.0 AS weight
+    Some(s"""WITH w AS (SELECT g AS idx, ((g % 997) - 498) / 512.0 AS weight
               FROM range(0, 1024) t(g)),
             f AS (SELECT doc_id, ${featureIdxSql("t", 1024)} AS idx
               FROM (SELECT doc_id,
                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
                 FROM documents)),
             sc AS (SELECT doc_id,
-                avg(coalesce(weight, 0.0)) + (-0.1) AS score
+                avg(coalesce(weight, 0.0)) + (-0.125) AS score
               FROM f LEFT JOIN w USING (idx) GROUP BY doc_id)
-            SELECT doc_id, round(score, 4) AS score,
+            SELECT doc_id, score,
               round(1.0 / (1.0 + exp(-score)), 4) AS prob
             FROM sc ORDER BY doc_id"""))
 
