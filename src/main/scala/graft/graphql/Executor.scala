@@ -912,6 +912,27 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case GBool(b) => b }.getOrElse(false)
       resolveTable(GTable(graft.operators.Snapshot.diff(
         oldDf, t.result, keys, compare, full), denseRid = false), f, None)
+    case "snapshotAsOf" =>
+      // time-travel read: THIS table is a snapshotSink delta log;
+      // reconstruct the keyed state as of batch `version` (default
+      // latest) — one hash aggregation over the log, no snapshot copies
+      val keys = strListArg(f, "on") match {
+        case Nil => throw new IllegalArgumentException(
+          "snapshotAsOf needs on: [<key columns>]")
+        case ks => ks
+      }
+      val version = intArg(f, "version").map(_.toLong).getOrElse(-1L)
+      resolveTable(GTable(graft.operators.Snapshot.asOf(
+        t.result, keys, version), denseRid = false), f, None)
+    case "profile" =>
+      // per-column census (count/nulls/ndv/min/max/mean) in one
+      // whole-table pass; exact: trades the single-pass approx NDV for
+      // the multi-distinct exact plan
+      val columns = strListArg(f, "columns")
+      val exact = f.arg("exact").collect {
+        case GBool(b) => b }.getOrElse(false)
+      resolveTable(GTable(graft.operators.Profile.summary(
+        t.result, columns, exact), denseRid = false), f, None)
     case "tfidf" =>
       // per-document top-k terms by tf-idf (keyword extraction)
       val on = strArg(f, "on")

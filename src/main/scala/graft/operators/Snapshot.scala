@@ -55,6 +55,38 @@ object Snapshot {
     if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
   }
 
+  /** Time-travel read off a [[graft.streaming.StreamOps.snapshotSink]]
+    * delta log: reconstruct the keyed table as of batch `version`
+    * (inclusive; negative = latest). Because the sink emits every
+    * `added`/`changed` row WITH content, the latest-per-key row among
+    * deltas with `_batch <= version` IS the state as of that batch —
+    * time travel costs one hash aggregation over the log, no snapshot
+    * copies.
+    *
+    * Shape: `groupBy(key).agg(max(struct(_batch, payload)))` — a
+    * map-side-combinable reduction (the narrow shape, no window sort);
+    * at-least-once replay duplicates in the log carry identical
+    * `(_batch, payload)` structs and collapse to the same maximum, so a
+    * replayed batch cannot change any reconstruction. Payload columns
+    * ride the struct exactly once and only surviving rows are
+    * materialized.
+    */
+  def asOf(delta: DataFrame, keyCols: Seq[String],
+           version: Long = -1L): DataFrame = {
+    require(keyCols.nonEmpty, "asOf needs at least one key column")
+    require(delta.columns.contains("_batch"),
+      "asOf needs a delta log with a _batch column (snapshotSink output)")
+    val payload = delta.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == "status" || c == "_batch")
+    val visible =
+      if (version < 0) delta else delta.filter(col("_batch") <= version)
+    val reduced = visible
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(col("_batch") +: payload.map(col): _*)).as("_gq_m"))
+    reduced.select(keyCols.map(col) ++
+      payload.map(c => col("_gq_m").getField(c).as(c)): _*)
+  }
+
   /** The new-or-changed rows of `cur`, content included — the frame a
     * pipeline feeds to its incremental tiers (dedupAgainst, index
     * appends, embedding refresh). Same single-join shape as [[diff]],

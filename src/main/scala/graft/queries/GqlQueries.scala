@@ -1081,6 +1081,24 @@ object GqlQueries {
       "doc_id BIGINT, lw DOUBLE, gscore DOUBLE"),
     PipelineQueries.q_dsir_sample.oracle)
 
+  /** Served column census: the GraphQL `profile(columns:, exact:)`
+    * field over lineitem — same metrics and oracle as q_profile, proving
+    * the serving path (field → Profile.summary → column response). */
+  val q_gql_profile = Q(
+    "q_gql_profile",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: lineitem {
+           p: profile(columns: ["l_orderkey", "l_quantity", "l_returnflag"],
+                      exact: true) {
+             o: order(by: ["name"]) {
+               c: columns { name { values } cnt { values } null_cnt { values }
+                            ndv { values } min_s { values } max_s { values }
+                            mean { values } } } } } }""",
+      Seq("t", "p", "o", "c"),
+      "name STRING, cnt BIGINT, null_cnt BIGINT, ndv BIGINT, " +
+        "min_s STRING, max_s STRING, mean DOUBLE"),
+    PipelineQueries.q_profile.oracle)
+
   def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
@@ -1094,5 +1112,5 @@ object GqlQueries {
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
     q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_snapshot_diff,
-    q_gql_embed_project, q_gql_quality, q_gql_dsir)
+    q_gql_embed_project, q_gql_quality, q_gql_dsir, q_gql_profile)
 }

@@ -2156,6 +2156,43 @@ object PipelineQueries {
           WHERE o.doc_id IS NULL OR c.text IS DISTINCT FROM o.text
           ORDER BY c.doc_id"""))
 
+  /** Profile.summary: the one-pass per-column census (count / nulls /
+    * ndv / native min & max cast to string / mean) over three lineitem
+    * columns of three types. exactNdv = true so the oracle adjudicates
+    * the exact multi-distinct plan; the mean stays RAW (integral-valued
+    * sums are exact in IEEE doubles at every gate scale, so no rounding
+    * grid is needed — the dyadic-model contract class). */
+  val q_profile = Q(
+    "q_profile",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      GTable(graft.operators.Profile.summary(li,
+          Seq("l_orderkey", "l_quantity", "l_returnflag"), exactNdv = true),
+          denseRid = false)
+        .order(GTable.orderKeys(Seq("name")))
+        .result
+    },
+    Some("""SELECT * FROM (
+          SELECT 'l_orderkey' AS name, count(l_orderkey) AS cnt,
+            count(*) - count(l_orderkey) AS null_cnt,
+            count(DISTINCT l_orderkey) AS ndv,
+            CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+            CAST(max(l_orderkey) AS VARCHAR) AS max_s,
+            CAST(sum(l_orderkey) AS DOUBLE) / count(l_orderkey) AS mean
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', count(l_quantity),
+            count(*) - count(l_quantity), count(DISTINCT l_quantity),
+            CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
+            sum(l_quantity) / count(l_quantity)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', count(l_returnflag),
+            count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+            min(l_returnflag), max(l_returnflag), CAST(NULL AS DOUBLE)
+          FROM lineitem)
+          ORDER BY name"""))
+
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
     q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5,
     q_dedup_idx_merge, q_gql_near_dedup,
@@ -2174,5 +2211,5 @@ object PipelineQueries {
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
     q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project,
     q_ann_topk_proj, q_dedup_best, q_snapshot_pipeline,
-    q_quality_linear, q_dsir_weights, q_dsir_sample)
+    q_quality_linear, q_dsir_weights, q_dsir_sample, q_profile)
 }

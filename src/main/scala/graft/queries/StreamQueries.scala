@@ -503,7 +503,90 @@ object StreamQueries {
               WHERE doc_id % 3 <= 1 AND doc_id % 2 = 0)
             ORDER BY _batch, doc_id"""))
 
+  /** Snapshot.asOf: time-travel read off the snapshotSink delta log —
+    * same 3-batch upsert fixture as q_stream_snapshot, reconstructed as
+    * of MID-history batch 1 (the interesting version: batch-0 content
+    * superseded for even keys, batch-2 keys invisible). The oracle
+    * recomputes the expected state from the deterministic feed
+    * construction, independent of the log layout. */
+  val q_snapshot_asof = Q(
+    "q_snapshot_asof",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      val spark2 = s
+      import spark2.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val work = java.nio.file.Files.createTempDirectory("graft_asof").toString
+      val mem = MemoryStream[(Long, String)](s)
+      val q = StreamOps.snapshotSink(
+        mem.toDF.toDF("doc_id", "text"), Seq("doc_id"), Seq("text"),
+        stateDir = s"$work/state", deltaDir = s"$work/delta",
+        checkpoint = s"$work/ckpt",
+        trigger = Trigger.ProcessingTime(0))
+      try {
+        (0 until 3).foreach { c =>
+          val rows = docs.filter(_._1 % 3 <= c).map { case (id, t) =>
+            (id, if (id % 2 == 0) s"$t v$c" else t) }
+          mem.addData(rows.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val delta = s.read.parquet(s"$work/delta")
+      GTable(graft.operators.Snapshot.asOf(delta, Seq("doc_id"), version = 1),
+          denseRid = false)
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN text || ' v1' ELSE text END AS text
+          FROM documents WHERE doc_id % 3 <= 1
+          ORDER BY doc_id"""))
+
+  /** Served time travel: the delta log mounted as an extra parquet root
+    * (the deployment shape — a service pointed at a sink's output) and
+    * reconstructed via the GraphQL `snapshotAsOf` field, counts grouped
+    * by content-version suffix so the response stays column-shaped. */
+  val q_gql_snapshot_asof = Q(
+    "q_gql_snapshot_asof",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      val spark2 = s
+      import spark2.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val work = java.nio.file.Files.createTempDirectory("graft_asof_gql").toString
+      val mem = MemoryStream[(Long, String)](s)
+      val q = StreamOps.snapshotSink(
+        mem.toDF.toDF("doc_id", "text"), Seq("doc_id"), Seq("text"),
+        stateDir = s"$work/state", deltaDir = s"$work/delta",
+        checkpoint = s"$work/ckpt",
+        trigger = Trigger.ProcessingTime(0))
+      try {
+        (0 until 3).foreach { c =>
+          val rows = docs.filter(_._1 % 3 <= c).map { case (id, t) =>
+            (id, if (id % 2 == 0) s"$t v$c" else t) }
+          mem.addData(rows.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      GqlBridge.frame(s, dir,
+        """{ t: deltas {
+             a: snapshotAsOf(on: ["doc_id"], version: 1) {
+               o: order(by: ["doc_id"]) {
+                 c: columns { doc_id { values } text { values } } } } } }""",
+        Seq("t", "a", "o", "c"), "doc_id BIGINT, text STRING",
+        extra = Map("deltas" -> s"$work/delta"))
+    },
+    Some("""SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN text || ' v1' ELSE text END AS text
+          FROM documents WHERE doc_id % 3 <= 1
+          ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session, q_stream_join,
     q_stream_dedup, q_stream_micro, q_stream_dedup_incr, q_stream_dedup_neardup,
-    q_stream_ann_ingest, q_stream_semantic, q_stream_snapshot)
+    q_stream_ann_ingest, q_stream_semantic, q_stream_snapshot,
+    q_snapshot_asof, q_gql_snapshot_asof)
 }

@@ -1337,4 +1337,26 @@ class PipelineSpec extends SparkSpec {
     assert(other != ids, "seed must matter")
     assert(other.count(_ <= 60L).toDouble / other.size >= 0.8)
   }
+
+  test("Profile.summary: one-pass census with nulls, exact vs approx ndv, empty frame") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "x"), (2L, null), (2L, "y"),
+      (null, "y")).toDF("a", "b")
+    val rows = graft.operators.Profile.summary(df, exactNdv = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getString(4), r.getString(5), Option(r.get(6)))).toMap
+    assert(rows("a") == ((3L, 1L, 2L, "1", "2", Some(5.0 / 3))), rows("a"))
+    assert(rows("b") == ((3L, 1L, 2L, "x", "y", None)), rows("b"))
+    // approx ndv stays a LONG column of plausible estimates (exact shape
+    // is the oracle's job; here only the single-pass plan contract)
+    val approx = graft.operators.Profile.summary(df, Seq("a"))
+      .collect().head.getLong(3)
+    assert(approx >= 1L && approx <= 3L)
+    val empty = graft.operators.Profile.summary(df.limit(0), Seq("a"))
+      .collect().head
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L &&
+      empty.getLong(3) == 0L && empty.isNullAt(4) && empty.isNullAt(6))
+  }
 }

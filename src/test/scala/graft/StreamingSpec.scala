@@ -769,4 +769,33 @@ class StreamingSpec extends SparkSpec {
       !d2.contains((3L, "changed")) && d2.count(_._1 == 3L) == 1,
       s"restarted sink must honor the persisted ledger, got $d2")
   }
+
+  test("Snapshot.asOf reconstructs every version from the delta log; replay-idempotent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_asof_spec").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.snapshotSink(
+      mem.toDF.toDF("id", "text"), Seq("id"), Seq("text"),
+      stateDir = s"$work/state", deltaDir = s"$work/delta",
+      checkpoint = s"$work/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((1L, "a2"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val delta = spark.read.parquet(s"$work/delta")
+    def state(df: org.apache.spark.sql.DataFrame, v: Long) =
+      graft.operators.Snapshot.asOf(df, Seq("id"), v)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(delta, 0) == Set((1L, "a"), (2L, "b")))
+    assert(state(delta, 1) == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    // default (negative) version = latest
+    assert(state(delta, -1L) == state(delta, 1))
+    // at-least-once replay duplicates in the log cannot change any
+    // reconstruction: the duplicated rows reduce to the same maximum
+    assert(state(delta.unionAll(delta), 0) == state(delta, 0) &&
+      state(delta.unionAll(delta), 1) == state(delta, 1))
+  }
 }
