@@ -37,7 +37,14 @@ object ServeSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val service = new GraphQLService(spark, sf)
+    // the quality-classifier model root, mounted like a deployment would
+    import org.apache.spark.sql.functions.{col, lit}
+    val modelPath = "/tmp/graft_model1024_d512/servesoak"
+    spark.range(1024).select(col("id").as("idx"),
+        ((col("id") % 997 - 498) / lit(512.0)).as("weight"))
+      .coalesce(1).write.mode("overwrite").parquet(modelPath)
+    val service = new GraphQLService(spark, sf,
+      extraRoots = Map("model" -> modelPath))
     val server = new GraphQLHttpServer(service, port = 0,
       threads = math.max(8, clients)).start()
     val base = s"http://localhost:${server.boundPort}/graphql"
@@ -88,7 +95,19 @@ object ServeSoak {
         f: filter(m7: {ne: 0}) {
         d: snapshotDiff(old: "documents", on: ["doc_id"], compare: ["text"]) {
           g: group(by: ["status"], counts: "n") { o: order(by: ["status"]) {
-          columns { status { values } n { values } } } } } } } } }"""))
+          columns { status { values } n { values } } } } } } } } }"""),
+      "quality" -> gq("""{ documents { q: qualityScore(on: "text",
+        id: "doc_id", weights: "model", dim: 1024, bias: -0.125) {
+        f: filter(where: {ge: [{name: "prob"}, {value: 0.5}]}) { count } } } }"""),
+      "dsir" -> gq("""{ documents { d: dsirSelect(on: "text", id: "doc_id",
+        target: "documents", targetWhere: {eq: [{name: "lang"}, {value: "en"}]},
+        dim: 2048, k: 50, seed: "13") { o: order(by: ["doc_id"]) {
+        columns { doc_id { values } } } } } }"""),
+      "profile" -> gq("""{ documents {
+        p: profile(columns: ["doc_id", "lang", "n_chars"]) {
+        o: order(by: ["name"]) {
+        columns { name { values } cnt { values } null_cnt { values }
+                  min_s { values } max_s { values } } } } } }"""))
 
     // single-threaded warm-up: populates the index caches, pins the
     // expected answer per kind
