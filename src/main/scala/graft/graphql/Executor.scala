@@ -266,6 +266,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       // accumulated along the operator fold; null after a non-SQL op
       Json.quote(sql.getOrElse(
         throw new IllegalArgumentException("toSql: not SQL-expressible after this operator")))
+    case "explain" =>
+      // plan reflection for operators tuning a 100 TB query: the Catalyst
+      // plan of the table at this point in the fold (PushedFilters,
+      // ReadSchema, exchanges, codegen spans). mode: simple | extended |
+      // formatted | cost (Spark's ExplainMode names; default formatted)
+      val mode = strArg(f, "mode").getOrElse("formatted")
+      require(Set("simple", "extended", "formatted", "cost", "codegen")
+        .contains(mode), s"explain mode: unknown \"$mode\"")
+      Json.quote(t.result.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(mode)))
     case "slice" =>
       val off = longArg(f, "offset").getOrElse(0L)
       val lim = longArg(f, "limit")

@@ -291,6 +291,21 @@ class GraphQLSpec extends SparkSpec {
       service.execute("""{ lineitem { take(indices: [0, 1]) { toSql } } }"""))
   }
 
+  test("explain surfaces the physical plan with pushdown evidence; bad mode errors") {
+    val r = service.execute(
+      """{ lineitem { filter(l_returnflag: {eq: "A"}) {
+           e: explain(mode: "formatted") } } }""")
+    val plan = """"e":"(.*)"\}""".r.findFirstMatchIn(r).get.group(1)
+    // the filter must reach the parquet scan, and the formatted mode must
+    // show the physical operator list a plan-tuning operator reads
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"))
+    assert(plan.contains("Scan parquet"))
+    val r2 = service.execute("""{ nation { e: explain(mode: "simple") } }""")
+    assert(r2.contains("Scan parquet"))
+    intercept[IllegalArgumentException](
+      service.execute("""{ nation { explain(mode: "bogus") } }"""))
+  }
+
   test("first (rank top-k keeping ties), unnest, runs, plan, timings") {
     val r1 = service.execute(
       """{ lineitem { first(by: ["l_quantity"], rank: 1) { count } } }""")
