@@ -782,16 +782,91 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     }
   }
 
+  /** Rankings for LOW-CARDINALITY (keys ++ order) tuples — the shape where
+    * even the range-partitioned [[rankings]] over-pays. When the distinct
+    * (partition, order) tuple count fits a broadcast, every rank is a pure
+    * FUNCTION of the tuple: rank = rows strictly before the tuple,
+    * dense rank = tuples strictly before it. So ranking reduces to ONE
+    * map-side-combinable groupBy (output: ndv rows), a cumulative pass
+    * over that tiny frame, and a broadcast null-safe join back — the
+    * payload is scanned once and NEVER shuffled or sorted; cost is
+    * O(rows) map-side + O(ndv·log ndv), flat in cluster size where both
+    * other strategies sort 100% of the input. rowNumber/ntile are NOT
+    * expressible (they depend on row positions within tied tuples, which
+    * a tuple function cannot assign); [[rankingsAuto]] only dispatches
+    * here when neither is requested and the probed ndv fits
+    * `spark.graft.rankings.maxCountsNdv` (default 100k ≈ a few MB
+    * broadcast). Returns None when the tuple count exceeds the budget. */
+  def rankingsByCounts(partKeys: Seq[String], orderCols: Seq[Column],
+                       desc: Seq[Boolean] = Nil,
+                       rank: Option[String] = None,
+                       denseRank: Option[String] = None,
+                       percentRank: Option[String] = None,
+                       maxNdv: Long = 100000L): Option[GTable] = {
+    val spark = df.sparkSession
+    val dirs = orderCols.indices.map(i => desc.lift(i).getOrElse(false))
+    val ordNames = orderCols.indices.map(i => s"_gq_o$i")
+    val withOrds = df.withColumns(ordNames.zip(orderCols).toMap)
+    val keyCols = partKeys.map(col)
+    val counts = withOrds
+      .groupBy((partKeys ++ ordNames).map(col): _*)
+      .agg(GTable.cnt.as("_gq_n"))
+      .persist()
+    try {
+      if (counts.limit((maxNdv + 1).toInt).count() > maxNdv) return None
+      val ordSorted = ordNames.zip(dirs).map { case (n, d) =>
+        if (d) col(n).desc else col(n).asc }
+      val wk = Window.partitionBy(keyCols: _*).orderBy(ordSorted: _*)
+      val wkAll = Window.partitionBy(keyCols: _*)
+      val joinNames = (partKeys ++ ordNames).zipWithIndex.map {
+        case (_, i) => s"_gq_j$i" }
+      // rank0 = rows strictly before this tuple within the key;
+      // dense0 = tuples strictly before it; totals for percent_rank
+      val cum = counts
+        .withColumn("_gq_r0", coalesce(sum(col("_gq_n")).over(
+          wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_gq_d0", row_number().over(wk) - 1)
+        .withColumn("_gq_tot", sum(col("_gq_n")).over(wkAll))
+        .select((partKeys ++ ordNames).zip(joinNames).map {
+          case (a, b) => col(a).as(b) } ++
+          Seq(col("_gq_r0"), col("_gq_d0"), col("_gq_tot")): _*)
+        // eager tiny materialization: the broadcast must not recompute the
+        // counts lineage after the frame below is unpersisted
+        .localCheckpoint(true)
+      val cond = (partKeys ++ ordNames).zip(joinNames)
+        .map { case (a, b) => col(a) <=> col(b) }.reduce(_ && _)
+      var out = withOrds.join(broadcast(cum), cond, "inner")
+      rank.foreach(a => out = out.withColumn(a, col("_gq_r0").cast("int")))
+      denseRank.foreach(a => out = out.withColumn(a, col("_gq_d0").cast("int")))
+      percentRank.foreach(a => out = out.withColumn(a,
+        when(col("_gq_tot") === 1L, lit(0.0))
+          .otherwise(col("_gq_r0").cast("double") / (col("_gq_tot") - 1L))))
+      Some(GTable(out.drop(joinNames ++ ordNames ++
+        Seq("_gq_r0", "_gq_d0", "_gq_tot", "_gq_n"): _*), denseRid = false))
+    } finally counts.unpersist()
+  }
+
   def rankingsAuto(partKeys: Seq[String], orderCols: Seq[Column],
                    desc: Seq[Boolean] = Nil,
                    rowNumber: Option[String] = None, rank: Option[String] = None,
                    denseRank: Option[String] = None,
                    percentRank: Option[String] = None,
                    ntile: Option[(Int, String)] = None): GTable = {
-    if (rankingsFlip._3)
-      rankings(partKeys, orderCols, desc, rowNumber, rank, denseRank,
-        percentRank, ntile)
-    else {
+    if (rankingsFlip._3) {
+      // above the flip, prefer the broadcast counts strategy when the
+      // requested functions allow it and the tuple cardinality fits
+      val viaCounts =
+        if (rowNumber.isEmpty && ntile.isEmpty) {
+          val budget = df.sparkSession.conf
+            .getOption("spark.graft.rankings.maxCountsNdv")
+            .map(_.toLong).getOrElse(100000L)
+          rankingsByCounts(partKeys, orderCols, desc, rank, denseRank,
+            percentRank, budget)
+        } else None
+      viaCounts.getOrElse(
+        rankings(partKeys, orderCols, desc, rowNumber, rank, denseRank,
+          percentRank, ntile))
+    } else {
       val sortCols = orderCols.zipWithIndex.map { case (c, i) =>
         if (desc.lift(i).getOrElse(false)) c.desc else c.asc }
       val w = graft.functions.GWindows.spec(partKeys.map(col), sortCols)

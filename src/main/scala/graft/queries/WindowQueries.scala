@@ -61,6 +61,33 @@ object WindowQueries {
     },
     q_window_rank.oracle)
 
+  /** Broadcast-counts rankings (GTable.rankingsByCounts): rank over a
+    * LOW-cardinality order key is a pure function of the (key, order)
+    * tuple — one map-side-combinable groupBy, a cumulative pass over the
+    * ~150-tuple frame, a broadcast null-safe join back; the 600k-row
+    * payload is never shuffled or sorted. Same rank semantics as the
+    * window form, adjudicated against DuckDB's window functions. */
+  val q_window_rank_counts = Q(
+    "q_window_rank_counts",
+    (s, dir) => {
+      val li = GTable(Tables.load(s, dir, "lineitem"))
+      li.rankingsByCounts(Seq("l_returnflag"), Seq(col("l_quantity")),
+          desc = Seq(true), rank = Some("rk0"), denseRank = Some("dr0"),
+          percentRank = Some("pr")).get
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+          "rk0", "dr0", "pr")
+        .order(GTable.orderKeys(Seq("l_returnflag", "rk0", "l_orderkey",
+          "l_linenumber")))
+        .result
+    },
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+            CAST(rank() OVER w - 1 AS INTEGER) AS rk0,
+            CAST(dense_rank() OVER w - 1 AS INTEGER) AS dr0,
+            percent_rank() OVER w AS pr
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+            ORDER BY l_returnflag, rk0, l_orderkey, l_linenumber"""))
+
   /** lag/lead with defaults (reference: inputs.py:497-498). */
   val q_window_lag_lead = Q(
     "q_window_lag_lead",
@@ -216,7 +243,8 @@ object WindowQueries {
             WINDOW w AS (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             ORDER BY event_id"""))
 
-  def all: Seq[Q] = Seq(q_window_rank, q_window_rank_dist, q_window_lag_lead, q_window_pairwise,
+  def all: Seq[Q] = Seq(q_window_rank, q_window_rank_dist, q_window_rank_counts,
+    q_window_lag_lead, q_window_pairwise,
     q_window_cumsum, q_window_frame, q_window_range, q_window_partition,
     q_cum_natural)
 }

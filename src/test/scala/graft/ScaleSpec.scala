@@ -104,4 +104,50 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rankings.parallelism")
   }
 
+  test("rankingsByCounts equals the window form (nulls, desc, multi-key); over-budget falls back") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // adversarial frame: null order values, ties, a null partition key
+    val df = spark.range(0L, 4000L).toDF("id")
+      .withColumn("k", when(col("id") % 11 === 0, lit(null))
+        .otherwise((col("id") % 3).cast("string")))
+      .withColumn("a", when(col("id") % 7 === 0, lit(null))
+        .otherwise(col("id") % 5))
+      .withColumn("b", (col("id") % 4).cast("int"))
+    val t = graft.core.GTable(df)
+    def rowset(g: graft.core.GTable) =
+      g.select("id", "rk0", "dr0", "pr").result.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val viaCounts = t.rankingsByCounts(Seq("k"),
+      Seq(col("a"), col("b")), desc = Seq(true, false),
+      rank = Some("rk0"), denseRank = Some("dr0"), percentRank = Some("pr")).get
+    // reference: the plain window path (rankingsAuto below the flip)
+    val viaWindow = t.rankingsAuto(Seq("k"), Seq(col("a"), col("b")),
+      desc = Seq(true, false),
+      rank = Some("rk0"), denseRank = Some("dr0"), percentRank = Some("pr"))
+    assert(rowset(viaCounts) == rowset(viaWindow))
+    // tuple cardinality above the budget → None (caller falls back)
+    assert(t.rankingsByCounts(Seq("k"), Seq(col("id")),
+      rank = Some("rk0"), maxNdv = 100).isEmpty)
+    // the payload is never shuffled: the counts plan's only exchanges hash
+    // the TINY frame; the big side reaches the join through a broadcast
+    val plan = viaCounts.result.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"counts rankings must join via broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "payload must not sort-merge")
+    // auto dispatch: above the flip with rank-only functions, the counts
+    // strategy is chosen (observable: no range repartition of the payload)
+    spark.conf.set("spark.graft.rankings.flipRows", "100")
+    try {
+      val auto = t.rankingsAuto(Seq("k"), Seq(col("a"), col("b")),
+        desc = Seq(true, false),
+        rank = Some("rk0"), denseRank = Some("dr0"), percentRank = Some("pr"))
+      assert(rowset(auto) == rowset(viaWindow))
+      val autoPlan = auto.result.queryExecution.executedPlan.toString
+      assert(autoPlan.contains("BroadcastHashJoin"),
+        "auto dispatch above the flip must take the counts strategy")
+    } finally spark.conf.unset("spark.graft.rankings.flipRows")
+  }
+
 }
