@@ -936,13 +936,17 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         t.result, keys, version), denseRid = false), f, None)
     case "profile" =>
       // per-column census (count/nulls/ndv/min/max/mean) in one
-      // whole-table pass; exact: trades the single-pass approx NDV for
-      // the multi-distinct exact plan
+      // whole-table pass; by: partitions the census per group (per-source
+      // data quality); exact: trades the single-pass approx NDV for the
+      // multi-distinct exact plan
       val columns = strListArg(f, "columns")
       val exact = f.arg("exact").collect {
         case GBool(b) => b }.getOrElse(false)
-      resolveTable(GTable(graft.operators.Profile.summary(
-        t.result, columns, exact), denseRid = false), f, None)
+      val profiled = strListArg(f, "by") match {
+        case Nil => graft.operators.Profile.summary(t.result, columns, exact)
+        case by => graft.operators.Profile.summaryBy(t.result, by, columns, exact)
+      }
+      resolveTable(GTable(profiled, denseRid = false), f, None)
     case "tfidf" =>
       // per-document top-k terms by tf-idf (keyword extraction)
       val on = strArg(f, "on")

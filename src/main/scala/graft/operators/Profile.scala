@@ -34,24 +34,46 @@ object Profile {
     val targets = if (cols.nonEmpty) cols else df.columns.toSeq
     targets.foreach(c => require(df.columns.contains(c),
       s"profile: no such column $c"))
-    val aggs = targets.flatMap { c =>
-      val ndv =
-        if (exactNdv) countDistinct(col(c)) else approx_count_distinct(col(c))
-      val mean = df.schema(c).dataType match {
-        case _: NumericType => avg(col(c)).cast("double")
-        case _ => lit(null).cast("double")
-      }
-      Seq(count(col(c)).as(s"_c_$c"), ndv.as(s"_d_$c"),
-        min(col(c)).cast("string").as(s"_mn_$c"),
-        max(col(c)).cast("string").as(s"_mx_$c"), mean.as(s"_av_$c"))
-    }
+    val aggs = targets.flatMap(statAggs(df, _, exactNdv))
     val one = df.agg(count(lit(1)).as("_t"), aggs: _*)
-    val rows = targets.sorted.map { c =>
-      struct(lit(c).as("name"), col(s"_c_$c").as("cnt"),
-        (col("_t") - col(s"_c_$c")).as("null_cnt"), col(s"_d_$c").as("ndv"),
-        col(s"_mn_$c").as("min_s"), col(s"_mx_$c").as("max_s"),
-        col(s"_av_$c").as("mean"))
+    one.select(inline(array(pivotRows(targets): _*)))
+  }
+
+  /** Per-GROUP census: `summary` partitioned by `groupCols` (per-source /
+    * per-language data quality, the report a mixing stage reads). Same
+    * one-aggregation shape — the groupBy output is |groups| rows, each
+    * pivoted to one row per profiled column; nothing scans twice. */
+  def summaryBy(df: DataFrame, groupCols: Seq[String],
+                cols: Seq[String] = Nil,
+                exactNdv: Boolean = false): DataFrame = {
+    require(groupCols.nonEmpty, "summaryBy needs group columns")
+    val targets =
+      if (cols.nonEmpty) cols
+      else df.columns.toSeq.filterNot(groupCols.contains)
+    (groupCols ++ targets).foreach(c => require(df.columns.contains(c),
+      s"profile: no such column $c"))
+    val aggs = count(lit(1)).as("_t") +: targets.flatMap(statAggs(df, _, exactNdv))
+    val grouped = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    grouped.select(groupCols.map(col) :+ inline(array(pivotRows(targets): _*)): _*)
+  }
+
+  private def statAggs(df: DataFrame, c: String,
+                       exactNdv: Boolean): Seq[org.apache.spark.sql.Column] = {
+    val ndv =
+      if (exactNdv) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val mean = df.schema(c).dataType match {
+      case _: NumericType => avg(col(c)).cast("double")
+      case _ => lit(null).cast("double")
     }
-    one.select(inline(array(rows: _*)))
+    Seq(count(col(c)).as(s"_c_$c"), ndv.as(s"_d_$c"),
+      min(col(c)).cast("string").as(s"_mn_$c"),
+      max(col(c)).cast("string").as(s"_mx_$c"), mean.as(s"_av_$c"))
+  }
+
+  private def pivotRows(targets: Seq[String]) = targets.sorted.map { c =>
+    struct(lit(c).as("name"), col(s"_c_$c").as("cnt"),
+      (col("_t") - col(s"_c_$c")).as("null_cnt"), col(s"_d_$c").as("ndv"),
+      col(s"_mn_$c").as("min_s"), col(s"_mx_$c").as("max_s"),
+      col(s"_av_$c").as("mean"))
   }
 }

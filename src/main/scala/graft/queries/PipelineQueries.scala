@@ -2193,6 +2193,33 @@ object PipelineQueries {
           FROM lineitem)
           ORDER BY name"""))
 
+  /** Profile.summaryBy: the per-GROUP census (per-language data quality
+    * over documents) — same one-aggregation shape, |groups|×|columns|
+    * output rows. */
+  val q_profile_by = Q(
+    "q_profile_by",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(graft.operators.Profile.summaryBy(d, Seq("lang"),
+          Seq("n_chars", "source"), exactNdv = true), denseRid = false)
+        .order(GTable.orderKeys(Seq("lang", "name")))
+        .result
+    },
+    Some("""SELECT * FROM (
+          SELECT lang, 'n_chars' AS name, count(n_chars) AS cnt,
+            count(*) - count(n_chars) AS null_cnt,
+            count(DISTINCT n_chars) AS ndv,
+            CAST(min(n_chars) AS VARCHAR) AS min_s,
+            CAST(max(n_chars) AS VARCHAR) AS max_s,
+            CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS mean
+          FROM documents GROUP BY lang
+          UNION ALL
+          SELECT lang, 'source', count(source),
+            count(*) - count(source), count(DISTINCT source),
+            min(source), max(source), CAST(NULL AS DOUBLE)
+          FROM documents GROUP BY lang)
+          ORDER BY lang, name"""))
+
   def all: Seq[Q] = Seq(q_dedup_exact, q_dedup_jaccard, q_dedup_minhash,
     q_dedup_minhash_md5, q_dedup_simhash_md5, q_dedup_idx_md5,
     q_dedup_idx_merge, q_gql_near_dedup,
@@ -2211,5 +2238,5 @@ object PipelineQueries {
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
     q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project,
     q_ann_topk_proj, q_dedup_best, q_snapshot_pipeline,
-    q_quality_linear, q_dsir_weights, q_dsir_sample, q_profile)
+    q_quality_linear, q_dsir_weights, q_dsir_sample, q_profile, q_profile_by)
 }

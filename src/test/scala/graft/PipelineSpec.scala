@@ -1358,5 +1358,17 @@ class PipelineSpec extends SparkSpec {
       .collect().head
     assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L &&
       empty.getLong(3) == 0L && empty.isNullAt(4) && empty.isNullAt(6))
+    // grouped census ≡ whole-table census of each group's slice
+    val grouped = graft.operators.Profile.summaryBy(df, Seq("b"), Seq("a"),
+      exactNdv = true).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (g <- Seq(Some("x"), Some("y"), None)) {
+      val slice = df.filter(if (g.isEmpty) col("b").isNull else col("b") === g.get)
+      val one = graft.operators.Profile.summary(slice, Seq("a"), exactNdv = true)
+        .collect().head
+      assert(grouped(g) == ((one.getLong(1), one.getLong(2), one.getLong(3))),
+        s"group $g census must equal its slice's census")
+    }
   }
 }
