@@ -1099,6 +1099,38 @@ object GqlQueries {
         "min_s STRING, max_s STRING, mean DOUBLE"),
     PipelineQueries.q_profile.oracle)
 
+  /** Served broadcast-counts rankings: a rank-only window document above
+    * a forced flip threshold — the served ranking block dispatches
+    * through rankingsAuto, which takes the counts strategy (no payload
+    * sort) for the low-NDV (l_returnflag, l_quantity) tuple; the oracle
+    * is the plain window semantics, proving the strategies agree through
+    * the FULL service path. */
+  val q_gql_window_rank_counts = Q(
+    "q_gql_window_rank_counts",
+    (s, dir) => {
+      s.conf.set("spark.graft.rankings.flipRows", "100")
+      try GqlBridge.frame(s, dir,
+        """{ t: lineitem {
+             w: window(over: ["l_returnflag"], by: ["-l_quantity"],
+                       rank: "rk0", denseRank: "dr0", percentRank: "pr") {
+               o: order(by: ["l_returnflag", "rk0", "l_orderkey",
+                             "l_linenumber"]) {
+                 c: columns { l_returnflag { values } l_orderkey { values }
+                              l_linenumber { values } rk0 { values }
+                              dr0 { values } pr { values } } } } } }""",
+        Seq("t", "w", "o", "c"),
+        "l_returnflag STRING, l_orderkey BIGINT, l_linenumber INT, " +
+          "rk0 INT, dr0 INT, pr DOUBLE")
+      finally s.conf.unset("spark.graft.rankings.flipRows")
+    },
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+            CAST(rank() OVER w - 1 AS INTEGER) AS rk0,
+            CAST(dense_rank() OVER w - 1 AS INTEGER) AS dr0,
+            percent_rank() OVER w AS pr
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+            ORDER BY l_returnflag, rk0, l_orderkey, l_linenumber"""))
+
   def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
@@ -1112,5 +1144,6 @@ object GqlQueries {
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
     q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_snapshot_diff,
-    q_gql_embed_project, q_gql_quality, q_gql_dsir, q_gql_profile)
+    q_gql_embed_project, q_gql_quality, q_gql_dsir, q_gql_profile,
+    q_gql_window_rank_counts)
 }
