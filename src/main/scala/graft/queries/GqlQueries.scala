@@ -1099,6 +1099,25 @@ object GqlQueries {
         "min_s STRING, max_s STRING, mean DOUBLE"),
     PipelineQueries.q_profile.oracle)
 
+  /** Served grouped census: `profile(by:)` over documents per language —
+    * same metrics and oracle as q_profile_by through the full service
+    * path. */
+  val q_gql_profile_by = Q(
+    "q_gql_profile_by",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           p: profile(by: ["lang"], columns: ["n_chars", "source"],
+                      exact: true) {
+             o: order(by: ["lang", "name"]) {
+               c: columns { lang { values } name { values } cnt { values }
+                            null_cnt { values } ndv { values }
+                            min_s { values } max_s { values }
+                            mean { values } } } } } }""",
+      Seq("t", "p", "o", "c"),
+      "lang STRING, name STRING, cnt BIGINT, null_cnt BIGINT, ndv BIGINT, " +
+        "min_s STRING, max_s STRING, mean DOUBLE"),
+    PipelineQueries.q_profile_by.oracle)
+
   /** Served broadcast-counts rankings: a rank-only window document above
     * a forced flip threshold — the served ranking block dispatches
     * through rankingsAuto, which takes the counts strategy (no payload
@@ -1145,5 +1164,5 @@ object GqlQueries {
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
     q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_snapshot_diff,
     q_gql_embed_project, q_gql_quality, q_gql_dsir, q_gql_profile,
-    q_gql_window_rank_counts)
+    q_gql_profile_by, q_gql_window_rank_counts)
 }
