@@ -880,6 +880,38 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     }
   }
 
+  /** Re-rank a SPARSE natural row id (after filter/dropNull/distinct — any
+    * row-removing, order-preserving op) back into DENSE 0-based positions of
+    * the CURRENT table, so dense-position consumers (runsDistributed, the
+    * rid range-filter slice fast path) apply to filtered tables too.
+    *
+    * Same block prefix-sum machinery as [[cumulative]]/[[runsDistributed]]:
+    * rows are bucketed by `oldRid / blockSize` (each bucket holds ≤ blockSize
+    * surviving rows), per-bucket survivor counts are prefix-summed on the
+    * driver (one row per bucket — rows/blockSize driver rows, never data)
+    * and broadcast back; the within-bucket offset is a window partitioned by
+    * bucket — every stage parallel, no global sort. Row order is unchanged:
+    * the new rid is a monotone re-numbering of the old one.
+    */
+  def densify(blockSize: Long = 1L << 20): GTable = {
+    if (hasDensePositions) return this
+    require(Natural.hasRowId(df),
+      s"densify requires the natural row id ${Natural.rid} — load with Tables.loadOrdered")
+    val withBlk = df.withColumn("_gq_blk", (rid / blockSize).cast("long"))
+    val blockCounts = withBlk.groupBy("_gq_blk").agg(GTable.cnt.as("_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = blockCounts.map { case (b, n) => val o = acc; acc += n; (b, o) }
+    val offsetsDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("_gq_blk", "_gq_off")
+    val wBlk = Window.partitionBy(col("_gq_blk")).orderBy(col(Natural.rid))
+    val out = withBlk.join(broadcast(offsetsDf), Seq("_gq_blk"))
+      .withColumn(Natural.rid,
+        col("_gq_off") + row_number().over(wBlk).cast("long") - 1L)
+      .drop("_gq_blk", "_gq_off")
+    GTable(out, sortedBy, denseRid = true)
+  }
+
   def runs(by: Seq[String],
            split: Seq[org.apache.spark.sql.expressions.WindowSpec => Column] = Nil,
            aggs: Seq[Column] = Nil, counts: Option[String] = None): GTable = {

@@ -479,10 +479,14 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       resolveTable(out, f, None)
     case "runs" =>
       // runs(by:, split: [{window: {op: {name}}}], aggregate:, counts:,
-      // order:) — reference interface.py:471-489. Served path is the
+      // order:) — reference interface.py:471-489. Served path is ALWAYS the
       // distributed variant (block prefix-sum run ids, never a global
       // single-partition window); a filtered table has sparse rids
-      // (adjacency ≠ rid+1) and falls back to the rid-ordered window form.
+      // (adjacency ≠ rid+1) and is first re-densified (GTable.densify, the
+      // same block prefix-sum machinery) so filter → runs scales like the
+      // pre-filter form instead of a one-task Window.orderBy(rid) sort.
+      // Only a table with NO row id at all (post-join/group) takes the
+      // rid-ordered window fallback.
       val counts = f.arg("counts").collect { case GStr(c) => c }
       val by = strListArg(f, "by")
       val aggs = aggregatesOf(t, f)
@@ -513,8 +517,8 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case other => throw new IllegalArgumentException(s"split op '$other'")
       }
       val ran =
-        if (t.hasDensePositions)
-          t.runsDistributed(by,
+        if (Natural.hasRowId(t.df))
+          t.densify().runsDistributed(by,
             splits.map { case (op, nm) =>
               (cur: String => Column, prev: String => Column) => cmp(op)(cur(nm), prev(nm)) },
             aggs, counts)

@@ -559,6 +559,33 @@ object GqlQueries {
               count(*) AS n, min(rid) AS pos
             FROM r GROUP BY run_id ORDER BY pos"""))
 
+  /** filter → runs through the service (round-9 verdict lead item): the
+    * filtered table's sparse rids are re-densified (GTable.densify block
+    * prefix-sum) so the served path dispatches runsDistributed — no
+    * single-task global sort. `order:` exposes positions of the FILTERED
+    * table (0-based), which is what densify assigns. */
+  val q_gql_runs_filtered = Q(
+    "q_gql_runs_filtered",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: events {
+           f: filter(value: {gt: 0.2}) {
+             r: runs(by: ["event_type"], counts: "n", order: "pos") {
+               c: columns { event_type { values } n { values } pos { values } } } } } }""",
+      Seq("t", "f", "r", "c"),
+      "event_type STRING, n BIGINT, pos BIGINT"),
+    Some("""WITH t AS (SELECT *, row_number() OVER () rid FROM events),
+            s AS (SELECT *, row_number() OVER (ORDER BY rid) - 1 dpos
+              FROM t WHERE value > 0.2),
+            f AS (SELECT *, CASE WHEN event_type IS DISTINCT FROM
+                lag(event_type) OVER (ORDER BY dpos) THEN 1 ELSE 0 END chg
+              FROM s),
+            r AS (SELECT *, sum(chg) OVER (ORDER BY dpos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run_id
+              FROM f)
+            SELECT any_value(event_type ORDER BY dpos) AS event_type,
+              count(*) AS n, min(dpos) AS pos
+            FROM r GROUP BY run_id ORDER BY pos"""))
+
   /** distinct(on:, order:) through the service: first-seen dedup with the
     * exposed position column. */
   val q_gql_distinct = Q(
@@ -1150,7 +1177,8 @@ object GqlQueries {
             WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
             ORDER BY l_returnflag, rk0, l_orderkey, l_linenumber"""))
 
-  def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs, q_gql_distinct,
+  def all: Seq[Q] = Seq(q_gql_alltypes, q_gql_unnest, q_gql_runs,
+    q_gql_runs_filtered, q_gql_distinct,
     q_gql_column, q_gql_window_expr, q_gql_filter, q_gql_group, q_gql_first_last,
     q_gql_argmax, q_gql_quantile, q_gql_concat, q_gql_window,
     q_gql_window_rank,
