@@ -808,12 +808,34 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     val ordNames = orderCols.indices.map(i => s"_gq_o$i")
     val withOrds = df.withColumns(ordNames.zip(orderCols).toMap)
     val keyCols = partKeys.map(col)
+    // overflow-safe limit: maxNdv above Int range must degrade to a
+    // fallback-friendly clamp, not an AnalysisException on a negative limit
+    val ndvLimit =
+      if (maxNdv >= Int.MaxValue.toLong - 1L) Int.MaxValue
+      else (maxNdv + 1L).toInt
+    // cheap REJECTION pre-probe before the full-scan groupBy (round-9
+    // ADVICE): high-NDV order columns — exactly the shape the distributed
+    // rankings path exists for — used to pay an entire wasted input pass
+    // here before falling back. A bounded input prefix gives a LOWER bound
+    // on the tuple NDV: if even the first few×maxNdv rows hold more than
+    // maxNdv distinct tuples, the full input certainly does — return None
+    // after touching only that prefix (limit-on-scan terminates early).
+    // A low-NDV prefix proves nothing (sorted inputs cluster tuples), so
+    // the exact probe below still adjudicates; it is then the model build
+    // the counts strategy needs anyway.
+    if (ndvLimit < Int.MaxValue / 4) {
+      val probeRows = ndvLimit.toLong * 4L
+      val prefixNdv = withOrds.select((partKeys ++ ordNames).map(col): _*)
+        .limit(probeRows.min(Int.MaxValue.toLong).toInt)
+        .distinct().limit(ndvLimit).count()
+      if (prefixNdv > maxNdv) return None
+    }
     val counts = withOrds
       .groupBy((partKeys ++ ordNames).map(col): _*)
       .agg(GTable.cnt.as("_gq_n"))
       .persist()
     try {
-      if (counts.limit((maxNdv + 1).toInt).count() > maxNdv) return None
+      if (counts.limit(ndvLimit).count() > maxNdv) return None
       val ordSorted = ordNames.zip(dirs).map { case (n, d) =>
         if (d) col(n).desc else col(n).asc }
       val wk = Window.partitionBy(keyCols: _*).orderBy(ordSorted: _*)

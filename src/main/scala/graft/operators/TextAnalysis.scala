@@ -428,16 +428,43 @@ object TextAnalysis {
     * the score.
     *
     * `weights`: (idx long, weight double) — a model is at most `dim` rows,
-    * so it broadcasts; absent indices weigh 0. The corpus side is one
+    * so it broadcasts; absent indices weigh 0. CONTRACT: `idx` must be
+    * unique — a duplicated index fans out the feature join and skews the
+    * mean (the model is a function, not a multiset). The corpus side is one
     * linear explode + map-side-combinable mean: no shuffle ever carries
-    * text, and the only exchange is the per-doc aggregation. Output:
+    * text, and the only exchange is the per-doc aggregation. Documents with
+    * null/empty text keep ONE null-token row (explode_outer) that matches
+    * no weight, so they score exactly `bias` instead of vanishing. Output:
     * (idCol, score, prob). */
   def scoreLinear(df: org.apache.spark.sql.DataFrame, textCol: String,
                   idCol: String, weights: org.apache.spark.sql.DataFrame,
+                  dim: Int, bias: Double,
+                  cached: Boolean = true): org.apache.spark.sql.DataFrame =
+    if (!cached) scoreLinearCompute(df, textCol, idCol, weights, dim, bias)
+    else {
+      // same steady-state serving tier as the dsir lw cache: the scored
+      // frame is a pure function of (corpus, model, textCol, dim, bias)
+      // and narrow (~24 bytes/doc) — repeated qualityScore requests reuse
+      // it instead of re-running the corpus-wide scoring join
+      val key = s"ql|${System.identityHashCode(df.sparkSession)}|" +
+        s"${df.queryExecution.analyzed.canonicalized.semanticHash()}|" +
+        s"${Similarity.fingerprint(df)}|" +
+        s"${weights.queryExecution.analyzed.canonicalized.semanticHash()}|" +
+        s"${Similarity.fingerprint(weights)}|$textCol|$idCol|$dim|$bias"
+      lwCache.computeIfAbsent(key, _ => {
+        lwBuildCount.incrementAndGet()
+        scoreLinearCompute(df, textCol, idCol, weights, dim, bias)
+          .localCheckpoint(true)
+      })
+    }
+
+  private def scoreLinearCompute(df: org.apache.spark.sql.DataFrame,
+                  textCol: String, idCol: String,
+                  weights: org.apache.spark.sql.DataFrame,
                   dim: Int, bias: Double): org.apache.spark.sql.DataFrame = {
     require(dim > 0, "scoreLinear needs dim > 0")
     val feats = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("_gq_t"))
+      explode_outer(tokens(col(textCol))).as("_gq_t"))
       .select(col(idCol), featureIdx(col("_gq_t"), dim).as("_gq_idx"))
     val w = weights.select(col("idx").cast("long").as("_gq_idx"),
       col("weight").cast("double").as("_gq_w"))
@@ -456,16 +483,95 @@ object TextAnalysis {
     * one linear pass joined against the broadcast log-ratio table — at
     * 100 TB the target (the small high-quality corpus) is read once and
     * the raw side never shuffles text. Output: (idCol, lw). */
+  /** In-memory cache of hashed-unigram bucket-count model tables (dim rows,
+    * localCheckpointed) — the serving fix for the round-9 soak finding that
+    * every dsirSelect request re-estimated BOTH corpus distributions (a full
+    * corpus scan each) before the per-doc scoring join it actually needed.
+    * Key = logical plan semantics (canonicalized semanticHash — two
+    * different targetWhere filters over the same files must not collide) +
+    * input-file content fingerprint (path/size/mtime — an in-place rewrite
+    * misses and re-estimates) + session identity + (textCol, dim). Same
+    * lifecycle contract as Dedup.minhashIndexFor. */
+  private val unigramModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  /** Model estimations actually run (cache hits do NOT increment) —
+    * serving-tier observability, mirrors Dedup.minhashBuildCount. */
+  private[graft] val unigramModelBuildCount =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def bucketCountsOf(df: org.apache.spark.sql.DataFrame,
+                             textCol: String, dim: Int) =
+    df.select(explode(tokens(col(textCol))).as("_gq_t"))
+      .select(featureIdx(col("_gq_t"), dim).as("_gq_idx"))
+      .groupBy("_gq_idx").agg(count(lit(1)).as("_gq_c"))
+
+  /** Cached [[bucketCountsOf]]: at most `dim` rows, eagerly materialized
+    * (localCheckpoint) so later requests against the same corpus skip the
+    * full-scan estimation. computeIfAbsent serializes concurrent first
+    * requests for the same key — no estimation stampede. */
+  private def bucketCountsFor(df: org.apache.spark.sql.DataFrame,
+                              textCol: String, dim: Int) = {
+    val key = s"ug|${System.identityHashCode(df.sparkSession)}|" +
+      s"${df.queryExecution.analyzed.canonicalized.semanticHash()}|" +
+      s"${Similarity.fingerprint(df)}|$textCol|$dim"
+    unigramModelCache.computeIfAbsent(key, _ => {
+      unigramModelBuildCount.incrementAndGet()
+      bucketCountsOf(df, textCol, dim).localCheckpoint(true)
+    })
+  }
+
+  /** Drop every cached unigram model AND cached importance-weight frame
+    * (the corpus fingerprint already invalidates rewritten data
+    * automatically; this frees the memory). */
+  def invalidateUnigramModels(): Unit = {
+    unigramModelCache.clear()
+    lwCache.clear()
+  }
+
+  /** Cached per-doc importance log-weights: lw is a PURE deterministic
+    * function of (raw, target, textCol, dim) — a seed/k change between
+    * dsirSelect requests reuses it untouched — and the frame is NARROW
+    * (id, lw double): ~16 bytes/doc spread over the executors
+    * (localCheckpoint, memory-and-disk), so even a billion-doc corpus
+    * caches in tens of GB cluster-wide while each request saves a full
+    * corpus text scan. The round-9 soak priced that scan at 8 s p50 of a
+    * 17 s request; with this tier a steady-state dsirSelect pays only the
+    * Gumbel projection + top-k over the narrow frame. */
+  private val lwCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  /** lw scoring passes actually run (cache hits do NOT increment). */
+  private[graft] val lwBuildCount =
+    new java.util.concurrent.atomic.AtomicLong
+
   def dsirLogWeights(raw: org.apache.spark.sql.DataFrame,
                      target: org.apache.spark.sql.DataFrame,
                      textCol: String, idCol: String,
-                     dim: Int): org.apache.spark.sql.DataFrame = {
+                     dim: Int, cached: Boolean = true): org.apache.spark.sql.DataFrame =
+    if (!cached) dsirLogWeightsCompute(raw, target, textCol, idCol, dim, cached)
+    else {
+      val key = s"lw|${System.identityHashCode(raw.sparkSession)}|" +
+        s"${raw.queryExecution.analyzed.canonicalized.semanticHash()}|" +
+        s"${Similarity.fingerprint(raw)}|" +
+        s"${target.queryExecution.analyzed.canonicalized.semanticHash()}|" +
+        s"${Similarity.fingerprint(target)}|$textCol|$idCol|$dim"
+      lwCache.computeIfAbsent(key, _ => {
+        lwBuildCount.incrementAndGet()
+        dsirLogWeightsCompute(raw, target, textCol, idCol, dim, cached)
+          .localCheckpoint(true)
+      })
+    }
+
+  private def dsirLogWeightsCompute(raw: org.apache.spark.sql.DataFrame,
+                     target: org.apache.spark.sql.DataFrame,
+                     textCol: String, idCol: String,
+                     dim: Int, cached: Boolean): org.apache.spark.sql.DataFrame = {
     require(dim > 0, "dsirLogWeights needs dim > 0")
     val spark = org.apache.spark.sql.SparkSession.active
     def bucketCounts(df: org.apache.spark.sql.DataFrame) =
-      df.select(explode(tokens(col(textCol))).as("_gq_t"))
-        .select(featureIdx(col("_gq_t"), dim).as("_gq_idx"))
-        .groupBy("_gq_idx").agg(count(lit(1)).as("_gq_c"))
+      if (cached) bucketCountsFor(df, textCol, dim)
+      else bucketCountsOf(df, textCol, dim)
     val rawB = bucketCounts(raw)
     val tgtB = bucketCounts(target)
     // log-ratio over ALL dim buckets (absent → add-one smoothing only);

@@ -1065,13 +1065,21 @@ object GqlQueries {
     (s, dir) => {
       import org.apache.spark.sql.functions.{col, lit}
       // path versions the model formula: regenerating after a formula
-      // change must not be skipped by the exists() guard
+      // change must not be skipped by the exists() guard. Concurrent gate
+      // topologies may race here, so each writer stages to a private temp
+      // dir and publishes with an atomic rename — exactly one wins, losers
+      // discard; nobody ever reads a partially-written parquet.
       val wPath = "/tmp/graft_model1024_d512/" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       if (!new java.io.File(wPath).exists()) {
+        val tmp = wPath + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}"
         s.range(1024).select(col("id").as("idx"),
             ((col("id") % 997 - 498) / lit(512.0)).as("weight"))
-          .coalesce(1).write.mode("overwrite").parquet(wPath)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        if (!new java.io.File(tmp).renameTo(new java.io.File(wPath))) {
+          val p = new org.apache.hadoop.fs.Path(tmp)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
       }
       GqlBridge.frame(s, dir,
         """{ t: documents {

@@ -39,7 +39,10 @@ object ServeSoak {
     spark.sparkContext.setLogLevel("WARN")
     // the quality-classifier model root, mounted like a deployment would
     import org.apache.spark.sql.functions.{col, lit}
-    val modelPath = "/tmp/graft_model1024_d512/servesoak"
+    // pid-keyed path: a concurrently running gate topology writing the same
+    // shared model root must never race this soak's unconditional overwrite
+    val modelPath =
+      s"/tmp/graft_model1024_d512/servesoak_${ProcessHandle.current().pid()}"
     spark.range(1024).select(col("id").as("idx"),
         ((col("id") % 997 - 498) / lit(512.0)).as("weight"))
       .coalesce(1).write.mode("overwrite").parquet(modelPath)

@@ -1308,6 +1308,93 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("scoreLinear: null/empty text scores exactly the bias instead of vanishing") {
+    import spark.implicits._
+    val df = Seq((1L, "good great"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val dim = 1 << 16
+    val w = Seq("good" -> 1.0, "great" -> 1.0).toDF("tok", "weight")
+      .select(TextAnalysis.featureIdx(col("tok"), dim).as("idx"), col("weight"))
+    val scored = TextAnalysis.scoreLinear(df, "text", "doc_id", w, dim,
+      bias = 0.25).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.keySet == Set(1L, 2L, 3L),
+      s"every doc must score, got ${scored.keySet}")
+    assert(math.abs(scored(1L) - 1.25) < 1e-9)
+    assert(math.abs(scored(2L) - 0.25) < 1e-9, "null text = bias only")
+  }
+
+  test("dsir unigram model cache: cached equals recomputed, second request skips estimation") {
+    import spark.implicits._
+    val raw = (1L to 80L).map(i => (i, s"alpha beta gamma token$i"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val target = (1L to 20L).map(i => (i, s"alpha alpha beta special$i"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    TextAnalysis.invalidateUnigramModels()
+    val uncached = TextAnalysis.dsirLogWeights(raw, target, "text", "doc_id",
+      dim = 1 << 12, cached = false).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b0 = TextAnalysis.unigramModelBuildCount.get
+    val lw0 = TextAnalysis.lwBuildCount.get
+    val first = TextAnalysis.dsirLogWeights(raw, target, "text", "doc_id",
+      dim = 1 << 12).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(TextAnalysis.unigramModelBuildCount.get == b0 + 2,
+      "first cached call estimates both corpus models")
+    assert(TextAnalysis.lwBuildCount.get == lw0 + 1,
+      "first cached call runs the lw scoring pass")
+    val second = TextAnalysis.dsirLogWeights(raw, target, "text", "doc_id",
+      dim = 1 << 12).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(TextAnalysis.unigramModelBuildCount.get == b0 + 2,
+      "second request must hit the cache — no re-estimation")
+    assert(TextAnalysis.lwBuildCount.get == lw0 + 1,
+      "second request must reuse the cached lw frame — no scoring pass")
+    assert(first.keySet == uncached.keySet)
+    uncached.foreach { case (id, lw) =>
+      assert(math.abs(first(id) - lw) < 1e-12, s"cached != recomputed at $id")
+      assert(math.abs(second(id) - lw) < 1e-12)
+    }
+    // a different dim is a different model — distinct cache entry
+    TextAnalysis.dsirLogWeights(raw, target, "text", "doc_id", dim = 1 << 11)
+      .collect()
+    assert(TextAnalysis.unigramModelBuildCount.get == b0 + 4)
+    TextAnalysis.invalidateUnigramModels()
+  }
+
+  test("knnJoinLsh dim inference: empty or all-null vector column gives a named error") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val left = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, Seq(1.0f, 0.0f))), schema)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnJoinLsh(left, empty, "vec_id", "embedding",
+        k = 1, planes = 4)
+    }
+    assert(e1.getMessage.contains("embedding") && e1.getMessage.contains("dim"),
+      s"error must name the column: ${e1.getMessage}")
+    val allNull = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(2L, null)), schema)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnJoinLsh(left, allNull, "vec_id", "embedding",
+        k = 1, planes = 4)
+    }
+    assert(e2.getMessage.contains("non-null"), e2.getMessage)
+    // explicit dim bypasses inference entirely on the same degenerate input
+    assert(graft.operators.Similarity.knnJoinLsh(left, allNull, "vec_id",
+      "embedding", k = 1, planes = 4, dim = 2).count() == 0)
+  }
+
+  test("asOf rejects unorderable payload columns with a named error") {
+    import spark.implicits._
+    val delta = Seq((1L, 0L, Map("a" -> 1))).toDF("k", "_batch", "payload")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Snapshot.asOf(delta, Seq("k"))
+    }
+    assert(e.getMessage.contains("payload") && e.getMessage.contains("unorderable"),
+      e.getMessage)
+  }
+
   test("dsirResample: selection is enriched toward the target distribution and deterministic") {
     import spark.implicits._
     // raw corpus: half "science" docs, half "spam" docs; target: science only
