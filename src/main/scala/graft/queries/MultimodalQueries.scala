@@ -121,5 +121,48 @@ object MultimodalQueries {
                 ELSE (height * 512 + m // 2) // m END AS INTEGER) AS r_height
             FROM r ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q_media_frames, q_media_features, q_media_meta)
+  /** REAL byte-format header parsing (round-9 verdict #3): spec-conformant
+    * PNG/GIF/JPEG/BMP bytes built by [[Multimodal.SyntheticImages]] flow
+    * through a real exchange and the fused ImageMeta expression; the gate
+    * asserts TRUE widths/heights/format tags plus the degraded shapes — a
+    * truncated JPEG keeps its format tag with null dimensions, non-image
+    * bytes parse to a null struct. Oracle = the expected constants (the
+    * dimensions are the builders' parameters). */
+  val q_media_imagemeta = Q(
+    "q_media_imagemeta",
+    (s, dir) => {
+      import s.implicits._
+      import Multimodal.SyntheticImages
+      val imgs: Seq[(String, Array[Byte])] = Seq(
+        "png_37x23" -> SyntheticImages.png(37, 23),
+        "png_1920x1080" -> SyntheticImages.png(1920, 1080),
+        "gif_640x480" -> SyntheticImages.gif(640, 480),
+        "gif_65535x1" -> SyntheticImages.gif(65535, 1),
+        "jpeg_800x600" -> SyntheticImages.jpeg(800, 600),
+        "jpeg_31x97" -> SyntheticImages.jpeg(31, 97),
+        "bmp_5x7" -> SyntheticImages.bmp(5, 7),
+        "jpeg_truncated" -> SyntheticImages.jpeg(800, 600).take(20),
+        "not_an_image" -> "hello world, plain bytes".getBytes("UTF-8"))
+      val df = imgs.toDF("name", "blob")
+        .repartition(4) // the expression must survive a real exchange
+      GTable(df.withColumn("meta", Multimodal.imageMetadata(s, col("blob")))
+        .select(col("name"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height")))
+        .order(GTable.orderKeys(Seq("name")))
+        .result
+    },
+    Some("""SELECT * FROM (VALUES
+            ('bmp_5x7', 'bmp', 5, 7),
+            ('gif_640x480', 'gif', 640, 480),
+            ('gif_65535x1', 'gif', 65535, 1),
+            ('jpeg_31x97', 'jpeg', 31, 97),
+            ('jpeg_800x600', 'jpeg', 800, 600),
+            ('jpeg_truncated', 'jpeg', NULL, NULL),
+            ('not_an_image', NULL, NULL, NULL),
+            ('png_1920x1080', 'png', 1920, 1080),
+            ('png_37x23', 'png', 37, 23))
+            AS t(name, format, width, height) ORDER BY name"""))
+
+  def all: Seq[Q] = Seq(q_media_frames, q_media_features, q_media_meta,
+    q_media_imagemeta)
 }

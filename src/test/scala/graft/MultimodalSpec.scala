@@ -23,6 +23,69 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(0) <= 512 && r.getInt(1) <= 512))
   }
 
+  test("ImageMeta parses real container headers; PNG/BMP cross-validated by ImageIO") {
+    import Multimodal.SyntheticImages
+    // cross-validation: the JDK's own decoders fully decode the PNG and BMP
+    // builders' output — the fixture bytes are REAL images, not just
+    // parser-shaped prefixes
+    for ((w, h) <- Seq((37, 23), (512, 1), (1, 800))) {
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(SyntheticImages.png(w, h)))
+      assert(png != null && png.getWidth == w && png.getHeight == h,
+        s"ImageIO must decode the synthetic ${w}x$h PNG")
+      val bmp = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(SyntheticImages.bmp(w, h)))
+      assert(bmp != null && bmp.getWidth == w && bmp.getHeight == h,
+        s"ImageIO must decode the synthetic ${w}x$h BMP")
+    }
+    // expression round-trip for every format at assorted dimensions
+    import graft.expressions.ImageMeta
+    def dims(b: Array[Byte]): (String, Any, Any) = {
+      val r = ImageMeta.parse(b)
+      if (r == null) (null, null, null)
+      else (if (r.isNullAt(0)) null else r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getInt(2))
+    }
+    assert(dims(SyntheticImages.png(1920, 1080)) == ("png", 1920, 1080))
+    assert(dims(SyntheticImages.gif(65535, 42)) == ("gif", 65535, 42))
+    assert(dims(SyntheticImages.jpeg(800, 600)) == ("jpeg", 800, 600))
+    assert(dims(SyntheticImages.bmp(3, 9)) == ("bmp", 3, 9))
+    // degraded shapes: format tag survives, dimensions go null
+    assert(dims(SyntheticImages.jpeg(800, 600).take(20)) == ("jpeg", null, null))
+    assert(dims(SyntheticImages.png(8, 8).take(10)) == ("png", null, null))
+    assert(dims("plain text".getBytes("UTF-8")) == (null, null, null))
+    assert(dims(Array[Byte]()) == (null, null, null))
+    // JPEG marker walk must skip APPn/DQT/DHT segments and fill bytes:
+    // inject extra 0xFF padding before the SOF marker
+    val j = SyntheticImages.jpeg(31, 97)
+    val sofAt = j.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val padded = j.take(sofAt) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++ j.drop(sofAt)
+    assert(dims(padded) == ("jpeg", 31, 97))
+  }
+
+  test("imageMetadata column survives codegen and an exchange") {
+    val spark2 = spark
+    import spark2.implicits._
+    import Multimodal.SyntheticImages
+    val df = Seq(
+      ("a", SyntheticImages.png(10, 20)),
+      ("b", SyntheticImages.gif(7, 7)),
+      ("c", "nope".getBytes("UTF-8")),
+      ("d", null.asInstanceOf[Array[Byte]])).toDF("name", "blob")
+      .repartition(3)
+      .withColumn("m", Multimodal.imageMetadata(spark2, col("blob")))
+      .select(col("name"), col("m.format"), col("m.width"), col("m.height"))
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getAs[String](1), if (r.isNullAt(2)) null else r.getInt(2))).toMap
+    assert(rows("a") == ("png", 10))
+    assert(rows("b") == ("gif", 7))
+    assert(rows("c") == (null, null))
+    assert(rows("d") == (null, null))
+    // SQL registration path
+    df.sparkSession.sql("SELECT image_meta(CAST(NULL AS BINARY))").collect()
+  }
+
   test("decodeBatch streams per-partition with correct feature shape") {
     val spark2 = spark
     import spark2.implicits._
