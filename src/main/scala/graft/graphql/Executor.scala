@@ -874,21 +874,32 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val corpus = f.arg("corpusWhere")
         .map(w => corpusRoot.filter(Exprs.compile(w))).getOrElse(corpusRoot)
       val sim = graft.operators.Similarity
-      val joined = strArg(f, "method").getOrElse("BRUTE").toUpperCase match {
-        case "BRUTE" => sim.knnJoinBrute(t.result, corpus, id, on, k)
-        case "LSH" =>
+      // method: omitted → automatic arm choice by estimated corpus size
+      // (Similarity.knnJoinFlip — brute under the broadcast budget, IVF
+      // above it, LSH at pathological dims), the same caller-need-not-know
+      // contract as the served rankings block
+      val joined = strArg(f, "method").map(_.toUpperCase) match {
+        case None => sim.knnJoinAuto(t.result, corpus, id, on, k,
+          planes = intArg(f, "planes").getOrElse(0),
+          dim = intArg(f, "dim").getOrElse(0),
+          tables = intArg(f, "tables").getOrElse(8),
+          probes = intArg(f, "probes").getOrElse(0),
+          nlist = intArg(f, "nlist").getOrElse(0),
+          nprobe = intArg(f, "nprobe").getOrElse(6))
+        case Some("BRUTE") => sim.knnJoinBrute(t.result, corpus, id, on, k)
+        case Some("LSH") =>
           val planes = intArg(f, "planes").getOrElse(4)
           val tables = intArg(f, "tables").getOrElse(8)
           val probes = intArg(f, "probes").getOrElse(1)
-          val dim = intArg(f, "dim").getOrElse(
-            corpus.select(size(col(on))).head.getInt(0))
+          // dim 0 → inferred null-safely inside knnJoinLsh (resolveDim)
+          val dim = intArg(f, "dim").getOrElse(0)
           sim.knnJoinLsh(t.result, corpus, id, on, k, planes, dim,
             tables, probes)
-        case "IVF" =>
+        case Some("IVF") =>
           val nlist = intArg(f, "nlist").getOrElse(16)
           val nprobe = intArg(f, "nprobe").getOrElse(6)
           sim.knnJoinIvf(t.result, corpus, id, on, k, nlist, nprobe)
-        case other => throw new IllegalArgumentException(
+        case Some(other) => throw new IllegalArgumentException(
           s"knnJoin method: must be BRUTE, IVF or LSH, got \"$other\"")
       }
       resolveTable(GTable(joined, denseRid = false), f, None)

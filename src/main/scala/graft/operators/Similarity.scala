@@ -1354,6 +1354,81 @@ object Similarity {
     array(dots: _*)
   }
 
+  /** The dispatch decision [[knnJoinAuto]] takes for this corpus, exposed
+    * so specs and probes can OBSERVE the arm instead of inferring it from
+    * wall time: (rows used for the decision, estimated corpus bytes,
+    * chosen method, auto nlist).
+    *
+    * Policy (round-9 verdict #4): BRUTE while the projected (id, vector,
+    * norm) corpus fits the broadcast budget
+    * (`spark.graft.knn.bruteMaxBytes`, default 128 MB — comfortably inside
+    * one executor); IVF above it with nlist ≈ √rows clamped to [16, 4096];
+    * LSH only when even the smallest centroid table would blow the
+    * centroid transport budget (`spark.graft.knn.centroidMaxFloats`,
+    * default 16M floats — pathological dims only). Plan-stats row
+    * estimates err LOW by the parquet compression ratio, so the AMBIGUOUS
+    * band (est ≤ budget < est·maxExpansion, `spark.graft.knn.maxExpansion`,
+    * default 8) pays one exact count — footer-cheap next to a mis-broadcast
+    * corpus — the same disambiguation [[graft.core.GTable.rankingsFlip]]
+    * uses. Unknown plan size (LogicalRDD after a localCheckpoint) keeps
+    * the SHUFFLE arm: broadcasting a corpus on no evidence is the worse
+    * failure mode (the mirror image of the rankings default, where the
+    * cheap arm is the safe one). */
+  def knnJoinFlip(right: DataFrame, vecCol: String,
+                  dim: Int = 0): (Long, Long, String, Int) = {
+    val spark = right.sparkSession
+    val conf = spark.conf
+    val bruteBytes = conf.getOption("spark.graft.knn.bruteMaxBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val centroidMaxFloats = conf.getOption("spark.graft.knn.centroidMaxFloats")
+      .map(_.toLong).getOrElse(16L << 20)
+    val maxExp = conf.getOption("spark.graft.knn.maxExpansion")
+      .map(_.toDouble).getOrElse(8.0)
+    val dim0 = resolveDim(right, vecCol, dim, "knnJoinAuto")
+    val t = graft.core.GTable(right)
+    val stats = right.queryExecution.optimizedPlan.stats
+    val unknownSize = stats.rowCount.isEmpty &&
+      stats.sizeInBytes >= spark.sessionState.conf.defaultSizeInBytes
+    val rowBytes = 4L * dim0 + 32L
+    def bytesOf(rows: Long): Long =
+      if (rows > Long.MaxValue / rowBytes) Long.MaxValue else rows * rowBytes
+    val est = t.estimatedRows
+    val (rows, bytes) =
+      if (unknownSize) (est, Long.MaxValue) // no evidence → shuffle arm
+      else if (stats.rowCount.isDefined || bytesOf(est) > bruteBytes ||
+               bytesOf(est).toDouble * maxExp <= bruteBytes.toDouble)
+        (est, bytesOf(est))
+      else { val exact = right.count(); (exact, bytesOf(exact)) }
+    if (bytes <= bruteBytes) (rows, bytes, "BRUTE", 0)
+    else {
+      val nlist = math.min(4096L, math.max(16L,
+        math.sqrt(math.max(rows, 0L).toDouble).toLong)).toInt
+      if (nlist.toLong * dim0 > centroidMaxFloats) (rows, bytes, "LSH", 0)
+      else (rows, bytes, "IVF", nlist)
+    }
+  }
+
+  /** k-NN join with AUTOMATIC strategy choice ([[knnJoinFlip]]): callers
+    * that know their corpus keep the explicit entry points; a serving
+    * layer that doesn't gets brute-exact results on broadcastable corpora
+    * and the shuffle-join scale arms past the budget — the same
+    * caller-need-not-know contract as [[graft.core.GTable.rankingsAuto]].
+    * Explicit nlist/planes override the auto sizing of the chosen arm. */
+  def knnJoinAuto(left: DataFrame, right: DataFrame, idCol: String,
+                  vecCol: String, k: Int, planes: Int = 0, dim: Int = 0,
+                  tables: Int = 8, probes: Int = 0,
+                  nlist: Int = 0, nprobe: Int = 6,
+                  maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    knnJoinFlip(right, vecCol, dim) match {
+      case (_, _, "BRUTE", _) => knnJoinBrute(left, right, idCol, vecCol, k)
+      case (_, _, "LSH", _) =>
+        knnJoinLsh(left, right, idCol, vecCol, k, planes, dim, tables,
+          probes, maxBucket)
+      case (_, _, _, autoNlist) =>
+        knnJoinIvf(left, right, idCol, vecCol, k,
+          if (nlist > 0) nlist else autoNlist, nprobe)
+    }
+
   /** IVF k-NN join — the clustered BIG×BIG scale path: the right side
     * assigns each row to its best of `nlist` centroids (budget-dispatched
     * transport, [[withCentScores]]), the left fans out ×nprobe to its

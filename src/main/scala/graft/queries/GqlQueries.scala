@@ -860,6 +860,28 @@ object GqlQueries {
       "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
     PipelineQueries.q_knn_join_lsh.oracle)
 
+  /** Served k-NN join with NO method: — the serving layer dispatches by
+    * estimated corpus size (knnJoinAuto). At gate scale that is the
+    * BRUTE arm, so the exact-join oracle adjudicates; the above-budget
+    * regimes are spec-observed via knnJoinFlip. */
+  val q_gql_knn_join_auto = Q(
+    "q_gql_knn_join_auto",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: embeddings {
+           m: project(columns: [
+                 {alias: "m20", mod: [{name: "vec_id"}, {value: 20}]}]) {
+             f: filter(m20: {eq: 3}) {
+               j: knnJoin(corpus: "embeddings", on: "embedding", id: "vec_id",
+                          k: 3) {
+                 p: project(columns: [
+                       {alias: "score_r", numeric: {round: [{name: "score"}, {value: 9}]}}]) {
+                   o: order(by: ["query_id", "rank"]) {
+                     c: columns { query_id { values } neighbor_id { values }
+                                  score: score_r { values } rank { values } } } } } } } } }""",
+      Seq("t", "m", "f", "j", "p", "o", "c"),
+      "query_id BIGINT, neighbor_id BIGINT, score DOUBLE, rank INT"),
+    PipelineQueries.q_knn_join.oracle)
+
   /** Served random projection (`randomProject(on:, outDim:)`): the fused
     * MatVec pass appended as a served column; three coordinates are
     * widened to double in the expression tree (× 1.0 — exact float
@@ -1128,10 +1150,10 @@ object GqlQueries {
              o: order(by: ["name"]) {
                c: columns { name { values } cnt { values } null_cnt { values }
                             ndv { values } min_s { values } max_s { values }
-                            mean { values } } } } } }""",
+                            mean { values } p50 { values } p95 { values } } } } } }""",
       Seq("t", "p", "o", "c"),
       "name STRING, cnt BIGINT, null_cnt BIGINT, ndv BIGINT, " +
-        "min_s STRING, max_s STRING, mean DOUBLE"),
+        "min_s STRING, max_s STRING, mean DOUBLE, p50 DOUBLE, p95 DOUBLE"),
     PipelineQueries.q_profile.oracle)
 
   /** Served grouped census: `profile(by:)` over documents per language —
@@ -1147,10 +1169,10 @@ object GqlQueries {
                c: columns { lang { values } name { values } cnt { values }
                             null_cnt { values } ndv { values }
                             min_s { values } max_s { values }
-                            mean { values } } } } } }""",
+                            mean { values } p50 { values } p95 { values } } } } } }""",
       Seq("t", "p", "o", "c"),
       "lang STRING, name STRING, cnt BIGINT, null_cnt BIGINT, ndv BIGINT, " +
-        "min_s STRING, max_s STRING, mean DOUBLE"),
+        "min_s STRING, max_s STRING, mean DOUBLE, p50 DOUBLE, p95 DOUBLE"),
     PipelineQueries.q_profile_by.oracle)
 
   /** Served broadcast-counts rankings: a rank-only window document above
@@ -1198,7 +1220,8 @@ object GqlQueries {
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
-    q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_snapshot_diff,
+    q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_knn_join_auto,
+    q_gql_snapshot_diff,
     q_gql_embed_project, q_gql_quality, q_gql_dsir, q_gql_profile,
     q_gql_profile_by, q_gql_window_rank_counts)
 }

@@ -889,6 +889,23 @@ object PipelineQueries {
           FROM ranked WHERE rank <= 3
           ORDER BY query_id, rank"""))
 
+  /** knnJoinAuto (round-9 verdict #4): no method given — the dispatch
+    * (Similarity.knnJoinFlip) must pick BRUTE here (the gate corpus is
+    * far under the 128 MB broadcast budget), making the auto arm exactly
+    * the brute oracle. The above-budget regimes are spec-asserted
+    * (PipelineSpec observes the flip tuple under shrunk budgets). */
+  val q_knn_join_auto = Q(
+    "q_knn_join_auto",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val left = e.filter(col("vec_id") % 20 === 3)
+      GTable(Similarity.knnJoinAuto(left, e, "vec_id", "embedding", k = 3))
+        .project("score" -> round(col("score"), 9))
+        .order(GTable.orderKeys(Seq("query_id", "rank")))
+        .result
+    },
+    q_knn_join.oracle)
+
   /** LSH-bucketed k-NN join (Similarity.knnJoinLsh, the big×big scale
     * path): both sides banded to (table, bucket), shuffle-joined on the
     * bucket key, right-side occupancy capped. Fully adjudicated — planes,
@@ -2178,18 +2195,22 @@ object PipelineQueries {
             count(DISTINCT l_orderkey) AS ndv,
             CAST(min(l_orderkey) AS VARCHAR) AS min_s,
             CAST(max(l_orderkey) AS VARCHAR) AS max_s,
-            CAST(sum(l_orderkey) AS DOUBLE) / count(l_orderkey) AS mean
+            CAST(sum(l_orderkey) AS DOUBLE) / count(l_orderkey) AS mean,
+            quantile_cont(l_orderkey, 0.5) AS p50,
+            quantile_cont(l_orderkey, 0.95) AS p95
           FROM lineitem
           UNION ALL
           SELECT 'l_quantity', count(l_quantity),
             count(*) - count(l_quantity), count(DISTINCT l_quantity),
             CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
-            sum(l_quantity) / count(l_quantity)
+            sum(l_quantity) / count(l_quantity),
+            quantile_cont(l_quantity, 0.5), quantile_cont(l_quantity, 0.95)
           FROM lineitem
           UNION ALL
           SELECT 'l_returnflag', count(l_returnflag),
             count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
-            min(l_returnflag), max(l_returnflag), CAST(NULL AS DOUBLE)
+            min(l_returnflag), max(l_returnflag), CAST(NULL AS DOUBLE),
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
           FROM lineitem)
           ORDER BY name"""))
 
@@ -2211,12 +2232,15 @@ object PipelineQueries {
             count(DISTINCT n_chars) AS ndv,
             CAST(min(n_chars) AS VARCHAR) AS min_s,
             CAST(max(n_chars) AS VARCHAR) AS max_s,
-            CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS mean
+            CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS mean,
+            quantile_cont(n_chars, 0.5) AS p50,
+            quantile_cont(n_chars, 0.95) AS p95
           FROM documents GROUP BY lang
           UNION ALL
           SELECT lang, 'source', count(source),
             count(*) - count(source), count(DISTINCT source),
-            min(source), max(source), CAST(NULL AS DOUBLE)
+            min(source), max(source), CAST(NULL AS DOUBLE),
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
           FROM documents GROUP BY lang)
           ORDER BY lang, name"""))
 
@@ -2228,7 +2252,7 @@ object PipelineQueries {
     q_dedup_semantic, q_dedup_semantic_bcast, q_dedup_semantic_keep,
     q_gql_dedup_semantic, q_dedup_semantic_incr, q_ann_topk, q_ann_quant,
     q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,
-    q_knn_join, q_knn_join_lsh, q_knn_join_ivf,
+    q_knn_join, q_knn_join_auto, q_knn_join_lsh, q_knn_join_ivf,
     q_lang_id, q_text_quality, q_token_count,
     q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
     q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,

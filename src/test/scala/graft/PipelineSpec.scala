@@ -1163,6 +1163,41 @@ class PipelineSpec extends SparkSpec {
     df.select("query_id", "neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
+  test("knnJoinFlip regimes: brute under the budget, IVF above, LSH at pathological dims; unknown size shuffles") {
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    def cleanup(): Unit = Seq("spark.graft.knn.bruteMaxBytes",
+      "spark.graft.knn.centroidMaxFloats").foreach(spark.conf.unset)
+    try {
+      // gate corpus (~200 rows × dim 64) is far under the default budget
+      val (rows, bytes, m0, _) = Similarity.knnJoinFlip(embs, "embedding")
+      assert(m0 == "BRUTE", s"default regime: $m0 ($rows rows, $bytes bytes)")
+      // shrink the budget → the SAME corpus must dispatch IVF with √n nlist
+      spark.conf.set("spark.graft.knn.bruteMaxBytes", "1024")
+      val (r1, _, m1, nlist1) = Similarity.knnJoinFlip(embs, "embedding")
+      assert(m1 == "IVF" && nlist1 >= 16, s"shrunk budget: $m1 nlist=$nlist1")
+      assert(nlist1 == math.max(16L, math.sqrt(r1.toDouble).toLong).toInt)
+      // shrink the centroid budget too → LSH
+      spark.conf.set("spark.graft.knn.centroidMaxFloats", "64")
+      val (_, _, m2, _) = Similarity.knnJoinFlip(embs, "embedding")
+      assert(m2 == "LSH", s"tiny centroid budget: $m2")
+      cleanup()
+      // unknown plan size (an RDD-backed frame reports the catch-all
+      // defaultSizeInBytes): must keep the shuffle arm, never broadcast
+      // on no evidence
+      val unknown = spark.createDataFrame(embs.rdd, embs.schema)
+      val (_, ub, m3, _) = Similarity.knnJoinFlip(unknown, "embedding")
+      assert(m3 != "BRUTE" && ub == Long.MaxValue,
+        s"unknown size must not broadcast: $m3 ($ub)")
+      // auto ≡ brute on the under-budget corpus (same rows, exact arm)
+      val left = embs.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 3)
+      val auto = Similarity.knnJoinAuto(left, embs, "vec_id", "embedding", 3)
+        .collect().map(_.toSeq).toSet
+      val brute = Similarity.knnJoinBrute(left, embs, "vec_id", "embedding", 3)
+        .collect().map(_.toSeq).toSet
+      assert(auto == brute)
+    } finally cleanup()
+  }
+
   test("knnJoinBrute equals bruteForceTopK with the sides' roles swapped") {
     val left = embs.filter(col("vec_id") % 20 === 3)
     val join = Similarity.knnJoinBrute(left, embs, "vec_id", "embedding", k = 4)
@@ -1445,6 +1480,15 @@ class PipelineSpec extends SparkSpec {
       .collect().head
     assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L &&
       empty.getLong(3) == 0L && empty.isNullAt(4) && empty.isNullAt(6))
+    // quantiles ride the same pass: exact = interpolated percentile
+    // (p·(n−1)); approx = GK sketch inside [min, max]; non-numeric → null
+    val aExact = graft.operators.Profile.summary(df, Seq("a", "b"),
+      exactNdv = true).collect().map(r => r.getString(0) -> r).toMap
+    assert(aExact("a").getDouble(7) == 2.0 && aExact("a").getDouble(8) == 2.0,
+      s"exact quantiles of [1,2,2]: ${aExact("a")}")
+    assert(aExact("b").isNullAt(7) && aExact("b").isNullAt(8))
+    val aApprox = graft.operators.Profile.summary(df, Seq("a")).collect().head
+    assert(aApprox.getDouble(7) >= 1.0 && aApprox.getDouble(8) <= 2.0)
     // grouped census ≡ whole-table census of each group's slice
     val grouped = graft.operators.Profile.summaryBy(df, Seq("b"), Seq("a"),
       exactNdv = true).collect()
