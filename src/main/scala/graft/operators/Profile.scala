@@ -25,10 +25,15 @@ import org.apache.spark.sql.types.NumericType
 object Profile {
 
   /** Profile `cols` (default: every column) of `df`: one row per column
-    * with `name, cnt, null_cnt, ndv, min_s, max_s, mean` — min/max are the
-    * NATIVE column min/max cast to string afterwards (so numeric columns
-    * order numerically, not lexically); `mean` is null for non-numeric
-    * columns. Output ordered by column name. */
+    * with `name, cnt, null_cnt, ndv, min_s, max_s, mean, p50, p95` —
+    * min/max are the NATIVE column min/max cast to string afterwards (so
+    * numeric columns order numerically, not lexically); `mean` and the
+    * quantiles are null for non-numeric columns. Quantiles ride the SAME
+    * single aggregation: `exactNdv = false` (the scale default) uses the
+    * approx_percentile sketch (GK, accuracy 10000 — mergeable, one pass);
+    * `exactNdv = true` uses exact interpolated `percentile`, whose
+    * p·(n−1) linear interpolation matches DuckDB's quantile_cont for the
+    * oracle. Output ordered by column name. */
   def summary(df: DataFrame, cols: Seq[String] = Nil,
               exactNdv: Boolean = false): DataFrame = {
     val targets = if (cols.nonEmpty) cols else df.columns.toSeq
@@ -61,19 +66,27 @@ object Profile {
                        exactNdv: Boolean): Seq[org.apache.spark.sql.Column] = {
     val ndv =
       if (exactNdv) countDistinct(col(c)) else approx_count_distinct(col(c))
-    val mean = df.schema(c).dataType match {
-      case _: NumericType => avg(col(c)).cast("double")
-      case _ => lit(null).cast("double")
+    val (mean, quants) = df.schema(c).dataType match {
+      case _: NumericType =>
+        val ps = array(lit(0.5), lit(0.95))
+        (avg(col(c)).cast("double"),
+          if (exactNdv) percentile(col(c), ps)
+          else approx_percentile(col(c).cast("double"), ps, lit(10000)))
+      case _ => (lit(null).cast("double"),
+        lit(null).cast("array<double>"))
     }
     Seq(count(col(c)).as(s"_c_$c"), ndv.as(s"_d_$c"),
       min(col(c)).cast("string").as(s"_mn_$c"),
-      max(col(c)).cast("string").as(s"_mx_$c"), mean.as(s"_av_$c"))
+      max(col(c)).cast("string").as(s"_mx_$c"), mean.as(s"_av_$c"),
+      quants.as(s"_pq_$c"))
   }
 
   private def pivotRows(targets: Seq[String]) = targets.sorted.map { c =>
     struct(lit(c).as("name"), col(s"_c_$c").as("cnt"),
       (col("_t") - col(s"_c_$c")).as("null_cnt"), col(s"_d_$c").as("ndv"),
       col(s"_mn_$c").as("min_s"), col(s"_mx_$c").as("max_s"),
-      col(s"_av_$c").as("mean"))
+      col(s"_av_$c").as("mean"),
+      col(s"_pq_$c").getItem(0).cast("double").as("p50"),
+      col(s"_pq_$c").getItem(1).cast("double").as("p95"))
   }
 }
