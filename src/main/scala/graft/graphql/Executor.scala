@@ -1056,9 +1056,13 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         .getOrElse(throw new IllegalArgumentException("pack needs id: <key column>"))
       val budget = intArg(f, "budget")
         .getOrElse(throw new IllegalArgumentException("pack needs budget:"))
-      if (!t.hasDensePositions)
+      // packBins' cumulative block prefix-sum only needs the rid as an
+      // ORDERED key (sparse blocks prefix-combine the same way), so a
+      // filtered table packs fine; only a table with no rid at all
+      // (post-join/group) has no natural order to pack along
+      if (!Natural.hasRowId(t.df))
         throw new IllegalArgumentException(
-          "pack requires the natural row order; place it before order/join fields")
+          "pack requires the natural row order; place it before order/join/group fields")
       resolveTable(GTable(graft.operators.Sampling.packBins(t, id,
         size(graft.operators.TextAnalysis.tokens(col(on))), budget.toLong)),
         f, None)

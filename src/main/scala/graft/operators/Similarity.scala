@@ -1365,15 +1365,18 @@ object Similarity {
     * one executor); IVF above it with nlist ≈ √rows clamped to [16, 4096];
     * LSH only when even the smallest centroid table would blow the
     * centroid transport budget (`spark.graft.knn.centroidMaxFloats`,
-    * default 16M floats — pathological dims only). Plan-stats row
-    * estimates err LOW by the parquet compression ratio, so the AMBIGUOUS
-    * band (est ≤ budget < est·maxExpansion, `spark.graft.knn.maxExpansion`,
-    * default 8) pays one exact count — footer-cheap next to a mis-broadcast
-    * corpus — the same disambiguation [[graft.core.GTable.rankingsFlip]]
-    * uses. Unknown plan size (LogicalRDD after a localCheckpoint) keeps
-    * the SHUFFLE arm: broadcasting a corpus on no evidence is the worse
-    * failure mode (the mirror image of the rankings default, where the
-    * cheap arm is the safe one). */
+    * default 16M floats — pathological dims only).
+    *
+    * The row count is EXACT (one count() job) unless the optimizer already
+    * knows it: plan-stats size estimates are unreliable in BOTH directions
+    * here — parquet scans err low by the compression ratio, while any
+    * served root errs high by orders of magnitude (the hidden row-id
+    * attach is a broadcast join, and non-CBO join estimation multiplies
+    * child sizes — measured 300× on the sf0.1 corpus root, which silently
+    * flipped an exact-answer-sized corpus to the approximate arm). A count
+    * resolves from parquet footers on bare scans and is a narrow
+    * no-shuffle pass otherwise — noise next to the k-NN join the decision
+    * governs, and the flip stays deterministic and observable. */
   def knnJoinFlip(right: DataFrame, vecCol: String,
                   dim: Int = 0): (Long, Long, String, Int) = {
     val spark = right.sparkSession
@@ -1382,23 +1385,13 @@ object Similarity {
       .map(_.toLong).getOrElse(128L << 20)
     val centroidMaxFloats = conf.getOption("spark.graft.knn.centroidMaxFloats")
       .map(_.toLong).getOrElse(16L << 20)
-    val maxExp = conf.getOption("spark.graft.knn.maxExpansion")
-      .map(_.toDouble).getOrElse(8.0)
     val dim0 = resolveDim(right, vecCol, dim, "knnJoinAuto")
-    val t = graft.core.GTable(right)
     val stats = right.queryExecution.optimizedPlan.stats
-    val unknownSize = stats.rowCount.isEmpty &&
-      stats.sizeInBytes >= spark.sessionState.conf.defaultSizeInBytes
     val rowBytes = 4L * dim0 + 32L
     def bytesOf(rows: Long): Long =
       if (rows > Long.MaxValue / rowBytes) Long.MaxValue else rows * rowBytes
-    val est = t.estimatedRows
-    val (rows, bytes) =
-      if (unknownSize) (est, Long.MaxValue) // no evidence → shuffle arm
-      else if (stats.rowCount.isDefined || bytesOf(est) > bruteBytes ||
-               bytesOf(est).toDouble * maxExp <= bruteBytes.toDouble)
-        (est, bytesOf(est))
-      else { val exact = right.count(); (exact, bytesOf(exact)) }
+    val rows = stats.rowCount.map(_.toLong).getOrElse(right.count())
+    val bytes = bytesOf(rows)
     if (bytes <= bruteBytes) (rows, bytes, "BRUTE", 0)
     else {
       val nlist = math.min(4096L, math.max(16L,

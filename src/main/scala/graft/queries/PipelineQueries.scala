@@ -1228,6 +1228,33 @@ object PipelineQueries {
             arg_min(doc_id, rid) AS first_id, arg_max(doc_id, rid) AS last_id
           FROM b GROUP BY bin ORDER BY bin"""))
 
+  /** pack after FILTER: the cumulative block prefix-sum only needs the
+    * rid as an ordered key, so sparse (filtered) positions pack without
+    * any densify step — bins follow the filtered stream in natural
+    * order, as a tokenizer reading the filtered corpus would. */
+  val q_pack_filtered = Q(
+    "q_pack_filtered",
+    (s, dir) => {
+      val d = GTable(Tables.loadOrdered(s, dir, "documents"))
+        .filter(col("doc_id") % 3 =!= 0)
+      GTable(Sampling.packBins(d, "doc_id",
+          size(TextAnalysis.tokens(col("text"))), budget = 2048L))
+        .order(GTable.orderKeys(Seq("bin")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS tok,
+              row_number() OVER () - 1 AS rid
+            FROM documents),
+          f AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+          c AS (SELECT *, sum(tok) OVER (ORDER BY rid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pref
+            FROM f),
+          b AS (SELECT *, CAST(floor(pref / 2048.0) AS BIGINT) AS bin FROM c)
+          SELECT bin, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens,
+            arg_min(doc_id, rid) AS first_id, arg_max(doc_id, rid) AS last_id
+          FROM b GROUP BY bin ORDER BY bin"""))
+
   /** Vocabulary extraction: top-100 tokens by frequency (deterministic
     * tie-break on the token) — the counting pass a BPE/vocab build runs;
     * map-side combinable groupBy, top-k via TakeOrdered. */
@@ -2254,7 +2281,8 @@ object PipelineQueries {
     q_ann_lsh, q_ann_ivf, q_ann_ivf_prebuilt, q_ann_lsh_prebuilt,
     q_knn_join, q_knn_join_auto, q_knn_join_lsh, q_knn_join_ivf,
     q_lang_id, q_text_quality, q_token_count,
-    q_split_hash, q_sample_stratified, q_pack_tokens, q_vocab_topk,
+    q_split_hash, q_sample_stratified, q_pack_tokens, q_pack_filtered,
+    q_vocab_topk,
     q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,
     q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,

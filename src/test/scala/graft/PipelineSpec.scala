@@ -1181,13 +1181,14 @@ class PipelineSpec extends SparkSpec {
       val (_, _, m2, _) = Similarity.knnJoinFlip(embs, "embedding")
       assert(m2 == "LSH", s"tiny centroid budget: $m2")
       cleanup()
-      // unknown plan size (an RDD-backed frame reports the catch-all
-      // defaultSizeInBytes): must keep the shuffle arm, never broadcast
-      // on no evidence
+      // the flip is exact-count-based: a frame with garbage plan stats
+      // (RDD-backed → defaultSizeInBytes; served roots → join-inflated)
+      // still dispatches by TRUE size — the sf0.1 regression was a root
+      // whose stats were 300× inflated flipping to the approximate arm
       val unknown = spark.createDataFrame(embs.rdd, embs.schema)
-      val (_, ub, m3, _) = Similarity.knnJoinFlip(unknown, "embedding")
-      assert(m3 != "BRUTE" && ub == Long.MaxValue,
-        s"unknown size must not broadcast: $m3 ($ub)")
+      val (ur, _, m3, _) = Similarity.knnJoinFlip(unknown, "embedding")
+      assert(m3 == "BRUTE" && ur == embs.count(),
+        s"exact-count dispatch on a stats-less frame: $m3 ($ur)")
       // auto ≡ brute on the under-budget corpus (same rows, exact arm)
       val left = embs.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 3)
       val auto = Similarity.knnJoinAuto(left, embs, "vec_id", "embedding", 3)
