@@ -264,6 +264,78 @@ object WordSpans {
   private val Empty = new GenericArrayData(Array.empty[Any])
 }
 
+/** Fused per-position window hashes — the candidate-generation primitive
+  * for exact-substring dedup (Lee et al. 2022 "Deduplicating Training Data
+  * Makes Language Models Better": remove every ≥w-token run that occurs
+  * verbatim more than once in the corpus). Element i is
+  * xxhash64(seed 42) of the w-token window starting at token i of
+  * split(lower(text), \s+) — bit-identical to Spark's
+  * `xxhash64(array_join(slice(tokens, i+1, w), " "))`, the composable form
+  * in [[graft.operators.Dedup.windowHashesComposable]] (parity-spec'd).
+  * Fewer than w tokens (or null text) → empty array.
+  *
+  * Why fused, and why hashes not strings: a corpus-scale occurrence list
+  * carries one row per TOKEN POSITION — emitting the w-token shingle text
+  * would multiply the exploded volume by ~w× the document size; 8 bytes
+  * per position keeps the global first-occurrence groupBy narrow. The
+  * composable form re-runs the regex split per window index (no
+  * common-subexpression reuse in interpreted lambdas) — O(tokens²) regex
+  * work per doc; this is one compiled pass. */
+case class WordWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"word_window_hashes needs w >= 1, got $w")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_window_hashes"
+  override def nullable: Boolean = false
+
+  def emptyArray: ArrayData = WordWindowHashes.Empty
+
+  def compute(u: UTF8String): ArrayData = {
+    val toks = u.toString.toLowerCase.split("\\s+", -1)
+    if (toks.length < w) return WordWindowHashes.Empty
+    val out = new Array[Long](toks.length - w + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val win = UTF8String.fromString(sb.toString)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        win.getBaseObject, win.getBaseOffset, win.numBytes(), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordWindowHashes.Empty
+    else compute(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val self = ctx.addReferenceObj("winhashes", this,
+      classOf[WordWindowHashes].getName)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $jt ${ev.value} = ${c.isNull} ? ($jt) $self.emptyArray()
+        : ($jt) $self.compute(${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordWindowHashes {
+  private val Empty = new GenericArrayData(Array.empty[Any])
+}
+
 /** One-pass fused primitives behind every per-document text metric
   * (language ID, quality, Gopher stats, repetition, token counts —
   * reference shapes: Rae et al. 2021 Gopher rules; graphique has no text
@@ -457,6 +529,9 @@ object TextFunctions {
       Registration.intArg(exprs(1), "word_shingles", "n")))
     Registration.ensure(spark, "word_spans")(exprs => WordSpans(exprs(0),
       Registration.intArg(exprs(1), "word_spans", "span")))
+    Registration.ensure(spark, "word_window_hashes")(
+      exprs => WordWindowHashes(exprs(0),
+        Registration.intArg(exprs(1), "word_window_hashes", "w")))
     Registration.ensure(spark, "text_stats")(exprs => TextStats(exprs(0)))
     Registration.ensure(spark, "collapse_repeats")(
       exprs => CollapseRepeats(exprs(0)))
@@ -480,6 +555,12 @@ object TextFunctions {
   def wordSpans(spark: SparkSession, text: Column, span: Int): Column = {
     register(spark)
     call_function("word_spans", text, org.apache.spark.sql.functions.lit(span))
+  }
+
+  def wordWindowHashes(spark: SparkSession, text: Column, w: Int): Column = {
+    register(spark)
+    call_function("word_window_hashes", text,
+      org.apache.spark.sql.functions.lit(w))
   }
 
   def textStats(spark: SparkSession, text: Column): Column = {

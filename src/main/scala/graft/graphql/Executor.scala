@@ -702,6 +702,17 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val span = intArg(f, "span").getOrElse(10)
       resolveTable(GTable(graft.operators.Dedup.dedupSpans(
         t.result, on, id, span)), f, None)
+    case "dedupSubstrings" =>
+      // exact-substring dedup (overlapping windows — any duplicated run of
+      // >= window tokens keeps only its first occurrence corpus-wide);
+      // rewrites the text column to the surviving tokens
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("dedupSubstrings needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("dedupSubstrings needs id: <key column>"))
+      val window = intArg(f, "window").getOrElse(50)
+      resolveTable(GTable(graft.operators.Dedup.dedupSubstrings(
+        t.result, on, id, window)), f, None)
     case "reservoir" =>
       // deterministic per-stratum fixed-size sample (distributed rankings
       // path; no single-task-per-stratum window)

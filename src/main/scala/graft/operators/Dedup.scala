@@ -1215,6 +1215,81 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Composable (pure-Column) per-position window hashes — the semantic
+    * specification for [[graft.expressions.WordWindowHashes]], kept for the
+    * bit-parity spec and the DuckDB oracles. NOT for production paths
+    * (the regex split re-runs per window index inside the interpreted
+    * lambda — see [[shinglesComposable]]). */
+  def windowHashesComposable(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => xxhash64(array_join(slice(toks, i, lit(w)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", adapted from suffix arrays to token
+    * granularity): every w-token run that occurs VERBATIM more than once in
+    * the corpus — across documents or repeated within one — keeps only its
+    * globally first occurrence (smallest (id, position)); every other
+    * occurrence's token range is cut, overlapping cuts merged, and each
+    * document is reassembled from its surviving tokens in original order
+    * with original case. Documents shorter than w tokens pass through
+    * untouched; fully-duplicated documents vanish.
+    *
+    * Unlike [[dedupSpans]] (C4-style NON-overlapping spans, which misses a
+    * duplicated run that straddles a span boundary), the windows here
+    * OVERLAP — any duplicated run of ≥ w tokens is caught at every offset,
+    * which is the suffix-array method's guarantee.
+    *
+    * Scale shape: the occurrence list is (id, position, 64-bit hash) — one
+    * NARROW row per token position ([[graft.expressions.WordWindowHashes]]
+    * emits hashes, never shingle text); the global first-occurrence groupBy
+    * is map-side combinable (min struct); duplicates are an anti-join on
+    * (id, position) against the winners. Cut-range application is one
+    * window partitioned BY DOCUMENT (documents are bounded — never a global
+    * sort): duplicated starts and token rows interleave by position and a
+    * running max of cut-range ends marks covered tokens. Hash identity is
+    * the standard at-scale trade (collisions vanishingly rare; a collision
+    * only cuts one extra w-token run). */
+  def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
+                      window: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    val w = window
+    val occ = df.select(col(idCol).as("id"),
+      posexplode(graft.expressions.TextFunctions.wordWindowHashes(
+        spark, col(textCol), w)).as(Seq("p", "h")))
+    val firsts = occ.groupBy("h")
+      .agg(min(struct(col("id"), col("p"))).as("f"))
+      .select(col("f.id").as("id"), col("f.p").as("p"))
+    // every occurrence that is NOT its hash's winner starts a cut range
+    val dups = occ.select("id", "p").join(firsts, Seq("id", "p"), "left_anti")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\s+", -1)).as(Seq("pos", "tok")))
+    // interleave cut-range starts (kind 0, end = p + w) with token rows
+    // (kind 1) by position; a token is covered iff the running max of
+    // range ends at its position exceeds it
+    val marks = dups.select(col("id"), col("p").cast("long").as("pos"),
+      lit(0).as("kind"),
+      (col("p") + w).cast("long").as("end"), lit(null).cast("string").as("tok"))
+    val tokRows = toks.select(col("id"), col("pos").cast("long").as("pos"),
+      lit(1).as("kind"), lit(null).cast("long").as("end"), col("tok"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("pos"), col("kind"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    marks.union(tokRows)
+      .withColumn("_cut_end", max(col("end")).over(wDoc))
+      .filter(col("kind") === 1 &&
+        (col("_cut_end").isNull || col("_cut_end") <= col("pos")))
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as(textCol))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Representative-per-cluster dedup: drops every row whose id belongs to
     * a near-dup cluster but is not its smallest member; rows with no pair
     * (singletons) survive untouched. The last stage of a real dedup

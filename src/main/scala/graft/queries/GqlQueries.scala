@@ -745,6 +745,19 @@ object GqlQueries {
       "doc_id BIGINT, text STRING"),
     PipelineQueries.q_dedup_spans.oracle)
 
+  /** Exact-substring (overlapping-window) corpus dedup through the
+    * service. */
+  val q_gql_dedup_substr = Q(
+    "q_gql_dedup_substr",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           d: dedupSubstrings(on: "text", id: "doc_id", window: 8) {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } text { values } } } } } }""",
+      Seq("t", "d", "o", "c"),
+      "doc_id BIGINT, text STRING"),
+    PipelineQueries.q_dedup_substr.oracle)
+
   /** Per-stratum reservoir through the service. */
   val q_gql_reservoir = Q(
     "q_gql_reservoir",
@@ -1218,7 +1231,8 @@ object GqlQueries {
     q_gql_entities, q_gql_optional,
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
-    q_gql_dedup_spans, q_gql_text_stats, q_gql_chunks, q_gql_scrub,
+    q_gql_dedup_spans, q_gql_dedup_substr, q_gql_text_stats, q_gql_chunks,
+    q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
     q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_knn_join_auto,
     q_gql_snapshot_diff,

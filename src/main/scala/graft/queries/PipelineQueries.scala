@@ -1740,6 +1740,40 @@ object PipelineQueries {
             SELECT doc_id, array_to_string(list(s ORDER BY pos), ' ') AS text
             FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Exact-substring dedup (Lee et al. 2022 adapted to token granularity):
+    * OVERLAPPING 8-token windows — any duplicated run of ≥ 8 tokens keeps
+    * only its globally first occurrence (min (id, pos)), overlapping cut
+    * ranges merge, docs are reassembled from surviving tokens. The oracle
+    * recomputes the full construction relationally on shingle STRINGS
+    * (the engine groups on xxhash64 — identical modulo collisions). */
+  val q_dedup_substr = Q(
+    "q_dedup_substr",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      GTable(Dedup.dedupSubstrings(d, "text", "doc_id", window = 8))
+        .order(GTable.orderKeys(Seq("doc_id")))
+        .result
+    },
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+              FROM documents),
+            occ AS (SELECT doc_id, CAST(g AS BIGINT) AS p,
+                lower(array_to_string(toks[CAST(g+1 AS BIGINT):CAST(g+8 AS BIGINT)], ' ')) AS s
+              FROM t, UNNEST(range(0, CAST(greatest(len(toks) - 7, 0) AS BIGINT))) AS u(g)),
+            firsts AS (SELECT s, min({'id': doc_id, 'p': p}) AS f
+              FROM occ GROUP BY s),
+            dups AS (SELECT occ.doc_id, occ.p FROM occ JOIN firsts f ON occ.s = f.s
+              WHERE NOT (occ.doc_id = f.f.id AND occ.p = f.f.p)),
+            tok AS (SELECT doc_id, CAST(g AS BIGINT) AS pos, toks[CAST(g+1 AS BIGINT)] AS tk
+              FROM t, UNNEST(range(0, CAST(len(toks) AS BIGINT))) AS u(g)),
+            m AS (SELECT doc_id, p AS pos, 0 AS kind, CAST(p + 8 AS BIGINT) AS e,
+                NULL AS tk FROM dups
+              UNION ALL SELECT doc_id, pos, 1, NULL, tk FROM tok),
+            mk AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos, kind
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce FROM m)
+            SELECT doc_id, array_to_string(list(tk ORDER BY pos), ' ') AS text
+            FROM mk WHERE kind = 1 AND (ce IS NULL OR ce <= pos)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Normalization-class dedup: the corpus unioned with decorated copies
     * (case/punctuation/whitespace drift, ids offset by 100000) — normalized
     * exact dedup must merge every decorated copy back onto its original
@@ -2285,7 +2319,8 @@ object PipelineQueries {
     q_vocab_topk,
     q_embed_quant, q_doc_logprob, q_pipeline_e2e, q_fingerprint,
     q_dedup_clusters, q_dedup_reps, q_text_repetition, q_gopher_filter,
-    q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_normalized,
+    q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_substr,
+    q_dedup_normalized,
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
     q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project,

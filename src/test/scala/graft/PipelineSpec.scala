@@ -669,6 +669,43 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> "a b c d e f", 2L -> "x y z", 4L -> "Q W E"))
   }
 
+  test("dedupSubstrings cuts every non-first >=w-token run, merging overlaps") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z w a b"),          // owns the first "x y z" (w=3)
+      // doc 2 embeds doc 1's run: windows (x y z) and (y z w) both dup →
+      // merged cut range covers tokens 1..4 (x y z w); q and r survive
+      (2L, "q x y z w r"),
+      (3L, "x y z"),                // fully duplicated → vanishes
+      (4L, "Q W E"),                // unique, shorter runs — ORIGINAL case
+      (5L, "p p p p p")             // within-doc repetition: (p p p)@0 is
+                                    // first; @1,@2 dup → merged cut [1,5)
+                                    // erodes into the first occurrence too —
+                                    // a self-overlapping repeat collapses
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(d, "text", "doc_id", window = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "x y z w a b", 2L -> "q r", 4L -> "Q W E",
+      5L -> "p"), s"got $out")
+    // a straddling duplicate that NON-overlapping spans would miss: doc 11
+    // repeats doc 10's tokens 2..4, which crosses the 3-token span boundary
+    val straddle = Seq(
+      (10L, "a b c d e f"),
+      (11L, "m n c d e k")          // "c d e" straddles spans (a b c|d e f)
+    ).toDF("doc_id", "text")
+    val spansOut = Dedup.dedupSpans(straddle, "text", "doc_id", span = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val substrOut = Dedup.dedupSubstrings(straddle, "text", "doc_id", window = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(spansOut(11L) == "m n c d e k")     // span dedup misses it
+    assert(substrOut(11L) == "m n k", s"got $substrOut") // windows catch it
+    // docs shorter than the window pass through untouched
+    val short = Seq((1L, "same"), (2L, "same")).toDF("doc_id", "text")
+    val shortOut = Dedup.dedupSubstrings(short, "text", "doc_id", window = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(shortOut == Map(1L -> "same", 2L -> "same"))
+  }
+
   test("exactNormalized merges case/punctuation/whitespace variants") {
     import spark.implicits._
     val d = Seq(

@@ -81,6 +81,28 @@ class VectorExprSpec extends SparkSpec {
     assert(e.filter(!(col("fused") <=> col("composed"))).count() == 0)
   }
 
+  test("WordWindowHashes is bit-identical to the composable form") {
+    import graft.operators.Dedup
+    import graft.expressions.TextFunctions
+    val docs = Tables.load(spark, sf, "documents")
+    for (w <- Seq(1, 4, 8)) {
+      val both = docs.select(
+        TextFunctions.wordWindowHashes(spark, col("text"), w).as("fused"),
+        Dedup.windowHashesComposable(col("text"), w).as("composed"))
+      assert(both.filter(!(col("fused") <=> col("composed"))).count() == 0,
+        s"window-hash mismatch at w=$w")
+    }
+    // null → empty (never null out), empty-token quirks, fewer tokens than
+    // w, case folding (hash is over the LOWERCASED window)
+    import spark.implicits._
+    val edge = Seq(null, "", " ", "\t", "a", "a b", "a  b c ", " x y z",
+      "a b a b a b", "Hello WORLD hello world HELLO world").toDF("text")
+    val e = edge.select(
+      TextFunctions.wordWindowHashes(spark, col("text"), 2).as("fused"),
+      Dedup.windowHashesComposable(col("text"), 2).as("composed"))
+    assert(e.filter(!(col("fused") <=> col("composed"))).count() == 0)
+  }
+
   test("TextStats-derived metrics are bit-identical to the composable forms") {
     import graft.operators.TextAnalysis
     import spark.implicits._
