@@ -1069,9 +1069,11 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         .getOrElse(throw new IllegalArgumentException("pack needs budget:"))
       // packBins' cumulative block prefix-sum only needs the rid as an
       // ORDERED key (sparse blocks prefix-combine the same way), so a
-      // filtered table packs fine; only a table with no rid at all
-      // (post-join/group) has no natural order to pack along
-      if (!Natural.hasRowId(t.df))
+      // filtered table packs fine. Still rejected: a table with no rid at
+      // all (post-join/group — no natural order to pack along) and an
+      // explicitly SORTED table (packing would silently follow the old
+      // natural order, not the requested sort)
+      if (!Natural.hasRowId(t.df) || t.isSorted)
         throw new IllegalArgumentException(
           "pack requires the natural row order; place it before order/join/group fields")
       resolveTable(GTable(graft.operators.Sampling.packBins(t, id,

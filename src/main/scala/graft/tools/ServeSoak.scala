@@ -110,7 +110,20 @@ object ServeSoak {
         p: profile(columns: ["doc_id", "lang", "n_chars"]) {
         o: order(by: ["name"]) {
         columns { name { values } cnt { values } null_cnt { values }
-                  min_s { values } max_s { values } } } } } }"""))
+                  min_s { values } max_s { values } } } } } }"""),
+      // round-10 served surfaces: exact-substring dedup, the auto-dispatched
+      // knn join (no method:), and filtered runs through the densify path
+      "substrdedup" -> gq("""{ documents { s: slice(offset: 0, limit: 2000) {
+        d: dedupSubstrings(on: "text", id: "doc_id", window: 8) { count } } } }"""),
+      "knnauto" -> gq("""{ embeddings { m: project(columns: [
+        {alias: "m200", mod: [{name: "vec_id"}, {value: 200}]}]) {
+        f: filter(m200: {eq: 9}) {
+        j: knnJoin(corpus: "embeddings", on: "embedding", id: "vec_id",
+                   k: 3) { count } } } } }"""),
+      "runsfilt" -> gq("""{ events { f: filter(value: {gt: 0.2}) {
+        r: runs(by: ["event_type"], counts: "n") {
+        g: group(by: ["event_type"], counts: "m") { o: order(by: ["event_type"]) {
+        columns { event_type { values } m { values } } } } } } } }"""))
 
     // single-threaded warm-up: populates the index caches, pins the
     // expected answer per kind

@@ -202,6 +202,17 @@ class GraphQLSpec extends SparkSpec {
       """{ documents { f: pack(on: "text", id: "doc_id", budget: 100000) {
            c: columns { n_docs { values } } } } }""")
     assert(r.contains("\"n_docs\""))
+    // after FILTER it also works (round 10: the block prefix-sum only
+    // needs the rid as an ordered key — sparse positions pack fine)
+    val rf = service.execute(
+      """{ documents { w: filter(lang: {eq: "en"}) {
+           f: pack(on: "text", id: "doc_id", budget: 100000) {
+           c: columns { n_docs { values } } } } } }""")
+    assert(rf.contains("\"n_docs\""), rf)
+    // after a JOIN (no rid at all) it still rejects
+    intercept[IllegalArgumentException](service.execute(
+      """{ documents { j: join(table: "documents", on: ["doc_id"]) {
+           f: pack(on: "text", id: "doc_id", budget: 100) { count } } } }"""))
   }
 
   test("project with expression tree") {
