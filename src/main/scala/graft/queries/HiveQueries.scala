@@ -12,14 +12,22 @@ import graft.sources.ParquetMeta
   */
 object HiveQueries {
 
-  private val hiveDir = "/tmp/graft_hive/lineitem"
-  private val written = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  // keyed by the SOURCE dir like every other fixture (SinkQueries, the
+  // gql model root): a fixed shared path raced when two gate topologies
+  // ran concurrently against different scale factors — the ×12
+  // local-cluster sweep read an sf0.01-sized fixture a parallel sf0.01
+  // verify had just overwritten (round-10 finding, the ADVICE-r9
+  // shared-model-root class)
+  private def hiveDirFor(dir: String): String =
+    "/tmp/graft_hive/" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "/lineitem"
+  private val written = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def ensureHive(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+  private def ensureHive(s: org.apache.spark.sql.SparkSession, dir: String): String =
     written.getOrElseUpdate(dir, {
+      val hiveDir = hiveDirFor(dir)
       ParquetMeta.repartitionTo(Tables.load(s, dir, "lineitem"), hiveDir,
         keys = Seq("l_returnflag", "l_linestatus"), sortWithin = Seq("l_orderkey"))
-      true
+      hiveDir
     })
 
   /** Metadata-only group counts from fragment footers — zero data pages
@@ -27,7 +35,7 @@ object HiveQueries {
   val q_hive_group_meta = Q(
     "q_hive_group_meta",
     (s, dir) => {
-      ensureHive(s, dir)
+      val hiveDir = ensureHive(s, dir)
       GTable(ParquetMeta.groupCounts(s, hiveDir, Seq("l_returnflag", "l_linestatus"))
           .withColumn("l_returnflag", col("l_returnflag").cast("string"))
           .withColumn("l_linestatus", col("l_linestatus").cast("string")))
@@ -43,7 +51,7 @@ object HiveQueries {
   val q_hive_prune = Q(
     "q_hive_prune",
     (s, dir) => {
-      ensureHive(s, dir)
+      val hiveDir = ensureHive(s, dir)
       val part = GTable(s.read.parquet(hiveDir))
       part.filter(col("l_returnflag") === "R", col("l_linestatus") === "F")
         .project("l_returnflag" -> col("l_returnflag").cast("string"),
@@ -60,7 +68,7 @@ object HiveQueries {
   val q_hive_count_meta = Q(
     "q_hive_count_meta",
     (s, dir) => {
-      ensureHive(s, dir)
+      val hiveDir = ensureHive(s, dir)
       s.range(1).select(lit(ParquetMeta.countRows(s, hiveDir)).as("n"))
     },
     Some("SELECT count(*) AS n FROM lineitem"))
@@ -75,7 +83,7 @@ object HiveQueries {
   val q_hive_order_topk = Q(
     "q_hive_order_topk",
     (s, dir) => {
-      ensureHive(s, dir)
+      val hiveDir = ensureHive(s, dir)
       val by = Seq("l_returnflag", "l_linestatus")
       val files = ParquetMeta.orderedFiles(s, hiveDir, by, Some(100L))
       GTable(ParquetMeta.readFiles(s, hiveDir, files))
@@ -94,7 +102,7 @@ object HiveQueries {
   val q_hive_first_meta = Q(
     "q_hive_first_meta",
     (s, dir) => {
-      ensureHive(s, dir)
+      val hiveDir = ensureHive(s, dir)
       val files = ParquetMeta.firstFiles(s, hiveDir, Seq("l_returnflag"), rank = 1)
       GTable(ParquetMeta.readFiles(s, hiveDir, files))
         .firstRank(Seq("l_returnflag"), 1, dense = false, Nil)
@@ -111,7 +119,7 @@ object HiveQueries {
   val q_hive_first_dense = Q(
     "q_hive_first_dense",
     (s, dir) => {
-      ensureHive(s, dir)
+      val hiveDir = ensureHive(s, dir)
       val files = ParquetMeta.firstFiles(s, hiveDir, Seq("l_returnflag"),
         rank = 2, dense = true)
       GTable(ParquetMeta.readFiles(s, hiveDir, files))
@@ -134,7 +142,7 @@ object HiveQueries {
   val q_gql_hive_order = Q(
     "q_gql_hive_order",
     (s, dir) => {
-      ensureHive(s, dir)
+      val hiveDir = ensureHive(s, dir)
       GqlBridge.frame(s, dir,
         """{ lihive { o: order(by: ["l_returnflag", "l_linestatus"], limit: 100) {
              p: cast(columns: [{name: "l_returnflag", type: "STRING"},
