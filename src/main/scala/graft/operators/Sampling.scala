@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{GTable, Natural}
 
@@ -138,6 +139,57 @@ object Sampling {
       col(s) <=> col(s"_gq_s$i") }
       .foldLeft(key <=> col("_gq_kv"))(_ && _)
     t.df.join(broadcast(winners), cond, "left_semi")
+  }
+
+  /** Deterministic token-budget head: "take the first `budget` tokens of
+    * the shuffled corpus" — the sampling knob of a scaled-down training run
+    * ("pull 1B tokens of this mix"). Documents stream in [[shuffleKey]]
+    * order (reproducible, retry-stable); the head is cut AFTER the document
+    * in which the running token total reaches `budget`, so the result
+    * covers ≥ budget tokens whenever the corpus has them. Emits
+    * `shuffle_key` and the exclusive running total `tokens_before` so
+    * consumers (and the oracle) can verify the cut.
+    *
+    * Scale shape: no global sort and no single-partition window. The md5
+    * key's first `blockChars` hex digits split the stream into 16^blockChars
+    * lexicographic blocks (uniform by construction); the running total is
+    * the block-prefix decomposition of [[graft.core.GTable.cumulative]] —
+    * per-block window sums (parallel across blocks) + a window over the
+    * tiny per-block totals frame, broadcast back. One hash exchange on the
+    * block key; the filter then prunes whole blocks past the budget. */
+  def takeTokenBudget(df: DataFrame, idCol: String, tokenCount: Column,
+                      budget: Long, seed: String = "0",
+                      blockChars: Int = 4): DataFrame = {
+    require(budget > 0, "takeTokenBudget needs a positive token budget")
+    require(blockChars >= 1 && blockChars <= 8,
+      s"takeTokenBudget: blockChars must be in [1, 8], got $blockChars")
+    require(!df.columns.exists(Set("shuffle_key", "tokens_before")),
+      "takeTokenBudget emits shuffle_key/tokens_before; the input already has one")
+    // null/negative counts contribute 0 tokens rather than poisoning the
+    // running sum (the malformed-row discipline of hashBucket)
+    val tok = greatest(coalesce(tokenCount.cast("long"), lit(0L)), lit(0L))
+    val keyed = df
+      .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("_gq_tok", tok)
+      .withColumn("_gq_blk", substring(col("shuffle_key"), 1, blockChars))
+    val totals = keyed.groupBy("_gq_blk").agg(sum(col("_gq_tok")).as("_t"))
+    val wPrev = Window.orderBy(col("_gq_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = totals
+      .withColumn("_gq_pref", coalesce(sum(col("_t")).over(wPrev), lit(0L)))
+      // blocks whose whole prefix is already past the budget can never
+      // contribute a row — dropping them here prunes the join (and with it
+      // the data-side scan work) to the head blocks only
+      .filter(col("_gq_pref") < budget)
+      .select("_gq_blk", "_gq_pref")
+    val wBlk = Window.partitionBy(col("_gq_blk"))
+      .orderBy(col("shuffle_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(prefixes), Seq("_gq_blk"))
+      .withColumn("tokens_before",
+        col("_gq_pref") + sum(col("_gq_tok")).over(wBlk) - col("_gq_tok"))
+      .filter(col("tokens_before") < budget)
+      .drop("_gq_blk", "_gq_pref", "_gq_tok")
   }
 
   /** Token-budget sequence packing: rows (in natural order) are assigned to

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Inverted posting-list index over whitespace tokens — the keyword-search
+  * counterpart of the MinHash/ANN prebuilt-index tier. A "find every
+  * document containing these terms" query over a raw corpus is a full scan
+  * (and at 100 TB, THE full scan a curation team runs most often: blocklist
+  * audits, contamination spot-checks, targeted corpus pulls). The index
+  * trades one corpus pass at build time for term-pruned probes afterwards:
+  * postings are hash-bucketed by term into `buckets` directory partitions,
+  * so a search reads only the few bucket dirs its query terms hash to —
+  * listing and scan cost is ∝ probed buckets, never the corpus
+  * (IndexMaint.readPartitions, the same explicit-dir discipline as the
+  * LSH/IVF probes).
+  *
+  * Tokenization is the engine's standard whitespace form
+  * ([[TextAnalysis.tokens]]: split(lower(text), "\\s+")), so the DuckDB
+  * oracle recomputes membership exactly and results compose with the
+  * vocab/tf-idf/dedup tiers. Postings store one row per DISTINCT term per
+  * document — multiplicity lives in the tf-idf tier, not here.
+  *
+  * Maintenance follows the family protocol: [[textIndexAppend]] writes new
+  * segments into the same bucket partitions (at-least-once tolerant — the
+  * posting set is idempotent under replay because probes aggregate by
+  * distinct doc), [[textIndexCompact]] rewrites one-file-per-bucket via the
+  * IndexMaint swap, and [[textIndexFor]] is the fingerprint-keyed
+  * build-once/probe-many cache the serving layer uses.
+  */
+object TextSearch {
+
+  /** Re-openable index handle; persisted as the `_graft_index_meta.bin`
+    * sidecar inside the tree (Similarity.writeMeta). */
+  final case class TextIndex(path: String, idCol: String, buckets: Int,
+                             schema: StructType)
+
+  /** Bucket of a term: xxhash64 folded into [0, buckets). Stable across
+    * builds/appends by construction (no RNG, no per-build salt), so any
+    * segment indexed later lands in the same directory space. */
+  def termBucket(term: Column, buckets: Int): Column =
+    pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
+
+  /** Posting rows (id, term, _tb) — one per distinct token per document.
+    * Null texts yield no postings (an unindexed doc, matching the oracle's
+    * unnest-of-null); empty tokens (split of a blank string) are dropped,
+    * they can never match a real search term. */
+  def postings(corpus: DataFrame, textCol: String, idCol: String,
+               buckets: Int): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("_tb", termBucket(col("term"), buckets))
+
+  /** Build the index at `path`: one corpus pass, postings clustered on the
+    * bucket key before the partitioned write so each bucket dir is written
+    * by ONE task (the LSH-build lesson: unclustered partitioned writes cost
+    * ~#tasks files per dir and probes pay the census as a listing tax). */
+  def textIndexBuild(corpus: DataFrame, textCol: String, idCol: String,
+                     path: String, buckets: Int = 256): TextIndex = {
+    require(buckets > 0, s"textIndexBuild: buckets must be positive, got $buckets")
+    val rows = postings(corpus, textCol, idCol, buckets)
+    rows.repartition(col("_tb"))
+      .sortWithinPartitions("term", "id")
+      .write.mode("overwrite").partitionBy("_tb").parquet(path)
+    val idx = TextIndex(path, idCol, buckets, rows.schema)
+    Similarity.writeMeta(corpus.sparkSession, path, idx)
+    idx
+  }
+
+  /** Append a segment's postings into the existing bucket partitions.
+    * Replay-tolerant: duplicate postings change no search answer (probes
+    * count DISTINCT terms per doc); compaction drops them. */
+  def textIndexAppend(index: TextIndex, segment: DataFrame,
+                      textCol: String): Unit = {
+    val spark = segment.sparkSession
+    IndexMaint.recoverSwap(spark, index.path)
+    postings(segment, textCol, index.idCol, index.buckets)
+      .repartition(col("_tb"))
+      .write.mode("append").partitionBy("_tb").parquet(index.path)
+  }
+
+  /** Rewrite one-file-per-bucket with replay duplicates dropped; swap
+    * protocol + sidecar re-write as in the LSH/IVF family. */
+  def textIndexCompact(index: TextIndex): Unit = {
+    val spark = SparkSession.active
+    IndexMaint.recoverSwap(spark, index.path)
+    IndexMaint.swapRewrite(spark, index.path,
+      spark.read.schema(index.schema).parquet(index.path).dropDuplicates(),
+      Seq("_tb"), tmp => Similarity.writeMeta(spark, tmp, index))
+  }
+
+  /** Normalized distinct search terms: the index stores lowercase tokens,
+    * so terms are lowercased; blank terms are rejected (they can never
+    * match and would silently weaken an AND). */
+  private def normTerms(terms: Seq[String]): Seq[String] = {
+    val norm = terms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    require(norm.nonEmpty, "textSearch: no non-blank search terms")
+    norm
+  }
+
+  /** Doc ids matching at least `minMatch` of `terms` (`minMatch <= 0` or
+    * `>= terms.size` → ALL terms, the AND search; `1` → OR). Reads ONLY the
+    * bucket dirs the query terms hash to — the probe cost is ∝ terms, not
+    * corpus. Term buckets are computed through the SAME Catalyst expression
+    * as the build ([[termBucket]] over a local one-column frame — no
+    * driver-side reimplementation of xxhash64 to drift). */
+  def searchIds(index: TextIndex, terms: Seq[String],
+                minMatch: Int = 0): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val norm = normTerms(terms)
+    val need = if (minMatch <= 0 || minMatch > norm.size) norm.size else minMatch
+    val tbs = norm.toDF("term")
+      .select(termBucket(col("term"), index.buckets))
+      .collect().map(_.getInt(0).toLong).toSeq
+    val idType = index.schema("id").dataType
+    IndexMaint.readPartitions(spark, index.path, index.schema, "_tb", tbs) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(org.apache.spark.sql.types.StructField("id", idType))))
+      case Some(posts) =>
+        posts.filter(col("term").isin(norm: _*))
+          // postings may hold replay duplicates between compactions: count
+          // DISTINCT terms, never rows
+          .groupBy("id").agg(countDistinct(col("term")).as("_gq_nt"))
+          .filter(col("_gq_nt") >= need)
+          .select("id")
+    }
+  }
+
+  /** Full matching rows from `corpus` (semi-join against the probed ids;
+    * the id set is usually small — AQE broadcasts it when it is, and the
+    * join stays a hash semi-join when it is not). */
+  def search(index: TextIndex, corpus: DataFrame, terms: Seq[String],
+             minMatch: Int = 0): DataFrame =
+    corpus.join(searchIds(index, terms, minMatch)
+        .withColumnRenamed("id", "_gq_sid"),
+      col(index.idCol) === col("_gq_sid"), "left_semi")
+
+  // ─── build-once/probe-many cache (serving layer) ───
+
+  private val txCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TextIndex]()
+  private[graft] val textBuildCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Cached [[textIndexBuild]] keyed by corpus identity + content
+    * fingerprint + parameters — the same pattern as
+    * [[Dedup.minhashIndexFor]]: first request builds, later requests
+    * re-open the sidecar, a changed corpus fingerprints to a new path. */
+  def textIndexFor(corpus: DataFrame, corpusKey: String, textCol: String,
+                   idCol: String, baseDir: String,
+                   buckets: Int = 256): TextIndex = {
+    val key = s"tx|$corpusKey|${Similarity.fingerprint(corpus)}|" +
+      s"$textCol|$idCol|$buckets"
+    txCache.computeIfAbsent(key, _ => {
+      val spark = corpus.sparkSession
+      val path = s"$baseDir/tx_${Similarity.keyHash(key)}"
+      Similarity.readMeta[TextIndex](spark, path).getOrElse {
+        val idx = textIndexBuild(corpus, textCol, idCol, path, buckets)
+        textBuildCount.incrementAndGet()
+        idx
+      }
+    })
+  }
+
+  /** Drop cached text indexes for `corpusKey` (on-disk trees stay). */
+  def invalidateTextIndexes(corpusKey: String): Unit =
+    txCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
+
+  /** Clear the whole cache (restart simulation / tests). */
+  def invalidateAllTextIndexes(): Unit = txCache.clear()
+}

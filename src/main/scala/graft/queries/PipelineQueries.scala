@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.{GTable, Tables}
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis, TextSearch}
 
 /** Training-data pipeline queries: dedup, similarity search, text analysis
   * over the documents/embeddings tables. Exact-algorithm variants carry
@@ -1840,6 +1840,83 @@ object PipelineQueries {
     Some("""SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents ORDER BY shuffle_key"""))
 
+  /** Index base dir for the text-search gates — per-sf-dir like [[annDir]],
+    * so concurrent gate topologies never share index trees. */
+  private def txDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_tx/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Inverted-index keyword search, AND of two terms: the probe reads ONLY
+    * the bucket dirs the terms hash to (TextSearch.searchIds via
+    * IndexMaint.readPartitions), never the corpus text. The oracle
+    * recomputes membership from the raw text with the same whitespace
+    * tokenizer — index answers must equal full-scan answers exactly. */
+  val q_text_search = Q(
+    "q_text_search",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val idx = TextSearch.textIndexFor(d, s"$dir/documents", "text",
+        "doc_id", txDir(dir))
+      TextSearch.search(idx, d, Seq("join", "filter"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source FROM documents
+            WHERE doc_id IN (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+                FROM documents)
+              WHERE t IN ('join', 'filter')
+              GROUP BY doc_id HAVING count(DISTINCT t) = 2)
+            ORDER BY doc_id"""))
+
+  /** at-least-m search (minMatch = 2 of 3 terms) against the SAME cached
+    * index as [[q_text_search]] — the second gate exercises the re-open
+    * path of textIndexFor, not a rebuild. */
+  val q_text_search_min = Q(
+    "q_text_search_min",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val idx = TextSearch.textIndexFor(d, s"$dir/documents", "text",
+        "doc_id", txDir(dir))
+      TextSearch.searchIds(idx, Seq("scan", "batch", "row"), minMatch = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id FROM (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+              FROM documents)
+            WHERE t IN ('scan', 'batch', 'row')
+            GROUP BY doc_id HAVING count(DISTINCT t) >= 2
+            ORDER BY doc_id"""))
+
+  /** Deterministic token-budget head: the first 10k tokens of the shuffled
+    * corpus, cut after the crossing document. The oracle recomputes the
+    * md5 stream order and the running total with a plain window — the
+    * engine's block prefix-sum decomposition must agree exactly. */
+  val q_token_budget = Q(
+    "q_token_budget",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Sampling.takeTokenBudget(d, "doc_id",
+          size(TextAnalysis.tokens(col("text"))), budget = 10000L, seed = "42")
+        .select("doc_id", "shuffle_key", "tokens_before")
+        .orderBy("shuffle_key")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+              COALESCE(CAST(len(regexp_split_to_array(lower(text), '\s+'))
+                AS BIGINT), 0) AS tok
+            FROM documents),
+          c AS (SELECT doc_id, shuffle_key,
+              CAST(sum(tok) OVER (ORDER BY shuffle_key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+                AS BIGINT) AS tokens_before
+            FROM t)
+          SELECT doc_id, shuffle_key, tokens_before FROM c
+          WHERE tokens_before < 10000 ORDER BY shuffle_key"""))
+
   /** Deterministic per-stratum reservoir: exactly 20 docs per language,
     * smallest md5(seed:id) — via the distributed rankings path (no
     * single-task-per-stratum window). */
@@ -2322,6 +2399,7 @@ object PipelineQueries {
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_substr,
     q_dedup_normalized,
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
+    q_text_search, q_text_search_min, q_token_budget,
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
     q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project,
     q_ann_topk_proj, q_dedup_best, q_snapshot_pipeline,

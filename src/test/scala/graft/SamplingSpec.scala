@@ -148,6 +148,57 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, "reservoir must not depend on partitioning")
   }
 
+  test("token-budget head: coverage, cut point, and decomposition invariance") {
+    val tok = size(TextAnalysis.tokens(col("text")))
+    val budget = 300L
+    val head = Sampling.takeTokenBudget(docs, "doc_id", tok, budget, "9")
+      .withColumn("_tok", tok.cast("long"))
+      .select("doc_id", "shuffle_key", "tokens_before", "_tok")
+      .collect().sortBy(_.getString(1))
+    assert(head.nonEmpty)
+    // the cut is after the crossing document: every kept doc STARTS inside
+    // the budget, the total covers >= budget, and dropping the last kept
+    // doc falls back under it
+    assert(head.forall(_.getLong(2) < budget))
+    val total = head.map(_.getLong(3)).sum
+    assert(total >= budget, s"head covers $total < $budget")
+    assert(total - head.last.getLong(3) < budget, "cut came one doc late")
+    // tokens_before is the exact exclusive running total in stream order
+    head.foldLeft(0L) { (acc, r) =>
+      assert(r.getLong(2) == acc, s"tokens_before drifted at ${r.getLong(0)}")
+      acc + r.getLong(3)
+    }
+    // the block decomposition is invisible: any blockChars, any input
+    // partitioning, same head
+    val ids = head.map(_.getLong(0)).toSeq
+    for (bc <- Seq(1, 2, 6)) {
+      val again = Sampling.takeTokenBudget(docs.repartition(7), "doc_id",
+          tok, budget, "9", blockChars = bc)
+        .orderBy("shuffle_key").collect().map(_.getLong(0)).toSeq
+      assert(again == ids, s"head changed under blockChars=$bc")
+    }
+    // a budget past the corpus keeps everything; seed changes the order
+    assert(Sampling.takeTokenBudget(docs, "doc_id", tok, 10_000_000L, "9")
+      .count() == docs.count())
+    val other = Sampling.takeTokenBudget(docs, "doc_id", tok, budget, "10")
+      .orderBy("shuffle_key").collect().map(_.getLong(0)).toSeq
+    assert(other != ids, "seed must reshuffle the stream")
+  }
+
+  test("token-budget head: null/negative counts contribute zero tokens") {
+    import spark.implicits._
+    val d = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null: java.lang.Long),
+      (3L, java.lang.Long.valueOf(-7L)), (4L, java.lang.Long.valueOf(5L)),
+      (5L, java.lang.Long.valueOf(5L))).toDF("doc_id", "n")
+    val head = Sampling.takeTokenBudget(d, "doc_id", col("n"), 10L, "0")
+      .select("doc_id", "tokens_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null/negative rows ride along at zero width rather than being dropped
+    // or poisoning the running sum; the head still covers 10 real tokens
+    assert(head.values.forall(_ < 10L))
+    assert(head.size >= 2)
+  }
+
   test("int8 quantization bounds and reconstruction error") {
     val q = embs.select(col("vec_id"), col("embedding"),
       Similarity.quantizeInt8(col("embedding")).as("z"))

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{TextAnalysis, TextSearch}
+
+/** Inverted text index: probe answers must equal full-scan answers exactly,
+  * maintenance (append/compact) must be answer-preserving, and probes must
+  * read only the bucket directories the query terms hash to. */
+class TextSearchSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf, "documents")
+
+  /** Full-scan reference: ids of docs whose whitespace-token set matches at
+    * least `minMatch` of `terms` (0 → all). */
+  private def scanIds(corpus: DataFrame, terms: Seq[String],
+                      minMatch: Int = 0): Set[Long] = {
+    val need = if (minMatch <= 0 || minMatch > terms.size) terms.size else minMatch
+    corpus.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id").agg(countDistinct("t").as("n"))
+      .filter(col("n") >= need)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  private def probedIds(df: DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("AND / OR / at-least-m probes equal the full-scan answers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_spec").toString
+    val idx = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/ix",
+      buckets = 32)
+    val and2 = Seq("join", "filter")
+    assert(probedIds(TextSearch.searchIds(idx, and2)) == scanIds(docs, and2))
+    val or3 = Seq("scan", "batch", "row")
+    assert(probedIds(TextSearch.searchIds(idx, or3, minMatch = 1)) ==
+      scanIds(docs, or3, minMatch = 1))
+    assert(probedIds(TextSearch.searchIds(idx, or3, minMatch = 2)) ==
+      scanIds(docs, or3, minMatch = 2))
+    // duplicated / mixed-case / padded request terms normalize away
+    assert(probedIds(TextSearch.searchIds(idx, Seq("Join", "FILTER ", "join"))) ==
+      scanIds(docs, and2))
+    // a term absent from the corpus: OR ignores it, AND empties
+    assert(probedIds(TextSearch.searchIds(idx, Seq("join", "zzzznope"),
+      minMatch = 1)) == scanIds(docs, Seq("join"), minMatch = 1))
+    assert(TextSearch.searchIds(idx, Seq("join", "zzzznope")).isEmpty)
+    // full-row search carries the corpus columns
+    val rows = TextSearch.search(idx, docs, and2)
+    assert(rows.columns.toSeq == docs.columns.toSeq)
+    assert(probedIds(rows.select("doc_id")) == scanIds(docs, and2))
+    intercept[IllegalArgumentException] {
+      TextSearch.searchIds(idx, Seq("  ", ""))
+    }
+  }
+
+  test("probe reads only the bucket dirs the terms hash to") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_prune").toString
+    val idx = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/ix",
+      buckets = 64)
+    val terms = Seq("join", "filter")
+    import spark.implicits._
+    val expected = terms.toDF("term")
+      .select(TextSearch.termBucket(col("term"), 64))
+      .collect().map(r => s"_tb=${r.getInt(0)}").toSet
+    val files = TextSearch.searchIds(idx, terms).inputFiles
+    assert(files.nonEmpty)
+    val touched = files.map { f =>
+      f.split("/").find(_.startsWith("_tb=")).getOrElse(fail(s"no _tb dir in $f"))
+    }.toSet
+    assert(touched.subsetOf(expected),
+      s"probe touched $touched beyond the term buckets $expected")
+  }
+
+  test("append + compact answer a segmented corpus like a fresh build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_life").toString
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val idx = TextSearch.textIndexBuild(first, "text", "doc_id", s"$dir/seg",
+      buckets = 16)
+    TextSearch.textIndexAppend(idx, second, "text")
+    // replayed append: duplicate postings must not change any answer
+    TextSearch.textIndexAppend(idx, second, "text")
+    val fresh = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/mono",
+      buckets = 16)
+    val terms = Seq("scan", "batch", "row")
+    for (m <- Seq(0, 1, 2)) {
+      val seg = probedIds(TextSearch.searchIds(idx, terms, m))
+      assert(seg == probedIds(TextSearch.searchIds(fresh, terms, m)),
+        s"segmented != fresh at minMatch=$m")
+      assert(seg == scanIds(docs, terms, m))
+    }
+    val before = graft.operators.IndexMaint.dataFileCount(spark, idx.path)
+    TextSearch.textIndexCompact(idx)
+    val after = graft.operators.IndexMaint.dataFileCount(spark, idx.path)
+    assert(after < before, s"compact did not shrink the file census ($before -> $after)")
+    for (m <- Seq(0, 1, 2))
+      assert(probedIds(TextSearch.searchIds(idx, terms, m)) ==
+        scanIds(docs, terms, m), s"compacted answers drifted at minMatch=$m")
+  }
+
+  test("textIndexFor re-opens the sidecar instead of rebuilding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_cache").toString
+    val before = TextSearch.textBuildCount.get()
+    val a = TextSearch.textIndexFor(docs, "spec-docs", "text", "doc_id", dir)
+    assert(TextSearch.textBuildCount.get() == before + 1)
+    // same key: served from the in-memory cache
+    val b = TextSearch.textIndexFor(docs, "spec-docs", "text", "doc_id", dir)
+    assert(b eq a)
+    // restart simulation: cache cleared, sidecar re-opened — no rebuild
+    TextSearch.invalidateAllTextIndexes()
+    val c = TextSearch.textIndexFor(docs, "spec-docs", "text", "doc_id", dir)
+    assert(TextSearch.textBuildCount.get() == before + 1)
+    assert(c == a)
+    assert(probedIds(TextSearch.searchIds(c, Seq("join"))) ==
+      scanIds(docs, Seq("join")))
+  }
+
+  test("null texts are unindexed; blank tokens never indexed") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, null), (3L, "   "), (4L, "beta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_null").toString
+    val idx = TextSearch.textIndexBuild(d, "text", "doc_id", s"$dir/ix",
+      buckets = 4)
+    assert(probedIds(TextSearch.searchIds(idx, Seq("beta"))) == Set(1L, 4L))
+    val stored = spark.read.schema(idx.schema).parquet(idx.path)
+    assert(stored.filter(length(col("term")) === 0).isEmpty)
+    assert(stored.filter(col("id") === 2L).isEmpty)
+  }
+}
