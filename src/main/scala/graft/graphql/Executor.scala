@@ -1110,6 +1110,44 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       resolveTable(GTable(out, sortedBy = Seq(col("shuffle_key")),
         denseRid = false), f, None)
 
+    case "search" =>
+      // inverted-index keyword search: keep rows whose whitespace-token set
+      // matches at least minMatch: of terms: (default ALL — the AND search;
+      // 1 — OR). Served off a prebuilt posting index (TextSearch
+      // .textIndexFor: first request builds, later requests re-open the
+      // cached/sidecar index; probes read ONLY the bucket dirs the terms
+      // hash to, never the corpus text).
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("search needs on: <text column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("search needs id: <key column>"))
+      val terms = f.arg("terms").collect {
+        case GList(xs) => xs.collect { case GStr(s) => s }
+      }.filter(_.nonEmpty).getOrElse(
+        throw new IllegalArgumentException("""search needs terms: ["..."]"""))
+      val idx = graft.operators.TextSearch.textIndexFor(t.result,
+        corpusKeyOf(t.result), on, id, annIndexDir,
+        buckets = intArg(f, "buckets").getOrElse(256))
+      // sortedBy dropped: the id semi-join may re-order (same rule as dedup)
+      resolveTable(GTable(graft.operators.TextSearch.search(idx, t.df, terms,
+        intArg(f, "minMatch").getOrElse(0)), denseRid = false), f, None)
+    case "tokenBudget" =>
+      // deterministic token-budget head: the first budget: tokens of the
+      // md5-shuffled stream, cut after the crossing document (Sampling
+      // .takeTokenBudget — block prefix-sum, no global sort). Token width
+      // is the whitespace token count of on:, or the numeric counts: column
+      // when given. Emits shuffle_key + tokens_before.
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("tokenBudget needs id: <key column>"))
+      val budget = longArg(f, "budget")
+        .getOrElse(throw new IllegalArgumentException("tokenBudget needs budget:"))
+      val tok = strArg(f, "counts").map(col).getOrElse {
+        val on = strArg(f, "on").getOrElse(throw new IllegalArgumentException(
+          "tokenBudget needs on: <text column> or counts: <numeric column>"))
+        size(graft.operators.TextAnalysis.tokens(col(on)))
+      }
+      resolveTable(GTable(graft.operators.Sampling.takeTokenBudget(
+        t.df, id, tok, budget, seedArg(f)), denseRid = false), f, None)
     case "optional" =>
       // nullable self: stops error propagation for partial results
       // (reference interface.py:138-141)

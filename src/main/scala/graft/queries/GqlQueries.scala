@@ -733,6 +733,34 @@ object GqlQueries {
       "doc_id BIGINT, shuffle_key STRING"),
     PipelineQueries.q_shuffle_det.oracle)
 
+  /** Inverted-index keyword search through the service: the first request
+    * builds the posting index (textIndexFor), this gate's probe then reads
+    * only the term buckets. Same oracle as the library gate. */
+  val q_gql_search = Q(
+    "q_gql_search",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           s: search(terms: ["join", "filter"], on: "text", id: "doc_id") {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } lang { values }
+                            source { values } } } } } }""",
+      Seq("t", "s", "o", "c"),
+      "doc_id BIGINT, lang STRING, source STRING"),
+    PipelineQueries.q_text_search.oracle)
+
+  /** Deterministic token-budget head through the service. */
+  val q_gql_token_budget = Q(
+    "q_gql_token_budget",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           h: tokenBudget(budget: 10000, on: "text", id: "doc_id", seed: "42") {
+             o: order(by: ["shuffle_key"]) {
+               c: columns { doc_id { values } shuffle_key { values }
+                            tokens_before { values } } } } } }""",
+      Seq("t", "h", "o", "c"),
+      "doc_id BIGINT, shuffle_key STRING, tokens_before BIGINT"),
+    PipelineQueries.q_token_budget.oracle)
+
   /** Span-level corpus dedup through the service. */
   val q_gql_dedup_spans = Q(
     "q_gql_dedup_spans",
@@ -1232,6 +1260,7 @@ object GqlQueries {
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_dedup_substr, q_gql_text_stats, q_gql_chunks,
+    q_gql_search, q_gql_token_budget,
     q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
     q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_knn_join_auto,

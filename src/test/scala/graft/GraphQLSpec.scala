@@ -157,6 +157,33 @@ class GraphQLSpec extends SparkSpec {
     assert(!clean.contains("cap_drops"))
   }
 
+  test("search and tokenBudget serve with validated args") {
+    // served search agrees with the library full-scan recompute
+    val r = service.execute(
+      """{ documents { s: search(terms: ["join", "filter"], on: "text",
+           id: "doc_id") { count } } }""")
+    val expected = graft.operators.TextSearch.search(
+      graft.operators.TextSearch.textIndexFor(
+        spark.read.parquet(s"$sf/documents.parquet"), "gqlspec-docs",
+        "text", "doc_id",
+        java.nio.file.Files.createTempDirectory("graft_gql_tx").toString),
+      spark.read.parquet(s"$sf/documents.parquet"),
+      Seq("join", "filter")).count()
+    assert(r.contains(s""""count":$expected"""), r)
+    // tokenBudget with a precomputed counts: column (no text pass)
+    val tb = service.execute(
+      """{ documents { h: tokenBudget(budget: 2000, counts: "n_chars",
+           id: "doc_id", seed: "1") {
+           c: columns { tokens_before { max } } count } } }""")
+    assert(!tb.contains("\"errors\""), tb)
+    assert("\"max\":(\\d+)".r.findFirstMatchIn(tb).get.group(1).toLong < 2000L)
+    // arg contracts fail loudly
+    intercept[IllegalArgumentException](service.execute(
+      """{ documents { s: search(on: "text", id: "doc_id") { count } } }"""))
+    intercept[IllegalArgumentException](service.execute(
+      """{ documents { h: tokenBudget(budget: 10, id: "doc_id") { count } } }"""))
+  }
+
   test("unknown table and field produce errors") {
     intercept[IllegalArgumentException](service.execute("{ nope { count } }"))
     intercept[IllegalArgumentException](service.execute("{ nation { bogus } }"))
