@@ -1125,8 +1125,19 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case GList(xs) => xs.collect { case GStr(s) => s }
       }.filter(_.nonEmpty).getOrElse(
         throw new IllegalArgumentException("""search needs terms: ["..."]"""))
-      val idx = graft.operators.TextSearch.textIndexFor(t.result,
-        corpusKeyOf(t.result), on, id, annIndexDir,
+      // corpus: names a root to index INSTEAD of this table — search is a
+      // pure per-document content filter, so probing a superset index and
+      // semi-joining the current table is exact, and `filter → search`
+      // then reuses the root's index instead of building one per distinct
+      // filtered plan (the 100 TB serving shape). Default: index this
+      // table (plan-keyed, content-fingerprinted).
+      val searchCorpus = strArg(f, "corpus") match {
+        case Some(name) => roots.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown table '$name'"))().result
+        case None => t.result
+      }
+      val idx = graft.operators.TextSearch.textIndexFor(searchCorpus,
+        corpusKeyOf(searchCorpus), on, id, annIndexDir,
         buckets = intArg(f, "buckets").getOrElse(256))
       // sortedBy dropped: the id semi-join may re-order (same rule as dedup)
       resolveTable(GTable(graft.operators.TextSearch.search(idx, t.df, terms,

@@ -91,6 +91,32 @@ object TextSearch {
       Seq("_tb"), tmp => Similarity.writeMeta(spark, tmp, index))
   }
 
+  /** Merge two shard indexes into a fresh tree at `destPath` — the
+    * per-shard indexing shape at corpus scale (each shard indexes its
+    * slice; merges produce the serving tree without re-reading either
+    * corpus). The term→bucket map is deterministic in `buckets` alone, so
+    * matching geometries make the merge a pure posting union; output is
+    * clustered one-file-per-bucket (merge doubles as compaction) and
+    * re-openable via the standard sidecar. */
+  def textIndexMerge(a: TextIndex, b: TextIndex, destPath: String): TextIndex = {
+    require(a.buckets == b.buckets,
+      s"textIndexMerge: bucket geometry differs (${a.buckets} vs ${b.buckets})")
+    require(a.idCol == b.idCol, s"textIndexMerge: id contracts differ ($a vs $b)")
+    require(destPath != a.path && destPath != b.path,
+      "textIndexMerge needs a destPath distinct from both inputs")
+    val spark = SparkSession.active
+    IndexMaint.recoverSwap(spark, a.path)
+    IndexMaint.recoverSwap(spark, b.path)
+    val rows = spark.read.schema(a.schema).parquet(a.path)
+      .unionByName(spark.read.schema(b.schema).parquet(b.path))
+      .dropDuplicates()
+    rows.repartition(col("_tb")).sortWithinPartitions("term", "id")
+      .write.mode("overwrite").partitionBy("_tb").parquet(destPath)
+    val merged = TextIndex(destPath, a.idCol, a.buckets, a.schema)
+    Similarity.writeMeta(spark, destPath, merged)
+    merged
+  }
+
   /** Normalized distinct search terms: the index stores lowercase tokens,
     * so terms are lowercased; blank terms are rejected (they can never
     * match and would silently weaken an AND). */

@@ -585,8 +585,54 @@ object StreamQueries {
           FROM documents WHERE doc_id % 3 <= 1
           ORDER BY doc_id"""))
 
+  /** Live keyword search: the documents table streams through
+    * [[StreamOps.textIndexSink]] in two micro-batches (bootstrap build on
+    * batch one, posting append on batch two, compaction mid-run), then the
+    * LIVE index answers an AND search — which must equal the oracle's full
+    * recompute over the raw table. Crash-replay idempotence and the
+    * restart path are spec'd in StreamingSpec. */
+  val q_stream_text_search = Q(
+    "q_stream_text_search",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      val spark2 = s
+      import spark2.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft_tx_sink").toString
+      val batch = d.select("doc_id", "text")
+        .as[(Long, String)].collect()
+      val (b1, b2) = batch.partition(_._1 % 2 == 0)
+      val mem = MemoryStream[(Long, String)](s)
+      val q = StreamOps.textIndexSink(
+        mem.toDF.toDF("doc_id", "text"), "text", "doc_id",
+        indexDir = s"$work/idx", outDir = s"$work/out",
+        checkpoint = s"$work/ckpt", buckets = 32, compactFiles = 24,
+        trigger = Trigger.ProcessingTime(0))
+      try {
+        mem.addData(b1.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(b2.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val idx = graft.operators.Similarity
+        .readMeta[graft.operators.TextSearch.TextIndex](s, s"$work/idx")
+        .getOrElse(throw new IllegalStateException("sink left no index sidecar"))
+      GTable(graft.operators.TextSearch.searchIds(idx, Seq("join", "filter"))
+          .withColumnRenamed("id", "doc_id"))
+        .order(GTable.orderKeys(Seq("doc_id"))).result
+    },
+    Some("""SELECT doc_id FROM (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+              FROM documents)
+            WHERE t IN ('join', 'filter')
+            GROUP BY doc_id HAVING count(DISTINCT t) = 2
+            ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q_stream_tumbling, q_stream_sliding, q_stream_session, q_stream_join,
     q_stream_dedup, q_stream_micro, q_stream_dedup_incr, q_stream_dedup_neardup,
     q_stream_ann_ingest, q_stream_semantic, q_stream_snapshot,
+    q_stream_text_search,
     q_snapshot_asof, q_gql_snapshot_asof)
 }

@@ -741,4 +741,50 @@ object StreamOps {
       }
     }
   }
+
+  /** Streaming posting-index maintenance: keep the inverted text index
+    * ([[graft.operators.TextSearch]]) in step with a live document stream,
+    * so keyword search over the full ingested corpus never pays a scan.
+    * Per micro-batch the docs are appended to `outDir` (the corpus) and
+    * their postings appended into the index's bucket partitions
+    * (bootstrap: the first non-empty batch BUILDS the index + sidecar;
+    * restart re-opens it; a data-bearing dir without a sidecar is refused,
+    * like every index-backed sink). Write order is output-then-postings:
+    * a crash between the two replays the batch, duplicating output rows
+    * (at-least-once, standard foreachBatch) and postings — answer-
+    * preserving because searches count DISTINCT terms per doc.
+    * `compactFiles > 0` bounds long-run fragmentation: past the census
+    * threshold the tree is rewritten one-file-per-bucket with duplicates
+    * dropped (swap protocol). Pre-seed with textIndexBuild over an
+    * existing corpus to search history from batch one. */
+  def textIndexSink(stream: DataFrame, textCol: String, idCol: String,
+                    indexDir: String, outDir: String, checkpoint: String,
+                    buckets: Int = 256, compactFiles: Int = 0,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{IndexMaint, Similarity, TextSearch}
+    var idx: TextSearch.TextIndex = null
+    writeBatches(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      if (idx == null) {
+        idx = Similarity.readMeta[TextSearch.TextIndex](spark, indexDir).orNull
+        if (idx == null) requireCleanBootstrap(spark, indexDir, "textIndexSink")
+      }
+      // one pass over the batch feeds both the output append and the
+      // posting append
+      val b = batch.localCheckpoint()
+      b.write.mode("append").parquet(outDir)
+      if (!b.isEmpty) {
+        if (idx == null)
+          idx = TextSearch.textIndexBuild(b, textCol, idCol, indexDir, buckets)
+        else TextSearch.textIndexAppend(idx, b, textCol)
+      }
+      if (compactFiles > 0 && idx != null &&
+          IndexMaint.dataFileCount(spark, indexDir) > compactFiles) {
+        log.info(s"textIndexSink: compacting index at $indexDir")
+        TextSearch.textIndexCompact(idx)
+      }
+    }
+  }
 }

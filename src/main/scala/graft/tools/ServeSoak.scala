@@ -123,7 +123,13 @@ object ServeSoak {
       "runsfilt" -> gq("""{ events { f: filter(value: {gt: 0.2}) {
         r: runs(by: ["event_type"], counts: "n") {
         g: group(by: ["event_type"], counts: "m") { o: order(by: ["event_type"]) {
-        columns { event_type { values } m { values } } } } } } } }"""))
+        columns { event_type { values } m { values } } } } } } } }"""),
+      // round-10 continuation: inverted-index keyword search (prebuilt
+      // posting index, term-bucket probes) and the token-budget head
+      "search" -> gq("""{ documents { s: search(terms: ["join", "filter"],
+        on: "text", id: "doc_id") { count } } }"""),
+      "tokenbudget" -> gq("""{ documents { h: tokenBudget(budget: 50000,
+        on: "text", id: "doc_id", seed: "3") { count } } }"""))
 
     // single-threaded warm-up: populates the index caches, pins the
     // expected answer per kind

@@ -177,6 +177,22 @@ class GraphQLSpec extends SparkSpec {
            c: columns { tokens_before { max } } count } } }""")
     assert(!tb.contains("\"errors\""), tb)
     assert("\"max\":(\\d+)".r.findFirstMatchIn(tb).get.group(1).toLong < 2000L)
+    // filter -> search(corpus:) probes the ROOT index and still returns
+    // only the filtered table's matches (search commutes with row filters)
+    val filtered = service.execute(
+      """{ documents { f: filter(where: {eq: [{mod: [{name: "doc_id"},
+           {value: 2}]}, {value: 0}]}) {
+           s: search(terms: ["join", "filter"], on: "text", id: "doc_id",
+                     corpus: "documents") { count } } } }""")
+    val expEven = graft.operators.TextSearch.search(
+      graft.operators.TextSearch.textIndexFor(
+        spark.read.parquet(s"$sf/documents.parquet"), "gqlspec-docs2",
+        "text", "doc_id",
+        java.nio.file.Files.createTempDirectory("graft_gql_tx2").toString),
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      Seq("join", "filter")).count()
+    assert(filtered.contains(s""""count":$expEven"""), filtered)
     // arg contracts fail loudly
     intercept[IllegalArgumentException](service.execute(
       """{ documents { s: search(on: "text", id: "doc_id") { count } } }"""))

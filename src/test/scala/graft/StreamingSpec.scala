@@ -710,6 +710,74 @@ class StreamingSpec extends SparkSpec {
       "refusal must leave the pre-seeded index untouched")
   }
 
+  test("textIndexSink: live index accumulates, survives replay and restart, compaction preserves answers") {
+    import graft.operators.{IndexMaint, Similarity, TextSearch}
+    val spark2 = spark
+    import spark2.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_txsink_spec").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.textIndexSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", buckets = 8,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "alpha beta"), (2L, "beta gamma"))
+      q.processAllAvailable()
+      mem.addData((3L, "alpha gamma"), (4L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def idsFor(terms: Seq[String], m: Int = 0): Seq[Long] = {
+      val idx = Similarity.readMeta[TextSearch.TextIndex](spark, s"$work/idx").get
+      TextSearch.searchIds(idx, terms, m).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // the live index spans BOTH batches
+    assert(idsFor(Seq("alpha")) == Seq(1L, 3L))
+    assert(idsFor(Seq("alpha", "gamma")) == Seq(3L))
+    assert(idsFor(Seq("beta", "delta"), m = 1) == Seq(1L, 2L, 4L))
+
+    // crash replay: a restarted query with a FRESH checkpoint re-processes
+    // everything — duplicated postings must change no answer
+    val mem2 = MemoryStream[(Long, String)](spark)
+    val q2 = StreamOps.textIndexSink(
+      mem2.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out2",
+      checkpoint = s"$work/ckpt2", buckets = 8,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((3L, "alpha gamma"), (4L, "delta")) // replayed batch
+      mem2.addData((5L, "alpha epsilon"))              // plus fresh data
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(idsFor(Seq("alpha")) == Seq(1L, 3L, 5L))
+    assert(idsFor(Seq("alpha", "gamma")) == Seq(3L))
+
+    // compaction: census shrinks, answers identical
+    val before = IndexMaint.dataFileCount(spark, s"$work/idx")
+    val idx = Similarity.readMeta[TextSearch.TextIndex](spark, s"$work/idx").get
+    TextSearch.textIndexCompact(idx)
+    assert(IndexMaint.dataFileCount(spark, s"$work/idx") < before)
+    assert(idsFor(Seq("alpha")) == Seq(1L, 3L, 5L))
+    // a data-bearing index dir without a sidecar is refused at bootstrap
+    val fs = new org.apache.hadoop.fs.Path(s"$work/idx/_graft_index_meta.bin")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/idx/_graft_index_meta.bin"), false)
+    val mem3 = MemoryStream[(Long, String)](spark)
+    val q3 = StreamOps.textIndexSink(
+      mem3.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out3",
+      checkpoint = s"$work/ckpt3", buckets = 8,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem3.addData((6L, "zeta"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("textIndexSink") ||
+        Option(ex.getCause).exists(_.getMessage.contains("textIndexSink")), ex.getMessage)
+    } finally q3.stop()
+  }
+
   test("snapshotSink: statuses across batches; unchanged never logged; restart re-opens the ledger") {
     val spark2 = spark
     import spark2.implicits._

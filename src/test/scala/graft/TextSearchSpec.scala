@@ -100,6 +100,35 @@ class TextSearchSpec extends SparkSpec {
         scanIds(docs, terms, m), s"compacted answers drifted at minMatch=$m")
   }
 
+  test("merged shard indexes answer like a monolithic build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_merge").toString
+    val shardA = docs.filter(col("doc_id") % 3 === 0)
+    val shardB = docs.filter(col("doc_id") % 3 =!= 0)
+    val a = TextSearch.textIndexBuild(shardA, "text", "doc_id", s"$dir/a",
+      buckets = 16)
+    val b = TextSearch.textIndexBuild(shardB, "text", "doc_id", s"$dir/b",
+      buckets = 16)
+    val merged = TextSearch.textIndexMerge(a, b, s"$dir/m")
+    val mono = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/mono",
+      buckets = 16)
+    val terms = Seq("join", "filter", "scan")
+    for (m <- Seq(0, 1, 2))
+      assert(probedIds(TextSearch.searchIds(merged, terms, m)) ==
+        probedIds(TextSearch.searchIds(mono, terms, m)),
+        s"merged != monolithic at minMatch=$m")
+    // the merged tree is a first-class index: sidecar re-openable
+    TextSearch.invalidateAllTextIndexes()
+    val reopened = graft.operators.Similarity
+      .readMeta[TextSearch.TextIndex](spark, merged.path)
+    assert(reopened.contains(merged))
+    // geometry mismatches fail loudly instead of mis-bucketing silently
+    val odd = TextSearch.textIndexBuild(shardA, "text", "doc_id", s"$dir/odd",
+      buckets = 8)
+    intercept[IllegalArgumentException] {
+      TextSearch.textIndexMerge(odd, b, s"$dir/m2")
+    }
+  }
+
   test("textIndexFor re-opens the sidecar instead of rebuilding") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_cache").toString
     val before = TextSearch.textBuildCount.get()
