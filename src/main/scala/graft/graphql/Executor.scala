@@ -1121,10 +1121,9 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         .getOrElse(throw new IllegalArgumentException("search needs on: <text column>"))
       val id = strArg(f, "id")
         .getOrElse(throw new IllegalArgumentException("search needs id: <key column>"))
-      val terms = f.arg("terms").collect {
-        case GList(xs) => xs.collect { case GStr(s) => s }
-      }.filter(_.nonEmpty).getOrElse(
-        throw new IllegalArgumentException("""search needs terms: ["..."]"""))
+      val terms = strListArg(f, "terms")
+      if (terms.isEmpty)
+        throw new IllegalArgumentException("""search needs terms: ["..."]""")
       // corpus: names a root to index INSTEAD of this table — search is a
       // pure per-document content filter, so probing a superset index and
       // semi-joining the current table is exact, and `filter → search`

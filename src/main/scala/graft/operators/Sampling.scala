@@ -161,8 +161,12 @@ object Sampling {
                       budget: Long, seed: String = "0",
                       blockChars: Int = 4): DataFrame = {
     require(budget > 0, "takeTokenBudget needs a positive token budget")
-    require(blockChars >= 1 && blockChars <= 8,
-      s"takeTokenBudget: blockChars must be in [1, 8], got $blockChars")
+    // upper bound keeps the per-block totals frame tiny BY CONSTRUCTION
+    // (16^5 = ~1M rows worst case — a safe window input and broadcast);
+    // larger prefixes would degenerate toward one block per row,
+    // reinstating the single-partition window this operator exists to avoid
+    require(blockChars >= 1 && blockChars <= 5,
+      s"takeTokenBudget: blockChars must be in [1, 5], got $blockChars")
     require(!df.columns.exists(Set("shuffle_key", "tokens_before")),
       "takeTokenBudget emits shuffle_key/tokens_before; the input already has one")
     // null/negative counts contribute 0 tokens rather than poisoning the

@@ -136,6 +136,10 @@ object TextSearch {
                 minMatch: Int = 0): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
+    // heal a torn compaction swap before the probe (every sibling probe
+    // does this; a warm cache handle skips readMeta's healing path, and
+    // without it a torn swap silently answers "no matches")
+    IndexMaint.recoverSwap(spark, index.path)
     val norm = normTerms(terms)
     val need = if (minMatch <= 0 || minMatch > norm.size) norm.size else minMatch
     val tbs = norm.toDF("term")

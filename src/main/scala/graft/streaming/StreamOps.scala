@@ -780,8 +780,12 @@ object StreamOps {
           idx = TextSearch.textIndexBuild(b, textCol, idCol, indexDir, buckets)
         else TextSearch.textIndexAppend(idx, b, textCol)
       }
+      // floor the threshold at the bucket count: a compacted tree holds up
+      // to one file PER BUCKET, so a threshold below `buckets` would be
+      // unsatisfiable and re-trigger a full rewrite every batch
       if (compactFiles > 0 && idx != null &&
-          IndexMaint.dataFileCount(spark, indexDir) > compactFiles) {
+          IndexMaint.dataFileCount(spark, indexDir) >
+            math.max(compactFiles, idx.buckets)) {
         log.info(s"textIndexSink: compacting index at $indexDir")
         TextSearch.textIndexCompact(idx)
       }

@@ -171,7 +171,7 @@ class SamplingSpec extends SparkSpec {
     // the block decomposition is invisible: any blockChars, any input
     // partitioning, same head
     val ids = head.map(_.getLong(0)).toSeq
-    for (bc <- Seq(1, 2, 6)) {
+    for (bc <- Seq(1, 2, 5)) {
       val again = Sampling.takeTokenBudget(docs.repartition(7), "doc_id",
           tok, budget, "9", blockChars = bc)
         .orderBy("shuffle_key").collect().map(_.getLong(0)).toSeq

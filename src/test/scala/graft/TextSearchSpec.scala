@@ -98,6 +98,13 @@ class TextSearchSpec extends SparkSpec {
     for (m <- Seq(0, 1, 2))
       assert(probedIds(TextSearch.searchIds(idx, terms, m)) ==
         scanIds(docs, terms, m), s"compacted answers drifted at minMatch=$m")
+    // torn compaction swap (path renamed away, crash before tmp lands):
+    // the next probe on a WARM handle must heal and answer, not return empty
+    val p = new org.apache.hadoop.fs.Path(idx.path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"${idx.path}_old")))
+    assert(probedIds(TextSearch.searchIds(idx, terms)) == scanIds(docs, terms),
+      "probe did not heal a torn swap")
   }
 
   test("merged shard indexes answer like a monolithic build") {
