@@ -1122,8 +1122,13 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val id = strArg(f, "id")
         .getOrElse(throw new IllegalArgumentException("search needs id: <key column>"))
       val terms = strListArg(f, "terms")
-      if (terms.isEmpty)
-        throw new IllegalArgumentException("""search needs terms: ["..."]""")
+      val phrase = strListArg(f, "phrase")
+      if (terms.isEmpty && phrase.isEmpty)
+        throw new IllegalArgumentException(
+          """search needs terms: ["..."] or phrase: ["..."]""")
+      if (terms.nonEmpty && phrase.nonEmpty)
+        throw new IllegalArgumentException(
+          "search takes terms: OR phrase:, not both")
       // corpus: names a root to index INSTEAD of this table — search is a
       // pure per-document content filter, so probing a superset index and
       // semi-joining the current table is exact, and `filter → search`
@@ -1135,12 +1140,19 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           throw new IllegalArgumentException(s"unknown table '$name'"))().result
         case None => t.result
       }
+      // phrase: needs the positional index variant (separate cache key)
       val idx = graft.operators.TextSearch.textIndexFor(searchCorpus,
         corpusKeyOf(searchCorpus), on, id, annIndexDir,
-        buckets = intArg(f, "buckets").getOrElse(256))
+        buckets = intArg(f, "buckets").getOrElse(256),
+        positions = phrase.nonEmpty)
+      val ids =
+        if (phrase.nonEmpty) graft.operators.TextSearch.phraseIds(idx, phrase)
+        else graft.operators.TextSearch.searchIds(idx, terms,
+          intArg(f, "minMatch").getOrElse(0))
       // sortedBy dropped: the id semi-join may re-order (same rule as dedup)
-      resolveTable(GTable(graft.operators.TextSearch.search(idx, t.df, terms,
-        intArg(f, "minMatch").getOrElse(0)), denseRid = false), f, None)
+      resolveTable(GTable(t.df.join(
+        ids.withColumnRenamed("id", "_gq_sid"),
+        col(id) === col("_gq_sid"), "left_semi"), denseRid = false), f, None)
     case "tokenBudget" =>
       // deterministic token-budget head: the first budget: tokens of the
       // md5-shuffled stream, cut after the crossing document (Sampling

@@ -32,9 +32,12 @@ import org.apache.spark.sql.types.StructType
 object TextSearch {
 
   /** Re-openable index handle; persisted as the `_graft_index_meta.bin`
-    * sidecar inside the tree (Similarity.writeMeta). */
+    * sidecar inside the tree (Similarity.writeMeta). `positional` indexes
+    * store one posting per token OCCURRENCE with its 0-based position
+    * (enabling [[phraseIds]]); plain indexes store one per DISTINCT term
+    * per doc (smaller; membership searches only). */
   final case class TextIndex(path: String, idCol: String, buckets: Int,
-                             schema: StructType)
+                             schema: StructType, positional: Boolean = false)
 
   /** Bucket of a term: xxhash64 folded into [0, buckets). Stable across
     * builds/appends by construction (no RNG, no per-build salt), so any
@@ -42,29 +45,39 @@ object TextSearch {
   def termBucket(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
 
-  /** Posting rows (id, term, _tb) — one per distinct token per document.
-    * Null texts yield no postings (an unindexed doc, matching the oracle's
-    * unnest-of-null); empty tokens (split of a blank string) are dropped,
-    * they can never match a real search term. */
+  /** Posting rows (id, term, _tb) — one per distinct token per document;
+    * with `positions` one per token OCCURRENCE plus its 0-based `pos` in
+    * the whitespace token array (absolute, so the rare filtered-out blank
+    * token never shifts its neighbours — the oracle numbers the same
+    * array). Null texts yield no postings (an unindexed doc, matching the
+    * oracle's unnest-of-null); empty tokens (split of a blank string) are
+    * dropped, they can never match a real search term. */
   def postings(corpus: DataFrame, textCol: String, idCol: String,
-               buckets: Int): DataFrame =
-    corpus.select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
-      .filter(length(col("term")) > 0)
+               buckets: Int, positions: Boolean = false): DataFrame = {
+    val base =
+      if (positions)
+        corpus.select(col(idCol).as("id"),
+          posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      else
+        corpus.select(col(idCol).as("id"),
+          explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+    base.filter(length(col("term")) > 0)
       .withColumn("_tb", termBucket(col("term"), buckets))
+  }
 
   /** Build the index at `path`: one corpus pass, postings clustered on the
     * bucket key before the partitioned write so each bucket dir is written
     * by ONE task (the LSH-build lesson: unclustered partitioned writes cost
     * ~#tasks files per dir and probes pay the census as a listing tax). */
   def textIndexBuild(corpus: DataFrame, textCol: String, idCol: String,
-                     path: String, buckets: Int = 256): TextIndex = {
+                     path: String, buckets: Int = 256,
+                     positions: Boolean = false): TextIndex = {
     require(buckets > 0, s"textIndexBuild: buckets must be positive, got $buckets")
-    val rows = postings(corpus, textCol, idCol, buckets)
+    val rows = postings(corpus, textCol, idCol, buckets, positions)
     rows.repartition(col("_tb"))
       .sortWithinPartitions("term", "id")
       .write.mode("overwrite").partitionBy("_tb").parquet(path)
-    val idx = TextIndex(path, idCol, buckets, rows.schema)
+    val idx = TextIndex(path, idCol, buckets, rows.schema, positions)
     Similarity.writeMeta(corpus.sparkSession, path, idx)
     idx
   }
@@ -76,7 +89,7 @@ object TextSearch {
                       textCol: String): Unit = {
     val spark = segment.sparkSession
     IndexMaint.recoverSwap(spark, index.path)
-    postings(segment, textCol, index.idCol, index.buckets)
+    postings(segment, textCol, index.idCol, index.buckets, index.positional)
       .repartition(col("_tb"))
       .write.mode("append").partitionBy("_tb").parquet(index.path)
   }
@@ -101,7 +114,8 @@ object TextSearch {
   def textIndexMerge(a: TextIndex, b: TextIndex, destPath: String): TextIndex = {
     require(a.buckets == b.buckets,
       s"textIndexMerge: bucket geometry differs (${a.buckets} vs ${b.buckets})")
-    require(a.idCol == b.idCol, s"textIndexMerge: id contracts differ ($a vs $b)")
+    require(a.idCol == b.idCol && a.positional == b.positional,
+      s"textIndexMerge: index contracts differ ($a vs $b)")
     require(destPath != a.path && destPath != b.path,
       "textIndexMerge needs a destPath distinct from both inputs")
     val spark = SparkSession.active
@@ -112,7 +126,7 @@ object TextSearch {
       .dropDuplicates()
     rows.repartition(col("_tb")).sortWithinPartitions("term", "id")
       .write.mode("overwrite").partitionBy("_tb").parquet(destPath)
-    val merged = TextIndex(destPath, a.idCol, a.buckets, a.schema)
+    val merged = TextIndex(destPath, a.idCol, a.buckets, a.schema, a.positional)
     Similarity.writeMeta(spark, destPath, merged)
     merged
   }
@@ -160,6 +174,53 @@ object TextSearch {
     }
   }
 
+  /** Doc ids containing the exact consecutive token sequence `phrase` —
+    * candidate docs from the same term-bucket-pruned AND probe, adjacency
+    * then verified on the stored positions WITHOUT touching the corpus:
+    * per (id, term) the position set rides up as an array, and a phrase
+    * match is a start position p of the first term with p+i in the i-th
+    * term's set for every i (one codegen'd `exists` over the pivoted map —
+    * no k-way self-join of the posting stream). Needs a positional index.
+    * Repeated terms in the phrase ("the the") are handled naturally: the
+    * same position array is consulted at both offsets. */
+  def phraseIds(index: TextIndex, phrase: Seq[String]): DataFrame = {
+    require(index.positional,
+      s"phraseIds needs an index built with positions = true (${index.path})")
+    val spark = SparkSession.active
+    import spark.implicits._
+    val norm = phrase.map(_.toLowerCase.trim)
+    require(norm.nonEmpty && norm.forall(_.nonEmpty),
+      "phraseIds: phrase terms must be non-blank")
+    IndexMaint.recoverSwap(spark, index.path)
+    val distinctTerms = norm.distinct
+    val tbs = distinctTerms.toDF("term")
+      .select(termBucket(col("term"), index.buckets))
+      .collect().map(_.getInt(0).toLong).toSeq
+    val idType = index.schema("id").dataType
+    IndexMaint.readPartitions(spark, index.path, index.schema, "_tb", tbs) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(org.apache.spark.sql.types.StructField("id", idType))))
+      case Some(posts) =>
+        // pivot the phrase terms' positions into one map per doc
+        // (collect_set: replay-duplicated postings collapse)
+        val pivoted = posts.filter(col("term").isin(distinctTerms: _*))
+          .groupBy("id", "term").agg(collect_set(col("pos")).as("_ps"))
+          .groupBy("id").agg(map_from_arrays(
+            collect_list(col("term")), collect_list(col("_ps"))).as("_m"))
+        // all terms present, then a common start: exists p in pos(t0) with
+        // p+i in pos(ti) for every i (element_at on a missing key is null;
+        // array_contains(null, _) is null, so the filter drops those too)
+        val hasAll = distinctTerms
+          .map(t => element_at(col("_m"), t).isNotNull).reduce(_ && _)
+        val aligned = exists(element_at(col("_m"), norm.head),
+          p => norm.zipWithIndex.tail
+            .map { case (t, i) => array_contains(element_at(col("_m"), t), p + i) }
+            .foldLeft(lit(true))(_ && _))
+        pivoted.filter(hasAll && aligned).select("id")
+    }
+  }
+
   /** Full matching rows from `corpus` (semi-join against the probed ids;
     * the id set is usually small — AQE broadcasts it when it is, and the
     * join stays a hash semi-join when it is not). */
@@ -181,14 +242,15 @@ object TextSearch {
     * re-open the sidecar, a changed corpus fingerprints to a new path. */
   def textIndexFor(corpus: DataFrame, corpusKey: String, textCol: String,
                    idCol: String, baseDir: String,
-                   buckets: Int = 256): TextIndex = {
+                   buckets: Int = 256, positions: Boolean = false): TextIndex = {
     val key = s"tx|$corpusKey|${Similarity.fingerprint(corpus)}|" +
-      s"$textCol|$idCol|$buckets"
+      s"$textCol|$idCol|$buckets|$positions"
     txCache.computeIfAbsent(key, _ => {
       val spark = corpus.sparkSession
       val path = s"$baseDir/tx_${Similarity.keyHash(key)}"
       Similarity.readMeta[TextIndex](spark, path).getOrElse {
-        val idx = textIndexBuild(corpus, textCol, idCol, path, buckets)
+        val idx = textIndexBuild(corpus, textCol, idCol, path, buckets,
+          positions)
         textBuildCount.incrementAndGet()
         idx
       }

@@ -1891,6 +1891,30 @@ object PipelineQueries {
             GROUP BY doc_id HAVING count(DISTINCT t) >= 2
             ORDER BY doc_id"""))
 
+  /** Exact-phrase search off the POSITIONAL index variant: candidates from
+    * the same bucket-pruned AND probe, adjacency verified on stored
+    * positions (one codegen'd exists over the pivoted position map — the
+    * corpus text is never read). The oracle verifies adjacency with a
+    * positional self-join over the tokenized text. */
+  val q_text_phrase = Q(
+    "q_text_phrase",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val idx = TextSearch.textIndexFor(d, s"$dir/documents", "text",
+        "doc_id", txDir(dir), positions = true)
+      TextSearch.phraseIds(idx, Seq("table", "hash"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+              regexp_split_to_array(lower(text), '\s+') AS a FROM documents),
+          tok AS (SELECT doc_id, unnest(a) AS term,
+              unnest(range(len(a))) AS pos FROM d)
+          SELECT DISTINCT t0.doc_id FROM tok t0
+          JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+          WHERE t0.term = 'table' AND t1.term = 'hash'
+          ORDER BY t0.doc_id"""))
+
   /** Deterministic token-budget head: the first 10k tokens of the shuffled
     * corpus, cut after the crossing document. The oracle recomputes the
     * md5 stream order and the running total with a plain window — the
@@ -2399,7 +2423,7 @@ object PipelineQueries {
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_substr,
     q_dedup_normalized,
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
-    q_text_search, q_text_search_min, q_token_budget,
+    q_text_search, q_text_search_min, q_text_phrase, q_token_budget,
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
     q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project,
     q_ann_topk_proj, q_dedup_best, q_snapshot_pipeline,

@@ -760,6 +760,7 @@ object StreamOps {
   def textIndexSink(stream: DataFrame, textCol: String, idCol: String,
                     indexDir: String, outDir: String, checkpoint: String,
                     buckets: Int = 256, compactFiles: Int = 0,
+                    positions: Boolean = false,
                     trigger: org.apache.spark.sql.streaming.Trigger =
                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -777,7 +778,8 @@ object StreamOps {
       b.write.mode("append").parquet(outDir)
       if (!b.isEmpty) {
         if (idx == null)
-          idx = TextSearch.textIndexBuild(b, textCol, idCol, indexDir, buckets)
+          idx = TextSearch.textIndexBuild(b, textCol, idCol, indexDir, buckets,
+            positions)
         else TextSearch.textIndexAppend(idx, b, textCol)
       }
       // floor the threshold at the bucket count: a compacted tree holds up

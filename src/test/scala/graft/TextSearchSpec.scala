@@ -107,6 +107,53 @@ class TextSearchSpec extends SparkSpec {
       "probe did not heal a torn swap")
   }
 
+  test("phrase search equals a positional full-scan recompute") {
+    import org.apache.spark.sql.Row
+    // full-scan phrase reference over the tokenized text
+    def scanPhrase(corpus: DataFrame, phrase: Seq[String]): Set[Long] =
+      corpus.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("a"))
+        .collect().collect { case Row(id: Long, toks: scala.collection.Seq[_]) =>
+          val a = toks.map(String.valueOf(_))
+          val hit = a.indices.exists(p =>
+            p + phrase.size <= a.size &&
+              phrase.indices.forall(i => a(p + i) == phrase(i)))
+          id -> hit
+        }.collect { case (id, true) => id }.toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_phrase").toString
+    val idx = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/ix",
+      buckets = 32, positions = true)
+    for (phrase <- Seq(Seq("table", "hash"), Seq("merge", "group"),
+        Seq("customer", "join", "filter"))) {
+      val got = probedIds(TextSearch.phraseIds(idx, phrase))
+      assert(got == scanPhrase(docs, phrase), s"phrase $phrase diverged")
+    }
+    // adjacency matters: a phrase whose terms co-occur but never adjacently
+    val coOccur = probedIds(TextSearch.searchIds(idx, Seq("hash", "table")))
+    val adjacent = probedIds(TextSearch.phraseIds(idx, Seq("hash", "table")))
+    assert(adjacent.subsetOf(coOccur))
+    assert(adjacent == scanPhrase(docs, Seq("hash", "table")))
+    // repeated-term phrase consults the same position set at both offsets
+    import spark.implicits._
+    val rep = Seq((1L, "the the end"), (2L, "the end the")).toDF("doc_id", "text")
+    val repIx = TextSearch.textIndexBuild(rep, "text", "doc_id", s"$dir/rep",
+      buckets = 4, positions = true)
+    assert(probedIds(TextSearch.phraseIds(repIx, Seq("the", "the"))) == Set(1L))
+    // unknown term empties; non-positional index refused; blank term refused
+    assert(TextSearch.phraseIds(idx, Seq("table", "zzzznope")).isEmpty)
+    val plain = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/plain",
+      buckets = 8)
+    intercept[IllegalArgumentException] {
+      TextSearch.phraseIds(plain, Seq("table", "hash"))
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.phraseIds(idx, Seq("table", " "))
+    }
+    // membership searches work unchanged on a positional index
+    assert(probedIds(TextSearch.searchIds(idx, Seq("join", "filter"))) ==
+      scanIds(docs, Seq("join", "filter")))
+  }
+
   test("merged shard indexes answer like a monolithic build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_merge").toString
     val shardA = docs.filter(col("doc_id") % 3 === 0)
