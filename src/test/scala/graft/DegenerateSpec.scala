@@ -149,4 +149,26 @@ class DegenerateSpec extends SparkSpec {
            f: textStats(on: "text", metrics: ["lang"]) { count } } } }""")
     assert(r.contains("0"))
   }
+
+  test("text index and token budget on empty frames") {
+    import graft.operators.TextSearch
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_degen").toString
+    // an empty corpus builds an empty (but probe-able) index
+    val idx = TextSearch.textIndexBuild(empty, "text", "doc_id", s"$dir/ix",
+      buckets = 4)
+    assert(TextSearch.searchIds(idx, Seq("anything")).isEmpty)
+    val pidx = TextSearch.textIndexBuild(empty, "text", "doc_id", s"$dir/pix",
+      buckets = 4, positions = true)
+    assert(TextSearch.phraseIds(pidx, Seq("a", "b")).isEmpty)
+    // appending real docs to the empty tree brings it to life
+    TextSearch.textIndexAppend(idx, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      "text")
+    assert(TextSearch.searchIds(idx, Seq("alpha")).count() == 1)
+    // token-budget head of an empty corpus is empty, not an error
+    assert(Sampling.takeTokenBudget(empty, "doc_id",
+      length(col("text")), 100L).isEmpty)
+  }
 }

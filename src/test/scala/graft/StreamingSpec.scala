@@ -710,6 +710,38 @@ class StreamingSpec extends SparkSpec {
       "refusal must leave the pre-seeded index untouched")
   }
 
+  test("textIndexSink long run (50 ticks): compaction bounds the census; live answers exact") {
+    import graft.operators.{IndexMaint, Similarity, TextSearch}
+    val spark2 = spark
+    import spark2.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_txsink_long").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.textIndexSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", buckets = 8, compactFiles = 10,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      (1 to 50).foreach { i =>
+        // every doc carries the common term; every 5th also carries "rare"
+        val tail = if (i % 5 == 0) " rare" else ""
+        mem.addData((i.toLong, s"common word$i$tail"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val idx = Similarity.readMeta[TextSearch.TextIndex](spark, s"$work/idx").get
+    def ids(terms: Seq[String], m: Int = 0): Seq[Long] =
+      TextSearch.searchIds(idx, terms, m).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(Seq("common")) == (1L to 50L).toSeq)
+    assert(ids(Seq("rare")) == (5L to 50L by 5).toSeq)
+    assert(ids(Seq("common", "rare")) == (5L to 50L by 5).toSeq)
+    assert(ids(Seq("word7", "word9"), m = 1) == Seq(7L, 9L))
+    // one+ append file per tick without compaction; the census must stay
+    // bounded near max(compactFiles, buckets) instead of growing ~50+
+    val census = IndexMaint.dataFileCount(spark, s"$work/idx")
+    assert(census <= 20, s"index census must stay bounded, got $census files")
+  }
+
   test("textIndexSink: live index accumulates, survives replay and restart, compaction preserves answers") {
     import graft.operators.{IndexMaint, Similarity, TextSearch}
     val spark2 = spark
