@@ -182,6 +182,15 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
       val hi = limit.map(off + _)
       GTable(df.filter(rid >= off && hi.map(rid < _).getOrElse(lit(true)))
         .orderBy(rid), denseRid = false)
+    } else if (Natural.hasRowId(df) &&
+        off >= df.sparkSession.conf.getOption("spark.graft.slice.densifyOffset")
+          .map(_.toLong).getOrElse(1L << 20)) {
+      // DEEP offset on a sparse rid (e.g. slice far into a filtered table):
+      // Offset+Limit materializes per-partition top-(off+limit) heaps — a
+      // memory hazard once off is large. Re-rank the sparse rid dense
+      // (densify: block prefix-sum, no global sort) and the slice becomes
+      // the pushed rid range filter of the dense branch.
+      densify().slice(off, limit)
     } else {
       // positions of the CURRENT table (e.g. after a filter, where the rid
       // is sparse): order by the rid if present and Offset+Limit — bounded

@@ -125,6 +125,35 @@ object SortQueries {
             ORDER BY l_quantity DESC, l_orderkey, l_linenumber
             LIMIT 100 OFFSET 1000"""))
 
+  /** DEEP slice into a FILTERED table: the sparse rid is re-ranked dense
+    * (GTable.densify — block prefix-sum) past the densifyOffset knob, so
+    * the slice executes as a pushed rid range filter instead of
+    * per-partition top-(offset+limit) heaps. The knob is lowered here so
+    * the gate exercises the densify path at gate scale; the oracle
+    * re-numbers the filtered survivors the same way. */
+  val q_slice_filtered = Q(
+    "q_slice_filtered",
+    (s, dir) => {
+      val prev = s.conf.getOption("spark.graft.slice.densifyOffset")
+      s.conf.set("spark.graft.slice.densifyOffset", "1000")
+      try {
+        val li = GTable(Tables.loadOrdered(s, dir, "lineitem"))
+        li.filter(col("l_quantity") > 25)
+          .slice(20000, Some(100))
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .result
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.slice.densifyOffset", v)
+        case None => s.conf.unset("spark.graft.slice.densifyOffset")
+      }
+    },
+    Some("""WITH t AS (SELECT *, row_number() OVER () rid FROM lineitem),
+          f AS (SELECT *, row_number() OVER (ORDER BY rid) prid FROM t
+                WHERE l_quantity > 25)
+          SELECT l_orderkey, l_linenumber, l_quantity FROM f
+          WHERE prid > 20000 AND prid <= 20100 ORDER BY prid"""))
+
   def all: Seq[Q] = Seq(q_order_limit, q_topk_per_group, q_first_rank,
-    q_first_rank_dense, q_slice, q_take, q_take_mixed, q_slice_sorted)
+    q_first_rank_dense, q_slice, q_take, q_take_mixed, q_slice_sorted,
+    q_slice_filtered)
 }

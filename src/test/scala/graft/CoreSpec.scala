@@ -20,6 +20,23 @@ class CoreSpec extends SparkSpec {
     assert(t.rowAt(-1).result.count() == 1)
   }
 
+  test("deep slice on a sparse rid dispatches densify; answers match the gather path") {
+    val li = GTable(Tables.loadOrdered(spark, sf, "lineitem"))
+      .filter(col("l_quantity") > 25)
+    def run(): Seq[(Long, Int)] = li.slice(500, Some(50)).result
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val shallow = run() // default knob: Offset+Limit gather
+    val prev = spark.conf.getOption("spark.graft.slice.densifyOffset")
+    spark.conf.set("spark.graft.slice.densifyOffset", "100")
+    val deep = try run() finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.slice.densifyOffset", v)
+      case None => spark.conf.unset("spark.graft.slice.densifyOffset")
+    }
+    assert(deep == shallow, "densify slice path diverged from the gather path")
+    assert(deep.size == 50)
+  }
+
   test("q1_agg returns grouped rows with expected columns") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     assert(df.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty",
