@@ -1140,19 +1140,33 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           throw new IllegalArgumentException(s"unknown table '$name'"))().result
         case None => t.result
       }
-      // phrase: needs the positional index variant (separate cache key)
+      // phrase: and ranked (k:) retrieval need the positional index
+      // variant (separate cache key)
       val idx = graft.operators.TextSearch.textIndexFor(searchCorpus,
         corpusKeyOf(searchCorpus), on, id, annIndexDir,
         buckets = intArg(f, "buckets").getOrElse(256),
-        positions = phrase.nonEmpty)
-      val ids =
-        if (phrase.nonEmpty) graft.operators.TextSearch.phraseIds(idx, phrase)
-        else graft.operators.TextSearch.searchIds(idx, terms,
-          intArg(f, "minMatch").getOrElse(0))
-      // sortedBy dropped: the id semi-join may re-order (same rule as dedup)
-      resolveTable(GTable(t.df.join(
-        ids.withColumnRenamed("id", "_gq_sid"),
-        col(id) === col("_gq_sid"), "left_semi"), denseRid = false), f, None)
+        positions = phrase.nonEmpty || intArg(f, "k").isDefined)
+      // k: switches to BM25 ranked retrieval — the table's matching rows
+      // gain score + rank columns (order with order(by: ["rank"]))
+      val out = intArg(f, "k") match {
+        case Some(kk) =>
+          if (phrase.nonEmpty) throw new IllegalArgumentException(
+            "search: ranked (k:) retrieval takes terms:, not phrase:")
+          Seq("score", "rank").foreach(c => require(!t.df.columns.contains(c),
+            s"search(k:) emits a '$c' column; the table already has one"))
+          val ranked = graft.operators.TextSearch.rankedSearch(idx, terms, kk)
+          t.df.join(ranked.withColumnRenamed("id", "_gq_sid"),
+            col(id) === col("_gq_sid")).drop("_gq_sid")
+        case None =>
+          val ids =
+            if (phrase.nonEmpty) graft.operators.TextSearch.phraseIds(idx, phrase)
+            else graft.operators.TextSearch.searchIds(idx, terms,
+              intArg(f, "minMatch").getOrElse(0))
+          t.df.join(ids.withColumnRenamed("id", "_gq_sid"),
+            col(id) === col("_gq_sid"), "left_semi")
+      }
+      // sortedBy dropped: the id join may re-order (same rule as dedup)
+      resolveTable(GTable(out, denseRid = false), f, None)
     case "tokenBudget" =>
       // deterministic token-budget head: the first budget: tokens of the
       // md5-shuffled stream, cut after the crossing document (Sampling

@@ -33,11 +33,16 @@ object TextSearch {
 
   /** Re-openable index handle; persisted as the `_graft_index_meta.bin`
     * sidecar inside the tree (Similarity.writeMeta). `positional` indexes
-    * store one posting per token OCCURRENCE with its 0-based position
-    * (enabling [[phraseIds]]); plain indexes store one per DISTINCT term
-    * per doc (smaller; membership searches only). */
+    * store one posting per token OCCURRENCE with its 0-based position and
+    * the doc's token length (enabling [[phraseIds]] and [[rankedSearch]]);
+    * plain indexes store one per DISTINCT term per doc (smaller;
+    * membership searches only). `docs`/`totalLen` are the corpus stats a
+    * BM25 probe needs (document count and summed token length over docs
+    * with text), maintained by build/append/merge and recomputed exactly
+    * from the tree at compaction. */
   final case class TextIndex(path: String, idCol: String, buckets: Int,
-                             schema: StructType, positional: Boolean = false)
+                             schema: StructType, positional: Boolean = false,
+                             docs: Long = 0L, totalLen: Long = 0L)
 
   /** Bucket of a term: xxhash64 folded into [0, buckets). Stable across
     * builds/appends by construction (no RNG, no per-build salt), so any
@@ -56,13 +61,28 @@ object TextSearch {
                buckets: Int, positions: Boolean = false): DataFrame = {
     val base =
       if (positions)
+        // `len` (the doc's whitespace token count, blank tokens included —
+        // the oracle-visible array length) rides every posting row: BM25
+        // probes then learn each candidate's length from the probed
+        // buckets alone, with no second tree; parquet RLE makes the
+        // repetition ~free
         corpus.select(col(idCol).as("id"),
+          size(TextAnalysis.tokens(col(textCol))).cast("int").as("len"),
           posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
       else
         corpus.select(col(idCol).as("id"),
           explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
     base.filter(length(col("term")) > 0)
       .withColumn("_tb", termBucket(col("term"), buckets))
+  }
+
+  /** Corpus stats for BM25: (docs with text, summed token length). */
+  private def corpusStats(corpus: DataFrame, textCol: String): (Long, Long) = {
+    val r = corpus
+      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("_l"))
+      .filter(col("_l").isNotNull)
+      .agg(count(lit(1)), coalesce(sum(col("_l")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Build the index at `path`: one corpus pass, postings clustered on the
@@ -77,21 +97,36 @@ object TextSearch {
     rows.repartition(col("_tb"))
       .sortWithinPartitions("term", "id")
       .write.mode("overwrite").partitionBy("_tb").parquet(path)
-    val idx = TextIndex(path, idCol, buckets, rows.schema, positions)
+    val (n, tl) =
+      if (positions) corpusStats(corpus, textCol) else (0L, 0L)
+    val idx = TextIndex(path, idCol, buckets, rows.schema, positions, n, tl)
     Similarity.writeMeta(corpus.sparkSession, path, idx)
     idx
   }
 
   /** Append a segment's postings into the existing bucket partitions.
-    * Replay-tolerant: duplicate postings change no search answer (probes
-    * count DISTINCT terms per doc); compaction drops them. */
+    * Replay-tolerant: duplicate postings change no membership/phrase
+    * answer (probes count DISTINCT terms/positions per doc); compaction
+    * drops them. Positional indexes also fold the segment's corpus stats
+    * into the sidecar (postings-then-stats order: a crash between the two
+    * leaves avgdl slightly stale, and a replayed append counts its
+    * segment's stats twice — a bounded BM25 calibration drift, never a
+    * membership error). Returns the updated handle. */
   def textIndexAppend(index: TextIndex, segment: DataFrame,
-                      textCol: String): Unit = {
+                      textCol: String): TextIndex = {
     val spark = segment.sparkSession
     IndexMaint.recoverSwap(spark, index.path)
     postings(segment, textCol, index.idCol, index.buckets, index.positional)
       .repartition(col("_tb"))
       .write.mode("append").partitionBy("_tb").parquet(index.path)
+    if (!index.positional) index
+    else {
+      val (n, tl) = corpusStats(segment, textCol)
+      val updated = index.copy(docs = index.docs + n,
+        totalLen = index.totalLen + tl)
+      Similarity.writeMeta(spark, index.path, updated)
+      updated
+    }
   }
 
   /** Rewrite one-file-per-bucket with replay duplicates dropped; swap
@@ -126,7 +161,8 @@ object TextSearch {
       .dropDuplicates()
     rows.repartition(col("_tb")).sortWithinPartitions("term", "id")
       .write.mode("overwrite").partitionBy("_tb").parquet(destPath)
-    val merged = TextIndex(destPath, a.idCol, a.buckets, a.schema, a.positional)
+    val merged = TextIndex(destPath, a.idCol, a.buckets, a.schema, a.positional,
+      a.docs + b.docs, a.totalLen + b.totalLen)
     Similarity.writeMeta(spark, destPath, merged)
     merged
   }
@@ -221,6 +257,63 @@ object TextSearch {
     }
   }
 
+  /** BM25 top-k ranked retrieval (Robertson & Walker; the Okapi form with
+    * the standard k1/b defaults): candidates and every statistic come from
+    * the probed term buckets alone — tf = distinct stored positions per
+    * (doc, term) (replay-duplicate safe), doc length from the posting rows,
+    * per-term document frequency exact because a term's bucket holds ALL
+    * its postings, and N/avgdl from the sidecar corpus stats. The corpus
+    * text is never read. Scores are rounded at 1e-6 BEFORE the top-k cut
+    * and tie-broken on id, so retries, repartitioning and the SQL oracle
+    * rank identically (the q_dsir selection-key rule). idf is the
+    * ln(1 + (N - df + ½)/(df + ½)) positive form. */
+  def rankedSearch(index: TextIndex, terms: Seq[String], k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(index.positional,
+      s"rankedSearch needs an index built with positions = true (${index.path})")
+    require(index.docs > 0,
+      s"rankedSearch: index ${index.path} carries no corpus stats")
+    require(k > 0, "rankedSearch needs k > 0")
+    val spark = SparkSession.active
+    import spark.implicits._
+    val norm = normTerms(terms)
+    IndexMaint.recoverSwap(spark, index.path)
+    val tbs = norm.toDF("term")
+      .select(termBucket(col("term"), index.buckets))
+      .collect().map(_.getInt(0).toLong).toSeq
+    val idType = index.schema("id").dataType
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType))))
+    IndexMaint.readPartitions(spark, index.path, index.schema, "_tb", tbs) match {
+      case None => emptyOut
+      case Some(posts) =>
+        val avgdl = index.totalLen.toDouble / index.docs.toDouble
+        val tf = posts.filter(col("term").isin(norm: _*))
+          .groupBy("id", "term")
+          .agg(countDistinct(col("pos")).as("_tf"), max(col("len")).as("_len"))
+        // per-term doc frequency: a tiny (≤ |terms|) frame, broadcast back
+        val dfs = tf.groupBy("term").agg(count(lit(1)).as("_df"))
+        val contrib =
+          log(lit(1.0) + (lit(index.docs.toDouble) - col("_df") + 0.5) /
+              (col("_df") + 0.5)) *
+            (col("_tf") * lit(k1 + 1.0)) /
+            (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / avgdl))
+        tf.join(broadcast(dfs), Seq("term"))
+          .groupBy("id").agg(round(sum(contrib), 6).as("score"))
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(k)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("id").asc)).cast("long"))
+    }
+  }
+
   /** Full matching rows from `corpus` (semi-join against the probed ids;
     * the id set is usually small — AQE broadcasts it when it is, and the
     * join stays a hash semi-join when it is not). */
@@ -243,7 +336,10 @@ object TextSearch {
   def textIndexFor(corpus: DataFrame, corpusKey: String, textCol: String,
                    idCol: String, baseDir: String,
                    buckets: Int = 256, positions: Boolean = false): TextIndex = {
-    val key = s"tx|$corpusKey|${Similarity.fingerprint(corpus)}|" +
+    // tx2: format tag — bumped when the posting schema changes (the path
+    // derives from this key, so stale trees from an older format are never
+    // re-opened as current)
+    val key = s"tx2|$corpusKey|${Similarity.fingerprint(corpus)}|" +
       s"$textCol|$idCol|$buckets|$positions"
     txCache.computeIfAbsent(key, _ => {
       val spark = corpus.sparkSession

@@ -760,6 +760,20 @@ object GqlQueries {
       "doc_id BIGINT"),
     PipelineQueries.q_text_phrase.oracle)
 
+  /** BM25 ranked retrieval through the service (search with k:). */
+  val q_gql_bm25 = Q(
+    "q_gql_bm25",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           s: search(terms: ["join", "filter", "hash"], on: "text",
+                     id: "doc_id", k: 50) {
+             o: order(by: ["rank"]) {
+               c: columns { doc_id { values } score { values }
+                            rank { values } } } } } }""",
+      Seq("t", "s", "o", "c"),
+      "doc_id BIGINT, score DOUBLE, rank BIGINT"),
+    PipelineQueries.q_text_bm25.oracle)
+
   /** Deterministic token-budget head through the service. */
   val q_gql_token_budget = Q(
     "q_gql_token_budget",
@@ -1272,7 +1286,7 @@ object GqlQueries {
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_dedup_substr, q_gql_text_stats, q_gql_chunks,
-    q_gql_search, q_gql_phrase, q_gql_token_budget,
+    q_gql_search, q_gql_phrase, q_gql_bm25, q_gql_token_budget,
     q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
     q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_knn_join_auto,

@@ -1915,6 +1915,41 @@ object PipelineQueries {
           WHERE t0.term = 'table' AND t1.term = 'hash'
           ORDER BY t0.doc_id"""))
 
+  /** BM25 top-50 ranked retrieval off the positional index: tf from stored
+    * positions, per-term df from the term's own bucket, N/avgdl from the
+    * sidecar corpus stats — corpus text never read. The oracle recomputes
+    * the whole Okapi formula (same literal constants, same association
+    * order) from raw text; scores rounded at 1e-6 before the cut with id
+    * tie-break so both engines pick and order the same 50 docs. */
+  val q_text_bm25 = Q(
+    "q_text_bm25",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val idx = TextSearch.textIndexFor(d, s"$dir/documents", "text",
+        "doc_id", txDir(dir), positions = true)
+      TextSearch.rankedSearch(idx, Seq("join", "filter", "hash"), k = 50)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+              regexp_split_to_array(lower(text), '\s+') AS a FROM documents),
+          stats AS (SELECT count(a) AS n, avg(len(a)) AS avgdl FROM d),
+          tok AS (SELECT doc_id, len(a) AS dl, unnest(a) AS term FROM d),
+          tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tok
+                 WHERE term IN ('join', 'filter', 'hash') GROUP BY 1, 2, 3),
+          dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id,
+              round(sum(
+                ln(1 + (CAST(stats.n AS DOUBLE) - dfs.df + 0.5) / (dfs.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 6)
+                AS score
+            FROM tf JOIN dfs USING (term) CROSS JOIN stats GROUP BY 1)
+          SELECT doc_id, score,
+            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+              AS rank
+          FROM sc ORDER BY score DESC, doc_id LIMIT 50"""))
+
   /** Deterministic token-budget head: the first 10k tokens of the shuffled
     * corpus, cut after the crossing document. The oracle recomputes the
     * md5 stream order and the running total with a plain window — the
@@ -2423,7 +2458,8 @@ object PipelineQueries {
     q_dedup_tokens, q_decontaminate, q_dedup_spans, q_dedup_substr,
     q_dedup_normalized,
     q_mix_weighted, q_shuffle_det, q_reservoir, q_tfidf_topk,
-    q_text_search, q_text_search_min, q_text_phrase, q_token_budget,
+    q_text_search, q_text_search_min, q_text_phrase, q_text_bm25,
+    q_token_budget,
     q_dedup_incremental, q_dedup_incr_bloom, q_pii_scrub, q_chunks,
     q_l2_normalize, q_snapshot_diff, q_snapshot_changed, q_embed_project,
     q_ann_topk_proj, q_dedup_best, q_snapshot_pipeline,

@@ -780,7 +780,7 @@ object StreamOps {
         if (idx == null)
           idx = TextSearch.textIndexBuild(b, textCol, idCol, indexDir, buckets,
             positions)
-        else TextSearch.textIndexAppend(idx, b, textCol)
+        else idx = TextSearch.textIndexAppend(idx, b, textCol)
       }
       // floor the threshold at the bucket count: a compacted tree holds up
       // to one file PER BUCKET, so a threshold below `buckets` would be

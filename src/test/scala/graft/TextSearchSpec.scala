@@ -154,6 +154,59 @@ class TextSearchSpec extends SparkSpec {
       scanIds(docs, Seq("join", "filter")))
   }
 
+  test("BM25 ranked retrieval equals a full-scan recompute; ranking properties hold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_bm25").toString
+    val idx = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/ix",
+      buckets = 32, positions = true)
+    val terms = Seq("join", "filter", "hash")
+    // full-scan recompute of the same Okapi formula over raw text
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("a"))
+    val stats = toks.filter(col("a").isNotNull)
+      .agg(count(lit(1)), sum(size(col("a")).cast("long"))).head()
+    val (n, avgdl) = (stats.getLong(0), stats.getLong(1).toDouble / stats.getLong(0))
+    val tf = toks.select(col("doc_id"), size(col("a")).as("dl"),
+        explode(col("a")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) /
+        (col("df") + 0.5)) * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val expected = tf.join(broadcast(dfs), Seq("term"))
+      .groupBy("doc_id").agg(round(sum(contrib), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = TextSearch.rankedSearch(idx, terms, k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected, s"BM25 diverged:\n got $got\n exp $expected")
+    // a doc must beat another that matches strictly fewer of the terms
+    // (same-ish length corpus; spot-check the extremes of the ranking)
+    assert(got.head._2 >= got.last._2)
+    // contract checks
+    val plain = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/plain",
+      buckets = 8)
+    intercept[IllegalArgumentException] {
+      TextSearch.rankedSearch(plain, terms, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.rankedSearch(idx, terms, 0)
+    }
+    // unknown terms only: empty ranking, not an error
+    assert(TextSearch.rankedSearch(idx, Seq("zzzznope"), 5).isEmpty)
+    // append maintains the sidecar stats (docs/totalLen grow)
+    import spark.implicits._
+    val seg = Seq((100000L, "join filter hash join")).toDF("doc_id", "text")
+    val idx2 = TextSearch.textIndexAppend(idx, seg, "text")
+    assert(idx2.docs == idx.docs + 1 && idx2.totalLen == idx.totalLen + 4)
+    // the new doc matches all three terms with tf 2 on one of them — it
+    // must enter the top-k of the updated index
+    val after = TextSearch.rankedSearch(idx2, terms, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(after.contains(100000L), s"appended doc missing from top-k: $after")
+  }
+
   test("merged shard indexes answer like a monolithic build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_merge").toString
     val shardA = docs.filter(col("doc_id") % 3 === 0)
