@@ -86,6 +86,26 @@ object TextSearchProbe {
     println(s"PROBE rareProbe=$rareProbe rareScan=$rareScan " +
       s"agree=${rareProbe == rareScan}")
     require(rareProbe == rareScan, "rare-term probe diverged from the full scan")
+
+    // positional regimes: phrase adjacency and BM25 ranking, both answered
+    // from the index alone (the corpus text is read only by the build)
+    val pidx = timed("positional index build (once)") {
+      TextSearch.textIndexBuild(corpus, "text", "doc_id", s"$work/pix",
+        positions = true)
+    }
+    timed("phrase probe (cold)") {
+      TextSearch.phraseIds(pidx, Seq("table", "hash")).count()
+    }
+    val phraseRows = timed("phrase probe (warm)") {
+      TextSearch.phraseIds(pidx, Seq("table", "hash")).count()
+    }
+    timed("BM25 top-50 probe (cold)") {
+      TextSearch.rankedSearch(pidx, terms, 50).count()
+    }
+    val bm25Top = timed("BM25 top-50 probe (warm)") {
+      TextSearch.rankedSearch(pidx, terms, 50).count()
+    }
+    println(s"PROBE phrase=$phraseRows bm25TopK=$bm25Top")
     spark.stop()
   }
 }
