@@ -1123,18 +1123,35 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         .getOrElse(throw new IllegalArgumentException("search needs id: <key column>"))
       val terms = strListArg(f, "terms")
       val phrase = strListArg(f, "phrase")
+      val kArg = intArg(f, "k")
+      // every arg-contract check runs BEFORE textIndexFor: a rejected
+      // request must not first pay a full index build
       if (terms.isEmpty && phrase.isEmpty)
         throw new IllegalArgumentException(
           """search needs terms: ["..."] or phrase: ["..."]""")
       if (terms.nonEmpty && phrase.nonEmpty)
         throw new IllegalArgumentException(
           "search takes terms: OR phrase:, not both")
-      // corpus: names a root to index INSTEAD of this table — search is a
-      // pure per-document content filter, so probing a superset index and
-      // semi-joining the current table is exact, and `filter → search`
-      // then reuses the root's index instead of building one per distinct
-      // filtered plan (the 100 TB serving shape). Default: index this
-      // table (plan-keyed, content-fingerprinted).
+      if (kArg.isDefined && phrase.nonEmpty)
+        throw new IllegalArgumentException(
+          "search: ranked (k:) retrieval takes terms:, not phrase:")
+      if (f.arg("minMatch").isDefined && (kArg.isDefined || phrase.nonEmpty))
+        throw new IllegalArgumentException(
+          "search: minMatch: applies to term membership only, not k:/phrase:")
+      if (kArg.isDefined && strArg(f, "corpus").isDefined)
+        throw new IllegalArgumentException(
+          "search: ranked (k:) retrieval indexes THIS table — ranking over " +
+          "a corpus: superset and joining back would return a subset of the " +
+          "superset's top-k with gap-ridden ranks, not this table's top-k")
+      if (kArg.isDefined)
+        Seq("score", "rank").foreach(c => require(!t.df.columns.contains(c),
+          s"search(k:) emits a '$c' column; the table already has one"))
+      // corpus: names a root to index INSTEAD of this table — MEMBERSHIP
+      // search is a pure per-document content filter, so probing a
+      // superset index and semi-joining the current table is exact, and
+      // `filter → search` then reuses the root's index instead of building
+      // one per distinct filtered plan (the 100 TB serving shape).
+      // Default: index this table (plan-keyed, content-fingerprinted).
       val searchCorpus = strArg(f, "corpus") match {
         case Some(name) => roots.getOrElse(name,
           throw new IllegalArgumentException(s"unknown table '$name'"))().result
@@ -1145,15 +1162,11 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       val idx = graft.operators.TextSearch.textIndexFor(searchCorpus,
         corpusKeyOf(searchCorpus), on, id, annIndexDir,
         buckets = intArg(f, "buckets").getOrElse(256),
-        positions = phrase.nonEmpty || intArg(f, "k").isDefined)
+        positions = phrase.nonEmpty || kArg.isDefined)
       // k: switches to BM25 ranked retrieval — the table's matching rows
       // gain score + rank columns (order with order(by: ["rank"]))
-      val out = intArg(f, "k") match {
+      val out = kArg match {
         case Some(kk) =>
-          if (phrase.nonEmpty) throw new IllegalArgumentException(
-            "search: ranked (k:) retrieval takes terms:, not phrase:")
-          Seq("score", "rank").foreach(c => require(!t.df.columns.contains(c),
-            s"search(k:) emits a '$c' column; the table already has one"))
           val ranked = graft.operators.TextSearch.rankedSearch(idx, terms, kk)
           t.df.join(ranked.withColumnRenamed("id", "_gq_sid"),
             col(id) === col("_gq_sid")).drop("_gq_sid")

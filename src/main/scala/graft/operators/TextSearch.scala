@@ -40,6 +40,7 @@ object TextSearch {
     * BM25 probe needs (document count and summed token length over docs
     * with text), maintained by build/append/merge and recomputed exactly
     * from the tree at compaction. */
+  @SerialVersionUID(1L)
   final case class TextIndex(path: String, idCol: String, buckets: Int,
                              schema: StructType, positional: Boolean = false,
                              docs: Long = 0L, totalLen: Long = 0L)
@@ -134,13 +135,30 @@ object TextSearch {
   }
 
   /** Rewrite one-file-per-bucket with replay duplicates dropped; swap
-    * protocol + sidecar re-write as in the LSH/IVF family. */
-  def textIndexCompact(index: TextIndex): Unit = {
+    * protocol + sidecar re-write as in the LSH/IVF family. Positional
+    * compaction also RECOMPUTES the sidecar corpus stats exactly from the
+    * deduplicated tree (distinct (id, len)) — healing any replay
+    * double-count a crashed append left behind, the same discipline as the
+    * minhash occ recount. (Docs whose text tokenizes to only blank tokens
+    * carry no postings and so drop out of the recount — they contribute no
+    * terms, so their absence from avgdl is the better estimate anyway.)
+    * Returns the possibly-updated handle. */
+  def textIndexCompact(index: TextIndex): TextIndex = {
     val spark = SparkSession.active
     IndexMaint.recoverSwap(spark, index.path)
-    IndexMaint.swapRewrite(spark, index.path,
-      spark.read.schema(index.schema).parquet(index.path).dropDuplicates(),
-      Seq("_tb"), tmp => Similarity.writeMeta(spark, tmp, index))
+    val deduped = spark.read.schema(index.schema).parquet(index.path)
+      .dropDuplicates()
+    val updated =
+      if (!index.positional) index
+      else {
+        val r = deduped.select(col("id"), col("len")).distinct()
+          .agg(count(lit(1)), coalesce(sum(col("len").cast("long")), lit(0L)))
+          .head()
+        index.copy(docs = r.getLong(0), totalLen = r.getLong(1))
+      }
+    IndexMaint.swapRewrite(spark, index.path, deduped,
+      Seq("_tb"), tmp => Similarity.writeMeta(spark, tmp, updated))
+    updated
   }
 
   /** Merge two shard indexes into a fresh tree at `destPath` — the
@@ -149,7 +167,11 @@ object TextSearch {
     * corpus). The term→bucket map is deterministic in `buckets` alone, so
     * matching geometries make the merge a pure posting union; output is
     * clustered one-file-per-bucket (merge doubles as compaction) and
-    * re-openable via the standard sidecar. */
+    * re-openable via the standard sidecar. A doc indexed in BOTH shards
+    * dedups its posting rows but counts twice in the summed corpus stats
+    * (N/avgdl skew for BM25; tf/df stay exact) — dedup shard ownership
+    * upstream, as with the minhash merge, or run [[textIndexCompact]] on
+    * the merged tree to recount stats exactly. */
   def textIndexMerge(a: TextIndex, b: TextIndex, destPath: String): TextIndex = {
     require(a.buckets == b.buckets,
       s"textIndexMerge: bucket geometry differs (${a.buckets} vs ${b.buckets})")

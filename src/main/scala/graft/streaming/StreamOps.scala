@@ -789,7 +789,7 @@ object StreamOps {
           IndexMaint.dataFileCount(spark, indexDir) >
             math.max(compactFiles, idx.buckets)) {
         log.info(s"textIndexSink: compacting index at $indexDir")
-        TextSearch.textIndexCompact(idx)
+        idx = TextSearch.textIndexCompact(idx)
       }
     }
   }

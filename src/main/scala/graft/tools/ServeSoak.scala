@@ -128,6 +128,11 @@ object ServeSoak {
       // posting index, term-bucket probes) and the token-budget head
       "search" -> gq("""{ documents { s: search(terms: ["join", "filter"],
         on: "text", id: "doc_id") { count } } }"""),
+      "phrase" -> gq("""{ documents { s: search(phrase: ["table", "hash"],
+        on: "text", id: "doc_id") { count } } }"""),
+      "bm25" -> gq("""{ documents { s: search(terms: ["join", "filter", "hash"],
+        on: "text", id: "doc_id", k: 20) { o: order(by: ["rank"]) {
+        columns { doc_id { values } rank { values } } } } } }"""),
       "tokenbudget" -> gq("""{ documents { h: tokenBudget(budget: 50000,
         on: "text", id: "doc_id", seed: "3") { count } } }"""))
 

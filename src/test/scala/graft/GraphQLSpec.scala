@@ -198,6 +198,14 @@ class GraphQLSpec extends SparkSpec {
       """{ documents { s: search(on: "text", id: "doc_id") { count } } }"""))
     intercept[IllegalArgumentException](service.execute(
       """{ documents { h: tokenBudget(budget: 10, id: "doc_id") { count } } }"""))
+    // conflicting search modes are rejected BEFORE any index build
+    for (q <- Seq(
+        """search(terms: ["a"], phrase: ["b"], on: "text", id: "doc_id")""",
+        """search(phrase: ["a", "b"], on: "text", id: "doc_id", k: 5)""",
+        """search(terms: ["a"], on: "text", id: "doc_id", k: 5, minMatch: 1)""",
+        """search(terms: ["a"], on: "text", id: "doc_id", k: 5, corpus: "documents")"""))
+      intercept[IllegalArgumentException](service.execute(
+        s"""{ documents { s: $q { count } } }"""))
   }
 
   test("unknown table and field produce errors") {

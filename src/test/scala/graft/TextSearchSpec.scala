@@ -205,6 +205,15 @@ class TextSearchSpec extends SparkSpec {
     val after = TextSearch.rankedSearch(idx2, terms, k = 5)
       .collect().map(_.getLong(0)).toSet
     assert(after.contains(100000L), s"appended doc missing from top-k: $after")
+    // a replayed append double-counts stats (documented at-least-once
+    // drift); compaction recounts them exactly from the deduplicated tree
+    val idx3 = TextSearch.textIndexAppend(idx2, seg, "text")
+    assert(idx3.docs == idx2.docs + 1, "replayed append drifts stats by design")
+    val healed = TextSearch.textIndexCompact(idx3)
+    assert(healed.docs == idx2.docs && healed.totalLen == idx2.totalLen,
+      s"compaction must recount stats exactly, got $healed vs $idx2")
+    assert(TextSearch.rankedSearch(healed, terms, k = 5)
+      .collect().map(_.getLong(0)).toSet.contains(100000L))
   }
 
   test("merged shard indexes answer like a monolithic build") {
