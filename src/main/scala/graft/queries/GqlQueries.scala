@@ -748,6 +748,20 @@ object GqlQueries {
       "doc_id BIGINT, lang STRING, source STRING"),
     PipelineQueries.q_text_search.oracle)
 
+  /** at-least-m membership search through the service (same cached index
+    * as the AND gate). */
+  val q_gql_search_min = Q(
+    "q_gql_search_min",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           s: search(terms: ["scan", "batch", "row"], on: "text",
+                     id: "doc_id", minMatch: 2) {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } } } } } }""",
+      Seq("t", "s", "o", "c"),
+      "doc_id BIGINT"),
+    PipelineQueries.q_text_search_min.oracle)
+
   /** Exact-phrase search through the service (positional index variant). */
   val q_gql_phrase = Q(
     "q_gql_phrase",
@@ -1286,7 +1300,8 @@ object GqlQueries {
     q_gql_order_slice, q_gql_dedup, q_gql_decontaminate, q_gql_split,
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_dedup_substr, q_gql_text_stats, q_gql_chunks,
-    q_gql_search, q_gql_phrase, q_gql_bm25, q_gql_token_budget,
+    q_gql_search, q_gql_search_min, q_gql_phrase, q_gql_bm25,
+    q_gql_token_budget,
     q_gql_scrub,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
     q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_knn_join_auto,
