@@ -297,8 +297,6 @@ object TextSearch {
                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(index.positional,
       s"rankedSearch needs an index built with positions = true (${index.path})")
-    require(index.docs > 0,
-      s"rankedSearch: index ${index.path} carries no corpus stats")
     require(k > 0, "rankedSearch needs k > 0")
     val spark = SparkSession.active
     import spark.implicits._
@@ -316,6 +314,9 @@ object TextSearch {
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.LongType))))
+    // an EMPTY corpus (docs == 0) ranks nothing — return the empty frame
+    // rather than erroring, like every other probe on an empty index
+    if (index.docs == 0L) return emptyOut
     IndexMaint.readPartitions(spark, index.path, index.schema, "_tb", tbs) match {
       case None => emptyOut
       case Some(posts) =>

@@ -163,6 +163,8 @@ class DegenerateSpec extends SparkSpec {
     val pidx = TextSearch.textIndexBuild(empty, "text", "doc_id", s"$dir/pix",
       buckets = 4, positions = true)
     assert(TextSearch.phraseIds(pidx, Seq("a", "b")).isEmpty)
+    // BM25 over an empty corpus ranks nothing (no error, no division by 0)
+    assert(TextSearch.rankedSearch(pidx, Seq("a"), 5).isEmpty)
     // appending real docs to the empty tree brings it to life
     TextSearch.textIndexAppend(idx, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
       "text")
