@@ -1247,12 +1247,18 @@ object Dedup {
     * NARROW row per token position ([[graft.expressions.WordWindowHashes]]
     * emits hashes, never shingle text); the global first-occurrence groupBy
     * is map-side combinable (min struct); duplicates are an anti-join on
-    * (id, position) against the winners. Cut-range application is one
-    * window partitioned BY DOCUMENT (documents are bounded — never a global
-    * sort): duplicated starts and token rows interleave by position and a
-    * running max of cut-range ends marks covered tokens. Hash identity is
-    * the standard at-scale trade (collisions vanishingly rare; a collision
-    * only cuts one extra w-token run). */
+    * (id, position) against the winners. Documents with NO cut range — the
+    * large majority of a real corpus — NEVER take the token-explode path: a
+    * semi-join split on the distinct cut doc ids routes them through
+    * VERBATIM (byte-identical text, original whitespace preserved), so the
+    * explode + per-doc window + collect_list regroup pays dup-doc volume,
+    * not corpus volume. Only cut documents are reassembled: one window
+    * partitioned BY DOCUMENT (documents are bounded — never a global sort)
+    * where duplicated starts and token rows interleave by position and a
+    * running max of cut-range ends marks covered tokens; their surviving
+    * tokens rejoin with single spaces (inherent to token-granularity
+    * reassembly). Hash identity is the standard at-scale trade (collisions
+    * vanishingly rare; a collision only cuts one extra w-token run). */
   def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
                       window: Int = 50): DataFrame = {
     val spark = df.sparkSession
@@ -1263,10 +1269,25 @@ object Dedup {
     val firsts = occ.groupBy("h")
       .agg(min(struct(col("id"), col("p"))).as("f"))
       .select(col("f.id").as("id"), col("f.p").as("p"))
-    // every occurrence that is NOT its hash's winner starts a cut range
+    // every occurrence that is NOT its hash's winner starts a cut range.
+    // The explicit repartition pins an exchange boundary on the narrow
+    // (id, p) dup rows: the subtree below it — the corpus-wide window-hash
+    // explode feeding firsts AND the anti-join — is consumed by THREE
+    // downstream paths (marks, the clean anti-join, the cut semi-join), and
+    // without the boundary each would re-run the full explode (measured 3×
+    // the corpus occurrence pass at ×20); with it, exchange reuse computes
+    // the subtree once and all consumers read the shuffle output.
     val dups = occ.select("id", "p").join(firsts, Seq("id", "p"), "left_anti")
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\\s+", -1)).as(Seq("pos", "tok")))
+      .repartition(col("id"))
+    // split key: doc ids with at least one cut (≤ one row per cut doc)
+    val cutIds = dups.select("id").distinct()
+    val src = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
+    // cut-free docs pass through byte-identical — no explode, no window
+    val clean = src.join(cutIds, Seq("id"), "left_anti")
+      .select(col("id"), col("_txt").as(textCol))
+    val toks = src.join(cutIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        posexplode(split(col("_txt"), "\\s+", -1)).as(Seq("pos", "tok")))
     // interleave cut-range starts (kind 0, end = p + w) with token rows
     // (kind 1) by position; a token is covered iff the running max of
     // range ends at its position exceeds it
@@ -1279,7 +1300,7 @@ object Dedup {
       .partitionBy("id").orderBy(col("pos"), col("kind"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    marks.union(tokRows)
+    val rebuilt = marks.union(tokRows)
       .withColumn("_cut_end", max(col("end")).over(wDoc))
       .filter(col("kind") === 1 &&
         (col("_cut_end").isNull || col("_cut_end") <= col("pos")))
@@ -1287,7 +1308,7 @@ object Dedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").as(textCol))
-      .withColumnRenamed("id", idCol)
+    clean.unionByName(rebuilt).withColumnRenamed("id", idCol)
   }
 
   /** Representative-per-cluster dedup: drops every row whose id belongs to

@@ -81,13 +81,61 @@ object TextSearch {
       .withColumn("_tb", termBucket(col("term"), buckets))
   }
 
-  /** Corpus stats for BM25: (docs with text, summed token length). */
+  /** Corpus stats for BM25: (docs with ≥1 NON-BLANK token, summed token
+    * length over those docs). Blank-token-only docs carry no postings, so
+    * the compaction recount (distinct (id, len) from the tree) could never
+    * see them — build/append skip them too, so all three stat sources
+    * agree on one definition (round-10 ADVICE). `len` stays the full
+    * oracle-visible token-array length. */
   private def corpusStats(corpus: DataFrame, textCol: String): (Long, Long) = {
+    val toks = TextAnalysis.tokens(col(textCol))
     val r = corpus
-      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("_l"))
-      .filter(col("_l").isNotNull)
+      .select(size(toks).cast("long").as("_l"),
+        size(filter(toks, t => length(t) > 0)).as("_nz"))
+      .filter(col("_l").isNotNull && col("_nz") > 0)
       .agg(count(lit(1)), coalesce(sum(col("_l")), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  // ─── doc-level tf tier (BM25 fast path) ───
+
+  /** Subdir of the per-(term, doc) tf tier inside a positional index tree.
+    * The `_` prefix keeps it invisible to whole-tree reads of the posting
+    * files (Spark skips `_`/`.` paths when listing), same as the meta
+    * sidecar. */
+  private def tfDir(path: String): String = s"$path/_tf"
+
+  private def tfSchema(index: TextIndex): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", index.schema("id").dataType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("len",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("_tb",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Collapse positional posting rows to one row per (term, doc): tf =
+    * distinct positions (replay-duplicate safe at compaction), len carried.
+    * This is THE expensive step of a BM25 probe when done at query time —
+    * a common term's posting list is one row per OCCURRENCE — so positional
+    * indexes persist it at build/append/compact/merge and rankedSearch
+    * reads doc-level rows instead. */
+  private def tfFromPostings(posts: DataFrame): DataFrame =
+    posts.groupBy("_tb", "term", "id")
+      .agg(countDistinct(col("pos")).cast("int").as("tf"),
+        max(col("len")).as("len"))
+      .select("id", "term", "tf", "len", "_tb")
+
+  private def writeTfTier(posts: DataFrame, dir: String, mode: String): Unit =
+    tfFromPostings(posts).repartition(col("_tb"))
+      .sortWithinPartitions("term", "id")
+      .write.mode(mode).partitionBy("_tb").parquet(dir)
+
+  private def tfTierExists(spark: SparkSession, index: TextIndex): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tfDir(index.path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Build the index at `path`: one corpus pass, postings clustered on the
@@ -102,11 +150,18 @@ object TextSearch {
     rows.repartition(col("_tb"))
       .sortWithinPartitions("term", "id")
       .write.mode("overwrite").partitionBy("_tb").parquet(path)
+    val idx = TextIndex(path, idCol, buckets, rows.schema, positions,
+      0L, 0L)
     val (n, tl) =
-      if (positions) corpusStats(corpus, textCol) else (0L, 0L)
-    val idx = TextIndex(path, idCol, buckets, rows.schema, positions, n, tl)
-    Similarity.writeMeta(corpus.sparkSession, path, idx)
-    idx
+      if (positions) {
+        // tf tier from the just-written tree (no corpus re-tokenize)
+        writeTfTier(corpus.sparkSession.read.schema(rows.schema).parquet(path),
+          tfDir(path), "overwrite")
+        corpusStats(corpus, textCol)
+      } else (0L, 0L)
+    val done = idx.copy(docs = n, totalLen = tl)
+    Similarity.writeMeta(corpus.sparkSession, path, done)
+    done
   }
 
   /** Append a segment's postings into the existing bucket partitions.
@@ -126,6 +181,13 @@ object TextSearch {
       .write.mode("append").partitionBy("_tb").parquet(index.path)
     if (!index.positional) index
     else {
+      // tf tier rows for the segment (postings-then-tf order: a crash
+      // between the two is healed by the family's at-least-once replay,
+      // same as the postings-then-stats window below; a replayed append
+      // appends identical tf rows, which probes collapse by max)
+      writeTfTier(
+        postings(segment, textCol, index.idCol, index.buckets, positions = true),
+        tfDir(index.path), "append")
       val (n, tl) = corpusStats(segment, textCol)
       val updated = index.copy(docs = index.docs + n,
         totalLen = index.totalLen + tl)
@@ -157,7 +219,13 @@ object TextSearch {
         index.copy(docs = r.getLong(0), totalLen = r.getLong(1))
       }
     IndexMaint.swapRewrite(spark, index.path, deduped,
-      Seq("_tb"), tmp => Similarity.writeMeta(spark, tmp, updated))
+      Seq("_tb"), tmp => {
+        // the tf tier is recomputed exactly from the deduplicated postings
+        // (replay double-counts healed, same as the stats recount) and
+        // rides the swap inside the tmp tree
+        if (index.positional) writeTfTier(deduped, tfDir(tmp), "overwrite")
+        Similarity.writeMeta(spark, tmp, updated)
+      })
     updated
   }
 
@@ -187,6 +255,7 @@ object TextSearch {
       .dropDuplicates()
     rows.repartition(col("_tb")).sortWithinPartitions("term", "id")
       .write.mode("overwrite").partitionBy("_tb").parquet(destPath)
+    if (a.positional) writeTfTier(rows, tfDir(destPath), "overwrite")
     val merged = TextIndex(destPath, a.idCol, a.buckets, a.schema, a.positional,
       a.docs + b.docs, a.totalLen + b.totalLen)
     Similarity.writeMeta(spark, destPath, merged)
@@ -222,13 +291,22 @@ object TextSearch {
       .select(termBucket(col("term"), index.buckets))
       .collect().map(_.getInt(0).toLong).toSeq
     val idType = index.schema("id").dataType
-    IndexMaint.readPartitions(spark, index.path, index.schema, "_tb", tbs) match {
+    // positional trees with a tf tier answer membership from the doc-level
+    // rows (one per (term, doc)) instead of the occurrence rows — same
+    // DISTINCT-term count, far fewer input rows for common terms
+    val rowsOpt =
+      if (index.positional && tfTierExists(spark, index))
+        IndexMaint.readPartitions(spark, tfDir(index.path), tfSchema(index),
+          "_tb", tbs)
+      else
+        IndexMaint.readPartitions(spark, index.path, index.schema, "_tb", tbs)
+    rowsOpt match {
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(org.apache.spark.sql.types.StructField("id", idType))))
       case Some(posts) =>
         posts.filter(col("term").isin(norm: _*))
-          // postings may hold replay duplicates between compactions: count
+          // rows may hold replay duplicates between compactions: count
           // DISTINCT terms, never rows
           .groupBy("id").agg(countDistinct(col("term")).as("_gq_nt"))
           .filter(col("_gq_nt") >= need)
@@ -285,14 +363,29 @@ object TextSearch {
 
   /** BM25 top-k ranked retrieval (Robertson & Walker; the Okapi form with
     * the standard k1/b defaults): candidates and every statistic come from
-    * the probed term buckets alone — tf = distinct stored positions per
-    * (doc, term) (replay-duplicate safe), doc length from the posting rows,
-    * per-term document frequency exact because a term's bucket holds ALL
-    * its postings, and N/avgdl from the sidecar corpus stats. The corpus
-    * text is never read. Scores are rounded at 1e-6 BEFORE the top-k cut
-    * and tie-broken on id, so retries, repartitioning and the SQL oracle
-    * rank identically (the q_dsir selection-key rule). idf is the
-    * ln(1 + (N - df + ½)/(df + ½)) positive form. */
+    * the probed term buckets alone — tf and doc length from the persisted
+    * doc-level tf tier when present (one row per (term, doc); falls back
+    * to collapsing the positional occurrence rows for trees built before
+    * the tier existed), per-term document frequency exact because a term's
+    * bucket holds ALL its rows, and N/avgdl from the sidecar corpus stats.
+    * The corpus text is never read. Scores are rounded at 1e-6 BEFORE the
+    * top-k cut and tie-broken on id, so retries, repartitioning and the
+    * SQL oracle rank identically (the q_dsir selection-key rule). idf is
+    * the ln(1 + (N - df + ½)/(df + ½)) positive form.
+    *
+    * Max-score pruning (Turtle & Flood): per-term score upper bounds
+    * ub(t) = idf(t) · sat(maxtf(t), minlen(t)) come from one cheap
+    * aggregate over the doc-level rows. When the query mixes rare and
+    * common terms, only documents containing an ESSENTIAL (rare) term are
+    * scored exactly; every other document's score is ≤ Σ ub over the
+    * non-essential terms it can contain, and if that bound is STRICTLY
+    * below the k-th candidate score (compared after the same 1e-6
+    * rounding — rounding is monotone, so no pruned doc can round up past
+    * it, ties included), the candidate top-k IS the exact top-k. When the
+    * verification fails — or the query gives no useful split — the probe
+    * falls back to scoring everything: pruning is a latency optimization,
+    * NEVER an answer change. Costs one bounded stats collect (≤ |terms|
+    * rows) plus, when pruning applies, a k-row candidate collect. */
   def rankedSearch(index: TextIndex, terms: Seq[String], k: Int,
                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(index.positional,
@@ -306,39 +399,109 @@ object TextSearch {
       .select(termBucket(col("term"), index.buckets))
       .collect().map(_.getInt(0).toLong).toSeq
     val idType = index.schema("id").dataType
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", idType),
-        org.apache.spark.sql.types.StructField("score",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.LongType))))
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)))
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     // an EMPTY corpus (docs == 0) ranks nothing — return the empty frame
     // rather than erroring, like every other probe on an empty index
     if (index.docs == 0L) return emptyOut
-    IndexMaint.readPartitions(spark, index.path, index.schema, "_tb", tbs) match {
-      case None => emptyOut
-      case Some(posts) =>
-        val avgdl = index.totalLen.toDouble / index.docs.toDouble
-        val tf = posts.filter(col("term").isin(norm: _*))
-          .groupBy("id", "term")
-          .agg(countDistinct(col("pos")).as("_tf"), max(col("len")).as("_len"))
-        // per-term doc frequency: a tiny (≤ |terms|) frame, broadcast back
-        val dfs = tf.groupBy("term").agg(count(lit(1)).as("_df"))
-        val contrib =
-          log(lit(1.0) + (lit(index.docs.toDouble) - col("_df") + 0.5) /
-              (col("_df") + 0.5)) *
-            (col("_tf") * lit(k1 + 1.0)) /
-            (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / avgdl))
-        tf.join(broadcast(dfs), Seq("term"))
-          .groupBy("id").agg(round(sum(contrib), 6).as("score"))
-          .orderBy(col("score").desc, col("id").asc)
-          .limit(k)
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("score").desc, col("id").asc)).cast("long"))
+    // doc-level (id, term, _tf, _len) rows: tf tier when the tree has one
+    val tfOpt: Option[DataFrame] =
+      if (tfTierExists(spark, index))
+        IndexMaint.readPartitions(spark, tfDir(index.path), tfSchema(index),
+            "_tb", tbs)
+          .map(_.filter(col("term").isin(norm: _*))
+            .groupBy("id", "term")
+            // max collapses replay-appended duplicate rows
+            .agg(max(col("tf")).cast("long").as("_tf"),
+              max(col("len")).as("_len")))
+      else
+        IndexMaint.readPartitions(spark, index.path, index.schema, "_tb", tbs)
+          .map(_.filter(col("term").isin(norm: _*))
+            .groupBy("id", "term")
+            .agg(countDistinct(col("pos")).as("_tf"),
+              max(col("len")).as("_len")))
+    val tf = tfOpt.getOrElse(return emptyOut)
+
+    val nDocs = index.docs.toDouble
+    val avgdl = index.totalLen.toDouble / index.docs.toDouble
+    def idfOf(dfV: Long): Double =
+      math.log(1.0 + (nDocs - dfV + 0.5) / (dfV + 0.5))
+    def satUb(maxtf: Double, minlen: Double): Double =
+      maxtf * (k1 + 1.0) / (maxtf + k1 * (1.0 - b + b * minlen / avgdl))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // one bounded pass: exact per-term df + the bound ingredients
+    // (≤ |terms| rows — the knnJoinAuto "pay one bounded job" precedent)
+    final case class TermStat(term: String, df: Long, ub: Double)
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("_df"), max(col("_tf")).as("_maxtf"),
+        min(col("_len")).as("_minlen"))
+      .collect()
+      .map(r => TermStat(r.getString(0), r.getLong(1),
+        idfOf(r.getLong(1)) *
+          satUb(r.getLong(2).toDouble, r.getInt(3).toDouble)))
+    if (stats.isEmpty) return emptyOut
+    // idf is a per-term constant now that df is known — embed it as a
+    // literal map (no df re-aggregation or broadcast join at score time)
+    val idfMap = map(stats.flatMap(s =>
+      Seq(lit(s.term), lit(idfOf(s.df)))): _*)
+    val contrib = element_at(idfMap, col("term")) *
+      (col("_tf") * lit(k1 + 1.0)) /
+      (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / avgdl))
+    def scored(rows: DataFrame): DataFrame = rows
+      .groupBy("id").agg(round(sum(contrib), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id").asc)).cast("long"))
+
+    // max-score split: essential terms = the rarest prefix (df ascending)
+    // that can yield ≥ k candidates with margin; only worth trying when
+    // the non-essential (common) side carries most of the volume
+    val byDf = stats.sortBy(s => (s.df, s.term))
+    val totalDf = stats.map(_.df).sum
+    var cum = 0L
+    val essential = byDf.takeWhile { s =>
+      val need = cum < 2L * k; cum += s.df; need
     }
+    val nonEssential = byDf.drop(essential.length)
+    val ubNonEssential = round6(nonEssential.map(_.ub).sum)
+    // pruning pays two extra scheduling rounds (stats collect + candidate
+    // top-k); only worth it when the skipped volume is real — the common
+    // side must carry most of the rows AND enough of them that the saved
+    // aggregation beats the fixed job cost (tunable; specs lower it)
+    val pruneMinRows = spark.conf
+      .getOption("spark.graft.bm25.pruneMinRows").map(_.toLong)
+      .getOrElse(500000L)
+    val pruneWorthIt = nonEssential.nonEmpty &&
+      essential.map(_.df).sum * 4 <= totalDf &&
+      nonEssential.map(_.df).sum >= pruneMinRows
+    if (pruneWorthIt) {
+      val eTerms = essential.map(_.term).toSeq
+      val cand = tf.filter(col("term").isin(eTerms: _*))
+        .select("id").distinct()
+      // exact full scores (ALL query terms) for candidate docs only
+      val topC = scored(tf.join(cand, Seq("id"), "left_semi")).collect()
+      // valid iff we filled k slots AND no pruned doc can round up to the
+      // k-th score: a doc without essential terms scores ≤ ub(non-essential),
+      // and rounding is monotone, so strict < on rounded values is safe
+      // even under ties (a tie at the k-th score with a smaller id would
+      // otherwise displace it)
+      if (topC.length >= k && ubNonEssential < topC.last.getDouble(1)) {
+        pruneHitCount.incrementAndGet()
+        return spark.createDataFrame(
+          java.util.Arrays.asList(topC: _*), outSchema)
+      }
+    }
+    // fallback: score every doc containing any query term (always exact)
+    scored(tf)
   }
 
   /** Full matching rows from `corpus` (semi-join against the probed ids;
@@ -355,6 +518,9 @@ object TextSearch {
   private val txCache =
     new java.util.concurrent.ConcurrentHashMap[String, TextIndex]()
   private[graft] val textBuildCount = new java.util.concurrent.atomic.AtomicLong
+  /** Max-score prunes that VERIFIED and returned the candidate top-k
+    * (observability for specs/probes; the fallback path never counts). */
+  private[graft] val pruneHitCount = new java.util.concurrent.atomic.AtomicLong
 
   /** Cached [[textIndexBuild]] keyed by corpus identity + content
     * fingerprint + parameters — the same pattern as
@@ -363,10 +529,10 @@ object TextSearch {
   def textIndexFor(corpus: DataFrame, corpusKey: String, textCol: String,
                    idCol: String, baseDir: String,
                    buckets: Int = 256, positions: Boolean = false): TextIndex = {
-    // tx2: format tag — bumped when the posting schema changes (the path
-    // derives from this key, so stale trees from an older format are never
-    // re-opened as current)
-    val key = s"tx2|$corpusKey|${Similarity.fingerprint(corpus)}|" +
+    // tx3: format tag — bumped when the tree layout changes (tx3 added the
+    // doc-level _tf tier; the path derives from this key, so stale trees
+    // from an older format are never re-opened as current)
+    val key = s"tx3|$corpusKey|${Similarity.fingerprint(corpus)}|" +
       s"$textCol|$idCol|$buckets|$positions"
     txCache.computeIfAbsent(key, _ => {
       val spark = corpus.sparkSession

@@ -1743,9 +1743,12 @@ object PipelineQueries {
   /** Exact-substring dedup (Lee et al. 2022 adapted to token granularity):
     * OVERLAPPING 8-token windows — any duplicated run of ≥ 8 tokens keeps
     * only its globally first occurrence (min (id, pos)), overlapping cut
-    * ranges merge, docs are reassembled from surviving tokens. The oracle
-    * recomputes the full construction relationally on shingle STRINGS
-    * (the engine groups on xxhash64 — identical modulo collisions). */
+    * ranges merge, and ONLY documents with a cut are reassembled from
+    * surviving tokens; cut-free documents pass through byte-identical
+    * (original whitespace preserved — the oracle mirrors the split). The
+    * oracle recomputes the full construction relationally on shingle
+    * STRINGS (the engine groups on xxhash64 — identical modulo
+    * collisions). */
   val q_dedup_substr = Q(
     "q_dedup_substr",
     (s, dir) => {
@@ -1754,7 +1757,7 @@ object PipelineQueries {
         .order(GTable.orderKeys(Seq("doc_id")))
         .result
     },
-    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+    Some("""WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks
               FROM documents),
             occ AS (SELECT doc_id, CAST(g AS BIGINT) AS p,
                 lower(array_to_string(toks[CAST(g+1 AS BIGINT):CAST(g+8 AS BIGINT)], ' ')) AS s
@@ -1763,16 +1766,21 @@ object PipelineQueries {
               FROM occ GROUP BY s),
             dups AS (SELECT occ.doc_id, occ.p FROM occ JOIN firsts f ON occ.s = f.s
               WHERE NOT (occ.doc_id = f.f.id AND occ.p = f.f.p)),
+            cutids AS (SELECT DISTINCT doc_id FROM dups),
             tok AS (SELECT doc_id, CAST(g AS BIGINT) AS pos, toks[CAST(g+1 AS BIGINT)] AS tk
-              FROM t, UNNEST(range(0, CAST(len(toks) AS BIGINT))) AS u(g)),
+              FROM t SEMI JOIN cutids USING (doc_id),
+              UNNEST(range(0, CAST(len(toks) AS BIGINT))) AS u(g)),
             m AS (SELECT doc_id, p AS pos, 0 AS kind, CAST(p + 8 AS BIGINT) AS e,
                 NULL AS tk FROM dups
               UNION ALL SELECT doc_id, pos, 1, NULL, tk FROM tok),
             mk AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos, kind
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce FROM m)
-            SELECT doc_id, array_to_string(list(tk ORDER BY pos), ' ') AS text
-            FROM mk WHERE kind = 1 AND (ce IS NULL OR ce <= pos)
-            GROUP BY doc_id ORDER BY doc_id"""))
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce FROM m),
+            rebuilt AS (SELECT doc_id, array_to_string(list(tk ORDER BY pos), ' ') AS text
+              FROM mk WHERE kind = 1 AND (ce IS NULL OR ce <= pos)
+              GROUP BY doc_id)
+            SELECT doc_id, text FROM t ANTI JOIN cutids USING (doc_id)
+            UNION ALL SELECT doc_id, text FROM rebuilt
+            ORDER BY doc_id"""))
 
   /** Normalization-class dedup: the corpus unioned with decorated copies
     * (case/punctuation/whitespace drift, ids offset by 100000) — normalized

@@ -704,6 +704,19 @@ class PipelineSpec extends SparkSpec {
     val shortOut = Dedup.dedupSubstrings(short, "text", "doc_id", window = 3)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(shortOut == Map(1L -> "same", 2L -> "same"))
+    // cut-FREE docs pass through BYTE-IDENTICAL — tabs, newlines and runs
+    // of spaces survive verbatim (they never take the token-explode path);
+    // a CUT doc's surviving tokens rejoin with single spaces
+    val ws = Seq(
+      (20L, "alpha\tbeta\n\ngamma  delta"),       // unique → byte-identical
+      (21L, "u v w x y z"),                       // owns "u v w"
+      (22L, "k\t\tu v w   m n o p")               // cut doc → normalized
+    ).toDF("doc_id", "text")
+    val wsOut = Dedup.dedupSubstrings(ws, "text", "doc_id", window = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(wsOut(20L) == "alpha\tbeta\n\ngamma  delta", s"got ${wsOut(20L)}")
+    assert(wsOut(21L) == "u v w x y z")
+    assert(wsOut(22L) == "k m n o p", s"got ${wsOut(22L)}")
   }
 
   test("exactNormalized merges case/punctuation/whitespace variants") {

@@ -56,7 +56,7 @@ class TextSearchSpec extends SparkSpec {
   }
 
   test("probe reads only the bucket dirs the terms hash to") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tx_prune").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_dirs").toString
     val idx = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/ix",
       buckets = 64)
     val terms = Seq("join", "filter")
@@ -273,5 +273,81 @@ class TextSearchSpec extends SparkSpec {
     val stored = spark.read.schema(idx.schema).parquet(idx.path)
     assert(stored.filter(length(col("term")) === 0).isEmpty)
     assert(stored.filter(col("id") === 2L).isEmpty)
+  }
+
+  test("max-score pruning is exact on adversarial rare/common corpora") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_prune").toString
+    // tiny corpora: drop the volume bar so the pruning path is exercised
+    spark.conf.set("spark.graft.bm25.pruneMinRows", "1")
+    try {
+
+    /** Full-scan Okapi recompute (the spec's independent reference). */
+    def bruteTopK(corpus: DataFrame, terms: Seq[String], k: Int): Seq[(Long, Double)] = {
+      val toks = corpus.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("a"))
+      val st = toks.filter(col("a").isNotNull &&
+          size(filter(col("a"), t => length(t) > 0)) > 0)
+        .agg(count(lit(1)), sum(size(col("a")).cast("long"))).head()
+      val (n, avgdl) = (st.getLong(0), st.getLong(1).toDouble / st.getLong(0))
+      val tf = toks.select(col("doc_id"), size(col("a")).as("dl"),
+          explode(col("a")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) /
+          (col("df") + 0.5)) * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      tf.join(broadcast(dfs), Seq("term"))
+        .groupBy("doc_id").agg(round(sum(contrib), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    def rankedPairs(idx: TextSearch.TextIndex, terms: Seq[String], k: Int) =
+      TextSearch.rankedSearch(idx, terms, k).orderBy("rank")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // A: a rare term whose docs dominate — pruning must TRIGGER and the
+    // all-tied candidate set must cut on the id tie-break exactly
+    val a = ((1L to 5L).map(i => (i, "r c c")) ++
+      (100L to 129L).map(i => (i, "c c c"))).toDF("doc_id", "text")
+    val ixA = TextSearch.textIndexBuild(a, "text", "doc_id", s"$dir/a",
+      buckets = 8, positions = true)
+    val before = TextSearch.pruneHitCount.get()
+    val gotA = rankedPairs(ixA, Seq("r", "c"), k = 2)
+    assert(TextSearch.pruneHitCount.get() == before + 1,
+      "rare/common split must take the pruned path")
+    assert(gotA == bruteTopK(a, Seq("r", "c"), 2), s"pruned diverged: $gotA")
+    assert(gotA.map(_._1) == Seq(1L, 2L), "tie must cut on smallest ids")
+
+    // B: the ADVERSARIAL shape — docs WITHOUT the rare term belong in the
+    // top-k (two common terms jointly outscore the long, weak rare docs),
+    // so the verification must reject the candidate top-k and fall back
+    // to exact full scoring. Pruning here would return the WRONG docs.
+    val pad = (1 to 300).map(_ => "x").mkString(" ")
+    val bDf = ((1L to 50L).map(i => (i, s"r $pad")) ++
+      (101L to 300L).map(i => (i, ("c d " * 12).trim)) ++
+      Seq((400L, ("c d " * 100).trim))).toDF("doc_id", "text")
+    val ixB = TextSearch.textIndexBuild(bDf, "text", "doc_id", s"$dir/b",
+      buckets = 8, positions = true)
+    val before2 = TextSearch.pruneHitCount.get()
+    val gotB = rankedPairs(ixB, Seq("r", "c", "d"), k = 3)
+    assert(TextSearch.pruneHitCount.get() == before2,
+      "candidate top-k cannot verify here; fallback required")
+    assert(gotB == bruteTopK(bDf, Seq("r", "c", "d"), 3),
+      s"fallback diverged: $gotB")
+    assert(gotB.map(_._1) == Seq(400L, 101L, 102L),
+      "common-term docs must win — pruning them would be a wrong answer")
+
+    // C: a tree WITHOUT the tf tier (pre-tier layout) falls back to the
+    // occurrence-collapse path with identical answers
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/a/_tf"), true)
+    assert(rankedPairs(ixA, Seq("r", "c"), 2) == gotA,
+      "tier-less tree must answer identically")
+    assert(probedIds(TextSearch.searchIds(ixA, Seq("c"))) ==
+      scanIds(a, Seq("c")))
+    } finally spark.conf.unset("spark.graft.bm25.pruneMinRows")
   }
 }
