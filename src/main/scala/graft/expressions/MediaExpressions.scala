@@ -13,7 +13,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the round-9 verdict's "multimodal columns should at minimum parse real
   * formats" item. Pure public byte-format knowledge (the JPEG/JFIF marker
   * stream, the PNG IHDR chunk, the GIF logical screen descriptor, the BMP
-  * info header); no codec library involved, so it runs anywhere Spark does.
+  * info header, the WebP RIFF container with its VP8/VP8L/VP8X chunk
+  * flavors); no codec library involved, so it runs anywhere Spark does.
   *
   * Output: struct(format, width, height). Unrecognized/truncated blobs →
   * NULL result (filterable); a recognized container whose dimension fields
@@ -110,6 +111,38 @@ object ImageMeta {
       }
       return row("bmp", null, null)
     }
+    // ─── WebP: RIFF container ("RIFF" u32size "WEBP"), first chunk tells
+    //     the flavor — "VP8 " lossy (sync 9D 01 2A then 14-bit LE dims),
+    //     "VP8L" lossless (0x2F signature then 14-bit width-1/height-1 bit
+    //     pack), "VP8X" extended (24-bit LE canvas-1 fields) ───
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      def le24(i: Int): Int =
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+      if (b.length >= 20) {
+        val lossy = b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' '
+        val lossless = b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L'
+        val extended = b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X'
+        if (lossy && b.length >= 30 &&
+            (b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 &&
+            (b(25) & 0xff) == 0x2a) {
+          val w = le16(b, 26) & 0x3fff
+          val h = le16(b, 28) & 0x3fff
+          if (w > 0 && h > 0) return row("webp", w, h)
+        } else if (lossless && b.length >= 25 && (b(20) & 0xff) == 0x2f) {
+          val bits = le32(b, 21)
+          val w = (bits & 0x3fff).toInt + 1
+          val h = ((bits >> 14) & 0x3fff).toInt + 1
+          return row("webp", w, h)
+        } else if (extended && b.length >= 30) {
+          val w = le24(24) + 1
+          val h = le24(27) + 1
+          return row("webp", w, h)
+        }
+      }
+      return row("webp", null, null)
+    }
     // ─── JPEG: SOI then a marker stream; dimensions live in the first
     //     SOFn frame header (0xC0-0xCF except DHT C4, arithmetic-tables C8,
     //     DAC CC): u16 length, u8 precision, u16 height, u16 width ───
@@ -154,7 +187,7 @@ object MediaFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Registration.ensure(spark, "image_meta")(exprs => ImageMeta(exprs(0)))
 
-  /** Parse real JPEG/PNG/GIF/BMP headers from a binary column into
+  /** Parse real JPEG/PNG/GIF/BMP/WebP headers from a binary column into
     * struct(format, width, height); null for non-image bytes. */
   def imageMeta(spark: org.apache.spark.sql.SparkSession, blob: Column): Column = {
     register(spark)

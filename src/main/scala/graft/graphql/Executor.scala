@@ -1101,6 +1101,55 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         graft.operators.TextAnalysis.scrubPii(col(on)))
       resolveTable(GTable(out, sortedBy = t.sortedBy, denseRid = t.denseRid),
         f, None)
+    case "imageMeta" =>
+      // REAL byte-format header parsing (JPEG/PNG/GIF/BMP/WebP) over a
+      // binary column: adds format/width/height (alias: prefixes them).
+      // A string column is UTF-8-packed first so the field composes with
+      // text roots; row count and order are preserved (pure projection).
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("imageMeta needs on: <binary column>"))
+      val prefix = strArg(f, "alias").getOrElse("")
+      val src = t.result.schema(on).dataType match {
+        case org.apache.spark.sql.types.BinaryType => col(on)
+        case org.apache.spark.sql.types.StringType =>
+          graft.operators.Multimodal.packBlob(col(on))
+        case other => throw new IllegalArgumentException(
+          s"imageMeta needs a binary (or string) column, got $on: ${other.simpleString}")
+      }
+      val meta = graft.operators.Multimodal.imageMetadata(t.df.sparkSession, src)
+      val out = t.result
+        .withColumn(s"${prefix}format", meta.getField("format"))
+        .withColumn(s"${prefix}width", meta.getField("width"))
+        .withColumn(s"${prefix}height", meta.getField("height"))
+      resolveTable(GTable(out, sortedBy = t.sortedBy, denseRid = t.denseRid),
+        f, None)
+    case "mediaFeatures" =>
+      // typed batch decode (the mapInPandas-analog mapPartitions path with
+      // per-partition decoder lifecycle): k features per blob, unpacked to
+      // f0..f(k-1) scalar columns plus n_bytes
+      val on = strArg(f, "on")
+        .getOrElse(throw new IllegalArgumentException("mediaFeatures needs on: <binary column>"))
+      val id = strArg(f, "id")
+        .getOrElse(throw new IllegalArgumentException("mediaFeatures needs id: <long key column>"))
+      val k = intArg(f, "k").getOrElse(2)
+      require(k > 0 && k <= 64, s"mediaFeatures k out of range: $k")
+      val spark = t.df.sparkSession
+      import spark.implicits._
+      val blobCol = t.result.schema(on).dataType match {
+        case org.apache.spark.sql.types.BinaryType => col(on)
+        case org.apache.spark.sql.types.StringType =>
+          graft.operators.Multimodal.packBlob(col(on))
+        case other => throw new IllegalArgumentException(
+          s"mediaFeatures needs a binary (or string) column, got $on: ${other.simpleString}")
+      }
+      val rows = t.result
+        .select(col(id).cast("long").as("doc_id"), blobCol.as("blob"))
+        .as[graft.operators.Multimodal.MediaRow]
+      val feats = graft.operators.Multimodal.decodeBatch(rows, k).toDF()
+      val unpacked = (0 until k).foldLeft(feats) { (d, i) =>
+        d.withColumn(s"f$i", col("features")(i))
+      }.drop("features").withColumnRenamed("doc_id", id)
+      resolveTable(GTable(unpacked), f, None)
     case "shuffle" =>
       // deterministic md5-keyed corpus shuffle (range-partitioned sort);
       // the key is served as shuffle_key

@@ -74,8 +74,8 @@ object Multimodal {
       when(m <= maxSide, h.cast("int")).otherwise(scaled(h)).as("height"))
   }
 
-  /** REAL byte-format header parsing (round-9 verdict #3): JPEG/PNG/GIF/BMP
-    * container headers parsed by the fused [[graft.expressions.ImageMeta]]
+  /** REAL byte-format header parsing (round-9 verdict #3): JPEG/PNG/GIF/
+    * BMP/WebP container headers parsed by the fused [[graft.expressions.ImageMeta]]
     * expression — struct(format, width, height), null for non-image bytes.
     * This replaces the md5-derived stand-in for any column holding actual
     * encoded images; [[metadata]] stays as the deterministic fake for the
@@ -166,6 +166,37 @@ object Multimodal {
         le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
         le32(0L) ++ le32(pixels.toLong) ++ le32(2835L) ++ le32(2835L) ++
         le32(0L) ++ le32(0L) ++ new Array[Byte](pixels)
+    }
+
+    private def le24(v: Int) = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    private def riff(fourCC: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(4L + 8L + payload.length) ++
+        "WEBP".getBytes("US-ASCII") ++ fourCC.getBytes("US-ASCII") ++
+        le32(payload.length.toLong) ++ payload
+
+    /** WebP lossy: RIFF/WEBP container, "VP8 " chunk — 3-byte frame tag,
+      * the 9D 01 2A sync code, then 14-bit little-endian dimensions. */
+    def webpVp8(w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && w <= 0x3fff && h > 0 && h <= 0x3fff)
+      riff("VP8 ", Array[Byte](0x00, 0x00, 0x00,
+        0x9d.toByte, 0x01, 0x2a) ++ le16(w) ++ le16(h))
+    }
+
+    /** WebP lossless: "VP8L" chunk — 0x2F signature then width-1/height-1
+      * as back-to-back 14-bit fields of a little-endian 32-bit pack. */
+    def webpVp8l(w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && w <= 0x4000 && h > 0 && h <= 0x4000)
+      val bits = ((w - 1) & 0x3fff).toLong | (((h - 1) & 0x3fff).toLong << 14)
+      riff("VP8L", Array[Byte](0x2f) ++ le32(bits))
+    }
+
+    /** WebP extended: "VP8X" chunk — flags + reserved, then 24-bit
+      * little-endian canvas width-1 / height-1. */
+    def webpVp8x(w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && w <= 0x1000000 && h > 0 && h <= 0x1000000)
+      riff("VP8X", Array[Byte](0x00, 0x00, 0x00, 0x00) ++
+        le24(w - 1) ++ le24(h - 1))
     }
 
     /** JPEG/JFIF marker stream: SOI, APP0, DQT, baseline SOF0 carrying the

@@ -1131,6 +1131,43 @@ object GqlQueries {
                 '\+\d{7,15}\b', '<PHONE>', 'g') AS clean
             FROM documents ORDER BY doc_id"""))
 
+  /** Served multimodal tier: real container-header parsing
+    * (imageMeta(on: "blob")) over a binary-column root registered as an
+    * extra table — the fixture parquet holds the same spec-conformant
+    * PNG/GIF/JPEG/BMP/WebP bytes (and degraded shapes) as
+    * q_media_imagemeta, whose oracle adjudicates this twin. */
+  val q_gql_imagemeta = Q(
+    "q_gql_imagemeta",
+    (s, dir) => {
+      val fxPath = MultimodalQueries.imageFixturePath(s)
+      GqlBridge.frame(s, dir,
+        """{ t: images {
+             m: imageMeta(on: "blob") {
+               o: order(by: ["name"]) {
+                 c: columns { name { values } format { values }
+                              width { values } height { values } } } } } }""",
+        Seq("t", "m", "o", "c"),
+        "name STRING, format STRING, width INT, height INT",
+        extra = Map("images" -> fxPath))
+    },
+    MultimodalQueries.q_media_imagemeta.oracle)
+
+  /** Served typed-decode batch path: mediaFeatures runs the per-partition
+    * decoder lifecycle (the mapInPandas analog) behind the service; the
+    * oracle recomputes the stub decoder's byte-fold relationally, exactly
+    * like q_media_features. */
+  val q_gql_media_features = Q(
+    "q_gql_media_features",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           m: mediaFeatures(on: "text", id: "doc_id", k: 2) {
+             o: order(by: ["doc_id"]) {
+               c: columns { doc_id { values } n_bytes { values }
+                            f0 { values } f1 { values } } } } } }""",
+      Seq("t", "m", "o", "c"),
+      "doc_id BIGINT, n_bytes INT, f0 FLOAT, f1 FLOAT"),
+    MultimodalQueries.q_media_features.oracle)
+
   /** Fused rolling-hash fingerprint through the service. */
   val q_gql_fingerprint = Q(
     "q_gql_fingerprint",
@@ -1302,7 +1339,7 @@ object GqlQueries {
     q_gql_dedup_spans, q_gql_dedup_substr, q_gql_text_stats, q_gql_chunks,
     q_gql_search, q_gql_search_min, q_gql_phrase, q_gql_bm25,
     q_gql_token_budget,
-    q_gql_scrub,
+    q_gql_scrub, q_gql_imagemeta, q_gql_media_features,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,
     q_gql_ann_vector, q_gql_map, q_gql_knn_join, q_gql_knn_join_auto,
     q_gql_snapshot_diff,

@@ -121,8 +121,50 @@ object MultimodalQueries {
                 ELSE (height * 512 + m // 2) // m END AS INTEGER) AS r_height
             FROM r ORDER BY doc_id"""))
 
-  /** REAL byte-format header parsing (round-9 verdict #3): spec-conformant
-    * PNG/GIF/JPEG/BMP bytes built by [[Multimodal.SyntheticImages]] flow
+  /** Shared fixture set: spec-conformant bytes of every supported format
+    * plus the degraded shapes; used by the library gate AND the served
+    * twin (q_gql_imagemeta writes them to a parquet root). */
+  private[graft] def imageFixtures: Seq[(String, Array[Byte])] = {
+    import Multimodal.SyntheticImages
+    Seq(
+      "png_37x23" -> SyntheticImages.png(37, 23),
+      "png_1920x1080" -> SyntheticImages.png(1920, 1080),
+      "gif_640x480" -> SyntheticImages.gif(640, 480),
+      "gif_65535x1" -> SyntheticImages.gif(65535, 1),
+      "jpeg_800x600" -> SyntheticImages.jpeg(800, 600),
+      "jpeg_31x97" -> SyntheticImages.jpeg(31, 97),
+      "bmp_5x7" -> SyntheticImages.bmp(5, 7),
+      "webp_vp8_320x240" -> SyntheticImages.webpVp8(320, 240),
+      "webp_vp8l_2x3" -> SyntheticImages.webpVp8l(2, 3),
+      "webp_vp8x_4000x3000" -> SyntheticImages.webpVp8x(4000, 3000),
+      "webp_truncated" -> SyntheticImages.webpVp8(320, 240).take(14),
+      "jpeg_truncated" -> SyntheticImages.jpeg(800, 600).take(20),
+      "not_an_image" -> "hello world, plain bytes".getBytes("UTF-8"))
+  }
+
+  /** Publish the fixtures as a parquet root (atomic-rename, idempotent) —
+    * the served twin's extra root. Versioned by content so a fixture
+    * change regenerates. */
+  private[graft] def imageFixturePath(s: org.apache.spark.sql.SparkSession): String = {
+    import s.implicits._
+    val fx = imageFixtures
+    val ver = java.util.Arrays.hashCode(
+      fx.flatMap(x => x._1.getBytes("UTF-8") ++ x._2).toArray).toHexString
+    val path = s"/tmp/graft_imgfx_$ver"
+    if (!new java.io.File(path).exists()) {
+      val tmp = path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      fx.toDF("name", "blob").coalesce(1).write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+    path
+  }
+
+  /** REAL byte-format header parsing (round-9 verdict #3; WebP added in
+    * round 11): spec-conformant PNG/GIF/JPEG/BMP/WebP (VP8 lossy, VP8L
+    * lossless, VP8X extended) bytes built by [[Multimodal.SyntheticImages]] flow
     * through a real exchange and the fused ImageMeta expression; the gate
     * asserts TRUE widths/heights/format tags plus the degraded shapes — a
     * truncated JPEG keeps its format tag with null dimensions, non-image
@@ -132,18 +174,7 @@ object MultimodalQueries {
     "q_media_imagemeta",
     (s, dir) => {
       import s.implicits._
-      import Multimodal.SyntheticImages
-      val imgs: Seq[(String, Array[Byte])] = Seq(
-        "png_37x23" -> SyntheticImages.png(37, 23),
-        "png_1920x1080" -> SyntheticImages.png(1920, 1080),
-        "gif_640x480" -> SyntheticImages.gif(640, 480),
-        "gif_65535x1" -> SyntheticImages.gif(65535, 1),
-        "jpeg_800x600" -> SyntheticImages.jpeg(800, 600),
-        "jpeg_31x97" -> SyntheticImages.jpeg(31, 97),
-        "bmp_5x7" -> SyntheticImages.bmp(5, 7),
-        "jpeg_truncated" -> SyntheticImages.jpeg(800, 600).take(20),
-        "not_an_image" -> "hello world, plain bytes".getBytes("UTF-8"))
-      val df = imgs.toDF("name", "blob")
+      val df = imageFixtures.toDF("name", "blob")
         .repartition(4) // the expression must survive a real exchange
       GTable(df.withColumn("meta", Multimodal.imageMetadata(s, col("blob")))
         .select(col("name"), col("meta.format").as("format"),
@@ -160,7 +191,11 @@ object MultimodalQueries {
             ('jpeg_truncated', 'jpeg', NULL, NULL),
             ('not_an_image', NULL, NULL, NULL),
             ('png_1920x1080', 'png', 1920, 1080),
-            ('png_37x23', 'png', 37, 23))
+            ('png_37x23', 'png', 37, 23),
+            ('webp_vp8_320x240', 'webp', 320, 240),
+            ('webp_vp8l_2x3', 'webp', 2, 3),
+            ('webp_vp8x_4000x3000', 'webp', 4000, 3000),
+            ('webp_truncated', 'webp', NULL, NULL))
             AS t(name, format, width, height) ORDER BY name"""))
 
   def all: Seq[Q] = Seq(q_media_frames, q_media_features, q_media_meta,

@@ -47,7 +47,8 @@ object ServeSoak {
         ((col("id") % 997 - 498) / lit(512.0)).as("weight"))
       .coalesce(1).write.mode("overwrite").parquet(modelPath)
     val service = new GraphQLService(spark, sf,
-      extraRoots = Map("model" -> modelPath))
+      extraRoots = Map("model" -> modelPath,
+        "images" -> graft.queries.MultimodalQueries.imageFixturePath(spark)))
     val server = new GraphQLHttpServer(service, port = 0,
       threads = math.max(8, clients)).start()
     val base = s"http://localhost:${server.boundPort}/graphql"
@@ -134,7 +135,16 @@ object ServeSoak {
         on: "text", id: "doc_id", k: 20) { o: order(by: ["rank"]) {
         columns { doc_id { values } rank { values } } } } } }"""),
       "tokenbudget" -> gq("""{ documents { h: tokenBudget(budget: 50000,
-        on: "text", id: "doc_id", seed: "3") { count } } }"""))
+        on: "text", id: "doc_id", seed: "3") { count } } }"""),
+      // round-11: the served multimodal tier — REAL container-header
+      // parsing over the fixture images root and the typed batch-decode path
+      "imagemeta" -> gq("""{ images { m: imageMeta(on: "blob") {
+        o: order(by: ["name"]) {
+        columns { name { values } format { values }
+                  width { values } height { values } } } } } }"""),
+      "mediafeat" -> gq("""{ documents { s: slice(offset: 0, limit: 2000) {
+        m: mediaFeatures(on: "text", id: "doc_id", k: 2) {
+        f: filter(where: {ge: [{name: "f0"}, {value: 0.5}]}) { count } } } } }"""))
 
     // single-threaded warm-up: populates the index caches, pins the
     // expected answer per kind

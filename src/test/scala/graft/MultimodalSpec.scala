@@ -62,6 +62,25 @@ class MultimodalSpec extends SparkSpec {
     val sofAt = j.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
     val padded = j.take(sofAt) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++ j.drop(sofAt)
     assert(dims(padded) == ("jpeg", 31, 97))
+    // WebP: all three chunk flavors, dimension-field boundaries included
+    assert(dims(SyntheticImages.webpVp8(320, 240)) == ("webp", 320, 240))
+    assert(dims(SyntheticImages.webpVp8(16383, 1)) == ("webp", 16383, 1))
+    assert(dims(SyntheticImages.webpVp8l(1, 1)) == ("webp", 1, 1))
+    assert(dims(SyntheticImages.webpVp8l(16384, 16384)) == ("webp", 16384, 16384))
+    assert(dims(SyntheticImages.webpVp8x(4000, 3000)) == ("webp", 4000, 3000))
+    assert(dims(SyntheticImages.webpVp8x(1 << 24, 1)) == ("webp", 1 << 24, 1))
+    // truncated RIFF shapes: container recognized, dimensions unreadable
+    assert(dims(SyntheticImages.webpVp8(320, 240).take(14)) == ("webp", null, null))
+    assert(dims(SyntheticImages.webpVp8(320, 240).take(25)) == ("webp", null, null))
+    assert(dims(SyntheticImages.webpVp8l(9, 9).take(21)) == ("webp", null, null))
+    // a VP8 chunk with a corrupted sync code is not trusted for dims
+    val badSync = SyntheticImages.webpVp8(320, 240)
+    badSync(24) = 0x77
+    assert(dims(badSync) == ("webp", null, null))
+    // RIFF but not WEBP (e.g. a WAV) is NOT an image
+    val wav = "RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++
+      "WAVE".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0)
+    assert(dims(wav) == (null, null, null))
   }
 
   test("imageMetadata column survives codegen and an exchange") {
