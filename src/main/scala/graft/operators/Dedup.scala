@@ -1122,6 +1122,15 @@ object Dedup {
   /** Clear the whole in-memory MinHash index cache (restart simulation). */
   def invalidateAllMinhashIndexes(): Unit = mhCache.clear()
 
+  /** Sweep orphaned MinHash index trees (retired fingerprints) under
+    * `baseDir` — see [[graft.operators.IndexMaint.gcOrphans]]. */
+  def minhashIndexGc(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+                     graceMs: Long = 3600000L): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    IndexMaint.gcOrphans(spark, baseDir, Seq("mh_"),
+      mhCache.values.asScala.map(_.path).toSet, graceMs)
+  }
+
   /** Eval-set decontamination (the GPT-3/PaLM appendix-C recipe): flag
     * training documents sharing at least `minHits` distinct word n-grams
     * with any benchmark document, so they can be dropped before training

@@ -93,6 +93,34 @@ private[graft] object IndexMaint {
       .parquet(dirs: _*))
   }
 
+  /** Orphan-tree GC for a fingerprint-keyed index base dir (round-10
+    * verdict #7): every out-of-band corpus change retires a fingerprint —
+    * the in-memory cache entry goes, but the on-disk tree at the old
+    * hashed path strands forever. Deletes trees under `baseDir` whose name
+    * starts with one of `prefixes`, whose ROOT path (swap `_old`/`_tmp`
+    * companions normalize to their root) is not in `live`, and whose
+    * mtime is older than `graceMs` — the grace window keeps a tree another
+    * session just built (cache not shared across JVMs) from being swept
+    * mid-use; size it to the serving layer's cache lifetime. Returns the
+    * deleted paths. */
+  def gcOrphans(spark: SparkSession, baseDir: String, prefixes: Seq[String],
+                live: Set[String], graceMs: Long): Seq[String] = {
+    val (fs, base) = fsFor(spark, baseDir)
+    if (!fs.exists(base)) return Seq.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(base).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      val root = name.stripSuffix("_old").stripSuffix("_tmp")
+      val rootPath = s"$baseDir/$root"
+      val isIndexTree = st.isDirectory && prefixes.exists(root.startsWith)
+      if (isIndexTree && !live.contains(rootPath) &&
+          now - st.getModificationTime > graceMs) {
+        fs.delete(st.getPath, true)
+        Some(st.getPath.toString)
+      } else None
+    }
+  }
+
   /** Count of data files under `path` (recursive; `_`/`.`-prefixed
     * bookkeeping excluded). The streaming sinks compare this against their
     * `compactFiles` threshold each batch — one listing per tick, which is

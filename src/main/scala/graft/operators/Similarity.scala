@@ -1058,6 +1058,16 @@ object Similarity {
   /** Clear the whole in-memory index cache (restart simulation / tests). */
   def invalidateAllIndexes(): Unit = { ivfCache.clear(); lshCache.clear() }
 
+  /** Sweep orphaned ANN index trees (retired fingerprints) under
+    * `baseDir` — see [[graft.operators.IndexMaint.gcOrphans]]. */
+  def annIndexGc(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+                 graceMs: Long = 3600000L): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val live = (ivfCache.values.asScala.map(_.path) ++
+      lshCache.values.asScala.map(_.path)).toSet
+    IndexMaint.gcOrphans(spark, baseDir, Seq("ivf_", "lsh_"), live, graceMs)
+  }
+
   /** Cached [[ivfBuild]]: `corpusKey` identifies the corpus contents (e.g.
     * its parquet directory); `baseDir` hosts the partitioned index files. */
   def ivfIndexFor(corpus: DataFrame, corpusKey: String, idCol: String,
@@ -1376,7 +1386,11 @@ object Similarity {
     * flipped an exact-answer-sized corpus to the approximate arm). A count
     * resolves from parquet footers on bare scans and is a narrow
     * no-shuffle pass otherwise — noise next to the k-NN join the decision
-    * governs, and the flip stays deterministic and observable. */
+    * governs, and the flip stays deterministic and observable. Counts are
+    * memoized per (canonicalized plan, input-file fingerprint) so repeated
+    * served requests on an unchanged corpus pay the pass ONCE (the
+    * TextSearch.txCache pattern); frames without file lineage are counted
+    * every time — two distinct in-memory frames can canonicalize alike. */
   def knnJoinFlip(right: DataFrame, vecCol: String,
                   dim: Int = 0): (Long, Long, String, Int) = {
     val spark = right.sparkSession
@@ -1390,7 +1404,7 @@ object Similarity {
     val rowBytes = 4L * dim0 + 32L
     def bytesOf(rows: Long): Long =
       if (rows > Long.MaxValue / rowBytes) Long.MaxValue else rows * rowBytes
-    val rows = stats.rowCount.map(_.toLong).getOrElse(right.count())
+    val rows = stats.rowCount.map(_.toLong).getOrElse(memoizedCount(right))
     val bytes = bytesOf(rows)
     if (bytes <= bruteBytes) (rows, bytes, "BRUTE", 0)
     else {
@@ -1399,6 +1413,35 @@ object Similarity {
       if (nlist.toLong * dim0 > centroidMaxFloats) (rows, bytes, "LSH", 0)
       else (rows, bytes, "IVF", nlist)
     }
+  }
+
+  // ─── knnJoinFlip count memo (round-10 ADVICE #3 / verdict low) ───
+  // A SERVED root (row-id attach) pays a real narrow pass per exact count;
+  // repeated auto-dispatched knnJoin requests on an unchanged corpus must
+  // not re-count. Keyed like the index caches: canonicalized plan identity
+  // + input-file fingerprint (path/size/mtime), so any out-of-band data
+  // change — or a different filter on the same files — keys a fresh count.
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] val knnCountJobs = new java.util.concurrent.atomic.AtomicLong
+
+  private def memoizedCount(df: DataFrame): Long = {
+    val fp = fingerprint(df)
+    // no file lineage → no safe cross-request identity (two distinct
+    // in-memory frames can canonicalize alike): count directly
+    if (fp == "nofiles") {
+      knnCountJobs.incrementAndGet()
+      return df.count()
+    }
+    val key =
+      keyHash(df.queryExecution.optimizedPlan.canonicalized.toString) + "|" + fp
+    // crude bound for a long-lived service: the memo holds one Long per
+    // distinct served plan — reset rather than evict if it ever balloons
+    if (countMemo.size > 4096) countMemo.clear()
+    countMemo.computeIfAbsent(key, _ => {
+      knnCountJobs.incrementAndGet()
+      java.lang.Long.valueOf(df.count())
+    }).longValue()
   }
 
   /** k-NN join with AUTOMATIC strategy choice ([[knnJoinFlip]]): callers

@@ -518,38 +518,105 @@ object TextSearch {
   private val txCache =
     new java.util.concurrent.ConcurrentHashMap[String, TextIndex]()
   private[graft] val textBuildCount = new java.util.concurrent.atomic.AtomicLong
+  /** Delta appends taken by the [[textIndexFor]] fast path (observability:
+    * append-only corpus growth must grow THIS, not [[textBuildCount]]). */
+  private[graft] val textDeltaAppendCount =
+    new java.util.concurrent.atomic.AtomicLong
   /** Max-score prunes that VERIFIED and returned the candidate top-k
     * (observability for specs/probes; the fallback path never counts). */
   private[graft] val pruneHitCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Per-(params sans fingerprint) lineage of the last served corpus: its
+    * file statuses and full cache key — the append fast path's memory. */
+  private val txLineage = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, (Long, Long)], String)]()
+
+  private def fileStatuses(corpus: DataFrame): Map[String, (Long, Long)] = {
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    corpus.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      f -> (st.getLen, st.getModificationTime)
+    }.toMap
+  }
+
   /** Cached [[textIndexBuild]] keyed by corpus identity + content
     * fingerprint + parameters — the same pattern as
     * [[Dedup.minhashIndexFor]]: first request builds, later requests
-    * re-open the sidecar, a changed corpus fingerprints to a new path. */
+    * re-open the sidecar, a changed corpus fingerprints to a new path.
+    *
+    * APPEND fast path (round-10 verdict #7): when the new fingerprint's
+    * file set is a strict SUPERSET of the previously served one (same
+    * params, every common file byte-identical by size+mtime — the
+    * append-only growth a streaming-landing corpus root produces), the
+    * delta files are [[textIndexAppend]]ed into the EXISTING tree instead
+    * of rebuilding from scratch; the old cache key retires. Contract: the
+    * corpus frame must be a bare scan of its files (the same contract the
+    * fingerprint itself assumes) — a stale handle to the pre-growth
+    * corpus afterwards sees a superset index, the family's documented
+    * at-least-once semantics. */
   def textIndexFor(corpus: DataFrame, corpusKey: String, textCol: String,
                    idCol: String, baseDir: String,
                    buckets: Int = 256, positions: Boolean = false): TextIndex = {
     // tx3: format tag — bumped when the tree layout changes (tx3 added the
     // doc-level _tf tier; the path derives from this key, so stale trees
     // from an older format are never re-opened as current)
+    val params = s"tx3|$corpusKey|$textCol|$idCol|$buckets|$positions"
     val key = s"tx3|$corpusKey|${Similarity.fingerprint(corpus)}|" +
       s"$textCol|$idCol|$buckets|$positions"
-    txCache.computeIfAbsent(key, _ => {
+    // the retired key is removed AFTER computeIfAbsent returns — mutating
+    // other mappings inside a CHM compute violates its contract
+    val retired = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val out = txCache.computeIfAbsent(key, _ => {
       val spark = corpus.sparkSession
       val path = s"$baseDir/tx_${Similarity.keyHash(key)}"
       Similarity.readMeta[TextIndex](spark, path).getOrElse {
-        val idx = textIndexBuild(corpus, textCol, idCol, path, buckets,
-          positions)
-        textBuildCount.incrementAndGet()
-        idx
+        val files = fileStatuses(corpus)
+        val prev = Option(txLineage.get(params))
+        val delta = prev.collect {
+          case (prevFiles, prevKey)
+            if prevFiles.nonEmpty && files.size > prevFiles.size &&
+              prevFiles.forall { case (f, st) => files.get(f).contains(st) } =>
+            (files.keySet -- prevFiles.keySet, prevKey)
+        }
+        delta.flatMap { case (newFiles, prevKey) =>
+          Option(txCache.get(prevKey)).map { prevIdx =>
+            val segment = spark.read.parquet(newFiles.toSeq: _*)
+            val updated = textIndexAppend(prevIdx, segment, textCol)
+            textDeltaAppendCount.incrementAndGet()
+            retired.set(prevKey) // the grown tree no longer answers it
+            updated
+          }
+        }.getOrElse {
+          val idx = textIndexBuild(corpus, textCol, idCol, path, buckets,
+            positions)
+          textBuildCount.incrementAndGet()
+          idx
+        }
       }
     })
+    Option(retired.get()).foreach(txCache.remove(_))
+    txLineage.put(params, (fileStatuses(corpus), key))
+    out
   }
 
   /** Drop cached text indexes for `corpusKey` (on-disk trees stay). */
-  def invalidateTextIndexes(corpusKey: String): Unit =
+  def invalidateTextIndexes(corpusKey: String): Unit = {
     txCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
+    txLineage.keySet.removeIf(_.contains(s"|$corpusKey|"))
+  }
 
   /** Clear the whole cache (restart simulation / tests). */
-  def invalidateAllTextIndexes(): Unit = txCache.clear()
+  def invalidateAllTextIndexes(): Unit = { txCache.clear(); txLineage.clear() }
+
+  /** Sweep orphaned text-index trees under `baseDir`: every tree not
+    * referenced by the live cache and older than `graceMs` is deleted
+    * (retired fingerprints otherwise strand their trees forever — the
+    * round-10 verdict's unbounded-disk item). Returns deleted paths. */
+  def textIndexGc(spark: SparkSession, baseDir: String,
+                  graceMs: Long = 3600000L): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val live = txCache.values.asScala.map(_.path).toSet
+    IndexMaint.gcOrphans(spark, baseDir, Seq("tx_"), live, graceMs)
+  }
 }

@@ -766,21 +766,38 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{IndexMaint, Similarity, TextSearch}
     var idx: TextSearch.TextIndex = null
+    // bootstrap-in-progress marker (round-10 ADVICE): textIndexBuild writes
+    // its parquet tree BEFORE writeMeta — a crash in that window leaves a
+    // data-bearing dir with no sidecar, indistinguishable from a pre-seeded
+    // tree that forgot its sidecar (which must be refused, not clobbered).
+    // The marker, written before the bootstrap build and removed after its
+    // sidecar lands, disambiguates: marker present → torn bootstrap, safe
+    // to overwrite-rebuild (mode(overwrite) is idempotent); absent → refuse.
+    // It lives NEXT TO the tree, not inside it (the overwrite would eat it).
+    val marker = new org.apache.hadoop.fs.Path(s"${indexDir}_bootstrap_inprogress")
     writeBatches(stream, checkpoint, trigger) { (batch, _) =>
       val spark = batch.sparkSession
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (idx == null) {
         idx = Similarity.readMeta[TextSearch.TextIndex](spark, indexDir).orNull
-        if (idx == null) requireCleanBootstrap(spark, indexDir, "textIndexSink")
+        if (idx == null) {
+          if (fs.exists(marker))
+            log.warn(s"textIndexSink: torn bootstrap at $indexDir " +
+              "(in-progress marker present, no sidecar) — rebuilding")
+          else requireCleanBootstrap(spark, indexDir, "textIndexSink")
+        } else fs.delete(marker, false) // sidecar landed; stale marker moot
       }
       // one pass over the batch feeds both the output append and the
       // posting append
       val b = batch.localCheckpoint()
       b.write.mode("append").parquet(outDir)
       if (!b.isEmpty) {
-        if (idx == null)
+        if (idx == null) {
+          fs.create(marker, true).close()
           idx = TextSearch.textIndexBuild(b, textCol, idCol, indexDir, buckets,
             positions)
-        else idx = TextSearch.textIndexAppend(idx, b, textCol)
+          fs.delete(marker, false)
+        } else idx = TextSearch.textIndexAppend(idx, b, textCol)
       }
       // floor the threshold at the bucket count: a compacted tree holds up
       // to one file PER BUCKET, so a threshold below `buckets` would be

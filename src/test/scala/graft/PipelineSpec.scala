@@ -1246,6 +1246,27 @@ class PipelineSpec extends SparkSpec {
       val brute = Similarity.knnJoinBrute(left, embs, "vec_id", "embedding", 3)
         .collect().map(_.toSeq).toSet
       assert(auto == brute)
+      // the exact count is memoized per (plan, file fingerprint): repeated
+      // auto dispatches on an UNCHANGED file-backed corpus run ONE count
+      // job total (round-10 verdict low #3) — fresh DataFrame objects per
+      // request, like a serving layer builds
+      val jobs0 = Similarity.knnCountJobs.get()
+      Similarity.knnJoinFlip(graft.core.Tables.load(spark, sf, "embeddings"),
+        "embedding")
+      val jobsAfterFirst = Similarity.knnCountJobs.get()
+      for (_ <- 1 to 3)
+        Similarity.knnJoinFlip(graft.core.Tables.load(spark, sf, "embeddings"),
+          "embedding")
+      assert(Similarity.knnCountJobs.get() == jobsAfterFirst,
+        "repeated flips on an unchanged corpus must reuse the memoized count")
+      assert(jobsAfterFirst - jobs0 <= 1)
+      // frames WITHOUT file lineage never share a memo entry: two distinct
+      // in-memory frames of different sizes must dispatch by their own size
+      import spark.implicits._
+      val tiny = Seq((1L, Array.fill(4)(0.1f))).toDF("vec_id", "embedding")
+      val (tinyRows, _, _, _) = Similarity.knnJoinFlip(
+        spark.createDataFrame(tiny.rdd, tiny.schema), "embedding")
+      assert(tinyRows == 1L)
     } finally cleanup()
   }
 

@@ -808,6 +808,25 @@ class StreamingSpec extends SparkSpec {
       assert(ex.getMessage.contains("textIndexSink") ||
         Option(ex.getCause).exists(_.getMessage.contains("textIndexSink")), ex.getMessage)
     } finally q3.stop()
+
+    // TORN BOOTSTRAP (round-10 ADVICE): same data-bearing/no-sidecar dir,
+    // but the in-progress marker is present — exactly what a crash between
+    // the bootstrap build and writeMeta leaves behind. The restart must
+    // overwrite-rebuild instead of refusing, then clear the marker.
+    val markerP = new org.apache.hadoop.fs.Path(s"$work/idx_bootstrap_inprogress")
+    fs.create(markerP, true).close()
+    val mem4 = MemoryStream[(Long, String)](spark)
+    val q4 = StreamOps.textIndexSink(
+      mem4.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out4",
+      checkpoint = s"$work/ckpt4", buckets = 8,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem4.addData((7L, "eta theta"))
+      q4.processAllAvailable()
+    } finally q4.stop()
+    assert(idsFor(Seq("eta")) == Seq(7L), "torn bootstrap must rebuild")
+    assert(!fs.exists(markerP), "marker must clear once the sidecar lands")
   }
 
   test("snapshotSink: statuses across batches; unchanged never logged; restart re-opens the ledger") {

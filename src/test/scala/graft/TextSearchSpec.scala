@@ -350,4 +350,71 @@ class TextSearchSpec extends SparkSpec {
       scanIds(a, Seq("c")))
     } finally spark.conf.unset("spark.graft.bm25.pruneMinRows")
   }
+
+  test("textIndexFor: append-only growth appends the delta; GC sweeps orphans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_life2").toString
+    val corpusDir = s"$dir/corpus"
+    val ixDir = s"$dir/ix"
+    TextSearch.invalidateAllTextIndexes()
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(corpusDir)
+    val builds0 = TextSearch.textBuildCount.get()
+    val appends0 = TextSearch.textDeltaAppendCount.get()
+    val c1 = spark.read.parquet(corpusDir)
+    val i1 = TextSearch.textIndexFor(c1, "spec/growth", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    assert(TextSearch.textBuildCount.get() == builds0 + 1)
+    // append-only growth: new files land, old files untouched
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(corpusDir)
+    val c2 = spark.read.parquet(corpusDir)
+    val i2 = TextSearch.textIndexFor(c2, "spec/growth", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    assert(TextSearch.textBuildCount.get() == builds0 + 1,
+      "append-only growth must NOT rebuild")
+    assert(TextSearch.textDeltaAppendCount.get() == appends0 + 1,
+      "append-only growth must take the delta-append path")
+    assert(i2.path == i1.path, "the grown corpus reuses the existing tree")
+    // the appended tree answers exactly like a fresh build of the full corpus
+    val fresh = TextSearch.textIndexBuild(c2, "text", "doc_id", s"$dir/fresh",
+      buckets = 16, positions = true)
+    for (terms <- Seq(Seq("join", "filter"), Seq("scan", "batch", "row")))
+      assert(probedIds(TextSearch.searchIds(i2, terms, 1)) ==
+        probedIds(TextSearch.searchIds(fresh, terms, 1)), s"grown != fresh for $terms")
+    assert(TextSearch.rankedSearch(i2, Seq("join", "filter"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      TextSearch.rankedSearch(fresh, Seq("join", "filter"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // a repeat request is a pure cache hit
+    TextSearch.textIndexFor(c2, "spec/growth", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    assert(TextSearch.textBuildCount.get() == builds0 + 1 &&
+      TextSearch.textDeltaAppendCount.get() == appends0 + 1)
+    // a REWRITTEN corpus (not a superset) rebuilds at a fresh path,
+    // stranding the old tree — the GC sweep's job
+    docs.filter(col("doc_id") % 3 === 0)
+      .write.mode("overwrite").parquet(corpusDir)
+    val c3 = spark.read.parquet(corpusDir)
+    val i3 = TextSearch.textIndexFor(c3, "spec/growth", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    assert(TextSearch.textBuildCount.get() == builds0 + 2)
+    assert(i3.path != i1.path)
+    def trees(): Set[String] = {
+      val f = new java.io.File(ixDir)
+      Option(f.list()).map(_.toSet).getOrElse(Set.empty)
+    }
+    assert(trees().size == 2, s"expected live + orphan, got ${trees()}")
+    // restart simulation: only the current corpus is re-requested, the old
+    // fingerprint never resolves again → its tree is the orphan
+    TextSearch.invalidateAllTextIndexes()
+    TextSearch.textIndexFor(c3, "spec/growth", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    val removed = TextSearch.textIndexGc(spark, ixDir, graceMs = 0L)
+    assert(removed.size == 1, s"GC must sweep exactly the orphan, got $removed")
+    assert(trees() == Set(i3.path.split("/").last))
+    // the live tree still answers after the sweep
+    assert(probedIds(TextSearch.searchIds(i3, Seq("join"), 1)).nonEmpty)
+    // a second sweep is a no-op
+    assert(TextSearch.textIndexGc(spark, ixDir, graceMs = 0L).isEmpty)
+  }
 }
