@@ -1187,11 +1187,14 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       if (f.arg("minMatch").isDefined && (kArg.isDefined || phrase.nonEmpty))
         throw new IllegalArgumentException(
           "search: minMatch: applies to term membership only, not k:/phrase:")
-      if (kArg.isDefined && strArg(f, "corpus").isDefined)
-        throw new IllegalArgumentException(
-          "search: ranked (k:) retrieval indexes THIS table — ranking over " +
-          "a corpus: superset and joining back would return a subset of the " +
-          "superset's top-k with gap-ridden ranks, not this table's top-k")
+      // k: + corpus: is the rank-then-verify contract — scores/statistics
+      // are the ROOT corpus's (per-doc constants, so the restricted top-k
+      // is exactly the first k survivors of the root ranking), ranks
+      // renumber 1..k over this table's survivors. No per-filtered-plan
+      // index build. Without corpus:, k: ranks by THIS table's own
+      // statistics — which builds (and caches) an index per distinct
+      // plan: the right semantics when the slice IS the corpus, priced
+      // accordingly.
       if (kArg.isDefined)
         Seq("score", "rank").foreach(c => require(!t.df.columns.contains(c),
           s"search(k:) emits a '$c' column; the table already has one"))
@@ -1216,7 +1219,11 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       // gain score + rank columns (order with order(by: ["rank"]))
       val out = kArg match {
         case Some(kk) =>
-          val ranked = graft.operators.TextSearch.rankedSearch(idx, terms, kk)
+          val ranked =
+            if (strArg(f, "corpus").isDefined)
+              graft.operators.TextSearch.rankedSearchWithin(idx, terms, kk,
+                t.df, id)
+            else graft.operators.TextSearch.rankedSearch(idx, terms, kk)
           t.df.join(ranked.withColumnRenamed("id", "_gq_sid"),
             col(id) === col("_gq_sid")).drop("_gq_sid")
         case None =>

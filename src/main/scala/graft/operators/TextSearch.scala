@@ -480,7 +480,10 @@ object TextSearch {
     val pruneMinRows = spark.conf
       .getOption("spark.graft.bm25.pruneMinRows").map(_.toLong)
       .getOrElse(500000L)
-    val pruneWorthIt = nonEssential.nonEmpty &&
+    // k ≤ 10000: the pruned return collects the k candidate rows to the
+    // driver — interactive top-k only, never a bulk ranking fetch (the
+    // rankedSearchWithin verify loop grows k geometrically)
+    val pruneWorthIt = k <= 10000 && nonEssential.nonEmpty &&
       essential.map(_.df).sum * 4 <= totalDf &&
       nonEssential.map(_.df).sum >= pruneMinRows
     if (pruneWorthIt) {
@@ -502,6 +505,45 @@ object TextSearch {
     }
     // fallback: score every doc containing any query term (always exact)
     scored(tf)
+  }
+
+  /** BM25 top-k RESTRICTED to the ids present in `within` — the
+    * `filter → search(k:)` serving shape, answered from a (superset)
+    * prebuilt index with NO per-filtered-plan index build. Semantics:
+    * scores and statistics (df, N, avgdl) are the INDEX corpus's — they
+    * are per-document constants of that corpus, so filtering cannot
+    * change any document's score, and the restricted top-k is EXACTLY
+    * the first k survivors of the index ranking (the rank-then-verify
+    * exactness argument). The probe fetches a geometrically growing
+    * prefix of the index ranking until k survivors are found or the
+    * ranking is exhausted; survivor ranks renumber 1..k on the same
+    * (score desc, id) order. Callers wanting the filtered slice's OWN
+    * statistics must index the slice instead (a per-slice build — the
+    * documented expensive path). */
+  def rankedSearchWithin(index: TextIndex, terms: Seq[String], k: Int,
+                         within: DataFrame, idCol: String): DataFrame = {
+    require(k > 0, "rankedSearchWithin needs k > 0")
+    val ids = within.select(col(idCol).as("_gq_wid")).distinct()
+    val ceiling = math.min(math.max(index.docs, 1L), Int.MaxValue.toLong)
+    var kPrime = k.toLong
+    while (true) {
+      val fetchK = math.min(kPrime, ceiling).toInt
+      val ranked = rankedSearch(index, terms, fetchK)
+      val joined = ranked.join(ids, col("id") === col("_gq_wid"), "left")
+      // one bounded pass: how much of the ranking we fetched, and how
+      // many of those survive the restriction
+      val c = joined.agg(count(lit(1)), count(col("_gq_wid"))).head()
+      val (fetched, survivors) = (c.getLong(0), c.getLong(1))
+      if (survivors >= k || fetched < fetchK || kPrime >= ceiling) {
+        return joined.filter(col("_gq_wid").isNotNull).drop("_gq_wid")
+          .orderBy(col("score").desc, col("id").asc).limit(k)
+          .select(col("id"), col("score"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("id").asc)).cast("long").as("rank"))
+      }
+      kPrime *= 4
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Full matching rows from `corpus` (semi-join against the probed ids;

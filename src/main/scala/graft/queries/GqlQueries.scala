@@ -788,6 +788,69 @@ object GqlQueries {
       "doc_id BIGINT, score DOUBLE, rank BIGINT"),
     PipelineQueries.q_text_bm25.oracle)
 
+  /** Served filtered BM25 — the rank-then-verify contract: `filter →
+    * search(k:, corpus:)` ranks by the ROOT corpus's statistics (per-doc
+    * constants, so the restricted top-k is exactly the first k survivors
+    * of the root ranking), ranks renumbered 1..k over the survivors, and
+    * the probe reuses the root's prebuilt index — NO per-filtered-plan
+    * index build. The oracle recomputes full-corpus BM25, restricts to
+    * the filter, and cuts the top k. */
+  val q_gql_bm25_filtered = Q(
+    "q_gql_bm25_filtered",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: filter(lang: {eq: "en"}) {
+             s: search(terms: ["join", "filter", "hash"], on: "text",
+                       id: "doc_id", k: 20, corpus: "documents") {
+               o: order(by: ["rank"]) {
+                 c: columns { doc_id { values } score { values }
+                              rank { values } } } } } } }""",
+      Seq("t", "f", "s", "o", "c"),
+      "doc_id BIGINT, score DOUBLE, rank BIGINT"),
+    Some("""WITH d AS (SELECT doc_id, lang,
+              regexp_split_to_array(lower(text), '\s+') AS a FROM documents),
+          stats AS (SELECT count(a) AS n, avg(len(a)) AS avgdl FROM d),
+          tok AS (SELECT doc_id, len(a) AS dl, unnest(a) AS term FROM d),
+          tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tok
+                 WHERE term IN ('join', 'filter', 'hash') GROUP BY 1, 2, 3),
+          dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id,
+              round(sum(
+                ln(1 + (CAST(stats.n AS DOUBLE) - dfs.df + 0.5) / (dfs.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 6)
+                AS score
+            FROM tf JOIN dfs USING (term) CROSS JOIN stats GROUP BY 1),
+          surv AS (SELECT sc.doc_id, sc.score FROM sc
+            JOIN d USING (doc_id) WHERE d.lang = 'en')
+          SELECT doc_id, score,
+            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+              AS rank
+          FROM surv ORDER BY score DESC, doc_id LIMIT 20"""))
+
+  /** Served filtered phrase search — phrase adjacency is a pure
+    * per-document content predicate, so probing the ROOT's positional
+    * index and semi-joining back is exact, no per-filtered-plan build. */
+  val q_gql_phrase_filtered = Q(
+    "q_gql_phrase_filtered",
+    (s, dir) => GqlBridge.frame(s, dir,
+      """{ t: documents {
+           f: filter(lang: {eq: "en"}) {
+             s: search(phrase: ["table", "hash"], on: "text",
+                       id: "doc_id", corpus: "documents") {
+               o: order(by: ["doc_id"]) {
+                 c: columns { doc_id { values } } } } } } }""",
+      Seq("t", "f", "s", "o", "c"),
+      "doc_id BIGINT"),
+    Some("""WITH t AS (SELECT doc_id, lang,
+              regexp_split_to_array(lower(text), '\s+') AS a FROM documents)
+          SELECT doc_id FROM t
+          WHERE lang = 'en' AND len(a) >= 2 AND EXISTS (
+            SELECT 1 FROM UNNEST(range(1, len(a))) AS u(p)
+            WHERE a[CAST(p AS BIGINT)] = 'table'
+              AND a[CAST(p + 1 AS BIGINT)] = 'hash')
+          ORDER BY doc_id"""))
+
   /** Deterministic token-budget head through the service. */
   val q_gql_token_budget = Q(
     "q_gql_token_budget",
@@ -1338,6 +1401,7 @@ object GqlQueries {
     q_gql_mix, q_gql_shuffle, q_gql_reservoir, q_gql_tfidf,
     q_gql_dedup_spans, q_gql_dedup_substr, q_gql_text_stats, q_gql_chunks,
     q_gql_search, q_gql_search_min, q_gql_phrase, q_gql_bm25,
+    q_gql_bm25_filtered, q_gql_phrase_filtered,
     q_gql_token_budget,
     q_gql_scrub, q_gql_imagemeta, q_gql_media_features,
     q_gql_fingerprint, q_gql_pack, q_gql_ann, q_gql_ann_lsh,

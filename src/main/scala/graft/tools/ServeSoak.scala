@@ -136,6 +136,16 @@ object ServeSoak {
         columns { doc_id { values } rank { values } } } } } }"""),
       "tokenbudget" -> gq("""{ documents { h: tokenBudget(budget: 50000,
         on: "text", id: "doc_id", seed: "3") { count } } }"""),
+      // round-11: filtered ranked/phrase retrieval — rank-then-verify off
+      // the ROOT index (corpus:), no per-filtered-plan index build
+      "bm25filt" -> gq("""{ documents { f: filter(lang: {eq: "en"}) {
+        s: search(terms: ["join", "filter", "hash"], on: "text",
+                  id: "doc_id", k: 20, corpus: "documents") {
+        o: order(by: ["rank"]) {
+        columns { doc_id { values } rank { values } } } } } } }"""),
+      "phrasefilt" -> gq("""{ documents { f: filter(lang: {eq: "en"}) {
+        s: search(phrase: ["table", "hash"], on: "text",
+                  id: "doc_id", corpus: "documents") { count } } } }"""),
       // round-11: the served multimodal tier — REAL container-header
       // parsing over the fixture images root and the typed batch-decode path
       "imagemeta" -> gq("""{ images { m: imageMeta(on: "blob") {
@@ -156,6 +166,7 @@ object ServeSoak {
     }.toMap
     val ivfBuilds0 = graft.operators.Similarity.ivfBuildCount.get
     val lshBuilds0 = graft.operators.Similarity.lshBuildCount.get
+    val txBuilds0 = graft.operators.TextSearch.textBuildCount.get
 
     val lat = new ConcurrentLinkedQueue[(String, Double)]()
     val mismatches = new ConcurrentLinkedQueue[String]()
@@ -191,7 +202,8 @@ object ServeSoak {
        else s" FIRST=${mismatches.peek()}"))
     println(s"SERVE extra index builds under concurrency: ivf=" +
       s"${graft.operators.Similarity.ivfBuildCount.get - ivfBuilds0} lsh=" +
-      s"${graft.operators.Similarity.lshBuildCount.get - lshBuilds0} (want 0)")
+      s"${graft.operators.Similarity.lshBuildCount.get - lshBuilds0} tx=" +
+      s"${graft.operators.TextSearch.textBuildCount.get - txBuilds0} (want 0)")
     val cachedFrames = !spark.sharedState.cacheManager.isEmpty
     val persistentRdds = spark.sparkContext.getPersistentRDDs.size
     println(s"SERVE cacheManager nonEmpty=$cachedFrames " +
