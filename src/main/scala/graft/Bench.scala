@@ -24,11 +24,23 @@ object Bench {
     // LLM-pipeline set (round 5): decontamination, span-level dedup,
     // tf-idf keywords, stratified reservoir — tracked so regressions in
     // the documents-table paths show up in BENCH_r{N}
-    "q_decontaminate", "q_dedup_spans", "q_tfidf_topk", "q_reservoir")
+    "q_decontaminate", "q_dedup_spans", "q_tfidf_topk", "q_reservoir",
+    // round-11 set: the round-10 tier was invisible to the bench (a
+    // regression in text search, BM25, the token-budget head, substring
+    // dedup or filtered runs would not show between rounds). Index-backed
+    // entries measure PROBES: textIndexFor re-opens the fingerprint-keyed
+    // sidecar after the first rep, and best-of-N takes the probe floor.
+    "q_text_search", "q_text_bm25", "q_token_budget", "q_dedup_substr",
+    "q_runs_filtered")
 
   /** Queries added to the headline in round 5 (excluded from `core18`). */
   val llmSet: Set[String] =
     Set("q_decontaminate", "q_dedup_spans", "q_tfidf_topk", "q_reservoir")
+
+  /** Queries added in round 11 (excluded from `core18` and `core22`). */
+  val r11Set: Set[String] =
+    Set("q_text_search", "q_text_bm25", "q_token_budget", "q_dedup_substr",
+      "q_runs_filtered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,10 +81,14 @@ object Bench {
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // continuity subtotal: the pre-round-5 18-query set, so cross-round
-    // totals compare like-for-like after the LLM-pipeline set was added
-    val core18 = results.filterNot { case (k, _, _) => llmSet.contains(k) }.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core18":$core18%.3f,"reps":$reps,"queries":$qs,"raw":$raw,"sf":"$sfDir"}""")
+    // continuity subtotals: core18 = the pre-round-5 set; core22 = the
+    // pre-round-11 set — cross-round totals compare like-for-like as the
+    // headline grows
+    val core18 = results.filterNot { case (k, _, _) =>
+      llmSet.contains(k) || r11Set.contains(k) }.map(_._2).sum
+    val core22 = results.filterNot { case (k, _, _) => r11Set.contains(k) }
+      .map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core18":$core18%.3f,"core22":$core22%.3f,"reps":$reps,"queries":$qs,"raw":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
