@@ -171,7 +171,8 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     * only offset+limit rows are ever gathered, never a global row_number
     * window; the natural path is a row-id range filter pushed to the scan.
     */
-  def slice(offset: Long, limit: Option[Long] = None): GTable = {
+  def slice(offset: Long, limit: Option[Long] = None,
+            densifyOffset: Option[Long] = None): GTable = {
     val off = if (offset < 0) math.max(0L, df.count() + offset) else offset
     if (isSorted) {
       require(off <= Int.MaxValue, s"sorted slice offset $off exceeds Int range")
@@ -183,8 +184,12 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
       GTable(df.filter(rid >= off && hi.map(rid < _).getOrElse(lit(true)))
         .orderBy(rid), denseRid = false)
     } else if (Natural.hasRowId(df) &&
-        off >= df.sparkSession.conf.getOption("spark.graft.slice.densifyOffset")
-          .map(_.toLong).getOrElse(1L << 20)) {
+        // the caller's explicit threshold wins over the session knob —
+        // gates thread it as a parameter so no concurrently running query
+        // observes a mutated session conf (round-10 ADVICE #4)
+        off >= densifyOffset
+          .orElse(df.sparkSession.conf.getOption("spark.graft.slice.densifyOffset")
+            .map(_.toLong)).getOrElse(1L << 20)) {
       // DEEP offset on a sparse rid (e.g. slice far into a filtered table):
       // Offset+Limit materializes per-partition top-(off+limit) heaps — a
       // memory hazard once off is large. Re-rank the sparse rid dense

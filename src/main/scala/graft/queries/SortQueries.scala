@@ -126,26 +126,21 @@ object SortQueries {
             LIMIT 100 OFFSET 1000"""))
 
   /** DEEP slice into a FILTERED table: the sparse rid is re-ranked dense
-    * (GTable.densify — block prefix-sum) past the densifyOffset knob, so
+    * (GTable.densify — block prefix-sum) past the densify threshold, so
     * the slice executes as a pushed rid range filter instead of
-    * per-partition top-(offset+limit) heaps. The knob is lowered here so
-    * the gate exercises the densify path at gate scale; the oracle
-    * re-numbers the filtered survivors the same way. */
+    * per-partition top-(offset+limit) heaps. The threshold is lowered as
+    * an EXPLICIT slice parameter (never a session-conf mutation — a
+    * concurrently running query must not observe it) so the gate
+    * exercises the densify path at gate scale; the oracle re-numbers the
+    * filtered survivors the same way. */
   val q_slice_filtered = Q(
     "q_slice_filtered",
     (s, dir) => {
-      val prev = s.conf.getOption("spark.graft.slice.densifyOffset")
-      s.conf.set("spark.graft.slice.densifyOffset", "1000")
-      try {
-        val li = GTable(Tables.loadOrdered(s, dir, "lineitem"))
-        li.filter(col("l_quantity") > 25)
-          .slice(20000, Some(100))
-          .select("l_orderkey", "l_linenumber", "l_quantity")
-          .result
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.graft.slice.densifyOffset", v)
-        case None => s.conf.unset("spark.graft.slice.densifyOffset")
-      }
+      val li = GTable(Tables.loadOrdered(s, dir, "lineitem"))
+      li.filter(col("l_quantity") > 25)
+        .slice(20000, Some(100), densifyOffset = Some(1000L))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .result
     },
     Some("""WITH t AS (SELECT *, row_number() OVER () rid FROM lineitem),
           f AS (SELECT *, row_number() OVER (ORDER BY rid) prid FROM t
