@@ -199,11 +199,12 @@ class GraphQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](service.execute(
       """{ documents { h: tokenBudget(budget: 10, id: "doc_id") { count } } }"""))
     // conflicting search modes are rejected BEFORE any index build
+    // (k: + corpus: is NOT a conflict since round 11 — it is the
+    // rank-then-verify contract, gated by q_gql_bm25_filtered)
     for (q <- Seq(
         """search(terms: ["a"], phrase: ["b"], on: "text", id: "doc_id")""",
         """search(phrase: ["a", "b"], on: "text", id: "doc_id", k: 5)""",
-        """search(terms: ["a"], on: "text", id: "doc_id", k: 5, minMatch: 1)""",
-        """search(terms: ["a"], on: "text", id: "doc_id", k: 5, corpus: "documents")"""))
+        """search(terms: ["a"], on: "text", id: "doc_id", k: 5, minMatch: 1)"""))
       intercept[IllegalArgumentException](service.execute(
         s"""{ documents { s: $q { count } } }"""))
   }
