@@ -454,8 +454,17 @@ object TextSearch {
     val contrib = element_at(idfMap, col("term")) *
       (col("_tf") * lit(k1 + 1.0)) /
       (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / avgdl))
+    // deterministic reduction (round-10 ADVICE): a plain sum(contrib)'s
+    // FP association order varies with partitioning, and a sum within
+    // ~1 ulp of a 0.5e-6 rounding boundary could flip its rounded value
+    // between retries, perturbing the tie-break and the top-k cut. Each
+    // doc holds ≤ |query terms| rows, so collecting them and folding in
+    // sorted term order is O(terms) per doc — bit-stable across retries,
+    // repartitioning and topologies.
     def scored(rows: DataFrame): DataFrame = rows
-      .groupBy("id").agg(round(sum(contrib), 6).as("score"))
+      .groupBy("id").agg(round(aggregate(
+        array_sort(collect_list(struct(col("term"), contrib.as("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")), 6).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
       .withColumn("rank", row_number().over(

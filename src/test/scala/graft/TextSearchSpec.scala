@@ -216,6 +216,27 @@ class TextSearchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet.contains(100000L))
   }
 
+  test("BM25 scores are bit-stable across shuffle partitioning") {
+    // the deterministic reduction (sorted per-doc term fold) must yield
+    // byte-identical scores whatever the partition count — the round-10
+    // ADVICE rounding-boundary flake window
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_det").toString
+    val idx = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/ix",
+      buckets = 32, positions = true)
+    val terms = Seq("join", "filter", "hash", "table")
+    def run(): Seq[(Long, Double, Long)] =
+      TextSearch.rankedSearch(idx, terms, k = 25).orderBy("rank")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = run()
+    try {
+      for (p <- Seq("1", "7", "64")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(run() == base, s"BM25 ranking drifted at shuffle.partitions=$p")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", parts0)
+  }
+
   test("merged shard indexes answer like a monolithic build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_merge").toString
     val shardA = docs.filter(col("doc_id") % 3 === 0)
