@@ -1117,10 +1117,17 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
           s"imageMeta needs a binary (or string) column, got $on: ${other.simpleString}")
       }
       val meta = graft.operators.Multimodal.imageMetadata(t.df.sparkSession, src)
+      // project the fused parse ONCE as a real column, then split its
+      // fields (the TextAnalysis.stats hot-path rule): three direct
+      // getFields would put three copies of the header parse in the
+      // collapsed projection and re-parse per field wherever
+      // subexpression elimination doesn't rescue it
       val out = t.result
-        .withColumn(s"${prefix}format", meta.getField("format"))
-        .withColumn(s"${prefix}width", meta.getField("width"))
-        .withColumn(s"${prefix}height", meta.getField("height"))
+        .withColumn("_gq_imeta", meta)
+        .withColumn(s"${prefix}format", col("_gq_imeta").getField("format"))
+        .withColumn(s"${prefix}width", col("_gq_imeta").getField("width"))
+        .withColumn(s"${prefix}height", col("_gq_imeta").getField("height"))
+        .drop("_gq_imeta")
       resolveTable(GTable(out, sortedBy = t.sortedBy, denseRid = t.denseRid),
         f, None)
     case "mediaFeatures" =>
@@ -1142,8 +1149,18 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
         case other => throw new IllegalArgumentException(
           s"mediaFeatures needs a binary (or string) column, got $on: ${other.simpleString}")
       }
+      // null contracts (a raw task NPE is not an answer): a null blob
+      // decodes as an EMPTY blob (n_bytes 0, the decoder's deterministic
+      // empty-input features) — the same degrade-not-fail shape as
+      // imageMeta on unparseable bytes; a null id has no meaningful
+      // feature row and fails loudly with a typed per-row error instead
+      // of the encoder's opaque non-nullable-field crash
       val rows = t.result
-        .select(col(id).cast("long").as("doc_id"), blobCol.as("blob"))
+        .filter(assert_true(col(id).isNotNull,
+          lit(s"mediaFeatures: null $id — the id column must be non-null"))
+          .isNull)
+        .select(col(id).cast("long").as("doc_id"),
+          coalesce(blobCol, lit(Array.empty[Byte])).as("blob"))
         .as[graft.operators.Multimodal.MediaRow]
       val feats = graft.operators.Multimodal.decodeBatch(rows, k).toDF()
       val unpacked = (0 until k).foldLeft(feats) { (d, i) =>

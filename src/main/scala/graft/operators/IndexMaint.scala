@@ -108,16 +108,24 @@ private[graft] object IndexMaint {
     val (fs, base) = fsFor(spark, baseDir)
     if (!fs.exists(base)) return Seq.empty
     val now = System.currentTimeMillis()
+    // liveness compares NORMALIZED paths (Path.toUri.getPath strips
+    // schemes, duplicate and trailing slashes): a baseDir spelled
+    // "/idx/" or "file:/idx" against cached "/idx/tx_..." paths must
+    // never mark a live, actively-served tree an orphan
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val liveNorm = live.map(norm)
     fs.listStatus(base).toSeq.flatMap { st =>
       val name = st.getPath.getName
       val root = name.stripSuffix("_old").stripSuffix("_tmp")
-      val rootPath = s"$baseDir/$root"
+      val rootPath = norm(new org.apache.hadoop.fs.Path(base, root).toString)
       val isIndexTree = st.isDirectory && prefixes.exists(root.startsWith)
-      if (isIndexTree && !live.contains(rootPath) &&
-          now - st.getModificationTime > graceMs) {
-        fs.delete(st.getPath, true)
+      // only a delete that actually happened is reported
+      if (isIndexTree && !liveNorm.contains(rootPath) &&
+          now - st.getModificationTime > graceMs &&
+          fs.delete(st.getPath, true))
         Some(st.getPath.toString)
-      } else None
+      else None
     }
   }
 

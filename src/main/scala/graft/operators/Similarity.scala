@@ -1008,15 +1008,28 @@ object Similarity {
     if (files.isEmpty) "nofiles"
     else {
       val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-      val md = java.security.MessageDigest.getInstance("MD5")
-      files.foreach { f =>
+      fingerprintFrom(files.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         val st = p.getFileSystem(conf).getFileStatus(p)
-        md.update(s"$f|${st.getLen}|${st.getModificationTime}\n".getBytes("UTF-8"))
+        f -> (st.getLen, st.getModificationTime)
+      }.toMap)
+    }
+  }
+
+  /** [[fingerprint]] from an already-collected file-status map — callers
+    * that need the statuses anyway (the textIndexFor append fast path's
+    * lineage) stat each file ONCE instead of twice per request. Digest
+    * is byte-identical to [[fingerprint]] on the same files. */
+  private[operators] def fingerprintFrom(
+      statuses: Map[String, (Long, Long)]): String =
+    if (statuses.isEmpty) "nofiles"
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      statuses.toSeq.sortBy(_._1).foreach { case (f, (len, mtime)) =>
+        md.update(s"$f|$len|$mtime\n".getBytes("UTF-8"))
       }
       md.digest().take(8).map("%02x".format(_)).mkString
     }
-  }
 
   private val MetaFile = "_graft_index_meta.bin"
 

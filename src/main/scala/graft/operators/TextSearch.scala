@@ -387,7 +387,8 @@ object TextSearch {
     * NEVER an answer change. Costs one bounded stats collect (≤ |terms|
     * rows) plus, when pruning applies, a k-row candidate collect. */
   def rankedSearch(index: TextIndex, terms: Seq[String], k: Int,
-                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                   k1: Double = 1.2, b: Double = 0.75,
+                   pruneMinRows: Long = 500000L): DataFrame = {
     require(index.positional,
       s"rankedSearch needs an index built with positions = true (${index.path})")
     require(k > 0, "rankedSearch needs k > 0")
@@ -485,10 +486,10 @@ object TextSearch {
     // pruning pays two extra scheduling rounds (stats collect + candidate
     // top-k); only worth it when the skipped volume is real — the common
     // side must carry most of the rows AND enough of them that the saved
-    // aggregation beats the fixed job cost (tunable; specs lower it)
-    val pruneMinRows = spark.conf
-      .getOption("spark.graft.bm25.pruneMinRows").map(_.toLong)
-      .getOrElse(500000L)
+    // aggregation beats the fixed job cost. The bar is an explicit
+    // parameter (specs/probes lower it), NOT session conf — the round-10
+    // slice-densify rule: a shared-session knob mutated for one query is
+    // observed by every concurrent query.
     // k ≤ 10000: the pruned return collects the k candidate rows to the
     // driver — interactive top-k only, never a bulk ranking fetch (the
     // rankedSearchWithin verify loop grows k geometrically)
@@ -538,7 +539,13 @@ object TextSearch {
     while (true) {
       val fetchK = math.min(kPrime, ceiling).toInt
       val ranked = rankedSearch(index, terms, fetchK)
+      // localCheckpoint pins the iteration's ranking ∘ restriction result
+      // (≤ fetchK narrow rows, executor-local, GC-tied — the sinks'
+      // pattern): the survivor-count agg below and the returned frame then
+      // share ONE execution instead of re-running the whole index probe,
+      // groupBys and sort a second time when the caller materializes
       val joined = ranked.join(ids, col("id") === col("_gq_wid"), "left")
+        .localCheckpoint()
       // one bounded pass: how much of the ranking we fetched, and how
       // many of those survive the restriction
       val c = joined.agg(count(lit(1)), count(col("_gq_wid"))).head()
@@ -613,7 +620,11 @@ object TextSearch {
     // doc-level _tf tier; the path derives from this key, so stale trees
     // from an older format are never re-opened as current)
     val params = s"tx3|$corpusKey|$textCol|$idCol|$buckets|$positions"
-    val key = s"tx3|$corpusKey|${Similarity.fingerprint(corpus)}|" +
+    // ONE stat pass per request: the statuses feed both the fingerprint
+    // (cache key) and the lineage record — the pre-round-11 form statted
+    // every file twice (three times on a miss) per served request
+    val files = fileStatuses(corpus)
+    val key = s"tx3|$corpusKey|${Similarity.fingerprintFrom(files)}|" +
       s"$textCol|$idCol|$buckets|$positions"
     // the retired key is removed AFTER computeIfAbsent returns — mutating
     // other mappings inside a CHM compute violates its contract
@@ -622,7 +633,6 @@ object TextSearch {
       val spark = corpus.sparkSession
       val path = s"$baseDir/tx_${Similarity.keyHash(key)}"
       Similarity.readMeta[TextIndex](spark, path).getOrElse {
-        val files = fileStatuses(corpus)
         val prev = Option(txLineage.get(params))
         val delta = prev.collect {
           case (prevFiles, prevKey)
@@ -647,7 +657,20 @@ object TextSearch {
       }
     })
     Option(retired.get()).foreach(txCache.remove(_))
-    txLineage.put(params, (fileStatuses(corpus), key))
+    // lineage may only ADVANCE. A request whose corpus frame was listed
+    // BEFORE a growth (its file set a strict subset of the stored lineage,
+    // every common file status-identical) re-opens the grown tree via
+    // readMeta — fine, a superset answer is the family's at-least-once
+    // contract — but writing its stale file set back would make the NEXT
+    // growth re-append files already in the tree, double-counting
+    // docs/totalLen in the sidecar and skewing BM25's N/avgdl until a
+    // compaction recount. merge() adjudicates atomically per params key.
+    txLineage.merge(params, (files, key), (cur, neu) => {
+      val (curFiles, _) = cur
+      val stale = neu._1.size < curFiles.size &&
+        neu._1.forall { case (f, st) => curFiles.get(f).contains(st) }
+      if (stale) cur else neu
+    })
     out
   }
 

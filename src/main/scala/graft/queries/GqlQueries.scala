@@ -809,7 +809,8 @@ object GqlQueries {
       "doc_id BIGINT, score DOUBLE, rank BIGINT"),
     Some("""WITH d AS (SELECT doc_id, lang,
               regexp_split_to_array(lower(text), '\s+') AS a FROM documents),
-          stats AS (SELECT count(a) AS n, avg(len(a)) AS avgdl FROM d),
+          stats AS (SELECT count(*) AS n, avg(len(a)) AS avgdl FROM d
+              WHERE len(list_filter(a, t -> len(t) > 0)) > 0),
           tok AS (SELECT doc_id, len(a) AS dl, unnest(a) AS term FROM d),
           tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tok
                  WHERE term IN ('join', 'filter', 'hash') GROUP BY 1, 2, 3),

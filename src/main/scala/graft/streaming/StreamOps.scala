@@ -194,6 +194,54 @@ object StreamOps {
         "after the build; refusing to overwrite the existing trees. " +
         "Write the sidecar, or delete the directory to bootstrap fresh.")
 
+  // ─── torn-bootstrap disambiguation (round-10 ADVICE, generalized to
+  // every index-backed sink in round 11) ───
+  //
+  // Each sink's bootstrap build writes its parquet tree BEFORE the sidecar
+  // lands, so a crash in that window leaves a data-bearing dir with no
+  // sidecar — indistinguishable from a pre-seeded tree that forgot its
+  // writeMeta (which must be refused, not clobbered). A marker file written
+  // before the bootstrap build and removed once the sidecar lands
+  // disambiguates: marker present → torn bootstrap, the overwrite-rebuild
+  // is idempotent and safe; absent → refuse. The marker lives NEXT TO the
+  // tree, not inside it (the overwrite would eat it).
+
+  private def bootstrapMarker(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"${indexDir}_bootstrap_inprogress")
+
+  /** First-batch path when no sidecar resolved: torn bootstrap (marker
+    * present) logs and proceeds to rebuild; anything else defers to
+    * [[requireCleanBootstrap]]'s data-without-sidecar refusal. */
+  private def resolveBootstrap(spark: SparkSession, indexDir: String,
+                               sink: String): Unit = {
+    val marker = bootstrapMarker(indexDir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker))
+      log.warn(s"$sink: torn bootstrap at $indexDir " +
+        "(in-progress marker present, no sidecar) — rebuilding")
+    else requireCleanBootstrap(spark, indexDir, sink)
+  }
+
+  /** Sidecar resolved on restart: any stale marker is moot — drop it. */
+  private def clearBootstrapMarker(spark: SparkSession, indexDir: String): Unit = {
+    val marker = bootstrapMarker(indexDir)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+  }
+
+  /** Run the bootstrap `build` (tree write + sidecar) inside the marker
+    * window: marker up before the first byte, down only after the sidecar
+    * landed, so every crash point inside is recognizably torn. */
+  private def withBootstrapMarker[T](spark: SparkSession, indexDir: String)
+                                    (build: => T): T = {
+    val marker = bootstrapMarker(indexDir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    val built = build
+    fs.delete(marker, false)
+    built
+  }
+
   /** Streaming incremental-ingestion dedup: a foreachBatch loop whose
     * corpus hash-set state UPDATES between micro-batches — the piece
     * [[graft.operators.Dedup.exactIncremental]] (batch vs a STATIC corpus)
@@ -406,7 +454,8 @@ object StreamOps {
       val spark = batch.sparkSession
       if (idx == null) {
         idx = Similarity.readMeta[Dedup.MinHashIndex](spark, indexDir).orNull
-        if (idx == null) requireCleanBootstrap(spark, indexDir, "nearDupDedupSink")
+        if (idx == null) resolveBootstrap(spark, indexDir, "nearDupDedupSink")
+        else clearBootstrapMarker(spark, indexDir)
       }
       val afterCorpus =
         if (idx == null) batch
@@ -428,9 +477,12 @@ object StreamOps {
       survivors.write.mode("append").parquet(outDir)
       if (!survivors.isEmpty) {
         if (idx == null) {
-          idx = Dedup.minhashIndexBuild(survivors, textCol, idCol, indexDir,
-            n, k, bands, md5, slots)
-          Similarity.writeMeta(spark, indexDir, idx)
+          idx = withBootstrapMarker(spark, indexDir) {
+            val built = Dedup.minhashIndexBuild(survivors, textCol, idCol,
+              indexDir, n, k, bands, md5, slots)
+            Similarity.writeMeta(spark, indexDir, built)
+            built
+          }
         } else Dedup.minhashIndexAppend(idx, survivors,
           segmentId = s"batch-$batchId")
       }
@@ -483,7 +535,8 @@ object StreamOps {
       val spark = batch.sparkSession
       if (idx == null) {
         idx = Similarity.readMeta[Similarity.LshIndex](spark, indexDir).orNull
-        if (idx == null) requireCleanBootstrap(spark, indexDir, "annIngestSink")
+        if (idx == null) resolveBootstrap(spark, indexDir, "annIngestSink")
+        else clearBootstrapMarker(spark, indexDir)
       }
       val afterCorpus =
         if (idx == null) batch
@@ -529,9 +582,12 @@ object StreamOps {
       survivors.write.mode("append").parquet(outDir)
       if (!survivors.isEmpty) {
         if (idx == null) {
-          idx = Similarity.lshBuild(survivors, idCol, vecCol, planes, dim,
-            indexDir, tables)
-          Similarity.writeMeta(spark, indexDir, idx)
+          idx = withBootstrapMarker(spark, indexDir) {
+            val built = Similarity.lshBuild(survivors, idCol, vecCol, planes,
+              dim, indexDir, tables)
+            Similarity.writeMeta(spark, indexDir, built)
+            built
+          }
         } else Similarity.lshAppend(idx, survivors)
       }
       if (compactFiles > 0 && idx != null &&
@@ -582,7 +638,8 @@ object StreamOps {
       val spark = batch.sparkSession
       if (idx == null) {
         idx = Similarity.readMeta[Similarity.IvfIndex](spark, indexDir).orNull
-        if (idx == null) requireCleanBootstrap(spark, indexDir, "semanticIngestSink")
+        if (idx == null) resolveBootstrap(spark, indexDir, "semanticIngestSink")
+        else clearBootstrapMarker(spark, indexDir)
       }
       val afterCorpus =
         if (idx == null) batch
@@ -594,8 +651,12 @@ object StreamOps {
       survivors.write.mode("append").parquet(outDir)
       if (!survivors.isEmpty) {
         if (idx == null) {
-          idx = Similarity.ivfBuild(survivors, idCol, vecCol, nlist, indexDir)
-          Similarity.writeMeta(spark, indexDir, idx)
+          idx = withBootstrapMarker(spark, indexDir) {
+            val built = Similarity.ivfBuild(survivors, idCol, vecCol, nlist,
+              indexDir)
+            Similarity.writeMeta(spark, indexDir, built)
+            built
+          }
         } else Similarity.ivfAppend(idx, survivors)
       }
       if (compactFiles > 0 && idx != null &&
@@ -766,38 +827,25 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{IndexMaint, Similarity, TextSearch}
     var idx: TextSearch.TextIndex = null
-    // bootstrap-in-progress marker (round-10 ADVICE): textIndexBuild writes
-    // its parquet tree BEFORE writeMeta — a crash in that window leaves a
-    // data-bearing dir with no sidecar, indistinguishable from a pre-seeded
-    // tree that forgot its sidecar (which must be refused, not clobbered).
-    // The marker, written before the bootstrap build and removed after its
-    // sidecar lands, disambiguates: marker present → torn bootstrap, safe
-    // to overwrite-rebuild (mode(overwrite) is idempotent); absent → refuse.
-    // It lives NEXT TO the tree, not inside it (the overwrite would eat it).
-    val marker = new org.apache.hadoop.fs.Path(s"${indexDir}_bootstrap_inprogress")
     writeBatches(stream, checkpoint, trigger) { (batch, _) =>
       val spark = batch.sparkSession
-      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (idx == null) {
         idx = Similarity.readMeta[TextSearch.TextIndex](spark, indexDir).orNull
-        if (idx == null) {
-          if (fs.exists(marker))
-            log.warn(s"textIndexSink: torn bootstrap at $indexDir " +
-              "(in-progress marker present, no sidecar) — rebuilding")
-          else requireCleanBootstrap(spark, indexDir, "textIndexSink")
-        } else fs.delete(marker, false) // sidecar landed; stale marker moot
+        if (idx == null) resolveBootstrap(spark, indexDir, "textIndexSink")
+        else clearBootstrapMarker(spark, indexDir)
       }
       // one pass over the batch feeds both the output append and the
       // posting append
       val b = batch.localCheckpoint()
       b.write.mode("append").parquet(outDir)
       if (!b.isEmpty) {
-        if (idx == null) {
-          fs.create(marker, true).close()
-          idx = TextSearch.textIndexBuild(b, textCol, idCol, indexDir, buckets,
-            positions)
-          fs.delete(marker, false)
-        } else idx = TextSearch.textIndexAppend(idx, b, textCol)
+        if (idx == null)
+          idx = withBootstrapMarker(spark, indexDir) {
+            // textIndexBuild writes its own sidecar as the last step
+            TextSearch.textIndexBuild(b, textCol, idCol, indexDir, buckets,
+              positions)
+          }
+        else idx = TextSearch.textIndexAppend(idx, b, textCol)
       }
       // floor the threshold at the bucket count: a compacted tree holds up
       // to one file PER BUCKET, so a threshold below `buckets` would be

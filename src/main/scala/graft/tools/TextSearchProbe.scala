@@ -109,10 +109,9 @@ object TextSearchProbe {
     // term's candidates after verifying the common terms' upper bound
     // can't reach the k-th candidate score
     val mixed = Seq(s"copy${factor / 2}") ++ terms
-    spark.conf.set("spark.graft.bm25.pruneMinRows", "10000")
     val pruneBefore = TextSearch.pruneHitCount.get()
     val bm25Mixed = timed("BM25 top-50 probe (rare+common, warm)") {
-      TextSearch.rankedSearch(pidx, mixed, 50).count()
+      TextSearch.rankedSearch(pidx, mixed, 50, pruneMinRows = 10000L).count()
     }
     println(s"PROBE phrase=$phraseRows bm25TopK=$bm25Top " +
       s"bm25Mixed=$bm25Mixed " +

@@ -708,6 +708,28 @@ class StreamingSpec extends SparkSpec {
     // the pre-seeded tree is intact (nothing was overwritten)
     assert(spark.read.parquet(s"$work/idx").count() == 5L * 8,
       "refusal must leave the pre-seeded index untouched")
+
+    // TORN BOOTSTRAP, generalized beyond textIndexSink (round 11): the
+    // same data-bearing/no-sidecar dir WITH the in-progress marker is
+    // recognizably a crashed first-batch build — the restart must
+    // overwrite-rebuild instead of refusing, then clear the marker
+    val marker = new org.apache.hadoop.fs.Path(s"$work/idx_bootstrap_inprogress")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mfs.create(marker, true).close()
+    val mem2 = MemoryStream[(Long, Array[Float])](spark)
+    val q2 = StreamOps.annIngestSink(
+      mem2.toDF.toDF("id", "vec"), "id", "vec",
+      indexDir = s"$work/idx", outDir = s"$work/out2",
+      checkpoint = s"$work/ckpt2", threshold = 0.9, planes = 4, dim = 64,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((100L, vec(0)), (101L, vec(1)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Similarity.readMeta[Similarity.LshIndex](spark, s"$work/idx").isDefined,
+      "torn bootstrap must rebuild and land the sidecar")
+    assert(!mfs.exists(marker), "marker must clear once the sidecar lands")
+    assert(spark.read.parquet(s"$work/out2").count() == 2)
   }
 
   test("textIndexSink long run (50 ticks): compaction bounds the census; live answers exact") {

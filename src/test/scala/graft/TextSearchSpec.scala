@@ -219,7 +219,11 @@ class TextSearchSpec extends SparkSpec {
   test("BM25 scores are bit-stable across shuffle partitioning") {
     // the deterministic reduction (sorted per-doc term fold) must yield
     // byte-identical scores whatever the partition count — the round-10
-    // ADVICE rounding-boundary flake window
+    // ADVICE rounding-boundary flake window. Each partition count runs in
+    // its OWN newSession (separate SQLConf over the shared context):
+    // suites run in parallel against one JVM-wide session, so mutating
+    // the shared conf here would leak into concurrent streaming tests —
+    // the exact shared-knob hazard this round removed from the operators.
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_det").toString
     val idx = TextSearch.textIndexBuild(docs, "text", "doc_id", s"$dir/ix",
       buckets = 32, positions = true)
@@ -227,14 +231,17 @@ class TextSearchSpec extends SparkSpec {
     def run(): Seq[(Long, Double, Long)] =
       TextSearch.rankedSearch(idx, terms, k = 25).orderBy("rank")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
-    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
     val base = run()
+    val active0 = org.apache.spark.sql.SparkSession.getActiveSession
     try {
       for (p <- Seq("1", "7", "64")) {
-        spark.conf.set("spark.sql.shuffle.partitions", p)
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", p)
+        org.apache.spark.sql.SparkSession.setActiveSession(s2)
         assert(run() == base, s"BM25 ranking drifted at shuffle.partitions=$p")
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    } finally active0.foreach(
+      org.apache.spark.sql.SparkSession.setActiveSession)
   }
 
   test("merged shard indexes answer like a monolithic build") {
@@ -299,9 +306,6 @@ class TextSearchSpec extends SparkSpec {
   test("max-score pruning is exact on adversarial rare/common corpora") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_prune").toString
-    // tiny corpora: drop the volume bar so the pruning path is exercised
-    spark.conf.set("spark.graft.bm25.pruneMinRows", "1")
-    try {
 
     /** Full-scan Okapi recompute (the spec's independent reference). */
     def bruteTopK(corpus: DataFrame, terms: Seq[String], k: Int): Seq[(Long, Double)] = {
@@ -324,8 +328,11 @@ class TextSearchSpec extends SparkSpec {
         .orderBy(col("score").desc, col("doc_id").asc).limit(k)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     }
+    // tiny corpora: pruneMinRows = 1 drops the volume bar so the pruning
+    // path is exercised (explicit parameter, not session conf — no
+    // concurrent query can observe it)
     def rankedPairs(idx: TextSearch.TextIndex, terms: Seq[String], k: Int) =
-      TextSearch.rankedSearch(idx, terms, k).orderBy("rank")
+      TextSearch.rankedSearch(idx, terms, k, pruneMinRows = 1L).orderBy("rank")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
     // A: a rare term whose docs dominate — pruning must TRIGGER and the
@@ -369,7 +376,6 @@ class TextSearchSpec extends SparkSpec {
       "tier-less tree must answer identically")
     assert(probedIds(TextSearch.searchIds(ixA, Seq("c"))) ==
       scanIds(a, Seq("c")))
-    } finally spark.conf.unset("spark.graft.bm25.pruneMinRows")
   }
 
   test("textIndexFor: append-only growth appends the delta; GC sweeps orphans") {
@@ -382,6 +388,7 @@ class TextSearchSpec extends SparkSpec {
     val builds0 = TextSearch.textBuildCount.get()
     val appends0 = TextSearch.textDeltaAppendCount.get()
     val c1 = spark.read.parquet(corpusDir)
+    val gen1Files = c1.inputFiles.toSeq // frozen pre-growth listing
     val i1 = TextSearch.textIndexFor(c1, "spec/growth", "text", "doc_id",
       ixDir, buckets = 16, positions = true)
     assert(TextSearch.textBuildCount.get() == builds0 + 1)
@@ -411,6 +418,30 @@ class TextSearchSpec extends SparkSpec {
       ixDir, buckets = 16, positions = true)
     assert(TextSearch.textBuildCount.get() == builds0 + 1 &&
       TextSearch.textDeltaAppendCount.get() == appends0 + 1)
+    // a STALE pre-growth reader (its frame lists only gen-1's files)
+    // re-opens the grown tree — the superset answer is the family's
+    // at-least-once contract — and must NOT regress the lineage: were
+    // its older file set written back, the NEXT growth would re-append
+    // gen-2's files and double-count docs/totalLen in the sidecar
+    val stale = spark.read.parquet(gen1Files: _*)
+    val iStale = TextSearch.textIndexFor(stale, "spec/growth", "text",
+      "doc_id", ixDir, buckets = 16, positions = true)
+    assert(iStale.path == i2.path && iStale.docs == i2.docs,
+      "stale reader must see the grown (superset) tree")
+    // grow again with genuinely new docs: the delta must be ONLY them
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("append").parquet(corpusDir)
+    val cFull = spark.read.parquet(corpusDir)
+    val iFull = TextSearch.textIndexFor(cFull, "spec/growth", "text",
+      "doc_id", ixDir, buckets = 16, positions = true)
+    assert(TextSearch.textBuildCount.get() == builds0 + 1 &&
+      TextSearch.textDeltaAppendCount.get() == appends0 + 2,
+      "third generation must still delta-append, not rebuild")
+    val fresh3 = TextSearch.textIndexBuild(cFull, "text", "doc_id",
+      s"$dir/fresh3", buckets = 16, positions = true)
+    assert(iFull.docs == fresh3.docs && iFull.totalLen == fresh3.totalLen,
+      "a regressed lineage would have re-appended gen-2 and inflated stats")
     // a REWRITTEN corpus (not a superset) rebuilds at a fresh path,
     // stranding the old tree — the GC sweep's job
     docs.filter(col("doc_id") % 3 === 0)
