@@ -1084,43 +1084,68 @@ object Dedup {
 
   private val mhCache =
     new java.util.concurrent.ConcurrentHashMap[String, MinHashIndex]()
+  private val mhLineage = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, (Long, Long)], String)]()
 
   /** Build counter (metadata re-opens do NOT increment) — serving-tier
     * observability, mirrors Similarity.ivfBuildCount. */
   private[graft] val minhashBuildCount =
+    new java.util.concurrent.atomic.AtomicLong
+  /** Delta appends taken by the [[minhashIndexFor]] fast path. */
+  private[graft] val minhashDeltaAppendCount =
     new java.util.concurrent.atomic.AtomicLong
 
   /** Cached [[minhashIndexBuild]] — the serving entry point, sharing the
     * prebuilt-ANN lifecycle contract (Similarity.ivfIndexFor): cache key
     * folds a corpus content fingerprint (file list + sizes + mtimes), a
     * readable on-disk sidecar re-opens without a build job, and a corpus
-    * rewritten in place gets a fresh fingerprint → fresh path → rebuild. */
+    * rewritten in place gets a fresh fingerprint → fresh path → rebuild.
+    * Append-only corpus growth (file set a strict superset, common files
+    * untouched) [[minhashIndexAppend]]s ONLY the delta files into the
+    * existing tree instead of rebuilding (round 11, the shared
+    * [[graft.operators.IndexMaint.cachedIndexFor]] fast path); the
+    * deterministic segment id = the new key's hash, so a replayed
+    * identical delta is recognized and skipped by the append's own
+    * replay guard. */
   def minhashIndexFor(corpus: DataFrame, corpusKey: String, textCol: String,
                       idCol: String, baseDir: String, n: Int = 3,
                       k: Int = 64, bands: Int = 16, md5: Boolean = false,
                       slots: Int = IndexSlots): MinHashIndex = {
-    val key = s"mh|$corpusKey|${Similarity.fingerprint(corpus)}|" +
+    val params = s"mh|$corpusKey|$textCol|$idCol|$n|$k|$bands|$md5|$slots"
+    val files = IndexMaint.fileStatuses(corpus)
+    val key = s"mh|$corpusKey|${Similarity.fingerprintFrom(files)}|" +
       s"$textCol|$idCol|$n|$k|$bands|$md5|$slots"
-    mhCache.computeIfAbsent(key, _ => {
-      val spark = corpus.sparkSession
-      val path = s"$baseDir/mh_${Similarity.keyHash(key)}"
-      Similarity.readMeta[MinHashIndex](spark, path).getOrElse {
+    val spark = corpus.sparkSession
+    val path = s"$baseDir/mh_${Similarity.keyHash(key)}"
+    IndexMaint.cachedIndexFor[MinHashIndex](
+      mhCache, mhLineage, params, key, files,
+      reopen = () => Similarity.readMeta[MinHashIndex](spark, path),
+      build = () => {
         val idx = minhashIndexBuild(corpus, textCol, idCol, path, n, k,
           bands, md5, slots)
         minhashBuildCount.incrementAndGet()
         Similarity.writeMeta(spark, path, idx)
         idx
-      }
-    })
+      },
+      append = (prevIdx, newFiles) => {
+        minhashIndexAppend(prevIdx, spark.read.parquet(newFiles.toSeq: _*),
+          segmentId = s"delta-${Similarity.keyHash(key)}")
+        prevIdx // banded tree + occ grew in place; the handle is unchanged
+      },
+      onDelta = () => minhashDeltaAppendCount.incrementAndGet())
   }
 
   /** Drop cached MinHash indexes for `corpusKey` (on-disk files stay —
     * a later request re-opens or rebuilds under a fresh fingerprint). */
-  def invalidateMinhashIndexes(corpusKey: String): Unit =
+  def invalidateMinhashIndexes(corpusKey: String): Unit = {
     mhCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
+    mhLineage.keySet.removeIf(_.contains(s"|$corpusKey|"))
+  }
 
   /** Clear the whole in-memory MinHash index cache (restart simulation). */
-  def invalidateAllMinhashIndexes(): Unit = mhCache.clear()
+  def invalidateAllMinhashIndexes(): Unit = {
+    mhCache.clear(); mhLineage.clear()
+  }
 
   /** Sweep orphaned MinHash index trees (retired fingerprints) under
     * `baseDir` — see [[graft.operators.IndexMaint.gcOrphans]]. */

@@ -129,6 +129,66 @@ private[graft] object IndexMaint {
     }
   }
 
+  /** One status per corpus input file — feeds both the content fingerprint
+    * and the append-lineage record with a single stat pass. */
+  def fileStatuses(corpus: DataFrame): Map[String, (Long, Long)] = {
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    corpus.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      f -> (st.getLen, st.getModificationTime)
+    }.toMap
+  }
+
+  /** Append-aware fingerprint-cache dispatch, shared by every serve-side
+    * index family (text / MinHash / IVF / LSH — round 11, generalizing the
+    * textIndexFor fast path): the first request under `key` re-opens the
+    * sidecar if the tree exists, DELTA-APPENDS into the previously served
+    * tree when the corpus's file set grew as a strict superset (same
+    * params, every common file status-identical — the append-only growth a
+    * streaming-landing corpus root produces), and full-builds otherwise.
+    * The retired key is removed AFTER computeIfAbsent returns (mutating
+    * other mappings inside a CHM compute violates its contract), and the
+    * lineage may only ADVANCE: a stale pre-growth reader re-opening the
+    * grown tree must never write its older file set back, or the next
+    * growth would re-append files already in the tree (for stats-bearing
+    * families that double-counts the sidecar). Contract: the corpus frame
+    * must be a bare scan of its files — a stale handle afterwards sees a
+    * superset index, each family's documented at-least-once semantics. */
+  def cachedIndexFor[I <: AnyRef](
+      cache: java.util.concurrent.ConcurrentHashMap[String, I],
+      lineage: java.util.concurrent.ConcurrentHashMap[
+        String, (Map[String, (Long, Long)], String)],
+      params: String, key: String, files: Map[String, (Long, Long)],
+      reopen: () => Option[I], build: () => I,
+      append: (I, Set[String]) => I, onDelta: () => Unit): I = {
+    val retired = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val out = cache.computeIfAbsent(key, _ =>
+      reopen().getOrElse {
+        val delta = Option(lineage.get(params)).collect {
+          case (prevFiles, prevKey)
+            if prevFiles.nonEmpty && files.size > prevFiles.size &&
+              prevFiles.forall { case (f, st) => files.get(f).contains(st) } =>
+            (files.keySet -- prevFiles.keySet, prevKey)
+        }
+        delta.flatMap { case (newFiles, prevKey) =>
+          Option(cache.get(prevKey)).map { prevIdx =>
+            val updated = append(prevIdx, newFiles)
+            onDelta()
+            retired.set(prevKey) // the grown tree no longer answers it
+            updated
+          }
+        }.getOrElse(build())
+      })
+    Option(retired.get()).foreach(cache.remove(_))
+    lineage.merge(params, (files, key), (cur, neu) =>
+      if (neu._1.size < cur._1.size &&
+          neu._1.forall { case (f, st) => cur._1.get(f).contains(st) })
+        cur // stale pre-growth reader: keep the advanced lineage
+      else neu)
+    out
+  }
+
   /** Count of data files under `path` (recursive; `_`/`.`-prefixed
     * bookkeeping excluded). The streaming sinks compare this against their
     * `compactFiles` threshold each batch — one listing per tick, which is

@@ -990,11 +990,18 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
   private val lshCache =
     new java.util.concurrent.ConcurrentHashMap[String, LshIndex]()
+  private val ivfLineage = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, (Long, Long)], String)]()
+  private val lshLineage = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, (Long, Long)], String)]()
 
   /** Build counters (metadata re-opens do NOT increment) — serving-tier
     * observability; specs assert re-open paths leave them unchanged. */
   private[graft] val ivfBuildCount = new java.util.concurrent.atomic.AtomicLong
   private[graft] val lshBuildCount = new java.util.concurrent.atomic.AtomicLong
+  /** Delta appends taken by the ivf/lsh IndexFor fast paths (round 11). */
+  private[graft] val annDeltaAppendCount =
+    new java.util.concurrent.atomic.AtomicLong
 
   private[operators] def keyHash(key: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -1066,10 +1073,15 @@ object Similarity {
   def invalidateIndexes(corpusKey: String): Unit = {
     ivfCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
     lshCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
+    ivfLineage.keySet.removeIf(_.contains(s"|$corpusKey|"))
+    lshLineage.keySet.removeIf(_.contains(s"|$corpusKey|"))
   }
 
   /** Clear the whole in-memory index cache (restart simulation / tests). */
-  def invalidateAllIndexes(): Unit = { ivfCache.clear(); lshCache.clear() }
+  def invalidateAllIndexes(): Unit = {
+    ivfCache.clear(); lshCache.clear()
+    ivfLineage.clear(); lshLineage.clear()
+  }
 
   /** Sweep orphaned ANN index trees (retired fingerprints) under
     * `baseDir` — see [[graft.operators.IndexMaint.gcOrphans]]. */
@@ -1082,40 +1094,64 @@ object Similarity {
   }
 
   /** Cached [[ivfBuild]]: `corpusKey` identifies the corpus contents (e.g.
-    * its parquet directory); `baseDir` hosts the partitioned index files. */
+    * its parquet directory); `baseDir` hosts the partitioned index files.
+    * Append-only corpus growth [[ivfAppend]]s only the delta files into
+    * the existing tree (round 11, the shared
+    * [[graft.operators.IndexMaint.cachedIndexFor]] fast path) — the
+    * segment is assigned against the index's FROZEN centroids, ivfAppend's
+    * documented incremental-ingest trade; rebuild (invalidate or rewrite
+    * the corpus) when drift degrades recall. */
   def ivfIndexFor(corpus: DataFrame, corpusKey: String, idCol: String,
                   vecCol: String, nlist: Int, baseDir: String,
                   kmeansIters: Int = 0): IvfIndex = {
+    val params = s"ivf|$corpusKey|$idCol|$vecCol|$nlist|$kmeansIters"
+    val files = IndexMaint.fileStatuses(corpus)
     val key =
-      s"ivf|$corpusKey|${fingerprint(corpus)}|$idCol|$vecCol|$nlist|$kmeansIters"
-    ivfCache.computeIfAbsent(key, _ => {
-      val spark = corpus.sparkSession
-      val path = s"$baseDir/ivf_${keyHash(key)}"
-      readMeta[IvfIndex](spark, path).getOrElse {
+      s"ivf|$corpusKey|${fingerprintFrom(files)}|$idCol|$vecCol|$nlist|$kmeansIters"
+    val spark = corpus.sparkSession
+    val path = s"$baseDir/ivf_${keyHash(key)}"
+    IndexMaint.cachedIndexFor[IvfIndex](
+      ivfCache, ivfLineage, params, key, files,
+      reopen = () => readMeta[IvfIndex](spark, path),
+      build = () => {
         val idx = ivfBuild(corpus, idCol, vecCol, nlist, path, kmeansIters)
         ivfBuildCount.incrementAndGet()
         writeMeta(spark, path, idx)
         idx
-      }
-    })
+      },
+      append = (prevIdx, newFiles) => {
+        ivfAppend(prevIdx, spark.read.parquet(newFiles.toSeq: _*))
+        prevIdx // cid tree grew in place; centroids/handle unchanged
+      },
+      onDelta = () => annDeltaAppendCount.incrementAndGet())
   }
 
-  /** Cached [[lshBuild]]. */
+  /** Cached [[lshBuild]] — same growth fast path as [[ivfIndexFor]]
+    * (the delta is bucketed against the SAME deterministic plane
+    * families, so append ≡ rebuild for probe answers). */
   def lshIndexFor(corpus: DataFrame, corpusKey: String, idCol: String,
                   vecCol: String, planes: Int, dim: Int, baseDir: String,
                   tables: Int = 8): LshIndex = {
+    val params = s"lsh|$corpusKey|$idCol|$vecCol|$planes|$dim|$tables"
+    val files = IndexMaint.fileStatuses(corpus)
     val key =
-      s"lsh|$corpusKey|${fingerprint(corpus)}|$idCol|$vecCol|$planes|$dim|$tables"
-    lshCache.computeIfAbsent(key, _ => {
-      val spark = corpus.sparkSession
-      val path = s"$baseDir/lsh_${keyHash(key)}"
-      readMeta[LshIndex](spark, path).getOrElse {
+      s"lsh|$corpusKey|${fingerprintFrom(files)}|$idCol|$vecCol|$planes|$dim|$tables"
+    val spark = corpus.sparkSession
+    val path = s"$baseDir/lsh_${keyHash(key)}"
+    IndexMaint.cachedIndexFor[LshIndex](
+      lshCache, lshLineage, params, key, files,
+      reopen = () => readMeta[LshIndex](spark, path),
+      build = () => {
         val idx = lshBuild(corpus, idCol, vecCol, planes, dim, path, tables)
         lshBuildCount.incrementAndGet()
         writeMeta(spark, path, idx)
         idx
-      }
-    })
+      },
+      append = (prevIdx, newFiles) => {
+        lshAppend(prevIdx, spark.read.parquet(newFiles.toSeq: _*))
+        prevIdx // (table, bucket) tree grew in place; handle unchanged
+      },
+      onDelta = () => annDeltaAppendCount.incrementAndGet())
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,

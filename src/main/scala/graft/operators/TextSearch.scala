@@ -595,15 +595,6 @@ object TextSearch {
   private val txLineage = new java.util.concurrent.ConcurrentHashMap[
     String, (Map[String, (Long, Long)], String)]()
 
-  private def fileStatuses(corpus: DataFrame): Map[String, (Long, Long)] = {
-    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-    corpus.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      f -> (st.getLen, st.getModificationTime)
-    }.toMap
-  }
-
   /** Cached [[textIndexBuild]] keyed by corpus identity + content
     * fingerprint + parameters — the same pattern as
     * [[Dedup.minhashIndexFor]]: first request builds, later requests
@@ -629,55 +620,24 @@ object TextSearch {
     // ONE stat pass per request: the statuses feed both the fingerprint
     // (cache key) and the lineage record — the pre-round-11 form statted
     // every file twice (three times on a miss) per served request
-    val files = fileStatuses(corpus)
+    val files = IndexMaint.fileStatuses(corpus)
     val key = s"tx3|$corpusKey|${Similarity.fingerprintFrom(files)}|" +
       s"$textCol|$idCol|$buckets|$positions"
-    // the retired key is removed AFTER computeIfAbsent returns — mutating
-    // other mappings inside a CHM compute violates its contract
-    val retired = new java.util.concurrent.atomic.AtomicReference[String](null)
-    val out = txCache.computeIfAbsent(key, _ => {
-      val spark = corpus.sparkSession
-      val path = s"$baseDir/tx_${Similarity.keyHash(key)}"
-      Similarity.readMeta[TextIndex](spark, path).getOrElse {
-        val prev = Option(txLineage.get(params))
-        val delta = prev.collect {
-          case (prevFiles, prevKey)
-            if prevFiles.nonEmpty && files.size > prevFiles.size &&
-              prevFiles.forall { case (f, st) => files.get(f).contains(st) } =>
-            (files.keySet -- prevFiles.keySet, prevKey)
-        }
-        delta.flatMap { case (newFiles, prevKey) =>
-          Option(txCache.get(prevKey)).map { prevIdx =>
-            val segment = spark.read.parquet(newFiles.toSeq: _*)
-            val updated = textIndexAppend(prevIdx, segment, textCol)
-            textDeltaAppendCount.incrementAndGet()
-            retired.set(prevKey) // the grown tree no longer answers it
-            updated
-          }
-        }.getOrElse {
-          val idx = textIndexBuild(corpus, textCol, idCol, path, buckets,
-            positions)
-          textBuildCount.incrementAndGet()
-          idx
-        }
-      }
-    })
-    Option(retired.get()).foreach(txCache.remove(_))
-    // lineage may only ADVANCE. A request whose corpus frame was listed
-    // BEFORE a growth (its file set a strict subset of the stored lineage,
-    // every common file status-identical) re-opens the grown tree via
-    // readMeta — fine, a superset answer is the family's at-least-once
-    // contract — but writing its stale file set back would make the NEXT
-    // growth re-append files already in the tree, double-counting
-    // docs/totalLen in the sidecar and skewing BM25's N/avgdl until a
-    // compaction recount. merge() adjudicates atomically per params key.
-    txLineage.merge(params, (files, key), (cur, neu) => {
-      val (curFiles, _) = cur
-      val stale = neu._1.size < curFiles.size &&
-        neu._1.forall { case (f, st) => curFiles.get(f).contains(st) }
-      if (stale) cur else neu
-    })
-    out
+    val spark = corpus.sparkSession
+    val path = s"$baseDir/tx_${Similarity.keyHash(key)}"
+    IndexMaint.cachedIndexFor[TextIndex](
+      txCache, txLineage, params, key, files,
+      reopen = () => Similarity.readMeta[TextIndex](spark, path),
+      build = () => {
+        val idx = textIndexBuild(corpus, textCol, idCol, path, buckets,
+          positions)
+        textBuildCount.incrementAndGet()
+        idx
+      },
+      append = (prevIdx, newFiles) =>
+        textIndexAppend(prevIdx, spark.read.parquet(newFiles.toSeq: _*),
+          textCol),
+      onDelta = () => textDeltaAppendCount.incrementAndGet())
   }
 
   /** Drop cached text indexes for `corpusKey` (on-disk trees stay). */

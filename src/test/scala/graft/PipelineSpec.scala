@@ -1202,6 +1202,87 @@ class PipelineSpec extends SparkSpec {
     assert(i4.path != i1.path, "different corpus content must get its own index")
   }
 
+  test("minhashIndexFor growth: append-only corpora delta-append, probes see the delta") {
+    val work = java.nio.file.Files.createTempDirectory("graft_mh_growth").toString
+    val corpusDir = s"$work/corpus"
+    docs.filter(col("doc_id") < 300).write.parquet(corpusDir)
+    def corpus = spark.read.parquet(corpusDir)
+    val b0 = Dedup.minhashBuildCount.get
+    val d0 = Dedup.minhashDeltaAppendCount.get
+    val i1 = Dedup.minhashIndexFor(corpus, corpusDir, "text", "doc_id",
+      s"$work/idx")
+    assert(Dedup.minhashBuildCount.get == b0 + 1)
+    // append-only growth: new docs land as new files, old files untouched
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .write.mode("append").parquet(corpusDir)
+    val i2 = Dedup.minhashIndexFor(corpus, corpusDir, "text", "doc_id",
+      s"$work/idx")
+    assert(Dedup.minhashBuildCount.get == b0 + 1,
+      "append-only growth must NOT rebuild")
+    assert(Dedup.minhashDeltaAppendCount.get == d0 + 1,
+      "growth must take the delta-append path")
+    assert(i2.path == i1.path, "the grown corpus reuses the existing tree")
+    // a batch copying a doc INDEXED BY THE DELTA must hit the grown index
+    val copyOfNew = corpus.filter(col("doc_id") === 350)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    val hits = Dedup.minhashDedupAgainst(i2, copyOfNew, threshold = 0.9)
+      .select("batch_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(900350L),
+      s"delta-indexed doc must be probe-visible, got $hits")
+  }
+
+  test("ANN index growth: append-only corpora delta-append; LSH grown ≡ fresh; IVF delta probe-visible") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val work = java.nio.file.Files.createTempDirectory("graft_ann_growth").toString
+    val corpusDir = s"$work/corpus"
+    val baseDir = s"$work/idx"
+    embs.filter(col("vec_id") < 60).write.parquet(corpusDir)
+    def corpus = spark.read.parquet(corpusDir)
+    val l0 = Similarity.lshBuildCount.get()
+    val i0 = Similarity.ivfBuildCount.get()
+    val d0 = Similarity.annDeltaAppendCount.get()
+    val lsh1 = Similarity.lshIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      planes = 4, dim = 64, baseDir)
+    val ivf1 = Similarity.ivfIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      nlist = 8, baseDir)
+    assert(Similarity.lshBuildCount.get() == l0 + 1 &&
+      Similarity.ivfBuildCount.get() == i0 + 1)
+    // append-only growth
+    embs.filter(col("vec_id") >= 60 && col("vec_id") < 120)
+      .write.mode("append").parquet(corpusDir)
+    val lsh2 = Similarity.lshIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      planes = 4, dim = 64, baseDir)
+    val ivf2 = Similarity.ivfIndexFor(corpus, corpusDir, "vec_id", "embedding",
+      nlist = 8, baseDir)
+    assert(Similarity.lshBuildCount.get() == l0 + 1 &&
+      Similarity.ivfBuildCount.get() == i0 + 1,
+      "append-only growth must NOT rebuild either family")
+    assert(Similarity.annDeltaAppendCount.get() == d0 + 2,
+      "both families must take the delta-append path")
+    assert(lsh2.path == lsh1.path && ivf2.path == ivf1.path)
+    // LSH buckets against DETERMINISTIC plane families → the grown index
+    // answers exactly like a fresh monolithic build
+    val fresh = Similarity.lshBuild(corpus, "vec_id", "embedding",
+      planes = 4, dim = 64, s"$work/freshlsh")
+    val q = corpus.filter(col("vec_id") < 3)
+    assert(key(Similarity.lshProbe(lsh2, q, k = 5)) ==
+      key(Similarity.lshProbe(fresh, q, k = 5)),
+      "grown LSH must answer like a fresh build")
+    // IVF appends against FROZEN centroids (the documented incremental
+    // trade) — but under a FULL-cell scan (nprobe = nlist) the candidate
+    // set is the whole corpus whatever the cell geometry, so the grown
+    // index must answer exactly like a fresh build of the grown corpus,
+    // for old-corpus queries AND for queries drawn from the delta itself
+    val freshIvf = Similarity.ivfBuild(corpus, "vec_id", "embedding",
+      nlist = 8, s"$work/freshivf")
+    val qNew = corpus.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+    for (qs <- Seq(q, qNew))
+      assert(key(Similarity.ivfProbe(ivf2, qs, k = 5, nprobe = 8)) ==
+        key(Similarity.ivfProbe(freshIvf, qs, k = 5, nprobe = 8)),
+        "grown IVF must answer like a fresh build under a full-cell scan")
+  }
+
   test("langId returns a configured language and quality is in [0,1]") {
     val r = docs.select(TextAnalysis.langId(col("text")).as("l"),
       TextAnalysis.qualityMetrics(col("text")).toMap.apply("quality").as("q")).collect()
