@@ -1155,9 +1155,12 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
       // imageMeta on unparseable bytes; a null id has no meaningful
       // feature row and fails loudly with a typed per-row error instead
       // of the encoder's opaque non-nullable-field crash
+      // the guard is on the CAST result, not the raw column: a non-null
+      // id that casts to null (non-numeric string) must hit the same
+      // typed error, not the encoder's non-nullable-field crash
       val rows = t.result
-        .filter(assert_true(col(id).isNotNull,
-          lit(s"mediaFeatures: null $id — the id column must be non-null"))
+        .filter(assert_true(col(id).cast("long").isNotNull,
+          lit(s"mediaFeatures: $id must be non-null and castable to long"))
           .isNull)
         .select(col(id).cast("long").as("doc_id"),
           coalesce(blobCol, lit(Array.empty[Byte])).as("blob"))

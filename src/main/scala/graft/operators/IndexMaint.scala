@@ -155,6 +155,9 @@ private[graft] object IndexMaint {
     * families that double-counts the sidecar). Contract: the corpus frame
     * must be a bare scan of its files — a stale handle afterwards sees a
     * superset index, each family's documented at-least-once semantics. */
+  private val growthLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def cachedIndexFor[I <: AnyRef](
       cache: java.util.concurrent.ConcurrentHashMap[String, I],
       lineage: java.util.concurrent.ConcurrentHashMap[
@@ -162,31 +165,46 @@ private[graft] object IndexMaint {
       params: String, key: String, files: Map[String, (Long, Long)],
       reopen: () => Option[I], build: () => I,
       append: (I, Set[String]) => I, onDelta: () => Unit): I = {
-    val retired = new java.util.concurrent.atomic.AtomicReference[String](null)
-    val out = cache.computeIfAbsent(key, _ =>
-      reopen().getOrElse {
-        val delta = Option(lineage.get(params)).collect {
-          case (prevFiles, prevKey)
-            if prevFiles.nonEmpty && files.size > prevFiles.size &&
-              prevFiles.forall { case (f, st) => files.get(f).contains(st) } =>
-            (files.keySet -- prevFiles.keySet, prevKey)
-        }
-        delta.flatMap { case (newFiles, prevKey) =>
-          Option(cache.get(prevKey)).map { prevIdx =>
-            val updated = append(prevIdx, newFiles)
-            onDelta()
-            retired.set(prevKey) // the grown tree no longer answers it
-            updated
+    // one growth decision at a time per LOGICAL index (params): without
+    // this, two concurrent superset requests (gen1 ⊂ gen2 and gen1 ⊂ gen3)
+    // both read the gen1 lineage — their computeIfAbsent locks are
+    // per-KEY, not per-index — and both delta-append their overlap into
+    // the same in-place tree, duplicating rows and (for stats-bearing
+    // families) corrupting the sidecar. Serializing per params makes the
+    // second request observe the first's advanced lineage: it either
+    // appends only the remaining delta or, if its snapshot is now a
+    // subset, full-builds its own tree. Requests for DIFFERENT indexes
+    // stay fully parallel; pure cache hits still pay only an uncontended
+    // monitor when no growth is in flight for the same index.
+    val lock = growthLocks.computeIfAbsent(params, _ => new Object)
+    lock.synchronized {
+      val retired =
+        new java.util.concurrent.atomic.AtomicReference[String](null)
+      val out = cache.computeIfAbsent(key, _ =>
+        reopen().getOrElse {
+          val delta = Option(lineage.get(params)).collect {
+            case (prevFiles, prevKey)
+              if prevFiles.nonEmpty && files.size > prevFiles.size &&
+                prevFiles.forall { case (f, st) => files.get(f).contains(st) } =>
+              (files.keySet -- prevFiles.keySet, prevKey)
           }
-        }.getOrElse(build())
-      })
-    Option(retired.get()).foreach(cache.remove(_))
-    lineage.merge(params, (files, key), (cur, neu) =>
-      if (neu._1.size < cur._1.size &&
-          neu._1.forall { case (f, st) => cur._1.get(f).contains(st) })
-        cur // stale pre-growth reader: keep the advanced lineage
-      else neu)
-    out
+          delta.flatMap { case (newFiles, prevKey) =>
+            Option(cache.get(prevKey)).map { prevIdx =>
+              val updated = append(prevIdx, newFiles)
+              onDelta()
+              retired.set(prevKey) // the grown tree no longer answers it
+              updated
+            }
+          }.getOrElse(build())
+        })
+      Option(retired.get()).foreach(cache.remove(_))
+      lineage.merge(params, (files, key), (cur, neu) =>
+        if (neu._1.size < cur._1.size &&
+            neu._1.forall { case (f, st) => cur._1.get(f).contains(st) })
+          cur // stale pre-growth reader: keep the advanced lineage
+        else neu)
+      out
+    }
   }
 
   /** Count of data files under `path` (recursive; `_`/`.`-prefixed

@@ -549,7 +549,12 @@ object TextSearch {
       // (≤ fetchK narrow rows, executor-local, GC-tied — the sinks'
       // pattern): the survivor-count agg below and the returned frame then
       // share ONE execution instead of re-running the whole index probe,
-      // groupBys and sort a second time when the caller materializes
+      // groupBys and sort a second time when the caller materializes.
+      // Trade (deliberate): checkpointed blocks have no recompute lineage,
+      // so an executor lost between this probe and the caller's
+      // materialization fails the request — the serving client retries
+      // and the retry re-probes; the alternative re-executes the final
+      // ranking on EVERY request to guard a rare decommission window
       val joined = ranked.join(ids, col("id") === col("_gq_wid"), "left")
         .localCheckpoint()
       // one bounded pass: how much of the ranking we fetched, and how

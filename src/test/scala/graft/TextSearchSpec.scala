@@ -216,6 +216,51 @@ class TextSearchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet.contains(100000L))
   }
 
+  test("concurrent superset growths never double-append: stats match a fresh build") {
+    // two requests race with DIFFERENT supersets of the served corpus
+    // (gen1 ⊂ gen2 ⊂ gen3): without the per-index growth lock both read
+    // the gen1 lineage and both append their overlap — gen2's files land
+    // twice and the sidecar double-counts. Whatever interleaving runs,
+    // the final full-corpus index must carry exactly a fresh build's
+    // stats and answers.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_conc").toString
+    val corpusDir = s"$dir/corpus"
+    TextSearch.invalidateAllTextIndexes()
+    docs.filter(col("doc_id") < 200).write.parquet(corpusDir)
+    TextSearch.textIndexFor(spark.read.parquet(corpusDir), "spec/conc",
+      "text", "doc_id", s"$dir/ix", buckets = 16, positions = true)
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      .write.mode("append").parquet(corpusDir)
+    val gen2 = spark.read.parquet(corpusDir) // file listing frozen at gen2
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .write.mode("append").parquet(corpusDir)
+    val gen3 = spark.read.parquet(corpusDir)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val racing = Seq(gen2, gen3).map(g => pool.submit(
+        new java.util.concurrent.Callable[TextSearch.TextIndex] {
+          def call(): TextSearch.TextIndex = {
+            latch.await()
+            TextSearch.textIndexFor(g, "spec/conc", "text", "doc_id",
+              s"$dir/ix", buckets = 16, positions = true)
+          }
+        }))
+      latch.countDown()
+      racing.foreach(_.get())
+    } finally pool.shutdown()
+    val iFinal = TextSearch.textIndexFor(gen3, "spec/conc", "text", "doc_id",
+      s"$dir/ix", buckets = 16, positions = true)
+    val fresh = TextSearch.textIndexBuild(gen3, "text", "doc_id",
+      s"$dir/fresh", buckets = 16, positions = true)
+    assert(iFinal.docs == fresh.docs && iFinal.totalLen == fresh.totalLen,
+      s"concurrent growth corrupted stats: $iFinal vs $fresh")
+    assert(TextSearch.rankedSearch(iFinal, Seq("join", "filter"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      TextSearch.rankedSearch(fresh, Seq("join", "filter"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("BM25 scores are bit-stable across shuffle partitioning") {
     // the deterministic reduction (sorted per-doc term fold) must yield
     // byte-identical scores whatever the partition count — the round-10
