@@ -167,6 +167,11 @@ object ServeSoak {
     val ivfBuilds0 = graft.operators.Similarity.ivfBuildCount.get
     val lshBuilds0 = graft.operators.Similarity.lshBuildCount.get
     val txBuilds0 = graft.operators.TextSearch.textBuildCount.get
+    // growth fast-path counters: a STATIC soak corpus must never trip the
+    // append detection — any delta here means a fingerprint/lineage bug
+    val deltas0 = graft.operators.TextSearch.textDeltaAppendCount.get +
+      graft.operators.Similarity.annDeltaAppendCount.get +
+      graft.operators.Dedup.minhashDeltaAppendCount.get
 
     val lat = new ConcurrentLinkedQueue[(String, Double)]()
     val mismatches = new ConcurrentLinkedQueue[String]()
@@ -203,7 +208,10 @@ object ServeSoak {
     println(s"SERVE extra index builds under concurrency: ivf=" +
       s"${graft.operators.Similarity.ivfBuildCount.get - ivfBuilds0} lsh=" +
       s"${graft.operators.Similarity.lshBuildCount.get - lshBuilds0} tx=" +
-      s"${graft.operators.TextSearch.textBuildCount.get - txBuilds0} (want 0)")
+      s"${graft.operators.TextSearch.textBuildCount.get - txBuilds0} " +
+      s"deltaAppends=${graft.operators.TextSearch.textDeltaAppendCount.get +
+        graft.operators.Similarity.annDeltaAppendCount.get +
+        graft.operators.Dedup.minhashDeltaAppendCount.get - deltas0} (want 0)")
     val cachedFrames = !spark.sharedState.cacheManager.isEmpty
     val persistentRdds = spark.sparkContext.getPersistentRDDs.size
     println(s"SERVE cacheManager nonEmpty=$cachedFrames " +

@@ -513,5 +513,13 @@ class TextSearchSpec extends SparkSpec {
     assert(probedIds(TextSearch.searchIds(i3, Seq("join"), 1)).nonEmpty)
     // a second sweep is a no-op
     assert(TextSearch.textIndexGc(spark, ixDir, graceMs = 0L).isEmpty)
+    // path-spelling robustness: a trailing-slash (or otherwise
+    // non-canonical) baseDir must still recognize the LIVE tree — string
+    // comparison of s"$baseDir/$root" against the cached path would mark
+    // it an orphan and delete the actively served index
+    assert(TextSearch.textIndexGc(spark, s"$ixDir/", graceMs = 0L).isEmpty,
+      "a trailing-slash baseDir must not orphan the live tree")
+    assert(probedIds(TextSearch.searchIds(i3, Seq("join"), 1)).nonEmpty,
+      "the live tree must survive a non-canonical-path sweep")
   }
 }
