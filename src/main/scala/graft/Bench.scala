@@ -31,7 +31,14 @@ object Bench {
     // entries measure PROBES: textIndexFor re-opens the fingerprint-keyed
     // sidecar after the first rep, and best-of-N takes the probe floor.
     "q_text_search", "q_text_bm25", "q_token_budget", "q_dedup_substr",
-    "q_runs_filtered")
+    "q_runs_filtered",
+    // round-12 set: the round-9 tiers were bench-invisible (a regression
+    // in the auto-dispatched knn join, semantic dedup, snapshot diff, the
+    // profiler, phrase search or filtered ranked retrieval would not show
+    // between rounds). q_gql_bm25_filtered measures the full served
+    // filter → search(k:, corpus:) shape through the GraphQL executor.
+    "q_knn_join_auto", "q_dedup_semantic", "q_snapshot_diff", "q_profile",
+    "q_text_phrase", "q_gql_bm25_filtered")
 
   /** Queries added to the headline in round 5 (excluded from `core18`). */
   val llmSet: Set[String] =
@@ -41,6 +48,11 @@ object Bench {
   val r11Set: Set[String] =
     Set("q_text_search", "q_text_bm25", "q_token_budget", "q_dedup_substr",
       "q_runs_filtered")
+
+  /** Queries added in round 12 (excluded from `core18`/`core22`/`core27`). */
+  val r12Set: Set[String] =
+    Set("q_knn_join_auto", "q_dedup_semantic", "q_snapshot_diff",
+      "q_profile", "q_text_phrase", "q_gql_bm25_filtered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,13 +94,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // continuity subtotals: core18 = the pre-round-5 set; core22 = the
-    // pre-round-11 set — cross-round totals compare like-for-like as the
-    // headline grows
+    // pre-round-11 set; core27 = the pre-round-12 set — cross-round totals
+    // compare like-for-like as the headline grows
     val core18 = results.filterNot { case (k, _, _) =>
-      llmSet.contains(k) || r11Set.contains(k) }.map(_._2).sum
-    val core22 = results.filterNot { case (k, _, _) => r11Set.contains(k) }
+      llmSet.contains(k) || r11Set.contains(k) || r12Set.contains(k) }
       .map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core18":$core18%.3f,"core22":$core22%.3f,"reps":$reps,"queries":$qs,"raw":$raw,"sf":"$sfDir"}""")
+    val core22 = results.filterNot { case (k, _, _) =>
+      r11Set.contains(k) || r12Set.contains(k) }.map(_._2).sum
+    val core27 = results.filterNot { case (k, _, _) => r12Set.contains(k) }
+      .map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core18":$core18%.3f,"core22":$core22%.3f,"core27":$core27%.3f,"reps":$reps,"queries":$qs,"raw":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -205,6 +205,27 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
     sys.env.getOrElse("GRAFT_ANN_DIR",
       java.nio.file.Files.createTempDirectory("graft_gql_ann").toString)
 
+  /** The resolved index dir, for lifecycle probes/specs that census the
+    * on-disk tree count alongside [[indexGc]]. */
+  private[graft] def indexDir: String = annIndexDir
+
+  /** Sweep orphaned prebuilt-index trees of EVERY family (text posting,
+    * MinHash, IVF, LSH) under this service's index dir (round-12 verdict
+    * #2): trees not referenced by a live cache entry and older than
+    * `graceMs` are deleted. The caches are LRU-bounded, so eviction shrinks
+    * the live set and this sweep bounds the service's DISK footprint
+    * alongside its heap — a long-lived deployment fielding many distinct
+    * filtered `search(k:)` plans retires one tree per evicted plan instead
+    * of stranding them forever. Scheduled by ServiceMain
+    * (GRAFT_INDEX_GC_PERIOD_MS); safe at any time — a swept-then-
+    * re-requested index rebuilds on its next request, and `graceMs` keeps
+    * trees another JVM just built from being swept mid-use. Returns the
+    * deleted tree paths. */
+  def indexGc(graceMs: Long = 3600000L): Seq[String] =
+    graft.operators.TextSearch.textIndexGc(spark, annIndexDir, graceMs) ++
+      graft.operators.Similarity.annIndexGc(spark, annIndexDir, graceMs) ++
+      graft.operators.Dedup.minhashIndexGc(spark, annIndexDir, graceMs)
+
   /** Corpus identity for the index cache: the canonicalized logical plan
     * (source files + every filter/projection applied on the way to this
     * scope — two different pipelines over the same files must not share an

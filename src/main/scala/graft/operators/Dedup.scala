@@ -1083,9 +1083,10 @@ object Dedup {
   }
 
   private val mhCache =
-    new java.util.concurrent.ConcurrentHashMap[String, MinHashIndex]()
-  private val mhLineage = new java.util.concurrent.ConcurrentHashMap[
-    String, (Map[String, (Long, Long)], String)]()
+    new IndexMaint.LruCache[MinHashIndex](IndexMaint.cacheCap _)
+  private val mhLineage = new IndexMaint.LruCache[
+    (Map[String, (Long, Long)], String)](IndexMaint.cacheCap _)
+  private[graft] def minhashCacheSize: Int = mhCache.size
 
   /** Build counter (metadata re-opens do NOT increment) — serving-tier
     * observability, mirrors Similarity.ivfBuildCount. */
@@ -1118,8 +1119,9 @@ object Dedup {
     val spark = corpus.sparkSession
     val path = s"$baseDir/mh_${Similarity.keyHash(key)}"
     IndexMaint.cachedIndexFor[MinHashIndex](
-      mhCache, mhLineage, params, key, files,
-      reopen = () => Similarity.readMeta[MinHashIndex](spark, path),
+      spark, mhCache, mhLineage, baseDir, params, key, files,
+      path, pathOf = _.path,
+      reopenAt = p => Similarity.readMeta[MinHashIndex](spark, p),
       build = () => {
         val idx = minhashIndexBuild(corpus, textCol, idCol, path, n, k,
           bands, md5, slots)
@@ -1138,23 +1140,24 @@ object Dedup {
   /** Drop cached MinHash indexes for `corpusKey` (on-disk files stay —
     * a later request re-opens or rebuilds under a fresh fingerprint). */
   def invalidateMinhashIndexes(corpusKey: String): Unit = {
-    mhCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
-    mhLineage.keySet.removeIf(_.contains(s"|$corpusKey|"))
+    mhCache.removeKeysIf(_.contains(s"|$corpusKey|"))
+    mhLineage.removeKeysIf(_.contains(s"|$corpusKey|"))
+    IndexMaint.dropGrowthLocks(k =>
+      k.startsWith("mh") && k.contains(s"|$corpusKey|"))
   }
 
   /** Clear the whole in-memory MinHash index cache (restart simulation). */
   def invalidateAllMinhashIndexes(): Unit = {
     mhCache.clear(); mhLineage.clear()
+    IndexMaint.dropGrowthLocks(_.startsWith("mh"))
   }
 
   /** Sweep orphaned MinHash index trees (retired fingerprints) under
     * `baseDir` — see [[graft.operators.IndexMaint.gcOrphans]]. */
   def minhashIndexGc(spark: org.apache.spark.sql.SparkSession, baseDir: String,
-                     graceMs: Long = 3600000L): Seq[String] = {
-    import scala.jdk.CollectionConverters._
+                     graceMs: Long = 3600000L): Seq[String] =
     IndexMaint.gcOrphans(spark, baseDir, Seq("mh_"),
-      mhCache.values.asScala.map(_.path).toSet, graceMs)
-  }
+      mhCache.values.map(_.path).toSet, graceMs)
 
   /** Eval-set decontamination (the GPT-3/PaLM appendix-C recipe): flag
     * training documents sharing at least `minHits` distinct word n-grams
@@ -1223,30 +1226,57 @@ object Dedup {
     * (fully-duplicated docs are exactly what this removes); partially
     * duplicated docs survive with the remaining text.
     *
-    * Scale shape: explode to (id, pos, span) once; first-occurrence keys
-    * are computed on a NARROW projection — (xxhash64(span), id, pos) — so
-    * the global groupBy that finds each span's minimal occurrence never
-    * carries text. Only the keep-join (semi on (id, pos)) and the per-doc
-    * reassembly groupBy move span text, both bounded by the surviving
-    * volume. Span identity is case-insensitive 64-bit-hash equality, the
-    * standard at-scale trade (collisions vanishingly rare, and a collision
-    * only drops one extra span). Surviving text keeps its original case;
-    * inter-token whitespace is normalized to single spaces (inherent to
-    * token-granularity reassembly). */
+    * Scale shape (the round-12 split, mirroring [[dedupSubstrings]]): the
+    * first-occurrence keys are computed on a NARROW projection —
+    * (xxhash64(span), id, pos) — so the global groupBy that finds each
+    * span's minimal occurrence never carries text. Documents that lose NO
+    * span — the large majority of a real corpus — NEVER take the
+    * text-carrying explode / collect_list regroup: a semi-join split on the
+    * distinct loser doc ids routes them through VERBATIM (byte-identical
+    * text, original whitespace preserved — including docs with zero spans,
+    * i.e. blank text, which by construction cannot lose one). Only cut
+    * documents re-explode with span text and regroup, so the reassembly
+    * pays dup-doc volume, not corpus volume; their surviving spans rejoin
+    * with single spaces (inherent to token-granularity reassembly) in
+    * original case. The explicit `repartition(id)` pins an exchange
+    * boundary on the narrow loser rows, shared by its three consumers
+    * (cutIds, the clean anti-join, the keep anti-join) — without it each
+    * would re-run the corpus-wide span explode (the dedupSubstrings
+    * measurement: 3× the occurrence pass at ×20). Span identity is
+    * case-insensitive 64-bit-hash equality, the standard at-scale trade
+    * (collisions vanishingly rare, and a collision only drops one extra
+    * span). */
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
                  span: Int = 10): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
-      posexplode(spans(df.sparkSession, col(textCol), span)).as(Seq("pos", "sp")))
-    val firsts = ex
-      .select(xxhash64(lower(col("sp"))).as("h"), col("id"), col("pos"))
+    val spark = df.sparkSession
+    val occ = df.select(col(idCol).as("id"),
+        posexplode(spans(spark, col(textCol), span)).as(Seq("pos", "sp")))
+      .select(col("id"), col("pos"), xxhash64(lower(col("sp"))).as("h"))
+    val firsts = occ
       .groupBy("h").agg(min(struct(col("id"), col("pos"))).as("f"))
       .select(col("f.id").as("id"), col("f.pos").as("pos"))
-    ex.join(firsts, Seq("id", "pos"), "left_semi")
+    // losers = occurrences that are NOT their span's winner; each starts a
+    // cut. Winner ⟺ not loser, so the keep-set below is an anti-join.
+    val losers = occ.select("id", "pos")
+      .join(firsts, Seq("id", "pos"), "left_anti")
+      .repartition(col("id"))
+    // split key: doc ids losing at least one span (≤ one row per cut doc)
+    val cutIds = losers.select("id").distinct()
+    val src = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
+    // span-clean docs pass through byte-identical — no explode, no regroup
+    val clean = src.join(cutIds, Seq("id"), "left_anti")
+      .select(col("id"), col("_txt").as(textCol))
+    // only cut docs re-explode WITH span text; fully-duplicated docs keep
+    // nothing and vanish from the regroup (no surviving span rows)
+    val cutEx = src.join(cutIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        posexplode(spans(spark, col("_txt"), span)).as(Seq("pos", "sp")))
+    val rebuilt = cutEx.join(losers, Seq("id", "pos"), "left_anti")
       .groupBy("id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("sp")))),
           x => x.getField("sp")), " ").as(textCol))
-      .withColumnRenamed("id", idCol)
+    clean.unionByName(rebuilt).withColumnRenamed("id", idCol)
   }
 
   /** Composable (pure-Column) per-position window hashes — the semantic
@@ -1292,9 +1322,28 @@ object Dedup {
     * running max of cut-range ends marks covered tokens; their surviving
     * tokens rejoin with single spaces (inherent to token-granularity
     * reassembly). Hash identity is the standard at-scale trade (collisions
-    * vanishingly rare; a collision only cuts one extra w-token run). */
+    * vanishingly rare; a collision only cuts one extra w-token run).
+    *
+    * Dense-regime auto-dispatch (round 12): the clean-doc routing wins
+    * exactly when most docs are clean — on a dense-dup corpus (the ×12
+    * boilerplate-skew probe: 92% of docs cut) its three cutIds joins
+    * shuffle nearly the whole corpus for no routing benefit, measured
+    * ~1.5× the direct form. The cut ratio is computed BEFORE choosing the
+    * plan (distinct cut ids vs document count — one narrow pass over the
+    * localCheckpoint'ed dup rows, which the chosen arm then reuses instead
+    * of re-running the corpus explode), and above `denseCutRatio` the
+    * direct interleave-everything arm runs with a single doc-level join
+    * picking originals for clean docs — BYTE-IDENTICAL output to the split
+    * arm in every regime. `denseCutRatio >= 1.0` disables the probe (fully
+    * lazy, always split). */
+  /** Dispatch observability: which dedupSubstrings arm served (specs pin
+    * both regimes; the probe reports them). */
+  private[graft] val substrSplitCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val substrDenseCount = new java.util.concurrent.atomic.AtomicLong
+
   def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
-                      window: Int = 50): DataFrame = {
+                      window: Int = 50,
+                      denseCutRatio: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
     val w = window
     val occ = df.select(col(idCol).as("id"),
@@ -1311,38 +1360,134 @@ object Dedup {
     // without the boundary each would re-run the full explode (measured 3×
     // the corpus occurrence pass at ×20); with it, exchange reuse computes
     // the subtree once and all consumers read the shuffle output.
-    val dups = occ.select("id", "p").join(firsts, Seq("id", "p"), "left_anti")
+    val dupsPlan = occ.select("id", "p")
+      .join(firsts, Seq("id", "p"), "left_anti")
       .repartition(col("id"))
-    // split key: doc ids with at least one cut (≤ one row per cut doc)
-    val cutIds = dups.select("id").distinct()
     val src = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
-    // cut-free docs pass through byte-identical — no explode, no window
-    val clean = src.join(cutIds, Seq("id"), "left_anti")
-      .select(col("id"), col("_txt").as(textCol))
-    val toks = src.join(cutIds, Seq("id"), "left_semi")
-      .select(col("id"),
+
+    // cut-doc routing, the round-11 shape: byte-identical pass-through for
+    // cut-FREE docs; only cut docs explode to tokens and regroup
+    def splitArm(dups: DataFrame): DataFrame = {
+      // split key: doc ids with at least one cut (≤ one row per cut doc)
+      val cutIds = dups.select("id").distinct()
+      // cut-free docs pass through byte-identical — no explode, no window
+      val clean = src.join(cutIds, Seq("id"), "left_anti")
+        .select(col("id"), col("_txt").as(textCol))
+      val toks = src.join(cutIds, Seq("id"), "left_semi")
+        .select(col("id"),
+          posexplode(split(col("_txt"), "\\s+", -1)).as(Seq("pos", "tok")))
+      val rebuilt = interleave(dups, toks, w)
+        .filter(col("kind") === 1 &&
+          (col("_cut_end").isNull || col("_cut_end") <= col("pos")))
+        .groupBy("id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as(textCol))
+      clean.unionByName(rebuilt).withColumnRenamed("id", idCol)
+    }
+
+    // dense-regime arm (round-12 verdict #5): when MOST docs are cut, the
+    // split's three cutIds joins shuffle nearly the whole corpus for no
+    // routing benefit (the ×12 dense-dup probe measured the split ~1.5×
+    // the pre-split form). Here every doc's tokens interleave directly —
+    // no cutIds distinct, no semi/anti joins — and ONE doc-level join
+    // against the source picks each doc's ORIGINAL text when it lost
+    // nothing, preserving the split arm's byte-identity contract exactly:
+    // clean docs verbatim (null-text docs ride the left join), cut docs
+    // reassembled, fully-covered docs vanish.
+    def denseArm(dups: DataFrame): DataFrame = {
+      val toks = src.select(col("id"),
         posexplode(split(col("_txt"), "\\s+", -1)).as(Seq("pos", "tok")))
-    // interleave cut-range starts (kind 0, end = p + w) with token rows
-    // (kind 1) by position; a token is covered iff the running max of
-    // range ends at its position exceeds it
+      val keep = col("kind") === 1 &&
+        (col("_cut_end").isNull || col("_cut_end") <= col("pos"))
+      val regrouped = interleave(dups, toks, w)
+        .groupBy("id")
+        .agg(
+          // collect_list skips nulls: only surviving tokens are gathered
+          array_join(transform(array_sort(collect_list(
+              when(keep, struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")), " ").as("_rb"),
+          max(when(col("kind") === 0, 1).otherwise(0)).as("_was_cut"),
+          sum(when(keep, 1).otherwise(0)).as("_nkeep"))
+      src.join(regrouped, Seq("id"), "left")
+        // absent/_nkeep-null docs had no token rows at all (null text) —
+        // they are clean; _nkeep = 0 means fully covered — vanish
+        .filter(col("_nkeep").isNull || col("_nkeep") > 0)
+        .select(col("id"),
+          when(col("_was_cut") === 1, col("_rb")).otherwise(col("_txt"))
+            .as(textCol))
+        .withColumnRenamed("id", idCol)
+    }
+
+    // a threshold ≥ 1 disables the dispatch probe entirely: the operator
+    // stays lazy (no jobs at construction) and always takes the split arm
+    if (denseCutRatio >= 1.0) {
+      substrSplitCount.incrementAndGet(); return splitArm(dupsPlan)
+    }
+    def dispatch(ratio: Double, dups: DataFrame): DataFrame =
+      if (ratio > denseCutRatio) {
+        substrDenseCount.incrementAndGet(); denseArm(dups)
+      } else {
+        substrSplitCount.incrementAndGet(); splitArm(dups)
+      }
+    // the cut ratio is a property of the corpus CONTENT — memoize the probe
+    // per (canonicalized plan, file fingerprint, window), the knnJoinFlip
+    // precedent: repeated served requests (and bench repetitions) on an
+    // unchanged corpus skip the probe entirely and stay fully lazy on the
+    // pinned-exchange plan. Frames with no file lineage have no safe
+    // cross-request identity → probe every time.
+    val fp = Similarity.fingerprint(df)
+    val memoKey =
+      if (fp == "nofiles") null
+      else Similarity.keyHash(
+        df.queryExecution.optimizedPlan.canonicalized.toString) + s"|$fp|$w"
+    val known = Option(memoKey).flatMap(k => Option(substrRatioMemo.get(k)))
+    known match {
+      case Some(r) => dispatch(r.doubleValue(), dupsPlan)
+      case None =>
+        // first sight of this corpus: materialize the narrow (id, p) dup
+        // rows ONCE — the ratio probe and the chosen arm both read them,
+        // and without the checkpoint the count action would re-run the
+        // corpus-wide explode subtree. The volume is bounded by the dup
+        // occurrences the plan shuffles anyway (the pinned exchange
+        // above); executor loss before the caller materializes re-runs
+        // the request (the serving layer's retry — the family's
+        // documented checkpoint trade). The probe's cost is ~constant
+        // scheduling overhead, paid once per corpus generation.
+        val dups = dupsPlan.localCheckpoint()
+        val nCut = dups.select("id").distinct().count()
+        val nDocs = df.count()
+        val ratio = nCut.toDouble / math.max(nDocs, 1L).toDouble
+        Option(memoKey).foreach(k =>
+          substrRatioMemo.computeIfAbsent(k, _ => java.lang.Double.valueOf(ratio)))
+        dispatch(ratio, dups)
+    }
+  }
+
+  /** Cut-ratio memo for [[dedupSubstrings]]' dense-regime dispatch —
+    * LRU-bounded like every serving-lifetime registry (round 12). */
+  private val substrRatioMemo =
+    new IndexMaint.LruCache[java.lang.Double](() => 4096)
+
+  /** Interleave cut-range starts (kind 0, end = p + w, carried on the
+    * mark rows) with token rows (kind 1) by position within each document
+    * and compute the running max of range ends: a token is covered iff
+    * that max at its position exceeds it. The window partitions BY
+    * DOCUMENT — documents are bounded, never a global sort. */
+  private def interleave(dups: DataFrame, toks: DataFrame,
+                         w: Int): DataFrame = {
     val marks = dups.select(col("id"), col("p").cast("long").as("pos"),
       lit(0).as("kind"),
-      (col("p") + w).cast("long").as("end"), lit(null).cast("string").as("tok"))
+      (col("p") + w).cast("long").as("end"),
+      lit(null).cast("string").as("tok"))
     val tokRows = toks.select(col("id"), col("pos").cast("long").as("pos"),
       lit(1).as("kind"), lit(null).cast("long").as("end"), col("tok"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("pos"), col("kind"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val rebuilt = marks.union(tokRows)
+    marks.union(tokRows)
       .withColumn("_cut_end", max(col("end")).over(wDoc))
-      .filter(col("kind") === 1 &&
-        (col("_cut_end").isNull || col("_cut_end") <= col("pos")))
-      .groupBy("id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as(textCol))
-    clean.unionByName(rebuilt).withColumnRenamed("id", idCol)
   }
 
   /** Representative-per-cluster dedup: drops every row whose id belongs to

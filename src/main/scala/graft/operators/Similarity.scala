@@ -987,13 +987,14 @@ object Similarity {
   // bounds concurrent requests to at most one build per key.
 
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+    new IndexMaint.LruCache[IvfIndex](IndexMaint.cacheCap _)
   private val lshCache =
-    new java.util.concurrent.ConcurrentHashMap[String, LshIndex]()
-  private val ivfLineage = new java.util.concurrent.ConcurrentHashMap[
-    String, (Map[String, (Long, Long)], String)]()
-  private val lshLineage = new java.util.concurrent.ConcurrentHashMap[
-    String, (Map[String, (Long, Long)], String)]()
+    new IndexMaint.LruCache[LshIndex](IndexMaint.cacheCap _)
+  private val ivfLineage = new IndexMaint.LruCache[
+    (Map[String, (Long, Long)], String)](IndexMaint.cacheCap _)
+  private val lshLineage = new IndexMaint.LruCache[
+    (Map[String, (Long, Long)], String)](IndexMaint.cacheCap _)
+  private[graft] def annCacheSize: Int = ivfCache.size + lshCache.size
 
   /** Build counters (metadata re-opens do NOT increment) — serving-tier
     * observability; specs assert re-open paths leave them unchanged. */
@@ -1071,25 +1072,28 @@ object Similarity {
     * files stay — a later request re-opens or, if the corpus changed,
     * builds under a new fingerprinted path. */
   def invalidateIndexes(corpusKey: String): Unit = {
-    ivfCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
-    lshCache.keySet.removeIf(_.contains(s"|$corpusKey|"))
-    ivfLineage.keySet.removeIf(_.contains(s"|$corpusKey|"))
-    lshLineage.keySet.removeIf(_.contains(s"|$corpusKey|"))
+    ivfCache.removeKeysIf(_.contains(s"|$corpusKey|"))
+    lshCache.removeKeysIf(_.contains(s"|$corpusKey|"))
+    ivfLineage.removeKeysIf(_.contains(s"|$corpusKey|"))
+    lshLineage.removeKeysIf(_.contains(s"|$corpusKey|"))
+    IndexMaint.dropGrowthLocks(k =>
+      (k.startsWith("ivf") || k.startsWith("lsh")) &&
+        k.contains(s"|$corpusKey|"))
   }
 
   /** Clear the whole in-memory index cache (restart simulation / tests). */
   def invalidateAllIndexes(): Unit = {
     ivfCache.clear(); lshCache.clear()
     ivfLineage.clear(); lshLineage.clear()
+    IndexMaint.dropGrowthLocks(k => k.startsWith("ivf") || k.startsWith("lsh"))
   }
 
   /** Sweep orphaned ANN index trees (retired fingerprints) under
     * `baseDir` — see [[graft.operators.IndexMaint.gcOrphans]]. */
   def annIndexGc(spark: org.apache.spark.sql.SparkSession, baseDir: String,
                  graceMs: Long = 3600000L): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val live = (ivfCache.values.asScala.map(_.path) ++
-      lshCache.values.asScala.map(_.path)).toSet
+    val live =
+      (ivfCache.values.map(_.path) ++ lshCache.values.map(_.path)).toSet
     IndexMaint.gcOrphans(spark, baseDir, Seq("ivf_", "lsh_"), live, graceMs)
   }
 
@@ -1111,8 +1115,9 @@ object Similarity {
     val spark = corpus.sparkSession
     val path = s"$baseDir/ivf_${keyHash(key)}"
     IndexMaint.cachedIndexFor[IvfIndex](
-      ivfCache, ivfLineage, params, key, files,
-      reopen = () => readMeta[IvfIndex](spark, path),
+      spark, ivfCache, ivfLineage, baseDir, params, key, files,
+      path, pathOf = _.path,
+      reopenAt = p => readMeta[IvfIndex](spark, p),
       build = () => {
         val idx = ivfBuild(corpus, idCol, vecCol, nlist, path, kmeansIters)
         ivfBuildCount.incrementAndGet()
@@ -1139,8 +1144,9 @@ object Similarity {
     val spark = corpus.sparkSession
     val path = s"$baseDir/lsh_${keyHash(key)}"
     IndexMaint.cachedIndexFor[LshIndex](
-      lshCache, lshLineage, params, key, files,
-      reopen = () => readMeta[LshIndex](spark, path),
+      spark, lshCache, lshLineage, baseDir, params, key, files,
+      path, pathOf = _.path,
+      reopenAt = p => readMeta[LshIndex](spark, p),
       build = () => {
         val idx = lshBuild(corpus, idCol, vecCol, planes, dim, path, tables)
         lshBuildCount.incrementAndGet()
@@ -1471,7 +1477,7 @@ object Similarity {
   // + input-file fingerprint (path/size/mtime), so any out-of-band data
   // change — or a different filter on the same files — keys a fresh count.
   private val countMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new IndexMaint.LruCache[java.lang.Long](() => 4096)
   private[graft] val knnCountJobs = new java.util.concurrent.atomic.AtomicLong
 
   private def memoizedCount(df: DataFrame): Long = {
@@ -1484,9 +1490,9 @@ object Similarity {
     }
     val key =
       keyHash(df.queryExecution.optimizedPlan.canonicalized.toString) + "|" + fp
-    // crude bound for a long-lived service: the memo holds one Long per
-    // distinct served plan — reset rather than evict if it ever balloons
-    if (countMemo.size > 4096) countMemo.clear()
+    // bounded for a long-lived service: one Long per distinct served plan,
+    // least-recently-requested evicted at the cap (round 12 — the old
+    // clear-all-at-4096 reset threw away every hot entry with the cold)
     countMemo.computeIfAbsent(key, _ => {
       knnCountJobs.incrementAndGet()
       java.lang.Long.valueOf(df.count())

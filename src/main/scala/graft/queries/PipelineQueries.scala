@@ -1719,7 +1719,9 @@ object PipelineQueries {
 
   /** Corpus-level span dedup (C4-style at 10-token-span granularity):
     * every span keeps only its globally first occurrence (min (id, pos));
-    * docs are reassembled from surviving spans. */
+    * ONLY documents losing a span are reassembled from their surviving
+    * spans — span-clean docs pass through byte-identical (original
+    * whitespace preserved; the oracle mirrors the split). */
   val q_dedup_spans = Q(
     "q_dedup_spans",
     (s, dir) => {
@@ -1735,10 +1737,19 @@ object PipelineQueries {
               FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(g)),
             firsts AS (SELECT lower(s) AS ls, min({'id': doc_id, 'pos': pos}) AS f
               FROM sp GROUP BY lower(s)),
-            kept AS (SELECT sp.doc_id, sp.pos, sp.s FROM sp JOIN firsts f
-              ON lower(sp.s) = f.ls AND sp.doc_id = f.f.id AND sp.pos = f.f.pos)
-            SELECT doc_id, array_to_string(list(s ORDER BY pos), ' ') AS text
-            FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+            losers AS (SELECT sp.doc_id, sp.pos FROM sp JOIN firsts f
+              ON lower(sp.s) = f.ls
+              WHERE NOT (sp.doc_id = f.f.id AND sp.pos = f.f.pos)),
+            cutids AS (SELECT DISTINCT doc_id FROM losers),
+            kept AS (SELECT sp.doc_id, sp.pos, sp.s
+              FROM sp SEMI JOIN cutids USING (doc_id)
+              ANTI JOIN losers l ON sp.doc_id = l.doc_id AND sp.pos = l.pos),
+            rebuilt AS (SELECT doc_id,
+                array_to_string(list(s ORDER BY pos), ' ') AS text
+              FROM kept GROUP BY doc_id)
+            SELECT doc_id, text FROM documents ANTI JOIN cutids USING (doc_id)
+            UNION ALL SELECT doc_id, text FROM rebuilt
+            ORDER BY doc_id"""))
 
   /** Exact-substring dedup (Lee et al. 2022 adapted to token granularity):
     * OVERLAPPING 8-token windows — any duplicated run of ≥ 8 tokens keeps

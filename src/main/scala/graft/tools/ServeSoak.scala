@@ -146,6 +146,17 @@ object ServeSoak {
       "phrasefilt" -> gq("""{ documents { f: filter(lang: {eq: "en"}) {
         s: search(phrase: ["table", "hash"], on: "text",
                   id: "doc_id", corpus: "documents") { count } } } }"""),
+      // round-12: a 1-in-100 SELECTIVE filter over the ranked root-index
+      // path — under the old geometric rank-then-verify this paid 2-3
+      // complete probe+score rounds; restrict-then-rank must price it at
+      // the unfiltered probe plus one semi-join
+      "bm25filtsel" -> gq("""{ documents { m: project(columns: [
+        {alias: "m100", mod: [{name: "doc_id"}, {value: 100}]}]) {
+        f: filter(m100: {eq: 7}) {
+        s: search(terms: ["join", "filter", "hash"], on: "text",
+                  id: "doc_id", k: 20, corpus: "documents") {
+        o: order(by: ["rank"]) {
+        columns { doc_id { values } rank { values } } } } } } } }"""),
       // round-11: the served multimodal tier — REAL container-header
       // parsing over the fixture images root and the typed batch-decode path
       "imagemeta" -> gq("""{ images { m: imageMeta(on: "blob") {

@@ -86,8 +86,17 @@ object SubstrProbe {
       println(f"PROBE $label%-6s best=${secs.min}%.2f s runs=" +
         secs.map(s => f"$s%.2f").mkString(","))
     }
-    time("split")(Dedup.dedupSubstrings(d, "text", "doc_id", w))
+    val split0 = Dedup.substrSplitCount.get
+    val dense0 = Dedup.substrDenseCount.get
+    // auto = the production default (cut-ratio dispatch, round 12);
+    // split = routing forced (threshold 2 disables the probe);
+    // old   = the pre-round-11 corpus-wide shape
+    time("auto")(Dedup.dedupSubstrings(d, "text", "doc_id", w))
+    time("split")(Dedup.dedupSubstrings(d, "text", "doc_id", w,
+      denseCutRatio = 2.0))
     time("old")(oldShape)
+    println(s"PROBE dispatch split=${Dedup.substrSplitCount.get - split0} " +
+      s"dense=${Dedup.substrDenseCount.get - dense0}")
     spark.stop()
   }
 }

@@ -107,13 +107,16 @@ class DegenerateSpec extends SparkSpec {
     // empty batch against a real corpus
     assert(Dedup.incrementalBloom(ed.select("doc_id", "text"), docs,
       "text", "doc_id", expectedItems = 1000L).count() == 0)
-    // blank/whitespace-only docs emit zero spans and vanish from dedupSpans
+    // blank/whitespace-only docs emit zero spans, so they can never lose
+    // one: they ride the span-clean pass-through byte-identical (round 12;
+    // the same contract as dedupSubstrings' shorter-than-window docs)
     import spark.implicits._
     val blanks = Seq((1L, ""), (2L, "   "), (3L, "real text here"))
       .toDF("doc_id", "text")
     val spanned = Dedup.dedupSpans(blanks, "text", "doc_id")
-      .collect().map(_.getLong(0)).toSet
-    assert(spanned == Set(3L), s"blank docs must vanish, got $spanned")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(spanned == Map(1L -> "", 2L -> "   ", 3L -> "real text here"),
+      s"span-clean docs must pass through byte-identical, got $spanned")
     // metadata file selection on an empty selection set
     assert(graft.sources.ParquetMeta.readFiles(spark,
       s"$sf/nation.parquet", Nil).count() == 0)

@@ -667,6 +667,22 @@ class PipelineSpec extends SparkSpec {
     val out = Dedup.dedupSpans(d, "text", "doc_id", span = 3)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out == Map(1L -> "a b c d e f", 2L -> "x y z", 4L -> "Q W E"))
+    // span-CLEAN docs pass through BYTE-IDENTICAL (round 12 — the
+    // dedupSubstrings split mirrored at span granularity): tabs, newlines
+    // and runs of spaces survive verbatim because clean docs never take
+    // the text-carrying explode/regroup; a CUT doc's surviving spans
+    // rejoin with single spaces
+    val ws = Seq(
+      (20L, "alpha\tbeta\n\ngamma  delta"),      // unique → byte-identical
+      (21L, "u v w x y z"),                      // owns both spans
+      (22L, "k\t\tm   z u v w n o p")            // 2nd span "u v w" lost →
+                                                 // cut, reassembled normalized
+    ).toDF("doc_id", "text")
+    val wsOut = Dedup.dedupSpans(ws, "text", "doc_id", span = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(wsOut(20L) == "alpha\tbeta\n\ngamma  delta", s"got ${wsOut(20L)}")
+    assert(wsOut(21L) == "u v w x y z")
+    assert(wsOut(22L) == "k m z n o p", s"got ${wsOut(22L)}")
   }
 
   test("dedupSubstrings cuts every non-first >=w-token run, merging overlaps") {
@@ -717,6 +733,48 @@ class PipelineSpec extends SparkSpec {
     assert(wsOut(20L) == "alpha\tbeta\n\ngamma  delta", s"got ${wsOut(20L)}")
     assert(wsOut(21L) == "u v w x y z")
     assert(wsOut(22L) == "k m n o p", s"got ${wsOut(22L)}")
+  }
+
+  test("dedupSubstrings dense-regime dispatch: both arms, byte-identical outputs") {
+    import spark.implicits._
+    def results(df: org.apache.spark.sql.DataFrame,
+                ratio: Double): Map[Long, String] =
+      Dedup.dedupSubstrings(df, "text", "doc_id", window = 3,
+          denseCutRatio = ratio)
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)).orNull))
+        .toMap
+    // SPARSE corpus (1 of 6 docs cut → ratio ~0.17): the default dispatch
+    // must take the split arm
+    val sparse = Seq(
+      (1L, "x y z w a b"), (2L, "q x y z w r"), (3L, "c d e f g h"),
+      (4L, "i j k l m n"), (5L, "o p q2 r2 s t"),
+      (6L, "tab\there  kept verbatim"), (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val split0 = Dedup.substrSplitCount.get
+    val dense0 = Dedup.substrDenseCount.get
+    val sparseAuto = results(sparse, 0.5)
+    assert(Dedup.substrSplitCount.get == split0 + 1 &&
+      Dedup.substrDenseCount.get == dense0, "sparse corpus must take the split arm")
+    // DENSE corpus (every doc shares a duplicated run): dispatch flips
+    val dense = Seq(
+      (1L, "x y z w a b"), (2L, "q x y z w r"), (3L, "m x y z w n"),
+      (4L, "x y z"), (5L, "p x y z w\t\tkeep")
+    ).toDF("doc_id", "text")
+    val denseAuto = results(dense, 0.5)
+    assert(Dedup.substrDenseCount.get == dense0 + 1,
+      "dense corpus must take the direct arm")
+    // BOTH regimes: auto output byte-identical to the forced split arm
+    // (ratio 2 disables the probe — the lazy routing form)
+    assert(sparseAuto == results(sparse, 2.0),
+      "sparse dispatch output must equal the split arm byte-for-byte")
+    assert(denseAuto == results(dense, 2.0),
+      "dense dispatch output must equal the split arm byte-for-byte")
+    // the dense arm preserved the split contracts: clean doc verbatim
+    // (tabs survive), null text kept, fully-covered doc vanished
+    assert(denseAuto(5L) == "p keep")
+    assert(!denseAuto.contains(4L))
+    assert(sparseAuto(6L) == "tab\there  kept verbatim")
+    assert(sparseAuto.contains(7L) && sparseAuto(7L) == null)
   }
 
   test("exactNormalized merges case/punctuation/whitespace variants") {

@@ -498,7 +498,10 @@ class TextSearchSpec extends SparkSpec {
     assert(i3.path != i1.path)
     def trees(): Set[String] = {
       val f = new java.io.File(ixDir)
-      Option(f.list()).map(_.toSet).getOrElse(Set.empty)
+      // `_`-prefixed entries are bookkeeping (the persisted lineage blobs),
+      // not index trees
+      Option(f.list()).map(_.filterNot(_.startsWith("_")).toSet)
+        .getOrElse(Set.empty)
     }
     assert(trees().size == 2, s"expected live + orphan, got ${trees()}")
     // restart simulation: only the current corpus is re-requested, the old
@@ -521,5 +524,133 @@ class TextSearchSpec extends SparkSpec {
       "a trailing-slash baseDir must not orphan the live tree")
     assert(probedIds(TextSearch.searchIds(i3, Seq("join"), 1)).nonEmpty,
       "the live tree must survive a non-canonical-path sweep")
+  }
+
+  test("index cache is LRU-bounded; an evicted index re-opens, never rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_lru").toString
+    TextSearch.invalidateAllTextIndexes()
+    // shrink the cap live (cacheCap re-reads the property per eviction)
+    val prev = sys.props.put("graft.index.cache.max", "2")
+    try {
+      val builds0 = TextSearch.textBuildCount.get()
+      // three distinct logical indexes over the same files: at cap 2, the
+      // first (least-recently-touched) must evict
+      for (k <- Seq("a", "b", "c"))
+        TextSearch.textIndexFor(docs, s"spec/lru-$k", "text", "doc_id",
+          s"$dir/ix", buckets = 8, positions = true)
+      assert(TextSearch.textBuildCount.get() == builds0 + 3)
+      assert(TextSearch.textCacheSize <= 2,
+        s"cache must stay at the cap, got ${TextSearch.textCacheSize}")
+      assert(TextSearch.textCacheEvictions >= 1)
+      // the evicted index re-opens from its sidecar: buildCount stays flat
+      // (the lifecycle contract that makes eviction safe at any moment)
+      val re = TextSearch.textIndexFor(docs, "spec/lru-a", "text", "doc_id",
+        s"$dir/ix", buckets = 8, positions = true)
+      assert(TextSearch.textBuildCount.get() == builds0 + 3,
+        "an evicted-then-re-requested index must re-open, not rebuild")
+      assert(TextSearch.rankedSearch(re, Seq("join", "filter"), 5)
+        .count() > 0)
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.index.cache.max", v)
+        case None => sys.props.remove("graft.index.cache.max")
+      }
+      TextSearch.invalidateAllTextIndexes()
+    }
+  }
+
+  test("append lineage survives a restart: a fresh JVM delta-appends, not rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_durl").toString
+    val corpusDir = s"$dir/corpus"
+    val ixDir = s"$dir/ix"
+    TextSearch.invalidateAllTextIndexes()
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(corpusDir)
+    val builds0 = TextSearch.textBuildCount.get()
+    val appends0 = TextSearch.textDeltaAppendCount.get()
+    val c1 = spark.read.parquet(corpusDir)
+    TextSearch.textIndexFor(c1, "spec/durable", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    assert(TextSearch.textBuildCount.get() == builds0 + 1)
+    // append-only growth lands, then the JVM "restarts" (all in-memory
+    // caches and lineage cleared — only the sidecars and the persisted
+    // lineage blob survive)
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(corpusDir)
+    TextSearch.invalidateAllTextIndexes()
+    val c2 = spark.read.parquet(corpusDir)
+    val i2 = TextSearch.textIndexFor(c2, "spec/durable", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    assert(TextSearch.textBuildCount.get() == builds0 + 1,
+      "a restarted JVM must take the delta-append fast path, not rebuild")
+    assert(TextSearch.textDeltaAppendCount.get() == appends0 + 1)
+    val fresh = TextSearch.textIndexBuild(c2, "text", "doc_id", s"$dir/fresh",
+      buckets = 16, positions = true)
+    assert(i2.docs == fresh.docs && i2.totalLen == fresh.totalLen,
+      s"restart-recovered append skewed stats: $i2 vs $fresh")
+    assert(TextSearch.rankedSearch(i2, Seq("join", "filter"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      TextSearch.rankedSearch(fresh, Seq("join", "filter"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // a SECOND restart over the grown (already-appended) corpus re-opens
+    // the tree at its first generation's path via the blob — no rebuild,
+    // no second delta
+    TextSearch.invalidateAllTextIndexes()
+    val i2b = TextSearch.textIndexFor(c2, "spec/durable", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    assert(TextSearch.textBuildCount.get() == builds0 + 1 &&
+      TextSearch.textDeltaAppendCount.get() == appends0 + 1,
+      "re-requesting the grown corpus after restart must be a pure re-open")
+    assert(i2b.docs == fresh.docs)
+    // post-restart STALE reader then growth: the blob seeds the lineage,
+    // so the stale request must NOT regress it into a double-append
+    TextSearch.invalidateAllTextIndexes()
+    val stale = spark.read.parquet(c1.inputFiles.toSeq: _*)
+    TextSearch.textIndexFor(stale, "spec/durable", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("append").parquet(corpusDir)
+    val c3 = spark.read.parquet(corpusDir)
+    val i3 = TextSearch.textIndexFor(c3, "spec/durable", "text", "doc_id",
+      ixDir, buckets = 16, positions = true)
+    val fresh3 = TextSearch.textIndexBuild(c3, "text", "doc_id",
+      s"$dir/fresh3", buckets = 16, positions = true)
+    assert(i3.docs == fresh3.docs && i3.totalLen == fresh3.totalLen,
+      "a post-restart stale reader regressed the lineage into a double-append")
+    TextSearch.invalidateAllTextIndexes()
+  }
+
+  test("textIndexAppend with a deterministic segmentId skips replays") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_seg").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val i1 = TextSearch.textIndexBuild(half1, "text", "doc_id", s"$dir/ix",
+      buckets = 16, positions = true)
+    val i2 = TextSearch.textIndexAppend(i1, half2, "text",
+      segmentId = "spec-seg-1")
+    // replay (retried append, or a second JVM sharing baseDir): skipped
+    // wholesale — the sidecar stats must NOT double-count
+    val i3 = TextSearch.textIndexAppend(i2, half2, "text",
+      segmentId = "spec-seg-1")
+    assert(i3.docs == i2.docs && i3.totalLen == i2.totalLen,
+      s"replayed append double-counted: $i3 vs $i2")
+    // a replay against a STALE pre-append handle returns POST-append stats
+    val i4 = TextSearch.textIndexAppend(i1, half2, "text",
+      segmentId = "spec-seg-1")
+    assert(i4.docs == i2.docs && i4.totalLen == i2.totalLen)
+    val fresh = TextSearch.textIndexBuild(docs, "text", "doc_id",
+      s"$dir/fresh", buckets = 16, positions = true)
+    assert(i3.docs == fresh.docs && i3.totalLen == fresh.totalLen)
+    assert(TextSearch.rankedSearch(i3, Seq("join", "filter"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      TextSearch.rankedSearch(fresh, Seq("join", "filter"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // a DIFFERENT segment id is a genuine append, not a replay
+    val more = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    val i5 = TextSearch.textIndexAppend(i3, more, "text",
+      segmentId = "spec-seg-2")
+    assert(i5.docs == i3.docs + more.count())
   }
 }
