@@ -1447,11 +1447,29 @@ object Similarity {
     * TextSearch.txCache pattern); frames without file lineage are counted
     * every time — two distinct in-memory frames can canonicalize alike. */
   def knnJoinFlip(right: DataFrame, vecCol: String,
-                  dim: Int = 0): (Long, Long, String, Int) = {
+                  dim: Int = 0): (Long, Long, String, Int) =
+    knnJoinFlipFor(None, right, vecCol, dim)
+
+  /** [[knnJoinFlip]] with the LEFT side in the decision (round 12): a
+    * broadcastable corpus is necessary but NOT sufficient for brute — its
+    * compute is |L|·|R| exact cosine pairs, so a large left against a
+    * comfortably-broadcastable right is quadratic work the clustered IVF
+    * join avoids (the first ×50 bench reading caught exactly this: 5k
+    * queries × 100k vectors = 500M pairs, 734 s brute vs the IVF arm's
+    * cell-restricted candidates). Brute requires BOTH bytes ≤
+    * `spark.graft.knn.bruteMaxBytes` AND |L|·|R| ≤
+    * `spark.graft.knn.brutePairBudget` (default 16M pairs — seconds of
+    * exact work; every gate/soak corpus stays far under it, so the
+    * exact-oracle adjudication path is untouched). The left count reuses
+    * the same memoized exact-count discipline as the right. */
+  def knnJoinFlipFor(left: Option[DataFrame], right: DataFrame,
+                     vecCol: String, dim: Int = 0): (Long, Long, String, Int) = {
     val spark = right.sparkSession
     val conf = spark.conf
     val bruteBytes = conf.getOption("spark.graft.knn.bruteMaxBytes")
       .map(_.toLong).getOrElse(128L << 20)
+    val pairBudget = conf.getOption("spark.graft.knn.brutePairBudget")
+      .map(_.toLong).getOrElse(16L << 20)
     val centroidMaxFloats = conf.getOption("spark.graft.knn.centroidMaxFloats")
       .map(_.toLong).getOrElse(16L << 20)
     val dim0 = resolveDim(right, vecCol, dim, "knnJoinAuto")
@@ -1461,7 +1479,12 @@ object Similarity {
       if (rows > Long.MaxValue / rowBytes) Long.MaxValue else rows * rowBytes
     val rows = stats.rowCount.map(_.toLong).getOrElse(memoizedCount(right))
     val bytes = bytesOf(rows)
-    if (bytes <= bruteBytes) (rows, bytes, "BRUTE", 0)
+    def pairsOk: Boolean = left.forall { l =>
+      val lRows = l.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(memoizedCount(l))
+      lRows <= pairBudget / math.max(rows, 1L)
+    }
+    if (bytes <= bruteBytes && pairsOk) (rows, bytes, "BRUTE", 0)
     else {
       val nlist = math.min(4096L, math.max(16L,
         math.sqrt(math.max(rows, 0L).toDouble).toLong)).toInt
@@ -1510,7 +1533,7 @@ object Similarity {
                   tables: Int = 8, probes: Int = 0,
                   nlist: Int = 0, nprobe: Int = 6,
                   maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
-    knnJoinFlip(right, vecCol, dim) match {
+    knnJoinFlipFor(Some(left), right, vecCol, dim) match {
       case (_, _, "BRUTE", _) => knnJoinBrute(left, right, idCol, vecCol, k)
       case (_, _, "LSH", _) =>
         knnJoinLsh(left, right, idCol, vecCol, k, planes, dim, tables,

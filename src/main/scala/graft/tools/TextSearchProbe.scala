@@ -116,6 +116,15 @@ object TextSearchProbe {
     println(s"PROBE phrase=$phraseRows bm25TopK=$bm25Top " +
       s"bm25Mixed=$bm25Mixed " +
       s"pruned=${TextSearch.pruneHitCount.get() > pruneBefore}")
+    // the same query at the PRODUCTION bar (pruneMinRows 500k): fires once
+    // the common terms' doc-level rows alone reach corpus scale — the
+    // round-12 decade evidence that pruning engages with no tuning
+    val pruneBefore2 = TextSearch.pruneHitCount.get()
+    val bm25Default = timed("BM25 top-50 probe (rare+common, default bar)") {
+      TextSearch.rankedSearch(pidx, mixed, 50).count()
+    }
+    println(s"PROBE bm25MixedDefaultBar=$bm25Default " +
+      s"prunedDefaultBar=${TextSearch.pruneHitCount.get() > pruneBefore2}")
     spark.stop()
   }
 }

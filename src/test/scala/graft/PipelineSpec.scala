@@ -1406,7 +1406,25 @@ class PipelineSpec extends SparkSpec {
       val (tinyRows, _, _, _) = Similarity.knnJoinFlip(
         spark.createDataFrame(tiny.rdd, tiny.schema), "embedding")
       assert(tinyRows == 1L)
-    } finally cleanup()
+      // PAIR budget (round 12): a broadcastable corpus against a large
+      // LEFT is quadratic exact work — the first ×50 bench reading was
+      // 5k×100k = 500M brute pairs at 734 s. With the pair budget shrunk
+      // so |L|·|R| exceeds it, the SAME under-bytes corpus must dispatch
+      // IVF; without a left (legacy flip) the bytes rule stands alone.
+      spark.conf.set("spark.graft.knn.brutePairBudget",
+        (embs.count() * 3).toString) // left of ~10% exceeds 3 rows
+      val (_, _, mPair, nlPair) = Similarity.knnJoinFlipFor(
+        Some(embs.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 3)),
+        embs, "embedding")
+      assert(mPair == "IVF" && nlPair >= 16,
+        s"pair budget must veto brute: $mPair")
+      val (_, _, mNoLeft, _) = Similarity.knnJoinFlip(embs, "embedding")
+      assert(mNoLeft == "BRUTE", "legacy flip (no left) keeps the bytes rule")
+      spark.conf.unset("spark.graft.knn.brutePairBudget")
+    } finally {
+      cleanup()
+      spark.conf.unset("spark.graft.knn.brutePairBudget")
+    }
   }
 
   test("knnJoinBrute equals bruteForceTopK with the sides' roles swapped") {
