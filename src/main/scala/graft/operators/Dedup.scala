@@ -905,7 +905,12 @@ object Dedup {
     * `_seg` already appears in the occupancy sidecar is a replay and is
     * skipped wholesale, so replays can neither duplicate index rows nor
     * inflate a bucket past the cap (which would silently shrink later
-    * candidate sets). Without a `segmentId` (ad-hoc use) a fresh UUID is
+    * candidate sets). CONCURRENT appenders of the same segment across JVMs
+    * are excluded by an atomic `_gq_claim_<id>` taken before the append
+    * ([[IndexMaint.withAppendClaim]] — the `_seg` check alone is
+    * check-then-act); a claim older than `graft.index.append.claim.stale.ms`
+    * (default 120 s) with no `_seg` evidence is a crashed appender and is
+    * taken over. Without a `segmentId` (ad-hoc use) a fresh UUID is
     * used — appending the same frame twice then really does index it
     * twice, and the occupancy honestly counts the doubled rows.
     *
@@ -925,37 +930,53 @@ object Dedup {
     IndexMaint.recoverSwap(spark, occPath)
     val segId = Option(segmentId).getOrElse(
       "seg-" + java.util.UUID.randomUUID().toString)
-    if (segmentId != null) {
-      val fs = new org.apache.hadoop.fs.Path(occPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(occPath)) &&
-          !spark.read.schema(occSchemaOf(index)).parquet(occPath)
-            .filter(col("_seg") === segId).isEmpty) {
-        log.info(s"minhashIndexAppend: segment $segId already indexed " +
-          s"under ${index.path} — replay skipped")
-        return
-      }
-    }
-    val r = index.k / index.bands
-    val sig = signaturesFor(segment, index.textCol, index.idCol,
-      index.n, index.k, index.md5).persist()
-    try {
-      sig.withColumn("_sp",
-          pmod(xxhash64(col("id").cast("string")), lit(index.slots)))
-        .write.mode("append").partitionBy("_sp")
-        .parquet(s"${index.path}/sigs")
-      val banded = bandedFor(sig, index.bands, r, index.md5)
-        .withColumn("_bb", col("band") * lit(index.slots) +
-          pmod(xxhash64(col("bucket").cast("string")), lit(index.slots)))
-        .persist()
+    def doAppend(): Unit = {
+      val r = index.k / index.bands
+      val sig = signaturesFor(segment, index.textCol, index.idCol,
+        index.n, index.k, index.md5).persist()
       try {
-        banded.write.mode("append").partitionBy("_bb")
-          .parquet(s"${index.path}/banded")
-        banded.groupBy("band", "bucket").count()
-          .withColumn("_seg", lit(segId))
-          .write.mode("append").parquet(occPath)
-      } finally banded.unpersist(blocking = false)
-    } finally sig.unpersist(blocking = false)
+        sig.withColumn("_sp",
+            pmod(xxhash64(col("id").cast("string")), lit(index.slots)))
+          .write.mode("append").partitionBy("_sp")
+          .parquet(s"${index.path}/sigs")
+        val banded = bandedFor(sig, index.bands, r, index.md5)
+          .withColumn("_bb", col("band") * lit(index.slots) +
+            pmod(xxhash64(col("bucket").cast("string")), lit(index.slots)))
+          .persist()
+        try {
+          banded.write.mode("append").partitionBy("_bb")
+            .parquet(s"${index.path}/banded")
+          banded.groupBy("band", "bucket").count()
+            .withColumn("_seg", lit(segId))
+            .write.mode("append").parquet(occPath)
+        } finally banded.unpersist(blocking = false)
+      } finally sig.unpersist(blocking = false)
+    }
+    if (segmentId == null) { doAppend(); return } // ad-hoc: no identity
+    val fs = new org.apache.hadoop.fs.Path(occPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def done(): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(occPath)) &&
+        !spark.read.schema(occSchemaOf(index)).parquet(occPath)
+          .filter(col("_seg") === segId).isEmpty
+    if (done()) {
+      log.info(s"minhashIndexAppend: segment $segId already indexed " +
+        s"under ${index.path} — replay skipped")
+      return
+    }
+    // cross-JVM appender exclusion (round-12 review): the `_seg` sidecar
+    // check above is check-then-act on its own, and a concurrent
+    // double-append OVERCOUNTS occupancy — which can wrongly cap a hot
+    // bucket and silently shrink later candidate sets (a correctness
+    // effect, unlike the text family's transient stats drift). Same claim
+    // protocol as textIndexAppend; occ rows are the done-evidence.
+    val staleMs = sys.props.get("graft.index.append.claim.stale.ms")
+      .flatMap(_.toLongOption).getOrElse(120000L)
+    val claim = new org.apache.hadoop.fs.Path(s"${index.path}/_gq_claim_$segId")
+    if (IndexMaint.withAppendClaim(fs, claim, () => done(), staleMs)(
+        doAppend()).isEmpty)
+      log.info(s"minhashIndexAppend: segment $segId appended concurrently " +
+        s"under ${index.path} — skipped")
   }
 
   /** Compact an index that append-heavy ingestion has fragmented (one
@@ -1437,10 +1458,15 @@ object Dedup {
     // pinned-exchange plan. Frames with no file lineage have no safe
     // cross-request identity → probe every time.
     val fp = Similarity.fingerprint(df)
+    // textCol/idCol are part of the identity: the canonicalized plan of a
+    // bare scan does not encode WHICH column the operator reads, so two
+    // dedupSubstrings calls over the same frame but different text columns
+    // must not share a cut-ratio reading
     val memoKey =
       if (fp == "nofiles") null
       else Similarity.keyHash(
-        df.queryExecution.optimizedPlan.canonicalized.toString) + s"|$fp|$w"
+        df.queryExecution.optimizedPlan.canonicalized.toString) +
+        s"|$fp|$w|$textCol|$idCol"
     val known = Option(memoKey).flatMap(k => Option(substrRatioMemo.get(k)))
     known match {
       case Some(r) => dispatch(r.doubleValue(), dupsPlan)

@@ -111,10 +111,18 @@ private[graft] object IndexMaint {
     // liveness compares NORMALIZED paths (Path.toUri.getPath strips
     // schemes, duplicate and trailing slashes): a baseDir spelled
     // "/idx/" or "file:/idx" against cached "/idx/tx_..." paths must
-    // never mark a live, actively-served tree an orphan
+    // never mark a live, actively-served tree an orphan. Trees with a
+    // build/append running in THIS JVM are live regardless of cache state:
+    // a tree enters the cache only after its build returns, so a scheduled
+    // sweep could otherwise delete a half-written tree whose build outlives
+    // the grace window (the grace is sized for cross-JVM build-to-use gaps,
+    // not for in-JVM build duration).
     def norm(p: String): String =
       new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val liveNorm = live.map(norm)
+    val liveNorm = {
+      import scala.jdk.CollectionConverters._
+      (live ++ inFlight.asScala).map(norm)
+    }
     val sweptTrees = fs.listStatus(base).toSeq.flatMap { st =>
       val name = st.getPath.getName
       val root = name.stripSuffix("_old").stripSuffix("_tmp")
@@ -253,7 +261,14 @@ private[graft] object IndexMaint {
 
   private def purgeGrowthLocks(): Unit = {
     val it = growthLocks.entrySet().iterator()
-    while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+    while (it.hasNext) {
+      val e = it.next()
+      // conditional removal only: the iterator's unconditional remove()
+      // deletes by KEY, so it could delete a live lock that concurrently
+      // replaced this cleared one (growthLockFor's remove+computeIfAbsent),
+      // silently breaking per-index growth mutual exclusion
+      if (e.getValue.get() == null) growthLocks.remove(e.getKey, e.getValue)
+    }
   }
 
   /** Drop growth locks whose params key matches `pred` — called by the
@@ -266,6 +281,64 @@ private[graft] object IndexMaint {
     growthLocks.keySet.removeIf(k => pred(k))
 
   private[graft] def clearGrowthLocks(): Unit = growthLocks.clear()
+
+  /** Atomic cross-JVM claim serializing concurrent appenders of ONE
+    * logical segment (round-12 review): the done-evidence checks
+    * (done-marker file, `_seg` sidecar rows) are check-then-act on their
+    * own, so two JVMs sharing a baseDir — the growth lock serializing
+    * in-JVM appends is JVM-local — could both pass and double-append.
+    * The claim file is created atomically (create-if-absent); the loser
+    * polls `done()` for the winner's evidence; a claim older than
+    * `staleMs` with no evidence is a crashed appender and is taken over.
+    * Size `staleMs` above the worst-case append latency for multi-writer
+    * deployments — the residual race is two appenders of a segment that
+    * takes longer than the bound. Returns None when `done()` turned true
+    * while acquiring (a winner finished — the caller must skip), or
+    * Some(f) after f ran under claim ownership; the claim is released
+    * after f (so done-evidence written inside f lands first). */
+  private[graft] def withAppendClaim[T](
+      fs: org.apache.hadoop.fs.FileSystem,
+      claim: org.apache.hadoop.fs.Path,
+      done: () => Boolean, staleMs: Long)(f: => T): Option[T] = {
+    def nonFatal(g: => Unit): Unit =
+      try g catch { case scala.util.control.NonFatal(_) => () }
+    var owned = false
+    while (!owned) {
+      owned = try fs.createNewFile(claim)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!owned) {
+        if (done()) { nonFatal { fs.delete(claim, false); () }; return None }
+        val st = try Some(fs.getFileStatus(claim)) catch {
+          case _: java.io.FileNotFoundException => None
+          case scala.util.control.NonFatal(_) => None
+        }
+        st match {
+          case Some(s) if System.currentTimeMillis() -
+              s.getModificationTime > staleMs =>
+            nonFatal { fs.delete(claim, false); () } // crashed owner
+          // live owner: await its evidence — a full second per poll, since
+          // done() can be a parquet read (the minhash occ check)
+          case Some(_) => Thread.sleep(1000L)
+          case None => () // claim vanished: retry ours
+        }
+      }
+    }
+    // the winner may have finished between our last done-check and the
+    // claim acquisition (it releases AFTER writing its evidence)
+    if (done()) { nonFatal { fs.delete(claim, false); () }; None }
+    else try Some(f) finally nonFatal { fs.delete(claim, false); () }
+  }
+
+  /** Tree paths with a build or in-place append currently running in this
+    * JVM — unioned into every [[gcOrphans]] live set (see the liveness note
+    * there). Registered around the build/append calls in [[cachedIndexFor]],
+    * which covers every serve-side index construction. */
+  private val inFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def trackInFlight[T](path: String)(f: => T): T = {
+    inFlight.add(path)
+    try f finally inFlight.remove(path)
+  }
 
   def cachedIndexFor[I <: AnyRef](
       spark: SparkSession,
@@ -342,12 +415,14 @@ private[graft] object IndexMaint {
                 .filter(_._2 == prevKey)
                 .flatMap { case (_, _, prevPath) => reopenAt(prevPath) })
             prevIdx.map { p =>
-              val updated = append(p, newFiles)
+              // in-place append: the target tree may be cache-evicted (not
+              // in any live set) — shield it from the GC while it grows
+              val updated = trackInFlight(pathOf(p))(append(p, newFiles))
               onDelta()
               retired.set(prevKey) // the grown tree no longer answers it
               updated
             }
-          }.getOrElse(build())
+          }.getOrElse(trackInFlight(path)(build()))
         }
       })
       Option(retired.get()).foreach(cache.remove(_))
@@ -356,8 +431,22 @@ private[graft] object IndexMaint {
       // re-opened (pure races resolve to a hit — nothing new to record) and
       // the merge accepted it (the same advance-only discipline on disk:
       // a stale reader must never write its older file set over the blob)
-      if (computed.get() && merged == ((files, key)))
-        writeLineageBlob(spark, baseDir, params, files, key, pathOf(out))
+      if (computed.get() && merged == ((files, key))) {
+        // ... and re-check against the PERSISTED lineage before overwriting
+        // it: the in-memory entry can have been LRU-evicted between the seed
+        // and this merge (the lineage maps are bounded now), in which case a
+        // stale pre-growth reader merges into an EMPTY slot, "wins", and
+        // would write its old file set over the blob — re-opening the
+        // double-append hazard the blob exists to close. Under the params
+        // lock nothing else in this JVM touches this blob, so the
+        // read-check-write below is atomic enough.
+        val advances = readLineageBlob(spark, baseDir, params).forall {
+          case (bf, bk, _) =>
+            advanceOnly((bf, bk), (files, key)) == ((files, key))
+        }
+        if (advances)
+          writeLineageBlob(spark, baseDir, params, files, key, pathOf(out))
+      }
       out
     }
   }

@@ -1004,7 +1004,7 @@ object Similarity {
   private[graft] val annDeltaAppendCount =
     new java.util.concurrent.atomic.AtomicLong
 
-  private[operators] def keyHash(key: String): String =
+  private[graft] def keyHash(key: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
@@ -1480,9 +1480,21 @@ object Similarity {
     val rows = stats.rowCount.map(_.toLong).getOrElse(memoizedCount(right))
     val bytes = bytesOf(rows)
     def pairsOk: Boolean = left.forall { l =>
-      val lRows = l.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.toLong).getOrElse(memoizedCount(l))
-      lRows <= pairBudget / math.max(rows, 1L)
+      val budgetRows = pairBudget / math.max(rows, 1L)
+      l.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong) match {
+        case Some(n) => n <= budgetRows
+        case None if fingerprint(l) != "nofiles" =>
+          memoizedCount(l) <= budgetRows // cached across served requests
+        case None =>
+          // no file lineage → no safe memo identity, and a FULL count here
+          // would materialize an arbitrary served pipeline twice per
+          // dispatch (once for the gate, once for the join). The gate only
+          // needs "≤ budget?" — a limit-bounded count prices the probe at
+          // the budget, not at the left's size.
+          knnCountJobs.incrementAndGet()
+          val cap = math.min(budgetRows + 1, Int.MaxValue.toLong - 1).toInt
+          l.limit(cap).count() <= budgetRows
+      }
     }
     if (bytes <= bruteBytes && pairsOk) (rows, bytes, "BRUTE", 0)
     else {

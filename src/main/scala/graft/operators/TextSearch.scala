@@ -173,51 +173,81 @@ object TextSearch {
     *
     * `segmentId`, when given, must be DETERMINISTIC per logical segment
     * (mirroring [[Dedup.minhashIndexAppend]]'s replay guard — round-12
-    * ADVICE): a `_gq_seg_<id>` marker lands in the tree root AFTER the
+    * ADVICE): a `_gq_seg_<id>` done-marker lands in the tree root AFTER the
     * postings/tf/stats, and an append whose marker already exists is a
-    * replay and skipped wholesale — a retried delta append (or a second
-    * JVM sharing baseDir) can no longer double-count the sidecar
-    * docs/totalLen and skew BM25 N/avgdl until a compaction recount. A
-    * crash inside the append (marker not yet written) re-runs it whole:
-    * duplicate postings/tf rows are probe-safe (DISTINCT/max collapse),
-    * stats double-count remains the documented bounded drift for exactly
-    * that torn window. Without a `segmentId` (ad-hoc use) appending the
-    * same frame twice really does index it twice. Returns the updated
-    * handle. */
+    * replay and skipped wholesale — a retried delta append can no longer
+    * double-count the sidecar docs/totalLen and skew BM25 N/avgdl until a
+    * compaction recount. CONCURRENT appenders of the same segment (a second
+    * JVM sharing baseDir — the growth lock serializing in-JVM appends is
+    * JVM-local) are excluded by an atomic `_gq_claim_<id>` taken BEFORE the
+    * append: the loser polls for the winner's done-marker; a claim older
+    * than `graft.index.append.claim.stale.ms` (default 120 s) with no
+    * done-marker is a crashed appender and is taken over — size the bound
+    * above the worst-case append latency for multi-writer deployments, the
+    * residual race being two appenders of a segment that takes longer than
+    * the bound. A crash inside the append (done-marker not yet written)
+    * re-runs it whole after the staleness wait: duplicate postings/tf rows
+    * are probe-safe (DISTINCT/max collapse), stats double-count remains the
+    * documented bounded drift for exactly the writeMeta-to-marker window.
+    * Without a `segmentId` (ad-hoc use) appending the same frame twice
+    * really does index it twice. Returns the updated handle. */
   def textIndexAppend(index: TextIndex, segment: DataFrame,
                       textCol: String, segmentId: String = null): TextIndex = {
     val spark = segment.sparkSession
     IndexMaint.recoverSwap(spark, index.path)
     val marker = Option(segmentId).map(id =>
       new org.apache.hadoop.fs.Path(s"${index.path}/_gq_seg_$id"))
+    val claim = Option(segmentId).map(id =>
+      new org.apache.hadoop.fs.Path(s"${index.path}/_gq_claim_$id"))
     val fs = new org.apache.hadoop.fs.Path(index.path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // replay: the tree already holds this segment — re-read the sidecar so
-    // the caller gets the POST-append stats, not its stale pre-growth copy
-    if (marker.exists(fs.exists))
-      return Similarity.readMeta[TextIndex](spark, index.path).getOrElse(index)
-    postings(segment, textCol, index.idCol, index.buckets, index.positional)
-      .repartition(col("_tb"))
-      .write.mode("append").partitionBy("_tb").parquet(index.path)
-    val out =
-      if (!index.positional) index
-      else {
-        // tf tier rows for the segment (postings-then-tf order: a crash
-        // between the two is healed by the family's at-least-once replay,
-        // same as the postings-then-stats window below; a replayed append
-        // appends identical tf rows, which probes collapse by max)
-        writeTfTier(
-          postings(segment, textCol, index.idCol, index.buckets,
-            positions = true),
-          tfDir(index.path), "append")
-        val (n, tl) = corpusStats(segment, textCol)
-        val updated = index.copy(docs = index.docs + n,
-          totalLen = index.totalLen + tl)
-        Similarity.writeMeta(spark, index.path, updated)
-        updated
-      }
-    marker.foreach(m => fs.create(m, true).close())
-    out
+    def nonFatal(f: => Unit): Unit =
+      try f catch { case scala.util.control.NonFatal(_) => () }
+    // replay: the tree already holds this segment — clean any lingering
+    // claim (a crash between done-marker and claim delete) and re-read the
+    // sidecar so the caller gets the POST-append stats, not its stale copy
+    def replayed(): Option[TextIndex] =
+      if (marker.exists(fs.exists)) {
+        claim.foreach(c => nonFatal { fs.delete(c, false); () })
+        Some(Similarity.readMeta[TextIndex](spark, index.path)
+          .getOrElse(index))
+      } else None
+    replayed() match { case Some(r) => return r case None => }
+    def doAppend(): TextIndex = {
+      postings(segment, textCol, index.idCol, index.buckets, index.positional)
+        .repartition(col("_tb"))
+        .write.mode("append").partitionBy("_tb").parquet(index.path)
+      val out =
+        if (!index.positional) index
+        else {
+          // tf tier rows for the segment (postings-then-tf order: a crash
+          // between the two is healed by the family's at-least-once replay,
+          // same as the postings-then-stats window below; a replayed append
+          // appends identical tf rows, which probes collapse by max)
+          writeTfTier(
+            postings(segment, textCol, index.idCol, index.buckets,
+              positions = true),
+            tfDir(index.path), "append")
+          val (n, tl) = corpusStats(segment, textCol)
+          val updated = index.copy(docs = index.docs + n,
+            totalLen = index.totalLen + tl)
+          Similarity.writeMeta(spark, index.path, updated)
+          updated
+        }
+      marker.foreach(m => fs.create(m, true).close())
+      out
+    }
+    claim match {
+      case None => doAppend() // ad-hoc use: no segment identity, no claim
+      case Some(c) =>
+        val staleMs = sys.props.get("graft.index.append.claim.stale.ms")
+          .flatMap(_.toLongOption).getOrElse(120000L)
+        IndexMaint.withAppendClaim(fs, c,
+            () => marker.exists(fs.exists), staleMs)(doAppend())
+          .getOrElse( // a concurrent winner appended it: post-append stats
+            Similarity.readMeta[TextIndex](spark, index.path)
+              .getOrElse(index))
+    }
   }
 
   /** Rewrite one-file-per-bucket with replay duplicates dropped; swap
@@ -249,6 +279,18 @@ object TextSearch {
         // rides the swap inside the tmp tree
         if (index.positional) writeTfTier(deduped, tfDir(tmp), "overwrite")
         Similarity.writeMeta(spark, tmp, updated)
+        // carry the segment done-markers across the rewrite: the appended
+        // segments' rows are still IN the compacted tree, so a replayed
+        // append afterwards must keep being recognized — dropping the
+        // markers here would silently void the replay guard and let the
+        // replay double-count the just-recounted sidecar stats
+        val fs = new org.apache.hadoop.fs.Path(index.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"${index.path}/_gq_seg_*")).foreach { st =>
+          fs.create(new org.apache.hadoop.fs.Path(tmp, st.getPath.getName),
+            true).close()
+        }
       })
     updated
   }

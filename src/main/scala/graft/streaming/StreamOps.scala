@@ -484,7 +484,12 @@ object StreamOps {
             built
           }
         } else Dedup.minhashIndexAppend(idx, survivors,
-          segmentId = s"batch-$batchId")
+          // scoped by CHECKPOINT, not bare batch id: batch ids restart at 0
+          // per checkpoint, so a fresh-checkpoint query sharing this index
+          // dir would otherwise collide with an earlier query's markers and
+          // silently skip genuinely new segments as "replays"; a crash
+          // replay keeps its checkpoint → same id → guarded as before
+          segmentId = s"${Similarity.keyHash(checkpoint)}-b$batchId")
       }
       if (compactFiles > 0 && idx != null &&
           graft.operators.IndexMaint.dataFileCount(spark, indexDir) > compactFiles) {
@@ -827,7 +832,7 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{IndexMaint, Similarity, TextSearch}
     var idx: TextSearch.TextIndex = null
-    writeBatches(stream, checkpoint, trigger) { (batch, _) =>
+    writeBatches(stream, checkpoint, trigger) { (batch, batchId) =>
       val spark = batch.sparkSession
       if (idx == null) {
         idx = Similarity.readMeta[TextSearch.TextIndex](spark, indexDir).orNull
@@ -845,7 +850,16 @@ object StreamOps {
             TextSearch.textIndexBuild(b, textCol, idCol, indexDir, buckets,
               positions)
           }
-        else idx = TextSearch.textIndexAppend(idx, b, textCol)
+        // deterministic per-batch segment id: foreachBatch is at-least-once
+        // (a crash between this append and the checkpoint commit replays the
+        // batch), and the replay guard only protects appends that carry an
+        // id — without it a replayed batch double-counts the sidecar
+        // docs/totalLen and skews BM25 N/avgdl until a compaction recount.
+        // Scoped by CHECKPOINT: batch ids restart at 0 per checkpoint, so a
+        // fresh-checkpoint query over the same index dir must not collide
+        // with an earlier query's markers and skip genuinely new data
+        else idx = TextSearch.textIndexAppend(idx, b, textCol,
+          segmentId = s"${Similarity.keyHash(checkpoint)}-b$batchId")
       }
       // floor the threshold at the bucket count: a compacted tree holds up
       // to one file PER BUCKET, so a threshold below `buckets` would be

@@ -777,6 +777,34 @@ class PipelineSpec extends SparkSpec {
     assert(sparseAuto.contains(7L) && sparseAuto(7L) == null)
   }
 
+  test("substring cut-ratio memo is per text column, not per frame") {
+    import spark.implicits._
+    // the memo is keyed by (plan, fingerprint, window, textCol, idCol): a
+    // bare scan's canonicalized plan does not encode WHICH column the
+    // operator reads, so without the column in the key a dense "text"
+    // reading would wrongly dispatch a clean "title" pass to the dense arm
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_substr_memo").toString
+    Seq(
+      (1L, "x y z w a b", "c1 d1 e1 f1 g1 h1"),
+      (2L, "q x y z w r", "i2 j2 k2 l2 m2 n2"),
+      (3L, "m x y z w n", "o3 p3 q3 r3 s3 t3"),
+      (4L, "x y z", "u4 v4 w4 x4 y4 z4")
+    ).toDF("doc_id", "text", "title").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val dense0 = Dedup.substrDenseCount.get
+    val split0 = Dedup.substrSplitCount.get
+    Dedup.dedupSubstrings(df, "text", "doc_id", window = 3).collect()
+    assert(Dedup.substrDenseCount.get == dense0 + 1,
+      "the duplicated text column must probe dense")
+    Dedup.dedupSubstrings(df, "title", "doc_id", window = 3).collect()
+    assert(Dedup.substrSplitCount.get == split0 + 1,
+      "the clean title column reused the text column's memoized cut ratio")
+    // repeating the dense column dispatches off the (column-scoped) memo
+    Dedup.dedupSubstrings(df, "text", "doc_id", window = 3).collect()
+    assert(Dedup.substrDenseCount.get == dense0 + 2)
+  }
+
   test("exactNormalized merges case/punctuation/whitespace variants") {
     import spark.implicits._
     val d = Seq(
@@ -1164,6 +1192,23 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/banded").count() == bandedC,
       "post-compaction replay must still be skipped via the segment marker")
     assert(hits() == hits1, "answers stable across replay + compaction")
+    // a crashed appender's claim (stale mtime, no _seg evidence) is taken
+    // over; the claim is released behind the occ write
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(s"$dir/_gq_claim_batch-2")
+    fs.create(claim, true).close()
+    fs.setTimes(claim, System.currentTimeMillis() - 3600000L, -1)
+    val seg2 = docs.filter(col("doc_id") % 3 === 2)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    Dedup.minhashIndexAppend(idx, seg2, segmentId = "batch-2")
+    assert(spark.read.parquet(s"$dir/banded").count() > bandedC,
+      "stale claim not taken over: the genuine append was skipped")
+    assert(!fs.exists(claim), "claim must be released after the append")
+    // and the evidence-backed replay skips without re-claiming
+    val banded2 = spark.read.parquet(s"$dir/banded").count()
+    Dedup.minhashIndexAppend(idx, seg2, segmentId = "batch-2")
+    assert(spark.read.parquet(s"$dir/banded").count() == banded2)
   }
 
   test("minhashIndexCompact(full) dedupes crash-window duplicates; torn swap heals at the probe") {
@@ -1420,6 +1465,21 @@ class PipelineSpec extends SparkSpec {
         s"pair budget must veto brute: $mPair")
       val (_, _, mNoLeft, _) = Similarity.knnJoinFlip(embs, "embedding")
       assert(mNoLeft == "BRUTE", "legacy flip (no left) keeps the bytes rule")
+      // a NOFILES left is gated by the limit-BOUNDED probe (a full count
+      // would materialize an arbitrary served pipeline twice per dispatch):
+      // over the budget vetoes brute, under it keeps brute
+      val budgetRows = 3L // pairBudget = |right|·3 above
+      val overMem = spark.createDataFrame(
+        embs.limit(budgetRows.toInt + 2).toDF().rdd, embs.schema)
+      val (_, _, mOver, _) =
+        Similarity.knnJoinFlipFor(Some(overMem), embs, "embedding")
+      assert(mOver != "BRUTE", "nofiles left past the pair budget kept brute")
+      val underMem = spark.createDataFrame(
+        embs.limit(2).toDF().rdd, embs.schema)
+      val (_, _, mUnder, _) =
+        Similarity.knnJoinFlipFor(Some(underMem), embs, "embedding")
+      assert(mUnder == "BRUTE",
+        "nofiles left under the pair budget must stay brute-exact")
       spark.conf.unset("spark.graft.knn.brutePairBudget")
     } finally {
       cleanup()

@@ -939,4 +939,39 @@ class StreamingSpec extends SparkSpec {
     assert(state(delta.unionAll(delta), 0) == state(delta, 0) &&
       state(delta.unionAll(delta), 1) == state(delta, 1))
   }
+
+  test("positional textIndexSink appends carry checkpoint-scoped replay markers") {
+    import graft.operators.{Similarity, TextSearch}
+    val spark2 = spark
+    import spark2.implicits._
+    val work =
+      java.nio.file.Files.createTempDirectory("graft_txsink_seg").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.textIndexSink(
+      mem.toDF.toDF("id", "text"), "text", "id",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      checkpoint = s"$work/ckpt", buckets = 8, positions = true,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "alpha beta"), (2L, "beta gamma"))
+      q.processAllAvailable()
+      mem.addData((3L, "alpha gamma gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx =
+      Similarity.readMeta[TextSearch.TextIndex](spark, s"$work/idx").get
+    assert(idx.docs == 3L && idx.totalLen == 7L,
+      s"sidecar stats off after batch-0 build + batch-1 append: $idx")
+    val fs = new org.apache.hadoop.fs.Path(s"$work/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$work/idx/_gq_seg_*"))
+    assert(markers.nonEmpty,
+      "the sink must append under a deterministic segment id (replay guard)")
+    // checkpoint-scoped, not a bare per-query batch counter: batch ids
+    // restart at 0 per checkpoint, so a bare id would let a later query
+    // sharing this index dir skip genuinely new segments as "replays"
+    assert(markers.forall(st =>
+      !st.getPath.getName.startsWith("_gq_seg_batch-")))
+  }
 }

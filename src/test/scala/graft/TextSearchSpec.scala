@@ -653,4 +653,38 @@ class TextSearchSpec extends SparkSpec {
       segmentId = "spec-seg-2")
     assert(i5.docs == i3.docs + more.count())
   }
+
+  test("segment markers survive compaction; stale claims are taken over") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_seg2").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val i1 = TextSearch.textIndexBuild(half1, "text", "doc_id", s"$dir/ix",
+      buckets = 16, positions = true)
+    val i2 = TextSearch.textIndexAppend(i1, half2, "text", segmentId = "seg-a")
+    // compaction rewrites the tree — the done-markers must ride the swap,
+    // or a replayed append afterwards double-counts the recounted sidecar
+    val i3 = TextSearch.textIndexCompact(i2)
+    val i4 = TextSearch.textIndexAppend(i3, half2, "text", segmentId = "seg-a")
+    assert(i4.docs == i3.docs && i4.totalLen == i3.totalLen,
+      "replay after compaction double-counted: marker dropped by the rewrite")
+    val fs = new org.apache.hadoop.fs.Path(i3.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed appender's claim (stale mtime, no done-marker): taken over,
+    // the append runs, and the claim is cleaned behind the done-marker
+    val more = half2.withColumn("doc_id", col("doc_id") + 3000000L)
+    val claim = new org.apache.hadoop.fs.Path(s"${i3.path}/_gq_claim_seg-b")
+    fs.create(claim, true).close()
+    fs.setTimes(claim, System.currentTimeMillis() - 3600000L, -1)
+    val i5 = TextSearch.textIndexAppend(i4, more, "text", segmentId = "seg-b")
+    assert(i5.docs == i4.docs + more.count(), "stale claim not taken over")
+    assert(!fs.exists(claim), "claim must be cleaned after the append")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"${i3.path}/_gq_seg_seg-b")))
+    // done-marker + lingering claim (a crash between the marker write and
+    // the claim delete): the replay skips wholesale and cleans the claim
+    fs.create(claim, true).close()
+    val i6 = TextSearch.textIndexAppend(i5, more, "text", segmentId = "seg-b")
+    assert(i6.docs == i5.docs && !fs.exists(claim),
+      "replay with a lingering claim must skip and clean it")
+  }
 }
