@@ -927,10 +927,18 @@ object Dedup {
                          segmentId: String = null): Unit = {
     val spark = segment.sparkSession
     val occPath = s"${index.path}/occ"
-    IndexMaint.recoverSwap(spark, occPath)
     val segId = Option(segmentId).getOrElse(
       "seg-" + java.util.UUID.randomUUID().toString)
-    def doAppend(): Unit = {
+    // whole append under the tree WRITE lock: concurrent appends of
+    // DIFFERENT segments (claims never conflict) into one tree clobber the
+    // committer's shared `_temporary` staging — see IndexMaint.withTreeLock
+    def doAppend(): Unit = IndexMaint.withTreeLock(
+        new org.apache.hadoop.fs.Path(index.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(index.path)) {
+      // torn-swap healing under the WRITE lock: outside it, a live
+      // compactor's in-progress swap is indistinguishable from a crash
+      IndexMaint.recoverSwap(spark, occPath)
       val r = index.k / index.bands
       val sig = signaturesFor(segment, index.textCol, index.idCol,
         index.n, index.k, index.md5).persist()
@@ -1003,6 +1011,13 @@ object Dedup {
   def minhashIndexCompact(index: MinHashIndex, full: Boolean = false): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val occPath = s"${index.path}/occ"
+    // same tree WRITE lock as appends: a compaction swapping subtrees out
+    // from under a concurrent cross-JVM append would drop that append's
+    // rows — writers serialize whole (see IndexMaint.withTreeLock)
+    IndexMaint.withTreeLock(
+      new org.apache.hadoop.fs.Path(index.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(index.path)) {
     IndexMaint.recoverSwap(spark, occPath)
     if (full) {
       IndexMaint.recoverSwap(spark, s"${index.path}/banded")
@@ -1030,6 +1045,7 @@ object Dedup {
       .unionByName(segs.select(lit(-1).cast("int").as("band"),
         markerBucket(index).as("bucket"), lit(0L).as("count"), col("_seg")))
     IndexMaint.swapRewrite(spark, occPath, occNew, Seq.empty)
+    }
   }
 
   /** Union two INDEPENDENTLY-BUILT MinHash indexes into a fresh tree at

@@ -329,6 +329,67 @@ private[graft] object IndexMaint {
     else try Some(f) finally nonFatal { fs.delete(claim, false); () }
   }
 
+  /** Plain cross-JVM mutex over one tree-root lock file — the degenerate
+    * [[withAppendClaim]] with no done-evidence (the critical section is a
+    * read-modify-write, not an idempotent-once append): always runs `f`,
+    * polling at 200 ms (meta folds are sub-second, unlike segment
+    * appends), taking over claims staler than `staleMs`. Used to
+    * serialize the text sidecar's stats fold across appenders of
+    * DIFFERENT segments, whose per-segment claims never conflict. */
+  private[graft] def withFileLock[T](
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, staleMs: Long)(f: => T): T = {
+    def nonFatal(g: => Unit): Unit =
+      try g catch { case scala.util.control.NonFatal(_) => () }
+    var owned = false
+    while (!owned) {
+      owned = try fs.createNewFile(lock)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!owned) {
+        val st = try Some(fs.getFileStatus(lock)) catch {
+          case _: java.io.FileNotFoundException => None
+          case scala.util.control.NonFatal(_) => None
+        }
+        st match {
+          case Some(s) if System.currentTimeMillis() -
+              s.getModificationTime > staleMs =>
+            nonFatal { fs.delete(lock, false); () } // crashed owner
+          case Some(_) => Thread.sleep(200L)
+          case None => () // lock vanished: retry ours
+        }
+      }
+    }
+    try f finally nonFatal { fs.delete(lock, false); () }
+  }
+
+  /** Cross-JVM WRITE lock over one index tree (round-12 multi-writer
+    * probe): Spark's FileOutputCommitter stages every append of a path
+    * under the SAME `_temporary/0` dir, so two concurrent appends into one
+    * tree — different segments, different driver JVMs, claims never
+    * conflicting — clobber each other's staging and one append dies (or
+    * silently loses files) mid-write. Appends to one logical index are
+    * therefore serialized WHOLE, cross-JVM, exactly as the in-JVM growth
+    * lock already serializes them in-process. The stale bound
+    * (`graft.index.tree.lock.stale.ms`, default 30 min) must exceed the
+    * worst-case append/compaction latency; a crashed writer blocks other
+    * writers for at most that bound. Probes never take this lock — reads
+    * see either the pre- or post-append file set.
+    *
+    * The lock file lives BESIDE the tree (`.<name>._gq_treelock` in its
+    * parent), not inside it: compaction swaps the tree by directory
+    * rename, and an in-tree lock would ride the rename away from the
+    * canonical path mid-hold, silently releasing it to a concurrent
+    * appender in the middle of the swap. */
+  private[graft] def withTreeLock[T](
+      fs: org.apache.hadoop.fs.FileSystem,
+      tree: org.apache.hadoop.fs.Path)(f: => T): T = {
+    val staleMs = sys.props.get("graft.index.tree.lock.stale.ms")
+      .flatMap(_.toLongOption).getOrElse(1800000L)
+    val qualified = fs.makeQualified(tree)
+    withFileLock(fs, new org.apache.hadoop.fs.Path(qualified.getParent,
+      s".${qualified.getName}._gq_treelock"), staleMs)(f)
+  }
+
   /** Tree paths with a build or in-place append currently running in this
     * JVM — unioned into every [[gcOrphans]] live set (see the liveness note
     * there). Registered around the build/append calls in [[cachedIndexFor]],

@@ -665,11 +665,20 @@ object Similarity {
     * (duplicate) append cannot change probe answers: rescoreTopK dedups
     * per (query, neighbor) before ranking. */
   def ivfAppend(index: IvfIndex, segment: DataFrame): Unit = {
-    withAssignedCid(
-        segment.select(col(index.idCol).as("neighbor_id"),
-          col(index.vecCol).as("_cv")),
-        col("_cv"), index.centroids, "cid")
-      .write.mode("append").partitionBy("cid").parquet(index.path)
+    // whole append under the tree WRITE lock: two concurrent appends into
+    // one tree clobber the committer's shared `_temporary` staging
+    // (IndexMaint.withTreeLock), even though replayed ROWS are probe-safe
+    val spark = segment.sparkSession
+    IndexMaint.withTreeLock(
+        new org.apache.hadoop.fs.Path(index.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(index.path)) {
+      withAssignedCid(
+          segment.select(col(index.idCol).as("neighbor_id"),
+            col(index.vecCol).as("_cv")),
+          col("_cv"), index.centroids, "cid")
+        .write.mode("append").partitionBy("cid").parquet(index.path)
+    }
   }
 
   /** Append a new segment to a prebuilt LSH index: bucketed against the
@@ -679,13 +688,20 @@ object Similarity {
     val buckets = (0 until index.tables).map(t =>
       struct(lit(t).as("t"),
         lshBucket(col(index.vecCol), index.planes, index.dim, t).as("b")))
-    segment.select(col(index.idCol).as("neighbor_id"),
-        col(index.vecCol).as("_cv"),
-        explode(array(buckets: _*)).as("_bucket"))
-      .withColumn("_tb",
-        tbKey(index.planes)(col("_bucket.t"), col("_bucket.b")))
-      .drop("_bucket")
-      .write.mode("append").partitionBy("_tb").parquet(index.path)
+    // tree WRITE lock: see ivfAppend
+    val spark = segment.sparkSession
+    IndexMaint.withTreeLock(
+        new org.apache.hadoop.fs.Path(index.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(index.path)) {
+      segment.select(col(index.idCol).as("neighbor_id"),
+          col(index.vecCol).as("_cv"),
+          explode(array(buckets: _*)).as("_bucket"))
+        .withColumn("_tb",
+          tbKey(index.planes)(col("_bucket.t"), col("_bucket.b")))
+        .drop("_bucket")
+        .write.mode("append").partitionBy("_tb").parquet(index.path)
+    }
   }
 
   /** Compact a prebuilt LSH index fragmented by per-batch [[lshAppend]]s:
@@ -696,20 +712,30 @@ object Similarity {
     * after long ingestion runs. */
   def lshCompact(index: LshIndex): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
-    IndexMaint.recoverSwap(spark, index.path)
-    IndexMaint.swapRewrite(spark, index.path,
-      spark.read.schema(index.schema).parquet(index.path).dropDuplicates(),
-      Seq("_tb"), tmp => writeMeta(spark, tmp, index))
+    IndexMaint.withTreeLock( // writers serialize whole: see ivfAppend
+        new org.apache.hadoop.fs.Path(index.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(index.path)) {
+      IndexMaint.recoverSwap(spark, index.path)
+      IndexMaint.swapRewrite(spark, index.path,
+        spark.read.schema(index.schema).parquet(index.path).dropDuplicates(),
+        Seq("_tb"), tmp => writeMeta(spark, tmp, index))
+    }
   }
 
   /** Compact a prebuilt IVF index (see [[lshCompact]] — same protocol,
     * `cid`-partitioned). */
   def ivfCompact(index: IvfIndex): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
-    IndexMaint.recoverSwap(spark, index.path)
-    IndexMaint.swapRewrite(spark, index.path,
-      spark.read.schema(index.schema).parquet(index.path).dropDuplicates(),
-      Seq("cid"), tmp => writeMeta(spark, tmp, index))
+    IndexMaint.withTreeLock( // writers serialize whole: see ivfAppend
+        new org.apache.hadoop.fs.Path(index.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(index.path)) {
+      IndexMaint.recoverSwap(spark, index.path)
+      IndexMaint.swapRewrite(spark, index.path,
+        spark.read.schema(index.schema).parquet(index.path).dropDuplicates(),
+        Seq("cid"), tmp => writeMeta(spark, tmp, index))
+    }
   }
 
   /** Merge shard index `b` into the centroid space of shard index `a`,

@@ -194,7 +194,6 @@ object TextSearch {
   def textIndexAppend(index: TextIndex, segment: DataFrame,
                       textCol: String, segmentId: String = null): TextIndex = {
     val spark = segment.sparkSession
-    IndexMaint.recoverSwap(spark, index.path)
     val marker = Option(segmentId).map(id =>
       new org.apache.hadoop.fs.Path(s"${index.path}/_gq_seg_$id"))
     val claim = Option(segmentId).map(id =>
@@ -213,7 +212,14 @@ object TextSearch {
           .getOrElse(index))
       } else None
     replayed() match { case Some(r) => return r case None => }
-    def doAppend(): TextIndex = {
+    // the whole append runs under the tree WRITE lock: concurrent appends
+    // of DIFFERENT segments (claims never conflict) into one tree clobber
+    // the committer's shared `_temporary` staging — see withTreeLock
+    def doAppend(): TextIndex = IndexMaint.withTreeLock(fs,
+        new org.apache.hadoop.fs.Path(index.path)) {
+      // torn-swap healing under the WRITE lock: outside it, a live
+      // compactor's in-progress swap is indistinguishable from a crash
+      IndexMaint.recoverSwap(spark, index.path)
       postings(segment, textCol, index.idCol, index.buckets, index.positional)
         .repartition(col("_tb"))
         .write.mode("append").partitionBy("_tb").parquet(index.path)
@@ -229,10 +235,26 @@ object TextSearch {
               positions = true),
             tfDir(index.path), "append")
           val (n, tl) = corpusStats(segment, textCol)
-          val updated = index.copy(docs = index.docs + n,
-            totalLen = index.totalLen + tl)
-          Similarity.writeMeta(spark, index.path, updated)
-          updated
+          // fold into the LATEST PERSISTED stats under a meta lock, not
+          // into the caller's handle: appenders of DIFFERENT segments hold
+          // different claims (and a caller can legitimately pass a stale
+          // handle), so `index.docs + n` is a read-modify-write lost
+          // update — the second writer would overwrite the first's fold
+          // and skew BM25 N/avgdl until a compaction recount. The lock
+          // only spans the sub-second sidecar read+write, never the
+          // segment-sized jobs above.
+          val staleMs = sys.props.get("graft.index.append.claim.stale.ms")
+            .flatMap(_.toLongOption).getOrElse(120000L)
+          IndexMaint.withFileLock(fs,
+              new org.apache.hadoop.fs.Path(s"${index.path}/_gq_metalock"),
+              staleMs) {
+            val cur = Similarity.readMeta[TextIndex](spark, index.path)
+              .getOrElse(index)
+            val updated = cur.copy(docs = cur.docs + n,
+              totalLen = cur.totalLen + tl)
+            Similarity.writeMeta(spark, index.path, updated)
+            updated
+          }
         }
       marker.foreach(m => fs.create(m, true).close())
       out
@@ -261,6 +283,13 @@ object TextSearch {
     * Returns the possibly-updated handle. */
   def textIndexCompact(index: TextIndex): TextIndex = {
     val spark = SparkSession.active
+    // same tree WRITE lock as appends: a compaction swapping the tree out
+    // from under a concurrent cross-JVM append would drop that append's
+    // rows (and the committer stagings collide) — writers serialize whole
+    IndexMaint.withTreeLock(
+      new org.apache.hadoop.fs.Path(index.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(index.path)) {
     IndexMaint.recoverSwap(spark, index.path)
     val deduped = spark.read.schema(index.schema).parquet(index.path)
       .dropDuplicates()
@@ -293,6 +322,7 @@ object TextSearch {
         }
       })
     updated
+    }
   }
 
   /** Merge two shard indexes into a fresh tree at `destPath` — the

@@ -687,4 +687,31 @@ class TextSearchSpec extends SparkSpec {
     assert(i6.docs == i5.docs && !fs.exists(claim),
       "replay with a lingering claim must skip and clean it")
   }
+
+  test("stats fold into the persisted sidecar, not the caller's handle") {
+    // appenders of DIFFERENT segments hold different claims, so nothing
+    // serializes their sidecar read-modify-write across JVMs — and any
+    // caller can legitimately pass a stale handle. Appending two distinct
+    // segments BOTH against the pre-growth handle simulates exactly that:
+    // handle arithmetic would lose the first fold (docs = base + |segB|),
+    // the meta-locked persisted fold counts both.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_fold").toString
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val segA = docs.filter(col("doc_id") % 3 === 1)
+    val segB = docs.filter(col("doc_id") % 3 === 2)
+    val i0 = TextSearch.textIndexBuild(base, "text", "doc_id", s"$dir/ix",
+      buckets = 16, positions = true)
+    TextSearch.textIndexAppend(i0, segA, "text", segmentId = "fold-a")
+    val after = TextSearch.textIndexAppend(i0, segB, "text",
+      segmentId = "fold-b") // STALE handle: sidecar already holds fold-a
+    val fresh = TextSearch.textIndexBuild(docs, "text", "doc_id",
+      s"$dir/fresh", buckets = 16, positions = true)
+    assert(after.docs == fresh.docs && after.totalLen == fresh.totalLen,
+      s"stale-handle fold lost an append: $after vs $fresh")
+    // BM25 off the folded sidecar matches the monolithic build
+    assert(TextSearch.rankedSearch(after, Seq("join", "filter"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      TextSearch.rankedSearch(fresh, Seq("join", "filter"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
 }
