@@ -131,9 +131,18 @@ private[graft] object IndexMaint {
       // only a delete that actually happened is reported
       if (isIndexTree && !liveNorm.contains(rootPath) &&
           now - st.getModificationTime > graceMs &&
-          fs.delete(st.getPath, true))
+          fs.delete(st.getPath, true)) {
+        // the tree's writer-lock companion (a dotfile BESIDE the tree —
+        // see withTreeLock) is dead with it — but only when the CANONICAL
+        // tree is what was swept: _old/_tmp companions share the root's
+        // lock, which may be live. Ignore failures; a stale lock is also
+        // reclaimed by the lock's own staleness bound.
+        if (name == root)
+          try fs.delete(new org.apache.hadoop.fs.Path(base,
+            s".${root}._gq_treelock"), false)
+          catch { case scala.util.control.NonFatal(_) => () }
         Some(st.getPath.toString)
-      else None
+      } else None
     }
     // persisted lineage blobs whose recorded tree is gone (swept above, or
     // retired long ago) are dead memory — sweep them under the same grace,

@@ -70,4 +70,32 @@ class IndexMaintSpec extends SparkSpec {
       live = Set.empty, graceMs = 0L)
     assert(sweptAfter.nonEmpty && !fs.exists(tree))
   }
+
+  test("gcOrphans reaps a swept tree's lock companion, spares a live root's") {
+    val baseDir = tmpDir("graft_gc_lock")
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(name: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$baseDir/$name")
+      fs.mkdirs(p); fs.setTimes(p, System.currentTimeMillis() - 3600000L, -1)
+      p
+    }
+    def lockOf(root: String): org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(s"$baseDir/.$root._gq_treelock")
+    // orphan tree + its writer-lock dotfile: both must go in one sweep
+    mk("tx_dead")
+    fs.create(lockOf("tx_dead"), true).close()
+    // live tree whose stranded _old companion gets swept: the ROOT's lock
+    // may be held by a writer and must survive
+    val liveTree = mk("tx_live"); mk("tx_live_old")
+    fs.create(lockOf("tx_live"), true).close()
+    IndexMaint.gcOrphans(spark, baseDir, Seq("tx_"),
+      live = Set(liveTree.toString), graceMs = 0L)
+    assert(!fs.exists(lockOf("tx_dead")),
+      "a swept tree's lock companion must be reaped with it")
+    assert(fs.exists(liveTree) && fs.exists(lockOf("tx_live")),
+      "sweeping an _old companion must not reap the live root's lock")
+    // the dotfile itself is never treated as a sweepable tree
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/tx_dead")))
+  }
 }
