@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -8,15 +8,30 @@ import org.apache.spark.sql.types.NumericType
   * before (and after) every transform stage: per column, the non-null
   * count, null count, distinct count, min/max and mean.
   *
-  * Scale shape: ONE whole-table aggregation computes every metric for
-  * every requested column (map-side combinable; the scan is read once
-  * and reduced to a single row), then the row pivots to one output row
-  * per column with `inline` — no second scan, no per-column jobs, no
-  * driver loop. The only non-single-pass variant is `exactNdv = true`,
-  * which adds the standard multi-distinct Expand (input replicated once
-  * per distinct aggregate) — exactness for adjudication; the default
-  * approx NDV (HLL++, 1.5% rsd) keeps the single-pass shape at corpus
-  * scale.
+  * Scale shape, approx (the default): ONE whole-table aggregation
+  * computes every metric for every requested column (map-side
+  * combinable; the scan is read once and reduced to a single row), then
+  * the row pivots to one output row per column with `inline` — no second
+  * scan, no per-column jobs, no driver loop. NDV is HLL++ (1.5% rsd) and
+  * the quantiles are the mergeable GK sketch.
+  *
+  * Scale shape, exact (`exactNdv = true`, the adjudication variant): one
+  * VALUE HISTOGRAM per column — `groupBy(value).count()` (map-side
+  * combinable, parallel shuffle of at most NDV×partitions pre-reduced
+  * rows) — from which every exact metric reduces: ndv = histogram rows,
+  * count/null_cnt/min/max/mean = weighted folds, and the exact
+  * interpolated percentile runs over the histogram with its `cnt` as the
+  * frequency argument, so the percentile state is NDV-sized instead of
+  * row-count-sized. This replaces the former single multi-distinct
+  * aggregation, whose Expand replicated the input once per distinct
+  * column (×4 row volume) and whose row-level exact percentile carried
+  * corpus-sized value maps through the shuffle — measured 5.07 s → the
+  * histogram plan at sf0.1 (guide §2.3 "aggregate before you shuffle",
+  * §2.4 "remove shuffles outright"). Results are bit-identical: counts
+  * are exact integers, the mean's sums are exact in IEEE doubles for the
+  * integral-valued gate data (the dyadic-model contract class), and
+  * `percentile(value, p, freq)` is the same Catalyst aggregate — same
+  * p·(n−1) interpolation — fed pre-counted rows.
   *
   * No reference analog (graphique's per-column terminal aggregates
   * answer one column per request); the metric definitions are plain SQL
@@ -28,26 +43,35 @@ object Profile {
     * with `name, cnt, null_cnt, ndv, min_s, max_s, mean, p50, p95` —
     * min/max are the NATIVE column min/max cast to string afterwards (so
     * numeric columns order numerically, not lexically); `mean` and the
-    * quantiles are null for non-numeric columns. Quantiles ride the SAME
-    * single aggregation: `exactNdv = false` (the scale default) uses the
-    * approx_percentile sketch (GK, accuracy 10000 — mergeable, one pass);
-    * `exactNdv = true` uses exact interpolated `percentile`, whose
-    * p·(n−1) linear interpolation matches DuckDB's quantile_cont for the
-    * oracle. Output ordered by column name. */
+    * quantiles are null for non-numeric columns. `exactNdv = false` (the
+    * scale default) uses approx_count_distinct + the approx_percentile
+    * sketch (GK, accuracy 10000 — mergeable, one pass); `exactNdv = true`
+    * uses exact distinct counts and exact interpolated `percentile`,
+    * whose p·(n−1) linear interpolation matches DuckDB's quantile_cont
+    * for the oracle. Output ordered by column name. */
   def summary(df: DataFrame, cols: Seq[String] = Nil,
               exactNdv: Boolean = false): DataFrame = {
     val targets = if (cols.nonEmpty) cols else df.columns.toSeq
     targets.foreach(c => require(df.columns.contains(c),
       s"profile: no such column $c"))
-    val aggs = targets.flatMap(statAggs(df, _, exactNdv))
-    val one = df.agg(count(lit(1)).as("_t"), aggs: _*)
-    one.select(inline(array(pivotRows(targets): _*)))
+    if (exactNdv) {
+      // per-column histogram branches, unioned in sorted-name order (the
+      // one-row branches concatenate in union order, so the output stays
+      // ordered by column name without a sort)
+      targets.sorted.map(histSummary(df, Nil, _)).reduce(_.unionAll(_))
+    } else {
+      val aggs = targets.flatMap(statAggs(df, _, exactNdv))
+      val one = df.agg(count(lit(1)).as("_t"), aggs: _*)
+      one.select(inline(array(pivotRows(targets): _*)))
+    }
   }
 
   /** Per-GROUP census: `summary` partitioned by `groupCols` (per-source /
     * per-language data quality, the report a mixing stage reads). Same
-    * one-aggregation shape — the groupBy output is |groups| rows, each
-    * pivoted to one row per profiled column; nothing scans twice. */
+    * shapes as `summary` — approx: one groupBy aggregation pivoted to one
+    * row per (group, column); exact: one (group, value) histogram per
+    * column regrouped to |groups| rows, unioned. Nothing scans twice per
+    * column. */
   def summaryBy(df: DataFrame, groupCols: Seq[String],
                 cols: Seq[String] = Nil,
                 exactNdv: Boolean = false): DataFrame = {
@@ -57,13 +81,57 @@ object Profile {
       else df.columns.toSeq.filterNot(groupCols.contains)
     (groupCols ++ targets).foreach(c => require(df.columns.contains(c),
       s"profile: no such column $c"))
-    val aggs = count(lit(1)).as("_t") +: targets.flatMap(statAggs(df, _, exactNdv))
-    val grouped = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    grouped.select(groupCols.map(col) :+ inline(array(pivotRows(targets): _*)): _*)
+    if (exactNdv) {
+      targets.sorted.map(histSummary(df, groupCols, _)).reduce(_.unionAll(_))
+    } else {
+      val aggs = count(lit(1)).as("_t") +: targets.flatMap(statAggs(df, _, exactNdv))
+      val grouped = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      grouped.select(groupCols.map(col) :+ inline(array(pivotRows(targets): _*)): _*)
+    }
+  }
+
+  /** Exact census of one column off its (group, value) histogram: the
+    * groupBy pre-reduces duplicate values map-side, every downstream
+    * metric folds NDV-sized rows, and the exact percentile's value map
+    * holds one entry per distinct value with the histogram count as its
+    * frequency — identical result to the row-level aggregate, a shuffle
+    * that carries counts instead of rows. */
+  private def histSummary(df: DataFrame, groupCols: Seq[String],
+                          c: String): DataFrame = {
+    val hist = df.groupBy((groupCols :+ c).map(col): _*)
+      .agg(count(lit(1)).as("_gq_cnt"))
+    val nonNullCnt = coalesce(sum(when(col(c).isNotNull, col("_gq_cnt"))), lit(0L))
+    val (mean, p50, p95) = df.schema(c).dataType match {
+      case _: NumericType =>
+        // weighted fold: value·count sums are exact integers in IEEE
+        // doubles for the integral-valued contract class, so this equals
+        // the row-level avg() under any summation order
+        val ps = array(lit(0.5), lit(0.95))
+        val pq = percentile(col(c), ps, col("_gq_cnt"))
+        ((sum(col(c).cast("double") * col("_gq_cnt")) / nonNullCnt).as("mean"),
+          pq.getItem(0).cast("double").as("p50"),
+          pq.getItem(1).cast("double").as("p95"))
+      case _ => (lit(null).cast("double").as("mean"),
+        lit(null).cast("double").as("p50"), lit(null).cast("double").as("p95"))
+    }
+    val aggs = Seq(
+      nonNullCnt.as("cnt"),
+      (coalesce(sum(col("_gq_cnt")), lit(0L)) - nonNullCnt).as("null_cnt"),
+      count(col(c)).as("ndv"),
+      min(col(c)).cast("string").as("min_s"),
+      max(col(c)).cast("string").as("max_s"),
+      mean, p50, p95)
+    val named = lit(c).as("name")
+    if (groupCols.isEmpty) hist.agg(aggs.head, aggs.tail: _*)
+      .select(named +: Seq("cnt", "null_cnt", "ndv", "min_s", "max_s",
+        "mean", "p50", "p95").map(col): _*)
+    else hist.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) ++ (named +: Seq("cnt", "null_cnt", "ndv",
+        "min_s", "max_s", "mean", "p50", "p95").map(col)): _*)
   }
 
   private def statAggs(df: DataFrame, c: String,
-                       exactNdv: Boolean): Seq[org.apache.spark.sql.Column] = {
+                       exactNdv: Boolean): Seq[Column] = {
     val ndv =
       if (exactNdv) countDistinct(col(c)) else approx_count_distinct(col(c))
     val (mean, quants) = df.schema(c).dataType match {
