@@ -449,9 +449,10 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     * Exploits the DENSE 0-based row id: the predecessor of row i is exactly
     * rid i−1, so adjacency is an equi-join (rid = prev.rid + 1), not a
     * window. Run ids come from a block prefix sum: per-block flag counts
-    * (one row per `blockSize` rows) prefix-summed on the driver and
-    * broadcast back; within-block running counts use a window partitioned
-    * by block — every stage is a parallel shuffle, nothing global.
+    * (one row per `blockSize` rows) prefix-summed by a window over that
+    * bounded totals frame and broadcast back; within-block running counts
+    * use a window partitioned by block — every stage is a parallel
+    * shuffle, nothing global, no driver action.
     *
     * `split` predicates receive (current, previous) column accessors.
     */
@@ -475,22 +476,24 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
           .otherwise(when(changes.reduce(_ || _), 1L).otherwise(0L)))
       .withColumn("_gq_blk", (col(Natural.rid) / blockSize).cast("long"))
       .select(df.columns.map(col) :+ col("_gq_chg") :+ col("_gq_blk"): _*)
-    // per-block flag counts → driver prefix sum (1 row per blockSize rows)
-    val blockCounts = flagged.groupBy("_gq_blk").agg(sum("_gq_chg").as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = blockCounts.map { case (b, n) => val o = acc; acc += n; (b, o) }
-    val offsetsDf = df.sparkSession.createDataFrame(offsets.toSeq)
-      .toDF("_gq_blk", "_gq_off")
+    // per-block flag counts → prefix sum over the TINY totals frame (one
+    // row per blockSize rows, the same shape `cumulative` uses). Keeping
+    // the prefix inside the plan instead of a driver collect means ONE
+    // query execution instead of two — a collect is its own action, and
+    // exchange reuse never spans actions, so the old shape re-ran the
+    // whole input subtree once for the collect and again for the result
+    // (guide §2.4 / §5: the driver should do no data work).
+    val blockTotals = flagged.groupBy("_gq_blk").agg(sum("_gq_chg").as("_n"))
+    val wPrevBlk = Window.orderBy(col("_gq_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetsDf = blockTotals
+      .withColumn("_gq_off", coalesce(sum(col("_n")).over(wPrevBlk), lit(0L)))
+      .select("_gq_blk", "_gq_off")
     val wBlk = Window.partitionBy(col("_gq_blk")).orderBy(col(Natural.rid))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withRun = flagged.join(broadcast(offsetsDf), Seq("_gq_blk"))
       .withColumn("_gq_run", col("_gq_off") + sum(col("_gq_chg")).over(wBlk) - 1)
-    val firstOfBy = by.map(c => min_by(col(c), col(Natural.rid)).as(c))
-    val allAggs = firstOfBy ++ aggs ++ counts.map(n => GTable.cnt.as(n)) :+
-      min(col(Natural.rid)).as(Natural.rid)
-    GTable(withRun.groupBy(col("_gq_run")).agg(allAggs.head, allAggs.tail: _*)
-      .drop("_gq_run").orderBy(col(Natural.rid)), denseRid = false)
+    GTable(GTable.aggRuns(withRun, by, aggs, counts), denseRid = false)
   }
 
   /** Distributed cumulative aggregate over natural order (reference
@@ -923,23 +926,25 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     *
     * Same block prefix-sum machinery as [[cumulative]]/[[runsDistributed]]:
     * rows are bucketed by `oldRid / blockSize` (each bucket holds ≤ blockSize
-    * surviving rows), per-bucket survivor counts are prefix-summed on the
-    * driver (one row per bucket — rows/blockSize driver rows, never data)
-    * and broadcast back; the within-bucket offset is a window partitioned by
-    * bucket — every stage parallel, no global sort. Row order is unchanged:
-    * the new rid is a monotone re-numbering of the old one.
+    * surviving rows), per-bucket survivor counts are prefix-summed by a
+    * window over the bounded totals frame (one row per bucket —
+    * rows/blockSize rows, never data) and broadcast back; the within-bucket
+    * offset is a window partitioned by bucket — every stage parallel, no
+    * global sort, no driver action (the prefix stays in the plan so a
+    * consumer pays ONE query execution, not a collect plus a recompute).
+    * Row order is unchanged: the new rid is a monotone re-numbering of the
+    * old one.
     */
   def densify(blockSize: Long = 1L << 20): GTable = {
     if (hasDensePositions) return this
     require(Natural.hasRowId(df),
       s"densify requires the natural row id ${Natural.rid} — load with Tables.loadOrdered")
     val withBlk = df.withColumn("_gq_blk", (rid / blockSize).cast("long"))
-    val blockCounts = withBlk.groupBy("_gq_blk").agg(GTable.cnt.as("_n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = blockCounts.map { case (b, n) => val o = acc; acc += n; (b, o) }
-    val offsetsDf = df.sparkSession.createDataFrame(offsets.toSeq)
-      .toDF("_gq_blk", "_gq_off")
+    val wPrevBlk = Window.orderBy(col("_gq_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetsDf = withBlk.groupBy("_gq_blk").agg(GTable.cnt.as("_n"))
+      .withColumn("_gq_off", coalesce(sum(col("_n")).over(wPrevBlk), lit(0L)))
+      .select("_gq_blk", "_gq_off")
     val wBlk = Window.partitionBy(col("_gq_blk")).orderBy(col(Natural.rid))
     val out = withBlk.join(broadcast(offsetsDf), Seq("_gq_blk"))
       .withColumn(Natural.rid,
@@ -959,17 +964,47 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     val withRun = df.withColumn("_gq_chg", when(flag, 1L).otherwise(0L))
       .withColumn("_gq_run", sum(col("_gq_chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val firstOfBy = by.map(c => min_by(col(c), rid).as(c))
-    val allAggs = firstOfBy ++ aggs ++ counts.map(n => GTable.cnt.as(n)) :+
-      min(rid).as(Natural.rid)
-    GTable(withRun.groupBy(col("_gq_run")).agg(allAggs.head, allAggs.tail: _*)
-      .drop("_gq_run").orderBy(col(Natural.rid)), denseRid = false)
+    GTable(GTable.aggRuns(withRun, by, aggs, counts), denseRid = false)
   }
 }
 
 object GTable {
   /** `count(*)` as a Column (the class's own count() shadows functions.count). */
   private[core] def cnt: Column = org.apache.spark.sql.functions.count(lit(1))
+
+  /** Final per-run aggregation shared by runs()/runsDistributed().
+    *
+    * Within a run every `by` column is CONSTANT (any by-change raises the
+    * change flag and starts a new run), so exactly-comparable `by`
+    * columns join the GROUP KEY instead of riding a min_by aggregate —
+    * min_by's struct buffer forced the whole aggregation into
+    * SortAggregate (two full sorts around the exchange); with only
+    * primitive-buffer aggregates left the plan is a HashAggregate, no
+    * sorts (guide §1.2 per-task work). Float/double `by` columns keep the
+    * min_by path: grouping normalizes -0.0/NaN, which could alter the
+    * emitted value bits. */
+  private[core] def aggRuns(withRun: org.apache.spark.sql.DataFrame,
+                            by: Seq[String], aggs: Seq[Column],
+                            counts: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val fp = by.filter(c => withRun.schema(c).dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }).toSet
+    val keyBy = by.filterNot(fp)
+    val fpBy = by.filter(fp)
+    val firstOfFp = fpBy.map(c => min_by(col(c), col(Natural.rid)).as(c))
+    val allAggs = firstOfFp ++ aggs ++ counts.map(n => cnt.as(n)) :+
+      min(col(Natural.rid)).as(Natural.rid)
+    val grouped = withRun
+      .groupBy((col("_gq_run") +: keyBy.map(col)): _*)
+      .agg(allAggs.head, allAggs.tail: _*)
+    // restore the declared output column order (by columns first); the
+    // agg output names are positional: _gq_run, keyBy..., fpBy...,
+    // aggs..., counts, rid
+    val tailNames = grouped.columns.drop(1 + keyBy.size + fpBy.size)
+    grouped.select((by ++ tailNames).map(col): _*).orderBy(col(Natural.rid))
+  }
 
   /** Reference order-key syntax: `-` prefix = descending (core.py:26-28). */
   def orderKeys(keys: Seq[String]): Seq[Column] =

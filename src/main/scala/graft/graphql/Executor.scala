@@ -1821,7 +1821,16 @@ final class GraphQLService(spark: SparkSession, sfDir: String,
   private def resolveColumns(t: GTable, f: GField): JsonStream = {
     val wanted = f.sels
     val pruned = t.select(wanted.map(_.name): _*)
-    JsonStream.obj(wanted.map(cf => cf.outName -> resolveOneColumn(pruned, cf)))
+    // §4 persist policy one level down: every column child's value leaf
+    // collects through its own action, so a columns{} selection with N
+    // children used to execute the parent plan N times (measured: the
+    // served 9-column profile at 9× its engine cost). >1 child → persist
+    // the shared pruned frame for the duration of the per-column
+    // collects, released before the response streams out.
+    val persisted = wanted.size > 1
+    if (persisted) pruned.df.persist()
+    try JsonStream.obj(wanted.map(cf => cf.outName -> resolveOneColumn(pruned, cf)))
+    finally if (persisted) { pruned.df.unpersist(); () }
   }
 
   /** Driver-materialization guard for value-returning column leaves

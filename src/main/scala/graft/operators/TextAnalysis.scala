@@ -369,14 +369,19 @@ object TextAnalysis {
     * deterministic cross-engine (ranking on the raw double would let a
     * last-ulp ln() difference flip near-equal ranks between engines).
     *
-    * Scale shape: two map-side-combinable aggregations over the token
-    * stream (per-(doc, term) tf; per-term df), the corpus doc count rides a
+    * Scale shape: ONE map-side-combinable aggregation over the token
+    * stream (per-(doc, term) tf); the per-term document frequency is a
+    * count over a window PARTITIONED BY TERM on that same tf frame — the
+    * tf subtree tokenizes the corpus once and the df_t attach costs one
+    * exchange of the (doc, term) rows instead of a groupBy(term) twin
+    * whose pruned lineage used to RE-TOKENIZE the whole corpus (Spark
+    * cannot reuse an exchange under two differently-pruned copies of the
+    * same aggregation, so the old tf ⋈ dfreq join scanned and exploded
+    * the documents twice — guide §2.4). The corpus doc count rides a
     * broadcast 1-row frame, and the top-k window partitions by DOCUMENT —
-    * parallelism grows with the corpus, no low-cardinality window ceiling.
-    * Document length is a window sum over the SAME id-partitioning the
-    * top-k window needs (one exchange feeds both), replacing the earlier
-    * separate groupBy(id) aggregate + re-join — one fewer shuffle and one
-    * fewer pass over the (doc, term) frame.
+    * parallelism grows with the corpus, no low-cardinality window
+    * ceiling. Document length is a window sum over the SAME
+    * id-partitioning the top-k window needs (one exchange feeds both).
     * Output: (id, term, tf, df_t, tfidf), k rows per doc. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
@@ -384,10 +389,14 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    // df_t = number of documents containing the term = rows per term of
+    // the tf frame (each (id, term) appears once) — identical to the
+    // former inner join against groupBy(term).count(), which could never
+    // drop rows (every term trivially matches its own group)
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val n = df.select(countDistinct(col(idCol)).as("_gq_n"))
     val wLen = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val scored = tf.join(dfreq, "term")
+    val scored = tf.withColumn("df_t", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(
         (col("tf") / sum("tf").over(wLen)) *
