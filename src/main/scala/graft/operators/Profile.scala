@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -101,33 +102,135 @@ object Profile {
     val hist = df.groupBy((groupCols :+ c).map(col): _*)
       .agg(count(lit(1)).as("_gq_cnt"))
     val nonNullCnt = coalesce(sum(when(col(c).isNotNull, col("_gq_cnt"))), lit(0L))
-    val (mean, p50, p95) = df.schema(c).dataType match {
-      case _: NumericType =>
-        // weighted fold: value·count sums are exact integers in IEEE
-        // doubles for the integral-valued contract class, so this equals
-        // the row-level avg() under any summation order
-        val ps = array(lit(0.5), lit(0.95))
-        val pq = percentile(col(c), ps, col("_gq_cnt"))
-        ((sum(col(c).cast("double") * col("_gq_cnt")) / nonNullCnt).as("mean"),
-          pq.getItem(0).cast("double").as("p50"),
-          pq.getItem(1).cast("double").as("p95"))
-      case _ => (lit(null).cast("double").as("mean"),
-        lit(null).cast("double").as("p50"), lit(null).cast("double").as("p95"))
+    val numeric = df.schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
     }
+    val (mean, quants) =
+      if (!numeric)
+        (lit(null).cast("double").as("mean"),
+          Seq(lit(null).cast("double").as("p50"),
+            lit(null).cast("double").as("p95")))
+      else if (groupCols.isEmpty && bigInput(df))
+        // ungrouped quantiles over a LARGE input come from histQuantiles
+        // below — the whole-table percentile's merge buffer is one
+        // value→count map of EVERY distinct value on a single reducer
+        // (measured ×50: 41 s of q_profile's 42.7 s), while the
+        // distributed selection is three parallel NDV-row stages. Small
+        // inputs keep the single-map percentile: the selection's extra
+        // job waves (range sampling + offsets broadcast) cost ~1 s flat,
+        // which dominates below the size threshold.
+        ((sum(col(c).cast("double") * col("_gq_cnt")) / nonNullCnt).as("mean"),
+          Nil)
+      else {
+        // grouped: parallelism is per group and the per-group maps are
+        // group-NDV-sized — percentile-with-frequency stays the right
+        // shape (one aggregation, no per-group selection machinery)
+        val pq = percentile(col(c), array(lit(0.5), lit(0.95)), col("_gq_cnt"))
+        ((sum(col(c).cast("double") * col("_gq_cnt")) / nonNullCnt).as("mean"),
+          Seq(pq.getItem(0).cast("double").as("p50"),
+            pq.getItem(1).cast("double").as("p95")))
+      }
     val aggs = Seq(
       nonNullCnt.as("cnt"),
       (coalesce(sum(col("_gq_cnt")), lit(0L)) - nonNullCnt).as("null_cnt"),
       count(col(c)).as("ndv"),
       min(col(c)).cast("string").as("min_s"),
       max(col(c)).cast("string").as("max_s"),
-      mean, p50, p95)
+      mean) ++ quants
     val named = lit(c).as("name")
-    if (groupCols.isEmpty) hist.agg(aggs.head, aggs.tail: _*)
-      .select(named +: Seq("cnt", "null_cnt", "ndv", "min_s", "max_s",
-        "mean", "p50", "p95").map(col): _*)
-    else hist.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .select(groupCols.map(col) ++ (named +: Seq("cnt", "null_cnt", "ndv",
-        "min_s", "max_s", "mean", "p50", "p95").map(col)): _*)
+    val outNames = Seq("cnt", "null_cnt", "ndv", "min_s", "max_s",
+      "mean", "p50", "p95")
+    if (groupCols.isEmpty) {
+      val base = hist.agg(aggs.head, aggs.tail: _*)
+      val withQ =
+        if (numeric && bigInput(df))
+          base.crossJoin(histQuantiles(hist, c, Seq(0.5, 0.95)))
+        else base
+      withQ.select(named +: outNames.map(col): _*)
+    } else hist.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) ++ (named +: outNames.map(col)): _*)
+  }
+
+  /** Selection-vs-map dispatch on the PLAN-STATISTIC input size (no job:
+    * Catalyst's sizeInBytes — file bytes for a bare scan, estimates after
+    * filters). Below the threshold the exact percentile's one value→count
+    * map is cheap and the selection's fixed job waves dominate; above it
+    * the map merge is the single-reducer wall. Conf-parameterised
+    * (`spark.graft.profile.selectionMinBytes`, default 256 MB) so cluster
+    * deployments can tune the crossover; results are identical on both
+    * sides (the bit-parity spec pins selection ≡ percentile). */
+  private def bigInput(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.conf
+      .getOption("spark.graft.profile.selectionMinBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold
+  }
+
+  /** Exact interpolated quantiles off a (value, _gq_cnt) histogram by
+    * DISTRIBUTED ORDER-STATISTIC SELECTION — one output row with one
+    * double column per requested percentage (`p50`, `p95` for the census).
+    *
+    * Shape: range-repartition the histogram by value; per-partition count
+    * totals prefix-sum through a window over the bounded one-row-per-
+    * partition frame; each distinct value then knows its global rank
+    * interval [lo, lo+cnt), and the value covering rank floor/ceil of
+    * p·(n−1) reduces out of one aggregation. Every stage is parallel —
+    * nothing holds more than one partition's rows, unlike the exact
+    * `percentile` aggregate whose merge materializes the whole value→count
+    * map on one reducer. The result is partition-boundary-INVARIANT: ranks
+    * are global arithmetic, so sampling differences or retries cannot
+    * change the answer.
+    *
+    * Interpolation reproduces Spark's Percentile bit-for-bit:
+    * position = p·(n−1) in doubles; equal floor/ceil or equal adjacent
+    * values short-circuit to the value; otherwise
+    * (ceil−pos)·lo + (pos−floor)·hi, all in doubles. */
+  private def histQuantiles(hist: DataFrame, c: String,
+                            ps: Seq[Double]): DataFrame = {
+    val h = hist.filter(col(c).isNotNull)
+    // partition id becomes DATA here: downstream exchanges hash the value,
+    // so a task retry cannot reassign a row's pid mid-query; and the rank
+    // arithmetic is invariant to the range boundaries anyway
+    val ranged = h.repartitionByRange(col(c).asc)
+      .withColumn("_gq_pid", spark_partition_id())
+    val wPid = Window.orderBy(col("_gq_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perPid = ranged.groupBy("_gq_pid").agg(sum(col("_gq_cnt")).as("_gq_pn"))
+    // n rides the SAME bounded frame (window over all rows) so one
+    // broadcast serves both the offsets and the total
+    val wAll = Window.orderBy(col("_gq_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = perPid
+      .withColumn("_gq_poff", coalesce(sum(col("_gq_pn")).over(wPid), lit(0L)))
+      .withColumn("_gq_n", sum(col("_gq_pn")).over(wAll))
+    val wIn = Window.partitionBy(col("_gq_pid")).orderBy(col(c))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ranged
+      .join(broadcast(offs.select("_gq_pid", "_gq_poff", "_gq_n")),
+        Seq("_gq_pid"))
+      .withColumn("_gq_lo", col("_gq_poff") +
+        coalesce(sum(col("_gq_cnt")).over(wIn), lit(0L)))
+    def covers(idx: Column) =
+      idx >= col("_gq_lo") && idx < col("_gq_lo") + col("_gq_cnt")
+    val sel = ps.zipWithIndex.flatMap { case (p, i) =>
+      val pos = lit(p) * (col("_gq_n") - 1).cast("double")
+      Seq(max(when(covers(floor(pos)), col(c))).as(s"_gq_lov$i"),
+        max(when(covers(ceil(pos)), col(c))).as(s"_gq_hiv$i"),
+        max(col("_gq_n")).as(s"_gq_tn$i"))
+    }
+    val one = cum.agg(sel.head, sel.tail: _*)
+    val outs = ps.zipWithIndex.map { case (p, i) =>
+      val n = col(s"_gq_tn$i")
+      val pos = lit(p) * (n - 1).cast("double")
+      val lo = col(s"_gq_lov$i")
+      val hi = col(s"_gq_hiv$i")
+      when(floor(pos) === ceil(pos) || lo <=> hi, lo.cast("double"))
+        .otherwise((ceil(pos) - pos) * lo.cast("double") +
+          (pos - floor(pos)) * hi.cast("double"))
+        .as(if (p == 0.5) "p50" else if (p == 0.95) "p95" else s"_q$i")
+    }
+    one.select(outs: _*)
   }
 
   private def statAggs(df: DataFrame, c: String,

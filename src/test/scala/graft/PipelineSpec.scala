@@ -1791,4 +1791,41 @@ class PipelineSpec extends SparkSpec {
         s"group $g census must equal its slice's census")
     }
   }
+
+  test("Profile exact quantiles: distributed selection ≡ Spark percentile, bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    // adversarial shapes for the order-statistic selection: non-integral
+    // doubles (interpolation actually interpolates), heavy ties (rank
+    // intervals wider than 1), negatives, nulls, and sizes around the
+    // shuffle-partition count (empty range partitions)
+    // force the distributed-selection arm (tiny test frames would
+    // otherwise dispatch to the single-map percentile)
+    spark.conf.set("spark.graft.profile.selectionMinBytes", "0")
+    val rnd = new scala.util.Random(42)
+    val shapes: Seq[Seq[java.lang.Double]] = Seq(
+      Seq[java.lang.Double](1.5),
+      Seq[java.lang.Double](3.25, -7.5),
+      (1 to 97).map(_ => java.lang.Double.valueOf(rnd.nextInt(7) - 3.5)),
+      (1 to 500).map(_ => java.lang.Double.valueOf(
+        math.rint(rnd.nextGaussian() * 1e6) / 256.0)),
+      (1 to 1000).map(i => if (i % 11 == 0) null
+        else java.lang.Double.valueOf(rnd.nextDouble() * 1e9 - 5e8)))
+    for ((vals, si) <- shapes.zipWithIndex) {
+      val df = vals.toDF("v")
+      val got = graft.operators.Profile.summary(df, Seq("v"), exactNdv = true)
+        .select("p50", "p95").collect().head
+      val exp = df.agg(percentile(col("v"), array(lit(0.5), lit(0.95))))
+        .collect().head.getSeq[Double](0)
+      assert(got.getDouble(0) == exp(0) && got.getDouble(1) == exp(1),
+        s"shape $si: selection (${got.getDouble(0)}, ${got.getDouble(1)}) " +
+          s"!= percentile (${exp(0)}, ${exp(1)})")
+    }
+    // all-null and empty columns yield null quantiles, like percentile
+    val allNull = Seq[java.lang.Double](null, null).toDF("v")
+    val nr = graft.operators.Profile.summary(allNull, Seq("v"),
+      exactNdv = true).collect().head
+    assert(nr.isNullAt(7) && nr.isNullAt(8), s"all-null quantiles: $nr")
+    spark.conf.unset("spark.graft.profile.selectionMinBytes")
+  }
 }
