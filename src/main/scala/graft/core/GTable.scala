@@ -466,7 +466,13 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
       "runsDistributed requires dense natural positions; use runs() on filtered tables")
     val cur = (c: String) => col(c)
     val prev = (c: String) => col(s"_gq_p_$c")
-    val needed = (by ++ df.columns.filterNot(_ == Natural.rid)).distinct
+    // the predecessor frame crosses the adjacency shuffle: with no custom
+    // split predicates only the `by` columns are ever compared, so only
+    // they ride it (guide §2.3 "project before the exchange"); opaque
+    // split lambdas may touch any column, so they keep the full row
+    val needed =
+      if (split.isEmpty) by.distinct
+      else (by ++ df.columns.filterNot(_ == Natural.rid)).distinct
     val prevDf = df.select((col(Natural.rid) + 1).as(Natural.rid) +:
       needed.map(c => col(c).as(s"_gq_p_$c")): _*)
     val changes = by.map(c => !(cur(c) <=> prev(c))) ++ split.map(f => f(cur, prev))
