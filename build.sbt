@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver contract is ONE bare JSON line on stdout; sbt's
+// default LoggedOutput decorates every forked-run line with "[info] ",
+// which breaks the driver's JSON parse (BENCH_r{8..12} all have
+// parsed: null). StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -92,6 +92,29 @@ object Bench {
     val raw = results.map { case (k, _, rs) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Optional scaling reading (opt-in): when SPARK_GRAFT_BENCH_SCALE_DIR
+    // names a larger dataset, time the slowest entries there and emit a
+    // second JSON line (same contract, metric "scale_subset") BEFORE the
+    // main line — sf0.1 is fixed-cost-bound, so parallelism regressions
+    // only show at a larger SF. Off unless the env var is set, so the
+    // driver's run is unchanged.
+    sys.env.get("SPARK_GRAFT_BENCH_SCALE_DIR").foreach { scaleDir =>
+      val subset = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_QUERIES",
+        "q_runs_filtered,q_dedup_semantic,q_dedup_minhash,q_tfidf_topk,q_profile,q_dedup_substr")
+        .split(",").toSeq.filter(qmap.contains)
+      val sres = subset.map { name =>
+        val runs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try qmap(name)(spark, scaleDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, runs.min, runs)
+      }
+      val sqs = sres.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val stotal = sres.map(_._2).sum
+      println(f"""{"metric":"scale_subset","value":$stotal%.3f,"unit":"sec","reps":$reps,"queries":$sqs,"sf":"$scaleDir"}""")
+    }
     val total = results.map(_._2).sum
     // continuity subtotals: core18 = the pre-round-5 set; core22 = the
     // pre-round-11 set; core27 = the pre-round-12 set — cross-round totals
@@ -103,7 +126,14 @@ object Bench {
       r11Set.contains(k) || r12Set.contains(k) }.map(_._2).sum
     val core27 = results.filterNot { case (k, _, _) => r12Set.contains(k) }
       .map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core18":$core18%.3f,"core22":$core22%.3f,"core27":$core27%.3f,"reps":$reps,"queries":$qs,"raw":$raw,"sf":"$sfDir"}""")
+    // Measurement-contract fix (round 13, VERDICT r12 item 2): the raw
+    // best-of-N triples pushed the contract line past the driver's 2000-char
+    // tail, truncating it mid-line; they now go to stderr (still auditable in
+    // the driver's log) and the ONE stdout JSON line stays compact. No
+    // timing methodology changed — same queries, same noop sink, same
+    // best-of-N mins; only where the audit triples are printed.
+    System.err.println(s"""[bench] raw {"reps":$reps,"runs":$raw}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core18":$core18%.3f,"core22":$core22%.3f,"core27":$core27%.3f,"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
