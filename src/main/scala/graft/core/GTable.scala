@@ -88,6 +88,12 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     val ordAgg = if (firstSeenOrder) Seq(min(rid).as(Natural.rid)) else Nil
     val allAggs = aggs ++ counts.map(n => GTable.cnt.as(n)) ++ ordAgg
     val a = if (allAggs.isEmpty) Seq(GTable.cnt.as("count")) else allAggs
+    // NOTE (r13, measured): multi-distinct aggregates keep Spark's Expand
+    // plan DELIBERATELY. Splitting count(DISTINCT a), count(DISTINCT b)
+    // into per-column dedup branches joined on the group key shuffles the
+    // same distinct-pair volume (Expand already map-side-dedups per gid)
+    // but pays a SECOND corpus scan — measured 2.6 s → 6.3-11 s on
+    // q_nunique at ×50 (ndv(l_orderkey) ≈ rows/4). See OPTIMIZATION_r13.md.
     val grouped =
       if (by.isEmpty) df.agg(a.head, a.tail: _*)
       else df.groupBy(by.map(col): _*).agg(a.head, a.tail: _*)
@@ -446,13 +452,17 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
     */
   /** Distributed gaps-and-islands over natural order — the 100 TB path.
     *
-    * Exploits the DENSE 0-based row id: the predecessor of row i is exactly
-    * rid i−1, so adjacency is an equi-join (rid = prev.rid + 1), not a
-    * window. Run ids come from a block prefix sum: per-block flag counts
-    * (one row per `blockSize` rows) prefix-summed by a window over that
-    * bounded totals frame and broadcast back; within-block running counts
-    * use a window partitioned by block — every stage is a parallel
-    * shuffle, nothing global, no driver action.
+    * Exploits the DENSE 0-based row id: the predecessor of row i is rid
+    * i−1, which within a block is `lag(1)` over the block-partitioned
+    * window — NO adjacency join (the former rid+1 equi-join shuffled the
+    * corpus through a two-sided exchange pair that only local-mode AQE
+    * hid; guide §2.4 "remove shuffles outright"). Only each block's FIRST
+    * row needs a cross-block predecessor, and those predecessors are
+    * exactly the rows with rid ≡ blockSize−1 (mod blockSize): one row per
+    * block, read column-pruned from the input and broadcast back. Run ids
+    * come from a block prefix sum as before — and both the lag window,
+    * the within-block running count and the per-block totals aggregation
+    * key on `_gq_blk`, so the WHOLE pipeline is one corpus exchange.
     *
     * `split` predicates receive (current, previous) column accessors.
     */
@@ -460,27 +470,36 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
                       split: Seq[(String => Column, String => Column) => Column] = Nil,
                       aggs: Seq[Column] = Nil, counts: Option[String] = None,
                       blockSize: Long = 1L << 20): GTable = {
-    // adjacency here is the rid+1 equi-join — valid only while the rid is
+    // adjacency here is rid arithmetic — valid only while the rid is
     // dense positions; after a filter use `runs` (rid-ordered window)
     require(hasDensePositions,
       "runsDistributed requires dense natural positions; use runs() on filtered tables")
-    val cur = (c: String) => col(c)
-    val prev = (c: String) => col(s"_gq_p_$c")
-    // the predecessor frame crosses the adjacency shuffle: with no custom
-    // split predicates only the `by` columns are ever compared, so only
-    // they ride it (guide §2.3 "project before the exchange"); opaque
-    // split lambdas may touch any column, so they keep the full row
+    // with no custom split predicates only the `by` columns are ever
+    // compared, so only they ride the lag/boundary frames (guide §2.3
+    // "project before the exchange"); opaque split lambdas may touch any
+    // column, so they keep the full row
     val needed =
       if (split.isEmpty) by.distinct
       else (by ++ df.columns.filterNot(_ == Natural.rid)).distinct
-    val prevDf = df.select((col(Natural.rid) + 1).as(Natural.rid) +:
-      needed.map(c => col(c).as(s"_gq_p_$c")): _*)
+    val withBlk = df.withColumn("_gq_blk", (col(Natural.rid) / blockSize).cast("long"))
+    val wLag = Window.partitionBy(col("_gq_blk")).orderBy(col(Natural.rid))
+    val lagged = needed.foldLeft(withBlk)((d, c) =>
+      d.withColumn(s"_gq_l_$c", lag(col(c), 1).over(wLag)))
+    // one row per block: the last row of block b−1 carries block b's
+    // cross-block predecessor values (rid dense ⇒ rid b·blockSize−1 exists
+    // whenever block b is nonempty and b ≥ 1)
+    val boundary = df.filter(col(Natural.rid) % blockSize === blockSize - 1)
+      .select(((col(Natural.rid) / blockSize).cast("long") + 1L).as("_gq_blk") +:
+        needed.map(c => col(c).as(s"_gq_b_$c")): _*)
+    val isFirstOfBlk = col(Natural.rid) % blockSize === 0
+    val cur = (c: String) => col(c)
+    val prev = (c: String) =>
+      when(isFirstOfBlk, col(s"_gq_b_$c")).otherwise(col(s"_gq_l_$c"))
     val changes = by.map(c => !(cur(c) <=> prev(c))) ++ split.map(f => f(cur, prev))
-    val flagged = df.join(prevDf, Seq(Natural.rid), "left")
+    val flagged = lagged.join(broadcast(boundary), Seq("_gq_blk"), "left")
       .withColumn("_gq_chg",
         when(col(Natural.rid) === 0, 1L)
           .otherwise(when(changes.reduce(_ || _), 1L).otherwise(0L)))
-      .withColumn("_gq_blk", (col(Natural.rid) / blockSize).cast("long"))
       .select(df.columns.map(col) :+ col("_gq_chg") :+ col("_gq_blk"): _*)
     // per-block flag counts → prefix sum over the TINY totals frame (one
     // row per blockSize rows, the same shape `cumulative` uses). Keeping
@@ -962,6 +981,30 @@ final case class GTable(df: DataFrame, sortedBy: Seq[Column] = Nil,
   def runs(by: Seq[String],
            split: Seq[org.apache.spark.sql.expressions.WindowSpec => Column] = Nil,
            aggs: Seq[Column] = Nil, counts: Option[String] = None): GTable = {
+    // With no custom split predicate the serial single-window form and
+    // the block-decomposed runsDistributed compute the same thing — so
+    // dispatch to the parallel plan (densify() re-ranks a sparse rid and
+    // is a no-op on dense tables). Split lambdas are opaque WindowSpec
+    // functions (e.g. lag(ts) over w) that cannot be re-expressed as
+    // (cur, prev) accessors, so they keep the serial window.
+    if (split.isEmpty && Natural.hasRowId(df)) {
+      // scale-adaptive block size: aim for ~8 blocks per core so the lag
+      // and run-id windows parallelize at small inputs, clamped to
+      // [2^16, 2^20] so the per-block boundary/totals frames stay tiny at
+      // any corpus size (1e12 rows ⇒ ~1M one-row-per-block entries). The
+      // row estimate errs low by the parquet compression ratio, which only
+      // shifts granularity, never correctness.
+      val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      val blk = math.max(1L << 16,
+        math.min(1L << 20, estimatedRows / (p * 8L)))
+      return densify(blk).runsDistributed(by, Nil, aggs, counts, blk)
+    }
+    runsSerial(by, split, aggs, counts)
+  }
+
+  private[graft] def runsSerial(by: Seq[String],
+           split: Seq[org.apache.spark.sql.expressions.WindowSpec => Column] = Nil,
+           aggs: Seq[Column] = Nil, counts: Option[String] = None): GTable = {
     // single-window reference implementation (correct but serial); see
     // runsDistributed for the scale path
     val w = Window.orderBy(rid)
@@ -992,11 +1035,19 @@ object GTable {
   private[core] def aggRuns(withRun: org.apache.spark.sql.DataFrame,
                             by: Seq[String], aggs: Seq[Column],
                             counts: Option[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val fp = by.filter(c => withRun.schema(c).dataType match {
+    import org.apache.spark.sql.types._
+    // fp must match NormalizeFloatingNumbers' reach: float/double at ANY
+    // nesting depth (array<double>, struct with float fields, map keys or
+    // values) are normalized (-0.0/NaN) when they ride a group key, so any
+    // type transitively containing them stays on the min_by path
+    def containsFp(dt: DataType): Boolean = dt match {
       case DoubleType | FloatType => true
+      case ArrayType(et, _) => containsFp(et)
+      case StructType(fields) => fields.exists(f => containsFp(f.dataType))
+      case MapType(kt, vt, _) => containsFp(kt) || containsFp(vt)
       case _ => false
-    }).toSet
+    }
+    val fp = by.filter(c => containsFp(withRun.schema(c).dataType)).toSet
     val keyBy = by.filterNot(fp)
     val fpBy = by.filter(fp)
     val firstOfFp = fpBy.map(c => min_by(col(c), col(Natural.rid)).as(c))
@@ -1015,4 +1066,5 @@ object GTable {
   /** Reference order-key syntax: `-` prefix = descending (core.py:26-28). */
   def orderKeys(keys: Seq[String]): Seq[Column] =
     keys.map(k => if (k.startsWith("-")) col(k.drop(1)).desc else col(k).asc)
+
 }

@@ -36,7 +36,7 @@ object RunsFilteredProbe {
       round(sum(col("value")), 6).as("run_value"))
 
     def serialArm = filtered
-      .runs(by = Seq("event_type"), aggs = aggs, counts = Some("n")).result
+      .runsSerial(by = Seq("event_type"), aggs = aggs, counts = Some("n")).result
     def distArm = filtered.densify()
       .runsDistributed(by = Seq("event_type"), aggs = aggs, counts = Some("n"))
       .result
