@@ -157,27 +157,35 @@ object Dedup {
   final case class CapDrop(op: String, buckets: Long, rows: Long)
 
   private val lastDropsMap =
-    new scala.collection.concurrent.TrieMap[String, CapDrop]
+    new scala.collection.concurrent.TrieMap[String, () => CapDrop]
   /** Most recent cap activation per operator (empty counts = cap ran and
-    * dropped nothing). */
-  def lastCapDrops: Map[String, CapDrop] = lastDropsMap.toMap
+    * dropped nothing). Counts registered by the in-plan metered caps
+    * ([[capBucketsByMetered]]) read LIVE accumulator values — final once
+    * the consumer's action completes (call after the action, exactly like
+    * the tests and the GraphQL executor's eager resolution do). */
+  def lastCapDrops: Map[String, CapDrop] =
+    lastDropsMap.map { case (k, f) => (k, f()) }.toMap
 
   private val capListener =
-    new ThreadLocal[scala.collection.mutable.Buffer[CapDrop]]
+    new ThreadLocal[scala.collection.mutable.Buffer[() => CapDrop]]
 
   /** Capture every cap activation that happens (on this thread — operator
     * calls are driver-side and synchronous) while `f` runs: the GraphQL
     * executor wraps request resolution with this and serves the drops in
-    * the response extensions. */
+    * the response extensions. Drop counts materialize when `f` RETURNS,
+    * so accumulator-metered caps report what the actions inside `f` saw
+    * (the executor runs all Spark actions eagerly inside the block). */
   private[graft] def collectCapDrops[A](f: => A): (A, Seq[CapDrop]) = {
-    val buf = scala.collection.mutable.Buffer[CapDrop]()
+    val buf = scala.collection.mutable.Buffer[() => CapDrop]()
     capListener.set(buf)
-    try { val r = f; (r, buf.toSeq) } finally capListener.remove()
+    try { val r = f; (r, buf.toSeq.map(_.apply())) } finally capListener.remove()
   }
 
-  private[operators] def recordDrop(d: CapDrop): Unit = {
-    lastDropsMap(d.op) = d
-    Option(capListener.get).foreach(_ += d)
+  private[operators] def recordDrop(d: CapDrop): Unit = recordDropLazy(d.op, () => d)
+
+  private[operators] def recordDropLazy(op: String, f: () => CapDrop): Unit = {
+    lastDropsMap(op) = f
+    Option(capListener.get).foreach(_ += f)
   }
 
   /** Drop bucket-key groups holding more than `maxBucket` docs.
@@ -220,6 +228,54 @@ object Dedup {
   private def capBuckets(banded: DataFrame, maxBucket: Int,
                          op: String): DataFrame =
     capBucketsBy(banded, Seq("band", "bucket"), maxBucket, op)
+
+  /** In-plan occupancy cap: same survivors as [[capBucketsBy]] (rows in
+    * bucket-key groups of ≤ `maxBucket` rows) with NO separate metering
+    * action — [[capBucketsBy]]'s hot-list `collect()` re-executes the
+    * input subtree once more per cap, which for expensive inputs (the
+    * semantic path's per-row centroid fold) doubles the corpus work. The
+    * occupancy rides a count window over the bucket keys, and the
+    * window's hash exchange on those keys is the SAME exchange the
+    * downstream self-join needs, so the plan stays at one corpus shuffle.
+    * Drops are metered in-plan ([[graft.expressions.CapMeter]]
+    * accumulators, registered lazily so [[lastCapDrops]] reads final
+    * values after the consumer's action).
+    *
+    * Returns TWO copies for the self-join, each metered with its OWN
+    * accumulator pair; the recorded CapDrop is the per-side MAX. Max, not
+    * sum: both sides witness the identical capped stream, so when both
+    * execute the counts agree (no double-count), and when AQE's
+    * empty-relation propagation skips the probe side after an empty
+    * build (the build side ALWAYS materializes first), the executed
+    * side's count survives — metering one side only provably loses the
+    * all-dropped case, the exact silent-recall-loss shape the meter
+    * exists for. Single-consumer callers use only `_1`. */
+  private[operators] def capBucketsByMetered(
+      banded: DataFrame, keys: Seq[String], maxBucket: Int,
+      op: String): (DataFrame, DataFrame) =
+    if (maxBucket <= 0) (banded, banded)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val sc = banded.sparkSession.sparkContext
+      def side(tag: String) = {
+        val rowAcc = sc.longAccumulator(s"graft.capDrop.$op.rows.$tag")
+        val bucketAcc = sc.longAccumulator(s"graft.capDrop.$op.buckets.$tag")
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(lit(1))
+        val df = banded
+          .withColumn("_gq_occ", count(lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("_gq_rep", row_number().over(w) === 1)
+          .filter(graft.expressions.MeterFunctions.capMeter(
+            col("_gq_occ") <= maxBucket, col("_gq_rep"), rowAcc, bucketAcc))
+          .drop("_gq_occ", "_gq_rep")
+        (df, rowAcc, bucketAcc)
+      }
+      val (a, rA, bA) = side("a")
+      val (b, rB, bB) = side("b")
+      recordDropLazy(op, () => CapDrop(op,
+        math.max(bA.value, bB.value), math.max(rA.value, rB.value)))
+      (a, b)
+    }
 
   /** Diagnostic: the per-(band, bucket) occupancy histogram of the MinHash
     * banding [[minhashPairs]] self-joins on — the distribution `maxBucket`

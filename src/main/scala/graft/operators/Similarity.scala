@@ -1227,9 +1227,12 @@ object Similarity {
     val assigned = withAssignedCid(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
       col("v"), cents, "cid")
-    val capped = Dedup.capBucketsBy(assigned, Seq("cid"), maxCell,
-      "semanticPairs")
-    capped.as("a").join(capped.as("b"),
+    // in-plan metered cap: the count window's hash exchange on cid is the
+    // self-join's exchange (one corpus shuffle, no hot-list action whose
+    // lineage re-runs the centroid fold); meter rides side "a" only
+    val (cappedA, cappedB) = Dedup.capBucketsByMetered(
+      assigned, Seq("cid"), maxCell, "semanticPairs")
+    cappedA.as("a").join(cappedB.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         cosineFast(spark)(col("a.v"), col("b.v")).as("cos"))
